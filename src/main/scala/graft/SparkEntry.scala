@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** All graded operators, grouped by SURVEY §2 family. */
   def defs: Seq[QDef] =
-    ops.Aggregates.all
+    ops.Scans.all ++ ops.ProjectFilter.all ++ ops.Joins.all ++
+      ops.Aggregates.all ++ ops.Windows.all ++ ops.SortSetOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,7 +26,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively (PARQUET_TYPE_ILLEGAL). Read it as a raw nanosecond
+    * LONG and truncate to a µs timestamp (integer floor-div — exact,
+    * deterministic). Raw `ts` still must never be output (SURVEY D4):
+    * DuckDB keeps ns, so only second-or-coarser truncations match. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -54,5 +54,182 @@ object Aggregates {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val all: Seq[QDef] = Seq(q1PricingSummary)
+  /** Multi-distinct → Catalyst Expand; exact distinct counts. */
+  val aggCountDistinct: QDef = q(
+    "agg_count_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS nd_part,
+      |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** HLL++ sketch — sanctioned no-oracle op (engine-specific sketch);
+    * accuracy vs exact distinct is asserted in scalatest instead. */
+  val aggApproxDistinct: QDef = QDef.qNoOracle("agg_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP over the region -> nation hierarchy with GROUPING flags to
+    * disambiguate subtotal NULLs (D5: NULLS FIRST pinned in both
+    * engines). */
+  val aggRollup: QDef = q(
+    "agg_rollup",
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name) AS INTEGER) AS g_r,
+      |  CAST(GROUPING(n_name) AS INTEGER) AS g_n,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast(IntegerType).as("g_r"),
+        grouping(col("n_name")).cast(IntegerType).as("g_n"),
+        count(lit(1)).as("n_cust"),
+        outDouble(sum(money(col("c_acctbal")))).as("sum_bal"))
+      .select(col("r_name"), col("n_name"), col("g_r"), col("g_n"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** CUBE over two independent order dimensions. */
+  val aggCube: QDef = q(
+    "agg_cube",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""") { (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        outDouble(sum(money(col("o_totalprice")))).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS ((lang), (source), ()) over documents. */
+  val aggGroupingSets: QDef = q(
+    "agg_grouping_sets",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY lang NULLS FIRST, source NULLS FIRST""") { (s, d) =>
+    Tables.documents(s, d)
+      .groupingSets(
+        Seq(Seq(col("lang")), Seq(col("source")), Seq.empty[org.apache.spark.sql.Column]),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  }
+
+  /** Variance/stddev built from exact decimal sums (D3) — never the
+    * native float accumulators. Final expression is the SAME float op
+    * sequence in both engines on identical exact operands. */
+  val aggStatsExplicit: QDef = q(
+    "agg_stats_explicit",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+      |  (CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |   / (COUNT(*) - 1) AS var_value,
+      |  sqrt((CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |   / (COUNT(*) - 1)) AS std_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (s, d) =>
+    val v = money(col("value"))
+    val n = count(lit(1))
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(n.as("n"), sum(v).as("_s"), sum(v * v).as("_ss"))
+      .select(
+        col("event_type"), col("n"),
+        (outDouble(col("_s")) / col("n")).as("mean_value"),
+        ((outDouble(col("_ss")) - outDouble(col("_s")) * outDouble(col("_s")) / col("n"))
+          / (col("n") - 1)).as("var_value"),
+        sqrt((outDouble(col("_ss")) - outDouble(col("_s")) * outDouble(col("_s")) / col("n"))
+          / (col("n") - 1)).as("std_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** collect_list is order-nondeterministic (D9) — always sorted, then
+    * sliced, so the array value is a pure function of the group. */
+  val aggCollectSorted: QDef = q(
+    "agg_collect_sorted",
+    """SELECT n_name, (list(c_name ORDER BY c_name))[1:5] AS top_names
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""") { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(slice(sort_array(collect_list(col("c_name"))), 1, 5).as("top_names"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Pivot with an EXPLICIT value list (no inference job, no column-
+    * order risk); missing cells coalesced to 0 to match COUNT(CASE). */
+  val pivotEventTypes: QDef = q(
+    "pivot_event_types",
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** Wide -> long unpivot: THE core reference motion (sheet cells ->
+    * observation rows). Values unified to DOUBLE. */
+  val unpivotMelt: QDef = q(
+    "unpivot_melt",
+    """SELECT p_partkey, attr, val FROM (
+      |  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+      |) ORDER BY p_partkey, attr""") { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast(DoubleType).as("p_size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")), "attr", "val")
+      .orderBy(col("p_partkey"), col("attr"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
+    aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
+    pivotEventTypes, unpivotMelt)
 }

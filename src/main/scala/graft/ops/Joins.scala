@@ -1,0 +1,199 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import graft.Protocol._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 — join family.
+  *
+  * Scale posture: dimension sides (`part`, `nation`, `region`,
+  * `customer`) are broadcast — explicitly where the pattern is the
+  * reference's codebook lookup, via AQE elsewhere. Fact-fact joins
+  * shuffle on their keys and sort-merge; at 100 TB those keys are the
+  * natural bucketing/partitioning columns, so the same plan holds.
+  */
+object Joins {
+
+  val joinInnerEqui: QDef = q(
+    "join_inner_equi",
+    """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""") { (s, d) =>
+    Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The reference's codebook-lookup shape: fact x small dim with an
+    * explicit broadcast hint — no shuffle of the fact side at any
+    * scale. */
+  val joinBroadcastDim: QDef = q(
+    "join_broadcast_dim",
+    """SELECT l_orderkey, l_linenumber, p_brand, p_retailprice
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |ORDER BY l_orderkey, l_linenumber, p_brand, p_retailprice""") { (s, d) =>
+    // (l_orderkey, l_linenumber) is NOT unique — order by all outputs (D1).
+    Tables.lineitem(s, d).join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("p_retailprice"))
+  }
+
+  /** Left outer keeps customers even when the filtered order side has
+    * no match; NULL sort position pinned per D5. */
+  val joinLeftOuter: QDef = q(
+    "join_left_outer",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      |FROM customer LEFT JOIN (
+      |  SELECT * FROM orders WHERE o_totalprice > 400000
+      |) ON o_custkey = c_custkey
+      |ORDER BY c_custkey, o_orderkey NULLS FIRST""") { (s, d) =>
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+    Tables.customer(s, d).join(big, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Full outer with constructed non-overlap (suppliers < 60 vs
+    * lineitem suppliers >= 40) so all three row classes appear. */
+  val joinFullOuter: QDef = q(
+    "join_full_outer",
+    """SELECT s_suppkey, s_name, l_suppkey
+      |FROM (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey < 60) s
+      |FULL JOIN (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey >= 40) l
+      |  ON s_suppkey = l_suppkey
+      |ORDER BY s_suppkey NULLS FIRST, l_suppkey NULLS FIRST""") { (s, d) =>
+    val sup = Tables.supplier(s, d).filter(col("s_suppkey") < 60)
+      .select(col("s_suppkey"), col("s_name"))
+    val li = Tables.lineitem(s, d).filter(col("l_suppkey") >= 40)
+      .select(col("l_suppkey")).distinct()
+    sup.join(li, col("s_suppkey") === col("l_suppkey"), "full")
+      .orderBy(col("s_suppkey").asc_nulls_first, col("l_suppkey").asc_nulls_first)
+  }
+
+  /** Customers having at least one finished high-value order. */
+  val joinSemi: QDef = q(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderstatus = 'F' AND o_totalprice > 300000)
+      |ORDER BY c_custkey""") { (s, d) =>
+    val f = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+    Tables.customer(s, d).join(f, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Customers with NO high-value order — the reference's
+    * "unmappable rows" data-quality report shape. */
+  val joinAnti: QDef = q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""") { (s, d) =>
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+    Tables.customer(s, d).join(big, col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Equi key + theta residual: planner keeps the hash/SMJ on the equi
+    * part and evaluates the range predicate as a residual filter. */
+  val joinThetaRange: QDef = q(
+    "join_theta_range",
+    """SELECT l_orderkey, l_linenumber, p_partkey, l_quantity, p_size
+      |FROM lineitem JOIN part
+      |  ON l_partkey = p_partkey AND l_quantity > p_size
+      |ORDER BY l_orderkey, l_linenumber, p_partkey, l_quantity, p_size""") { (s, d) =>
+    // (l_orderkey, l_linenumber) is NOT unique — order by all outputs (D1).
+    Tables.lineitem(s, d).join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        col("l_quantity"), col("p_size"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        col("l_quantity"), col("p_size"))
+  }
+
+  /** Tiny dimension enumeration (5 x 25 rows). */
+  val joinCrossSmall: QDef = q(
+    "join_cross_small",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""") { (s, d) =>
+    Tables.region(s, d).select(col("r_name"))
+      .crossJoin(Tables.nation(s, d).select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** As-of join: for each purchase, the latest prior same-user click.
+    *
+    * NOT a self-theta-join (O(n^2) per user): union-tag both event
+    * sets and take a running `last(click, ignoreNulls)` window ordered
+    * by (second-truncated ts, event_id) — O(n log n), one shuffle on
+    * user_id, scales linearly with events. Same windowed SQL on the
+    * DuckDB side for bit-identical tie semantics (SURVEY §2.3).
+    * Second truncation per D4 (parquet ns vs Spark us). */
+  val joinAsofEvent: QDef = q(
+    "join_asof_event",
+    """SELECT event_id, user_id, ts_sec AS purchase_sec, click_sec
+      |FROM (
+      |  SELECT event_id, user_id, event_type, ts_sec,
+      |         last_value(CASE WHEN event_type = 'click' THEN ts_sec END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_sec
+      |  FROM (SELECT event_id, user_id, event_type,
+      |               date_trunc('second', ts) AS ts_sec FROM events)
+      |  WHERE event_type IN ('click', 'purchase')
+      |)
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsSec(col("ts")).as("ts_sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("click_sec",
+        last(when(col("event_type") === "click", col("ts_sec")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts_sec").as("purchase_sec"), col("click_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Full star fan: fact -> orders -> customer -> nation -> region,
+    * revenue by region x year. Dims broadcast (AQE converts the
+    * customer join too at runtime); only the fact-orders join
+    * shuffles. */
+  val joinStar3way: QDef = q(
+    "join_star_3way",
+    """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, year(o_orderdate)
+      |ORDER BY r_name, o_year""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(outDouble(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      .orderBy(col("r_name"), col("o_year"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
+    joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
+    joinAsofEvent, joinStar3way)
+}

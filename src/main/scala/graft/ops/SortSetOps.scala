@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.6 (sort / limit / top-k) and §2.7 (set operations). */
+object SortSetOps {
+
+  /** Multi-key total-order sort (range-partitioned at scale). */
+  val sortMultikey: QDef = q(
+    "sort_multikey",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
+  /** Global top-k: orderBy + limit plans as TakeOrderedAndProject —
+    * per-partition heaps, no global sort, O(k) driver result. */
+  val topkGlobal: QDef = q(
+    "topk_global",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 20""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** UNION ALL keeps duplicates; a source tag makes the output key
+    * unique so the presentation order is total (D1). */
+  val setUnionAll: QDef = q(
+    "set_union_all",
+    """SELECT * FROM (
+      |  SELECT 'high_value' AS src, o_orderkey FROM orders WHERE o_totalprice > 450000
+      |  UNION ALL
+      |  SELECT 'recent' AS src, o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+      |) ORDER BY src, o_orderkey""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") > 450000)
+      .select(lit("high_value").as("src"), col("o_orderkey"))
+    val b = o.filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+      .select(lit("recent").as("src"), col("o_orderkey"))
+    a.unionAll(b).orderBy(col("src"), col("o_orderkey"))
+  }
+
+  val setUnionDistinct: QDef = q(
+    "set_union_distinct",
+    """SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+      |UNION
+      |SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+      |ORDER BY o_orderkey""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") > 450000).select(col("o_orderkey"))
+    val b = o.filter(col("o_orderdate") >= lit("2001-06-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    a.union(b).distinct().orderBy(col("o_orderkey"))
+  }
+
+  /** INTERSECT (set semantics, like SQL). */
+  val setIntersect: QDef = q(
+    "set_intersect",
+    """SELECT p_partkey FROM part WHERE p_size < 10
+      |INTERSECT
+      |SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity >= 45
+      |ORDER BY p_partkey""") { (s, d) =>
+    val a = Tables.part(s, d).filter(col("p_size") < 10).select(col("p_partkey"))
+    val b = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      .select(col("l_partkey").as("p_partkey"))
+    a.intersect(b).orderBy(col("p_partkey"))
+  }
+
+  /** EXCEPT: suppliers never used by any heavy line. */
+  val setExcept: QDef = q(
+    "set_except",
+    """SELECT s_suppkey FROM supplier
+      |EXCEPT
+      |SELECT l_suppkey AS s_suppkey FROM lineitem WHERE l_quantity >= 49
+      |ORDER BY s_suppkey""") { (s, d) =>
+    val a = Tables.supplier(s, d).select(col("s_suppkey"))
+    val b = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      .select(col("l_suppkey").as("s_suppkey"))
+    a.except(b).orderBy(col("s_suppkey"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    sortMultikey, topkGlobal, setUnionAll, setUnionDistinct,
+    setIntersect, setExcept)
+}
