@@ -12,7 +12,8 @@ object SparkEntry {
   /** All graded operators, grouped by SURVEY §2 family. */
   def defs: Seq[QDef] =
     ops.Scans.all ++ ops.ProjectFilter.all ++ ops.Joins.all ++
-      ops.Aggregates.all ++ ops.Windows.all ++ ops.SortSetOps.all
+      ops.Aggregates.all ++ ops.Windows.all ++ ops.SortSetOps.all ++
+      ops.Functions.all ++ ops.Udx.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,245 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import graft.Protocol._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.8 — scalar function families.
+  *
+  * One ordered projection query per family. Everything here is a
+  * per-row expression with a FIXED evaluation tree: each float op is
+  * IEEE correctly-rounded and evaluated in the same order by both
+  * engines, so (unlike aggregation, where accumulation order varies)
+  * plain doubles are hash-safe. The only guarded spots are regex
+  * dialect (POSIX-safe patterns only) and engine quirks probed
+  * against DuckDB 1.0.0: regexp_replace needs the 'g' flag there,
+  * list_position returns 0-when-missing just like Spark, and
+  * least/greatest skip NULLs in both.
+  */
+object Functions {
+
+  /** String family over `part` (p_name is "adjective noun"). */
+  val fnString: QDef = q(
+    "fn_string",
+    """SELECT p_partkey,
+      |  upper(p_name) AS up,
+      |  lower(p_brand) AS lo,
+      |  trim(concat(' ', p_name, ' ')) AS tr,
+      |  substring(p_name, 1, 5) AS sub5,
+      |  concat_ws('|', p_brand, p_type) AS cw,
+      |  lpad(p_brand, 12, '*') AS lp,
+      |  length(p_name) AS len,
+      |  replace(p_name, 'widget', 'gadget') AS rep,
+      |  string_split(p_name, ' ') AS toks,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel
+      |FROM part
+      |ORDER BY p_partkey""") { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        lower(col("p_brand")).as("lo"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("tr"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        length(col("p_name")).as("len"),
+        regexp_replace(col("p_name"), "widget", "gadget").as("rep"),
+        split(col("p_name"), " ").as("toks"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Edit distance + token-set Jaccard (computed explicitly — DuckDB's
+    * jaccard() builtin is character-based, not token-based). The
+    * division is a single float op on identical integer operands:
+    * deterministic (see object scaladoc). */
+  val fnStringDistance: QDef = q(
+    "fn_string_distance",
+    """SELECT doc_id,
+      |  levenshtein(substring(text, 1, 30),
+      |              replace(substring(text, 1, 30), 'a', '')) AS lev,
+      |  len(list_intersect(list_distinct(string_split(text, ' ')),
+      |                     ['join', 'filter', 'scan', 'table'])) AS n_common,
+      |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+      |                          ['join', 'filter', 'scan', 'table'])) AS DOUBLE)
+      |    / len(list_distinct(string_split(text, ' ') || ['join', 'filter', 'scan', 'table'])) AS jacc
+      |FROM documents
+      |ORDER BY doc_id""") { (s, d) =>
+    val toks = array_distinct(split(col("text"), " "))
+    val ref = array(lit("join"), lit("filter"), lit("scan"), lit("table"))
+    val inter = size(array_intersect(toks, ref))
+    val uni = size(array_union(split(col("text"), " "), ref))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 30),
+          regexp_replace(substring(col("text"), 1, 30), "a", "")).as("lev"),
+        inter.as("n_common"),
+        (inter.cast(DoubleType) / uni).as("jacc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Date family over `orders` (output DATE, never raw timestamp). */
+  val fnDate: QDef = q(
+    "fn_date",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  CAST(day(o_orderdate) AS INTEGER) AS dy,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, d) =>
+    val od = col("o_orderdate")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(od).cast(IntegerType).as("yr"),
+        month(od).cast(IntegerType).as("mo"),
+        dayofmonth(od).cast(IntegerType).as("dy"),
+        date_trunc("month", od).cast(DateType).as("month_start"),
+        date_add(od.cast(DateType), 30).as("plus30"),
+        datediff(od.cast(DateType), lit("1995-01-01").cast(DateType))
+          .cast(LongType).as("days_since"),
+        last_day(od.cast(DateType)).as("month_end"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Math family. sqrt/abs/floor/ceil/sign/mod are IEEE-exact (D6);
+    * round happens on DECIMAL (half-up both engines, D7); no exp/log/
+    * pow anywhere. All fixture values are positive so % agrees. */
+  val fnMath: QDef = q(
+    "fn_math",
+    """SELECT p_partkey,
+      |  abs(p_retailprice - 500.0) AS ab,
+      |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+      |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+      |  sqrt(p_retailprice) AS sq,
+      |  CAST(sign(p_size - 25) AS INTEGER) AS sg,
+      |  p_size % 7 AS md,
+      |  CAST(round(CAST(p_retailprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS rd,
+      |  CAST(p_size AS BIGINT) * p_size AS sqsize
+      |FROM part
+      |ORDER BY p_partkey""") { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        abs(col("p_retailprice") - 500.0).as("ab"),
+        ceil(col("p_retailprice")).as("ce"),
+        floor(col("p_retailprice")).as("fl"),
+        sqrt(col("p_retailprice")).as("sq"),
+        signum(col("p_size") - 25).cast(IntegerType).as("sg"),
+        (col("p_size") % 7).as("md"),
+        outDouble(round(money(col("p_retailprice")), 1)).as("rd"),
+        (col("p_size").cast(LongType) * col("p_size")).as("sqsize"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Array family over tokenized documents. array_distinct's output
+    * order is engine-specific — always sorted before output; Spark
+    * array_position and DuckDB list_position both return 0 when
+    * missing (probed). */
+  val fnArray: QDef = q(
+    "fn_array",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_toks,
+      |  list_sort(list_distinct(string_split(text, ' '))) AS toks_uniq,
+      |  list_contains(string_split(text, ' '), 'join') AS has_join,
+      |  (string_split(text, ' '))[1:5] AS first5,
+      |  CAST(list_position(string_split(text, ' '), 'scan') AS BIGINT) AS scan_pos
+      |FROM documents
+      |ORDER BY doc_id""") { (s, d) =>
+    val t = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(t).as("n_toks"),
+        sort_array(array_distinct(t)).as("toks_uniq"),
+        array_contains(t, "join").as("has_join"),
+        slice(t, 1, 5).as("first5"),
+        array_position(t, "scan").as("scan_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSON-string → typed map: keys + element access, scalar output. */
+  val fnMapJson: QDef = q(
+    "fn_map_json",
+    """SELECT event_id,
+      |  CAST(json_keys(props) AS VARCHAR[]) AS ks,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2
+      |FROM events
+      |ORDER BY event_id""") { (s, d) =>
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        map_keys(m).as("ks"),
+        element_at(m, "k").as("k"),
+        (element_at(m, "k") * 2).as("k2"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Conditionals over outer-join-induced NULLs (D5: explicit NULLS
+    * FIRST on the nullable sort key; least/greatest skip NULLs in
+    * both engines — probed). */
+  val fnConditional: QDef = q(
+    "fn_conditional",
+    """SELECT s_suppkey, l_suppkey,
+      |  CASE WHEN s_acctbal IS NULL THEN 'missing'
+      |       WHEN s_acctbal > 5000 THEN 'high' ELSE 'low' END AS bal_class,
+      |  coalesce(s_name, 'UNKNOWN') AS name_or_unknown,
+      |  nullif(coalesce(s_nationkey, -1), -1) AS nation_nullable,
+      |  least(s_suppkey, l_suppkey) AS lo_key,
+      |  greatest(s_suppkey, l_suppkey) AS hi_key
+      |FROM (SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |      FROM supplier WHERE s_suppkey < 60) s
+      |FULL JOIN (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey >= 40) l
+      |  ON s_suppkey = l_suppkey
+      |ORDER BY s_suppkey NULLS FIRST, l_suppkey NULLS FIRST""") { (s, d) =>
+    val sup = Tables.supplier(s, d).filter(col("s_suppkey") < 60)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val li = Tables.lineitem(s, d).filter(col("l_suppkey") >= 40)
+      .select(col("l_suppkey")).distinct()
+    sup.join(li, col("s_suppkey") === col("l_suppkey"), "full")
+      .select(col("s_suppkey"), col("l_suppkey"),
+        when(col("s_acctbal").isNull, "missing")
+          .when(col("s_acctbal") > 5000, "high").otherwise("low").as("bal_class"),
+        coalesce(col("s_name"), lit("UNKNOWN")).as("name_or_unknown"),
+        nullif(coalesce(col("s_nationkey"), lit(-1)), lit(-1)).as("nation_nullable"),
+        least(col("s_suppkey"), col("l_suppkey")).as("lo_key"),
+        greatest(col("s_suppkey"), col("l_suppkey")).as("hi_key"))
+      .orderBy(col("s_suppkey").asc_nulls_first, col("l_suppkey").asc_nulls_first)
+  }
+
+  /** Higher-order functions over the embedding vector. Float32→double
+    * is exact; `CAST(x AS DOUBLE) * 1000` is ONE correctly-rounded op;
+    * floor of that is exact → all downstream arithmetic is on exact
+    * BIGINTs, so transform/filter/aggregate results are hash-safe
+    * with no rounding escape hatch needed (cf. D10). */
+  val fnHigherOrder: QDef = q(
+    "fn_higher_order",
+    """SELECT vec_id,
+      |  len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS n_pos,
+      |  list_reduce(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+      |    (a, b) -> a + b) AS sum_milli,
+      |  list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))[1:3] AS first3_milli
+      |FROM embeddings
+      |ORDER BY vec_id""") { (s, d) =>
+    val milli = transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * 1000).cast(LongType))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x.cast(DoubleType) > 0)).as("n_pos"),
+        aggregate(milli, lit(0L), (a, b) => a + b).as("sum_milli"),
+        slice(milli, 1, 3).as("first3_milli"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    fnString, fnStringDistance, fnDate, fnMath, fnArray,
+    fnMapJson, fnConditional, fnHigherOrder)
+}
