@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.10 — LLM-training-data pipeline operators.
+  *
+  * Float protocol for vector math (D10): float32 → double is exact,
+  * and BOTH engines fold the 64-dim arrays sequentially left-to-right
+  * (Spark `aggregate` starting at 0.0; DuckDB `list_reduce`, whose
+  * first-element seed equals 0.0+x1 exactly for addition), so dot
+  * products and norms are bit-identical; similarities are rounded to
+  * 6 digits for defense in depth.
+  *
+  * Scale posture: the blocked quadratic near-dup join is the graded
+  * path (bounded blocks); the MinHash-LSH formulation that replaces
+  * it at 100 TB is `dedup_minhash_lsh` in LlmExtras.
+  */
+object LlmPipeline {
+
+  /** Exact per-element double view of an embedding. */
+  private def dvec(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  /** Sequential left-to-right dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB twin of `dot` over 64-dim embedding columns. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |    (x, y) -> x + y)""".stripMargin
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  private def sqlCosine(a: String, b: String): String =
+    s"""ROUND(${sqlDot(a, b)}
+       |  / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)""".stripMargin
+
+  /** Exact-text dedup with a DETERMINISTIC survivor (min doc_id per
+    * text — never dropDuplicates, which keeps an arbitrary row). */
+  val dedupExactDocs: QDef = q(
+    "dedup_exact_docs",
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies,
+      |  min(lang) AS lang, length(text) AS text_len
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY keep_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col("lang")).as("lang"), length(col("text")).as("text_len"))
+      .drop("text")
+      .orderBy(col("keep_id"))
+  }
+
+  /** Near-dup pairs by token-set Jaccard >= 0.5, blocked by lang to
+    * bound the quadratic (each block joins only with itself). The
+    * jaccard value is one int/int float division — deterministic. */
+  val dedupNearJaccard: QDef = q(
+    "dedup_near_jaccard",
+    """WITH d AS (SELECT doc_id, lang,
+      |             list_distinct(string_split(text, ' ')) AS ts
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / len(list_distinct(a.ts || b.ts)) AS jacc
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+      |    / len(list_distinct(a.ts || b.ts)) >= 0.5
+      |ORDER BY doc_a, doc_b""") { (s, d) =>
+    val dd = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("ts"))
+    val a = dd.select(col("doc_id").as("doc_a"), col("lang"), col("ts").as("ts_a"))
+    val b = dd.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("ts").as("ts_b"))
+    val inter = size(array_intersect(col("ts_a"), col("ts_b")))
+    val jacc = inter.cast(DoubleType) / size(array_union(col("ts_a"), col("ts_b")))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+      .filter(col("jacc") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Brute-force cosine top-k around one query vector (vec_id = 0).
+    * The 1-row query side is broadcast; candidates stream past it —
+    * the linear-scan baseline that IVF/LSH variants accelerate. */
+  val simSearchTopk: QDef = q(
+    "sim_search_topk",
+    s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, ${sqlCosine("embedding", "q")} AS sim
+      |FROM embeddings, qv
+      |WHERE vec_id <> 0
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 10""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosine(dvec(col("embedding")), dvec(col("q"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Per-label 3-NN around the label's first member (min vec_id) —
+    * the batch-KNN-join pattern: tiny query side broadcast, window
+    * top-k per group instead of a global sort. */
+  val knnPerLabel: QDef = q(
+    "knn_per_label",
+    s"""WITH firsts AS (
+      |  SELECT label, min(vec_id) AS q_id FROM embeddings GROUP BY label),
+      |q AS (
+      |  SELECT f.label AS q_label, f.q_id, e.embedding AS q_emb
+      |  FROM firsts f JOIN embeddings e ON e.vec_id = f.q_id)
+      |SELECT q_label AS label, q_id, vec_id,
+      |       ${sqlCosine("embedding", "q_emb")} AS sim
+      |FROM embeddings JOIN q ON label = q_label AND vec_id <> q_id
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY q_label
+      |  ORDER BY ${sqlCosine("embedding", "q_emb")} DESC, vec_id) <= 3
+      |ORDER BY label, sim DESC, vec_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val firsts = e.groupBy(col("label").as("q_label"))
+      .agg(min(col("vec_id")).as("q_id"))
+    val qside = firsts.join(e, firsts("q_id") === e("vec_id"))
+      .select(col("q_label"), col("q_id"), col("embedding").as("q_emb"))
+    e.join(broadcast(qside),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_label").as("label"), col("q_id"), col("vec_id"),
+        cosine(dvec(col("embedding")), dvec(col("q_emb"))).as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("label"), col("sim").desc, col("vec_id"))
+  }
+
+  /** Global top-20 tokens by frequency (token tie-break, D1). */
+  val textTokenTf: QDef = q(
+    "text_token_tf",
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok
+      |ORDER BY n DESC, tok
+      |LIMIT 20""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
+  /** tf-idf top term per document. The transcendental ln (D6) is
+    * rounded to 6 digits FIRST (idf is a function of the integer df
+    * only), then multiplied by the integer tf — so the ranking value
+    * has a single well-rounded float op of each kind on both sides. */
+  val textTfidfTopterms: QDef = q(
+    "text_tfidf_topterms",
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, term, tf, df,
+      |  ROUND(tf * ROUND(ln((n + 1.0) / (df + 1.0)), 6), 6) AS tfidf
+      |FROM tf JOIN df USING (term) CROSS JOIN n
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY doc_id
+      |  ORDER BY ROUND(tf * ROUND(ln((n + 1.0) / (df + 1.0)), 6), 6) DESC, term) = 1
+      |ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * idf, 6).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language corpus profile (D3 exact-int average). */
+  val textLangProfile: QDef = q(
+    "text_lang_profile",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""") { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Multimodal enrichment: text metadata ⋈ vector table ⋈ an
+    * events-derived popularity signal (documents are attributed to
+    * users round-robin — the synthetic fixtures carry no explicit
+    * FK). Flat scalar output for hash safety. */
+  val multimodalEnrich: QDef = q(
+    "multimodal_enrich",
+    s"""WITH pop AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+      |SELECT doc_id, lang, source, n_chars, label,
+      |  ROUND(sqrt(${sqlDot("embedding", "embedding")}), 6) AS l2norm,
+      |  coalesce(n_events, 0) AS popularity
+      |FROM documents
+      |JOIN embeddings ON vec_id = doc_id
+      |LEFT JOIN pop ON user_id = doc_id % 150
+      |ORDER BY doc_id""") { (s, d) =>
+    val pop = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("vec_id") === col("doc_id"))
+      .join(pop, col("user_id") === col("doc_id") % 150, "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("label"),
+        round(sqrt(dot(dvec(col("embedding")), dvec(col("embedding")))), 6).as("l2norm"),
+        coalesce(col("n_events"), lit(0L)).as("popularity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    dedupExactDocs, dedupNearJaccard, simSearchTopk, knnPerLabel,
+    textTokenTf, textTfidfTopterms, textLangProfile, multimodalEnrich)
+}
