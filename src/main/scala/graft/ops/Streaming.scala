@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import graft.Protocol._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.9 — streaming operators, graded through their batch
+  * twins.
+  *
+  * Each op is implemented ONCE against a DataFrame: `window`,
+  * `session_window` and keyed-dedup all work identically in batch and
+  * in Structured Streaming, so the graded batch query and the
+  * streaming execution (graft.streaming.StreamOps, covered by
+  * MemoryStream tests) share the same logic. Event time is always the
+  * second-truncated µs timestamp (D4) so window boundaries agree with
+  * the DuckDB oracle's ns-kept `ts`.
+  */
+object Streaming {
+
+  /** 1-hour tumbling window × event_type: count + exact sum. */
+  val streamTumblingCounts: QDef = q(
+    "stream_tumbling_counts",
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+      |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS w_end,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY w_start, event_type""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
+  /** 1-hour windows sliding every 15 minutes: each event lands in
+    * exactly 4 windows (starts = its 15-min bucket minus k·15min,
+    * k = 0..3) — spelled out that way in the oracle. */
+  val streamSlidingWindows: QDef = q(
+    "stream_sliding_windows",
+    """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |         - k * (INTERVAL '15 minutes') AS w_start,
+      |  time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |         - k * (INTERVAL '15 minutes') + INTERVAL '1 hour' AS w_end,
+      |  COUNT(*) AS n
+      |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+      |GROUP BY 1, 2
+      |ORDER BY w_start""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("n"))
+      .orderBy(col("w_start"))
+  }
+
+  /** Per-user session windows with a 30-minute inactivity gap.
+    * Sessionized on the SECOND-truncated timestamp in both engines so
+    * boundaries agree; Spark's session end = last event + gap, and a
+    * new session starts when the gap is >= 30 min (session windows
+    * merge only when they strictly overlap) — the oracle's
+    * gaps-and-islands formulation replicates exactly that. */
+  val streamSessionWindows: QDef = q(
+    "stream_session_windows",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_sec,
+      |    CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |              IS NULL THEN 1
+      |         WHEN date_diff('second',
+      |              lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id),
+      |              ts_sec) >= 1800 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM e),
+      |ids AS (
+      |  SELECT user_id, ts_sec,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts_sec) AS session_start,
+      |  max(ts_sec) + INTERVAL '30 minutes' AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM ids
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(tsSec(col("ts")), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Keyed dedup: first event per (user, type, minute). Batch twin of
+    * streaming dropDuplicates-with-watermark; survivor is the row_
+    * number()=1 row under a total order, so it is deterministic. */
+  val streamDedupKeyed: QDef = q(
+    "stream_dedup_keyed",
+    """SELECT user_id, event_type,
+      |  date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+      |  event_id
+      |FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id, event_type, date_trunc('minute', CAST(ts AS TIMESTAMP))
+      |  ORDER BY date_trunc('second', CAST(ts AS TIMESTAMP)), event_id) = 1
+      |ORDER BY user_id, event_type, minute""") { (s, d) =>
+    val minuteCol = date_trunc("minute", col("ts"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"), minuteCol)
+      .orderBy(tsSec(col("ts")), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), minuteCol.as("minute"),
+        col("event_id"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("user_id"), col("event_type"), col("minute"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    streamTumblingCounts, streamSlidingWindows,
+    streamSessionWindows, streamDedupKeyed)
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import java.sql.Timestamp
+
+/** Structured Streaming execution of the engine's event-stream
+  * operators (SURVEY.md §2.9).
+  *
+  * Each transform takes a streaming DataFrame with the `events`
+  * schema (`ts TIMESTAMP, user_id LONG, event_type STRING,
+  * value DOUBLE, ...`) and returns a streaming result. The logic is
+  * identical to the graded batch twins in graft.ops.Streaming — the
+  * watermark is the only streaming-specific addition: it bounds state
+  * (old windows are evicted once the watermark passes) and drops
+  * late rows beyond the delay, which is what makes these pipelines
+  * runnable indefinitely on an unbounded 100 TB/day stream.
+  *
+  * Correctness (including late/out-of-order data) is asserted with
+  * MemoryStream in StreamOpsSpec — batch outputs cover the rest via
+  * the DuckDB oracle.
+  */
+object StreamOps {
+
+  /** 1-hour tumbling counts per event type; late rows beyond
+    * `delay` are dropped, and a window's state is freed once the
+    * watermark passes its end. */
+  def tumblingCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** 1-hour windows sliding every 15 minutes. */
+  def slidingCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Built-in session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming keyed dedup: first event per (user, type, minute);
+    * the watermark bounds the dedup state. */
+  def dedupKeyed(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .dropDuplicates("user_id", "event_type", "minute")
+
+  // ---- custom state: hand-rolled sessionization ----
+
+  case class SessionEvent(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, lastTs: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Int)
+
+  /** flatMapGroupsWithState sessionization with an explicit
+    * event-time timeout — the escape hatch for session semantics the
+    * built-in session_window can't express (e.g. emitting only on
+    * session close). Emits a session once no event has arrived for
+    * the gap AND the watermark has passed. */
+  def customSessions(
+      events: Dataset[SessionEvent],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), s.n))
+          } else {
+            // Sort the micro-batch slice; merge into (or emit) sessions.
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, new Timestamp(s.start), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** foreachBatch parquet sink: transactional per epoch, the standard
+    * pattern for routing a stream into a batch-queryable lake. */
+  def toParquetSink(df: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/epoch=$epochId")
+      }
+      .start()
+
+  /** Read a parquet directory as a stream (file-source) — the batch
+    * tables and this share one code path for transforms. */
+  def readParquetStream(spark: SparkSession, path: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(path)
+}
