@@ -1,0 +1,324 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-path LLM-pipeline operators beyond SURVEY §2.10's core set:
+  * sketch-based near-dedup (MinHash-LSH, SimHash), embedding-space
+  * near-dup, and text analysis (language-ID, quality scoring,
+  * fingerprinting), plus an IVF-style ANN probe.
+  *
+  * These are the formulations that survive 100 TB where the blocked
+  * quadratic join (`dedup_near_jaccard`) cannot: LSH banding turns
+  * all-pairs similarity into an equality join on band signatures
+  * (shuffle on signature, candidates only within buckets), and IVF
+  * routing prunes the ANN scan to one partition of the vector table.
+  *
+  * Determinism: every sketch is built from md5 (identical hex output
+  * in Spark and DuckDB) and integer arithmetic — no float
+  * accumulation anywhere except final single-division scores.
+  */
+object LlmExtras {
+  import VecMath._
+
+  /** MinHash(8 perms) + LSH(4 bands × 2 rows) over token 3-gram
+    * shingles; candidate pairs sharing any band bucket are verified
+    * with exact shingle-set Jaccard >= 0.5. The banding is replicated
+    * bit-for-bit in the oracle, so the (approximate) recall set is
+    * identical across engines. */
+  val dedupMinhashLsh: QDef = q(
+    "dedup_minhash_lsh",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(3, len(t) + 1),
+      |           i -> t[i-2] || ' ' || t[i-1] || ' ' || t[i])) AS shingle
+      |  FROM toks),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(j || ':' || shingle)) AS h
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+      |  GROUP BY doc_id, j),
+      |bands AS (
+      |  SELECT doc_id, j // 2 AS band,
+      |         string_agg(j || ':' || h, '|' ORDER BY j) AS sig
+      |  FROM mh GROUP BY doc_id, j // 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |    AND a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |    / len(list_distinct(x.s || y.s)) AS jacc
+      |FROM cand JOIN sets x ON x.doc_id = doc_a JOIN sets y ON y.doc_id = doc_b
+      |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |    / len(list_distinct(x.s || y.s)) >= 0.5
+      |ORDER BY doc_a, doc_b""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    val sh = toks.select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
+          .as("shingle"))
+      .distinct()
+    val mh = sh.crossJoin(s.range(0, 8).toDF("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(md5(concat_ws(":", col("j"), col("shingle")))).as("h"))
+    val bands = mh.withColumn("band", expr("j div 2"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(sort_array(collect_list(concat_ws(":", col("j"), col("h")))), "|").as("sig"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
+    val jacc = size(array_intersect(col("s_a"), col("s_b"))).cast(DoubleType) /
+      size(array_union(col("s_a"), col("s_b")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+      .filter(col("jacc") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 32-bit SimHash per document: md5-derived token hash bits,
+    * tf-weighted ±1 votes per bit, sign-threshold — pure integer
+    * arithmetic end to end. group_size counts docs sharing a
+    * signature (the dedup bucketing use). */
+  val dedupSimhash: QDef = q(
+    "dedup_simhash",
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |hv AS (
+      |  SELECT doc_id, tok, tf,
+      |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      |  FROM tf),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS v
+      |  FROM hv CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+      |  GROUP BY doc_id, j),
+      |sig AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      |  FROM votes GROUP BY doc_id)
+      |SELECT doc_id, simhash,
+      |  COUNT(*) OVER (PARTITION BY simhash) AS group_size
+      |FROM sig
+      |ORDER BY doc_id""") { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val hv = tf.withColumn("h",
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
+    val votes = hv.crossJoin(s.range(0, 32).toDF("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(when(expr("(h >> j) & 1") === 1, col("tf")).otherwise(-col("tf"))).as("v"))
+    val sig = votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+        .otherwise(0L)).as("simhash"))
+    sig.select(col("doc_id"), col("simhash"),
+        count(lit(1)).over(Window.partitionBy(col("simhash"))).as("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-space near-dup pairs: cosine >= 0.4, blocked by label
+    * (the cluster id plays the LSH-bucket role at scale). */
+  val dedupNearEmbedding: QDef = q(
+    "dedup_near_embedding",
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ${sqlCosine("a.embedding", "b.embedding")} AS sim
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4
+      |ORDER BY vec_a, vec_b""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(dvec(col("emb_a")), dvec(col("emb_b"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Character-bigram language ID: nearest centroid by integer
+    * co-occurrence score normalized by language size (one float
+    * division per (doc, lang) — deterministic). Self-trained on the
+    * corpus; output keeps the true label for accuracy inspection. */
+  val textLangid: QDef = q(
+    "text_langid",
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(text)),
+      |         i -> substr(text, i, 2))) AS b
+      |  FROM documents),
+      |tfd AS (SELECT doc_id, b, COUNT(*) AS tf FROM bg GROUP BY doc_id, b),
+      |clb AS (
+      |  SELECT lang, b, SUM(tf) AS c
+      |  FROM tfd JOIN documents USING (doc_id)
+      |  GROUP BY lang, b),
+      |ltot AS (SELECT lang, SUM(c) AS tot FROM clb GROUP BY lang),
+      |score AS (
+      |  SELECT tfd.doc_id, clb.lang,
+      |    CAST(SUM(tfd.tf * clb.c) AS DOUBLE) / max(ltot.tot) AS sc
+      |  FROM tfd JOIN clb USING (b) JOIN ltot ON clb.lang = ltot.lang
+      |  GROUP BY tfd.doc_id, clb.lang),
+      |pred AS (
+      |  SELECT doc_id, lang AS pred_lang
+      |  FROM score
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang) = 1)
+      |SELECT doc_id, documents.lang AS lang, pred_lang,
+      |       documents.lang = pred_lang AS correct
+      |FROM pred JOIN documents USING (doc_id)
+      |ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val bg = docs.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(text)-1), i -> substring(text, i, 2))")).as("b"))
+    val tfd = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    val clb = tfd.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c"))
+    val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+    val score = tfd.join(clb, "b").join(broadcast(ltot), "lang")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg((sum(col("tf") * col("c")).cast(DoubleType) / max(col("tot"))).as("sc"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sc").desc, col("lang"))
+    val pred = score.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+    pred.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("lang") === col("pred_lang")).as("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: type-token ratio, stopword ratio, average token
+    * length, and a fixed-shape composite score (every ratio is a
+    * single int/int division; the composite is the same literal
+    * expression tree in both engines). */
+  val textQuality: QDef = q(
+    "text_quality",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','in','to'], x))) AS n_stop,
+      |    length(text) AS n_char
+      |  FROM documents)
+      |SELECT doc_id, n_tok, n_uniq, n_stop,
+      |  CAST(n_uniq AS DOUBLE) / n_tok AS ttr,
+      |  CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+      |  CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok AS avg_tok_len,
+      |  ROUND(0.4 * (CAST(n_uniq AS DOUBLE) / n_tok)
+      |      + 0.4 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok)
+      |      + 0.2 * least(1.0, CAST(n_tok AS DOUBLE) / 100.0), 6) AS quality
+      |FROM f
+      |ORDER BY doc_id""") { (s, d) =>
+    val t = split(col("text"), " ")
+    val stops = array(Seq("the", "a", "of", "and", "in", "to").map(lit): _*)
+    val f = Tables.documents(s, d).select(col("doc_id"),
+      size(t).as("n_tok"),
+      size(array_distinct(t)).as("n_uniq"),
+      size(filter(t, x => array_contains(stops, x))).as("n_stop"),
+      length(col("text")).as("n_char"))
+    val ttr = col("n_uniq").cast(DoubleType) / col("n_tok")
+    val stopR = col("n_stop").cast(DoubleType) / col("n_tok")
+    f.select(col("doc_id"), col("n_tok"), col("n_uniq"), col("n_stop"),
+        ttr.as("ttr"), stopR.as("stop_ratio"),
+        ((col("n_char") - (col("n_tok") - 1)).cast(DoubleType) / col("n_tok")).as("avg_tok_len"),
+        round(lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopR)
+          + lit(0.2) * least(lit(1.0), col("n_tok").cast(DoubleType) / 100.0), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: base-31 polynomial rolling hash of the
+    * character stream mod 1e9+7 — pure integer fold, identical
+    * left-to-right in both engines (DuckDB's first-element seed
+    * equals Spark's 0-seed because 0*31 + c1 = c1). */
+  val textFingerprint: QDef = q(
+    "text_fingerprint",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(range(1, length(text) + 1),
+      |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+      |  FROM documents)
+      |SELECT doc_id, fingerprint,
+      |  COUNT(*) OVER (PARTITION BY fingerprint) AS group_size
+      |FROM fp
+      |ORDER BY doc_id""") { (s, d) =>
+    val chars = expr(
+      "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(chars, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"),
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))).as("group_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** IVF-style ANN: route the query (vec_id 0) to the nearest label
+    * centroid (exact scaled-integer sums; one division per label),
+    * then scan ONLY that partition for cosine top-5 — the pruning
+    * pattern that replaces `sim_search_topk`'s full scan at scale. */
+  val annIvfLabel: QDef = q(
+    "ann_ivf_label",
+    s"""WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |cent AS (
+      |  SELECT label, i,
+      |    SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS s,
+      |    COUNT(*) AS n
+      |  FROM embeddings CROSS JOIN dims
+      |  GROUP BY label, i),
+      |qv AS (
+      |  SELECT i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qcomp
+      |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) CROSS JOIN dims),
+      |score AS (
+      |  SELECT label, CAST(SUM(qcomp * s) AS DOUBLE) / max(n) AS sc
+      |  FROM cent JOIN qv USING (i) GROUP BY label),
+      |best AS (SELECT label FROM score ORDER BY sc DESC, label LIMIT 1)
+      |SELECT e.label, e.vec_id,
+      |  ${sqlCosine("e.embedding", "q.embedding")} AS sim
+      |FROM embeddings e
+      |JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q ON true
+      |WHERE e.label = (SELECT label FROM best) AND e.vec_id <> 0
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 5""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val comp = floor(col("v").cast(DoubleType) * 1000).cast(LongType)
+    val exploded = e.select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+    val cent = exploded
+      .groupBy(col("label"), col("i"))
+      .agg(sum(comp).as("s"), count(lit(1)).as("n"))
+    val qv = exploded.filter(col("vec_id") === 0)
+      .select(col("i"), comp.as("qcomp"))
+    val best = cent.join(broadcast(qv), "i")
+      .groupBy(col("label"))
+      .agg((sum(col("qcomp") * col("s")).cast(DoubleType) / max(col("n"))).as("sc"))
+      .orderBy(col("sc").desc, col("label"))
+      .limit(1)
+      .select(col("label").as("best_label"))
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    e.join(broadcast(best), col("label") === col("best_label"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q0))
+      .select(col("label"), col("vec_id"),
+        cosine(dvec(col("embedding")), dvec(col("q_emb"))).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val all: Seq[QDef] = Seq(
+    dedupMinhashLsh, dedupSimhash, dedupNearEmbedding,
+    textLangid, textQuality, textFingerprint, annIvfLabel)
+}

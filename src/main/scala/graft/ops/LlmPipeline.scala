@@ -19,27 +19,33 @@ import org.apache.spark.sql.types._
   * path (bounded blocks); the MinHash-LSH formulation that replaces
   * it at 100 TB is `dedup_minhash_lsh` in LlmExtras.
   */
-object LlmPipeline {
+/** Deterministic cross-engine vector math (D10) shared by the LLM
+  * operator families: Spark expression + DuckDB-SQL twin pairs. */
+private[ops] object VecMath {
 
   /** Exact per-element double view of an embedding. */
-  private def dvec(c: Column): Column = transform(c, _.cast(DoubleType))
+  def dvec(c: Column): Column = transform(c, _.cast(DoubleType))
 
   /** Sequential left-to-right dot product of two double arrays. */
-  private def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** DuckDB twin of `dot` over 64-dim embedding columns. */
-  private def sqlDot(a: String, b: String): String =
+  def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, 65),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
        |    (x, y) -> x + y)""".stripMargin
 
-  private def cosine(a: Column, b: Column): Column =
+  def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
-  private def sqlCosine(a: String, b: String): String =
+  def sqlCosine(a: String, b: String): String =
     s"""ROUND(${sqlDot(a, b)}
        |  / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)""".stripMargin
+}
+
+object LlmPipeline {
+  import VecMath._
 
   /** Exact-text dedup with a DETERMINISTIC survivor (min doc_id per
     * text — never dropDuplicates, which keeps an arbitrary row). */
