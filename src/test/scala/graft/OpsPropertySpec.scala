@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** Property tests guarding the determinism protocol (SURVEY §5.4):
+  * the invariants that make hash-matching DuckDB possible are checked
+  * here structurally, not against the oracle. Cases are generated
+  * from FIXED seeds so the suite itself is deterministic. */
+class OpsPropertySpec extends SparkSpec {
+
+  import org.apache.spark.sql.Row
+
+  private def cases[A](seed: Long, n: Int)(gen: Random => A): Seq[A] = {
+    val r = new Random(seed)
+    Seq.fill(n)(gen(r))
+  }
+
+  test("D2: decimal sums are identical at 1 and 8 partitions (order independence)") {
+    import spark.implicits._
+    cases(42L, 5)(r => List.fill(200)(r.nextDouble() * 2e6 - 1e6)).foreach { xs =>
+      def total(parts: Int): java.math.BigDecimal =
+        spark.createDataset(xs).repartition(parts)
+          .agg(sum(col("value").cast(DecimalType(18, 4)))).head().getDecimal(0)
+      assert(total(1) == total(8))
+    }
+  }
+
+  test("D2 is load-bearing: the decimal path stays partition-invariant on adversarial data") {
+    import spark.implicits._
+    // alternating huge/tiny values — the classic float-order killer
+    val xs = (1 to 2000).map(i => math.pow(-1, i) * 1e15 + i * 1e-3)
+    def dec(parts: Int): java.math.BigDecimal =
+      spark.createDataset(xs).repartition(parts)
+        .agg(sum(col("value").cast(DecimalType(28, 6)))).head().getDecimal(0)
+    assert(dec(1) == dec(7))
+  }
+
+  test("top-k is a prefix of the global sort") {
+    import spark.implicits._
+    cases(7L, 5)(r => List.fill(100)(r.nextInt(50).toLong)).foreach { xs =>
+      val df = spark.createDataset(xs).toDF("v")
+      val topk = df.orderBy(col("v").desc).limit(10).collect().map(_.getLong(0)).toSeq
+      val full = df.orderBy(col("v").desc).collect().map(_.getLong(0)).toSeq
+      assert(topk == full.take(10))
+    }
+  }
+
+  test("token jaccard is symmetric, bounded, and 1 on identical docs") {
+    import spark.implicits._
+    val vocab = Seq("a", "b", "c", "d", "e")
+    cases(11L, 10) { r =>
+      (List.fill(8)(vocab(r.nextInt(5))).mkString(" "),
+        List.fill(8)(vocab(r.nextInt(5))).mkString(" "))
+    }.foreach { case (x, y) =>
+      val df = Seq((x, y)).toDF("x", "y")
+      def jacc(a: String, b: String) =
+        size(array_intersect(array_distinct(split(col(a), " ")), array_distinct(split(col(b), " "))))
+          .cast(DoubleType) /
+          size(array_union(split(col(a), " "), split(col(b), " ")))
+      val Row(ab: Double, ba: Double, aa: Double) =
+        df.select(jacc("x", "y"), jacc("y", "x"), jacc("x", "x")).head()
+      assert(ab == ba && ab >= 0.0 && ab <= 1.0 && aa == 1.0)
+    }
+  }
+
+  test("exact dedup is idempotent and survivor-deterministic") {
+    import spark.implicits._
+    val docs = Seq((5L, "x y"), (2L, "x y"), (9L, "z"), (1L, "x y")).toDF("doc_id", "text")
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val once = dedup(docs)
+    val twice = dedup(once.select(col("doc_id"), col("text")))
+    assert(once.collect().toSet == twice.collect().toSet)
+    assert(once.filter(col("text") === "x y").head().getAs[Long]("doc_id") == 1L,
+      "survivor must be min(doc_id), not an arbitrary row")
+  }
+
+  test("union-all count additivity; union-distinct bounded by sum") {
+    import spark.implicits._
+    cases(13L, 5) { r =>
+      (List.fill(r.nextInt(30))(r.nextInt(20)), List.fill(r.nextInt(30))(r.nextInt(20)))
+    }.foreach { case (a, b) =>
+      val da = spark.createDataset(a).toDF("v")
+      val db = spark.createDataset(b).toDF("v")
+      assert(da.unionAll(db).count() == a.size + b.size)
+      assert(da.union(db).distinct().count() == (a.toSet ++ b.toSet).size)
+    }
+  }
+
+  test("row_number is a bijection onto 1..n within each partition key") {
+    import spark.implicits._
+    val df = Seq((1, 10), (1, 10), (1, 3), (2, 5), (2, 5)).toDF("k", "v")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(col("v"), col("k"))
+    val rns = df.withColumn("rn", row_number().over(w))
+      .groupBy("k").agg(sort_array(collect_list("rn")).as("rns"))
+      .collect().map(r => r.getSeq[Int](1)).toSeq
+    assert(rns.forall(s => s == (1 to s.size)))
+  }
+
+  test("approx_count_distinct within 5% of exact on the fixtures (no-oracle op cover)") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val exact = li.agg(countDistinct("l_partkey")).head().getLong(0)
+    val approx = li.agg(approx_count_distinct("l_partkey")).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("weighted-avg Aggregator matches the plain decimal formula") {
+    import spark.implicits._
+    val df = Seq((10.0, 2.0), (20.0, 1.0), (7.5, 4.0)).toDF("px", "qty")
+    val wavg = udaf(ops.Udx.WeightedAvgPrice)
+    val viaUdaf = df.agg(wavg(col("px"), col("qty"))).head().getDouble(0)
+    val expected = (BigDecimal(10.0) * 2 + BigDecimal(20.0) * 1 + BigDecimal(7.5) * 4).toDouble /
+      BigDecimal(7.0).toDouble
+    assert(viaUdaf == expected)
+  }
+
+  test("slugify handles nulls, symbols, and edge dashes") {
+    import ops.Udx.slugify
+    assert(slugify("Hello,  World!") == "hello-world")
+    assert(slugify("--x--") == "x")
+    assert(slugify("") == "")
+    assert(slugify(null) == null)
+    assert(slugify("ECONOMY cold widget #42") == "economy-cold-widget-42")
+  }
+}

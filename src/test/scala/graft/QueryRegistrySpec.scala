@@ -1,0 +1,31 @@
+package graft
+
+/** Registry-level smoke (SURVEY §5.5): every declared query must run
+  * at sf0.001 without throwing, the flagship must return rows, and
+  * the registry must be structurally sound (unique keys, oracle
+  * coverage). Catches wiring regressions long before the driver's
+  * sf0.01 oracle pass. */
+class QueryRegistrySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("registry keys are unique and oracle coverage is total minus sanctioned") {
+    val keys = SparkEntry.defs.map(_.key)
+    assert(keys.distinct.size == keys.size, s"duplicate keys: ${keys.diff(keys.distinct)}")
+    val noOracle = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.key)
+    assert(noOracle == Seq("agg_approx_distinct"),
+      s"unexpected no-oracle queries: $noOracle")
+  }
+
+  test("flagship entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs at sf0.001") {
+    val failures = SparkEntry.defs.flatMap { d =>
+      try { d.run(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"${d.key}: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
