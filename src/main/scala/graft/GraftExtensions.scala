@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.FloatDotProduct
+
+/** SQL-surface registration for the engine's custom expressions
+  * (`spark.sql.extensions=graft.GraftExtensions` or
+  * `builder.withExtensions(new GraftExtensions)`).
+  *
+  * The DataFrame API does not need this (graft.functions.
+  * VectorFunctions builds Columns directly); the extension exists so
+  * plain Spark SQL text can call `graft_dot(a, b)` too — SURVEY §3
+  * entry point B. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => FloatDotProduct(children.head, children(1))))
+  }
+}

@@ -24,9 +24,15 @@ import org.apache.spark.sql.types._
 object LlmExtras {
   import VecMath._
 
-  /** MinHash(8 perms) + LSH(4 bands × 2 rows) over token 3-gram
-    * shingles; candidate pairs sharing any band bucket are verified
-    * with exact shingle-set Jaccard >= 0.5. The banding is replicated
+  /** MinHash(8) + LSH(4 bands × 2 rows) over token 3-gram shingles;
+    * candidate pairs sharing any band bucket are verified with exact
+    * shingle-set Jaccard >= 0.5.
+    *
+    * The 8 "permutations" are eight overlapping 8-hex-char windows of
+    * ONE md5 per shingle (substr(h, 3i+1, 8), i = 0..7) — the
+    * standard cheap-family trick: one hash invocation instead of
+    * eight, computed as eight min-aggregates in a single groupBy (no
+    * hash-index replication join). The banding is replicated
     * bit-for-bit in the oracle, so the (approximate) recall set is
     * identical across engines. */
   val dedupMinhashLsh: QDef = q(
@@ -40,13 +46,16 @@ object LlmExtras {
       |           i -> t[i-2] || ' ' || t[i-1] || ' ' || t[i])) AS shingle
       |  FROM toks),
       |mh AS (
-      |  SELECT doc_id, j, min(md5(j || ':' || shingle)) AS h
-      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
-      |  GROUP BY doc_id, j),
+      |  SELECT doc_id,
+      |    min(substr(md5(shingle),  1, 8)) AS h0, min(substr(md5(shingle),  4, 8)) AS h1,
+      |    min(substr(md5(shingle),  7, 8)) AS h2, min(substr(md5(shingle), 10, 8)) AS h3,
+      |    min(substr(md5(shingle), 13, 8)) AS h4, min(substr(md5(shingle), 16, 8)) AS h5,
+      |    min(substr(md5(shingle), 19, 8)) AS h6, min(substr(md5(shingle), 22, 8)) AS h7
+      |  FROM sh GROUP BY doc_id),
       |bands AS (
-      |  SELECT doc_id, j // 2 AS band,
-      |         string_agg(j || ':' || h, '|' ORDER BY j) AS sig
-      |  FROM mh GROUP BY doc_id, j // 2),
+      |  SELECT doc_id, unnest(range(0, 4)) AS band,
+      |    unnest([h0 || '|' || h1, h2 || '|' || h3, h4 || '|' || h5, h6 || '|' || h7]) AS sig
+      |  FROM mh),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
@@ -67,12 +76,17 @@ object LlmExtras {
           "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
           .as("shingle"))
       .distinct()
-    val mh = sh.crossJoin(s.range(0, 8).toDF("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat_ws(":", col("j"), col("shingle")))).as("h"))
-    val bands = mh.withColumn("band", expr("j div 2"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(sort_array(collect_list(concat_ws(":", col("j"), col("h")))), "|").as("sig"))
+    val h = md5(col("shingle"))
+    val mh = sh.groupBy(col("doc_id"))
+      .agg(min(substring(h, 1, 8)).as("h0"), min(substring(h, 4, 8)).as("h1"),
+        min(substring(h, 7, 8)).as("h2"), min(substring(h, 10, 8)).as("h3"),
+        min(substring(h, 13, 8)).as("h4"), min(substring(h, 16, 8)).as("h5"),
+        min(substring(h, 19, 8)).as("h6"), min(substring(h, 22, 8)).as("h7"))
+    val bands = mh.select(col("doc_id"),
+        posexplode(array(
+          concat_ws("|", col("h0"), col("h1")), concat_ws("|", col("h2"), col("h3")),
+          concat_ws("|", col("h4"), col("h5")), concat_ws("|", col("h6"), col("h7"))))
+          .as(Seq("band", "sig")))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
     val cand = a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b")
@@ -133,7 +147,14 @@ object LlmExtras {
   }
 
   /** Embedding-space near-dup pairs: cosine >= 0.4, blocked by label
-    * (the cluster id plays the LSH-bucket role at scale). */
+    * (the cluster id plays the LSH-bucket role at scale).
+    *
+    * Scale formulation (same answer, bench-tuned): the double view
+    * and the norm sqrt(v·v) are computed ONCE per vector before the
+    * pair join (2k norms instead of 400k), and the 10-value label key
+    * is salted by vec_id so pair evaluation spreads across all
+    * cores. cos = dot/(norm_a·norm_b) is the identical float tree
+    * the oracle evaluates. */
   val dedupNearEmbedding: QDef = q(
     "dedup_near_embedding",
     s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
@@ -142,12 +163,20 @@ object LlmExtras {
       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE ${sqlCosine("a.embedding", "b.embedding")} >= 0.4
       |ORDER BY vec_a, vec_b""") { (s, d) =>
+    val nSalts = 8
     val e = Tables.embeddings(s, d)
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
-    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("nrm", sqrt(fdot(col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
+      pmod(col("vec_id"), lit(nSalts)).as("salt"))
+    val b = e.crossJoin(s.range(nSalts).toDF("salt_b"))
+      .select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b"), col("salt_b"))
+    a.join(b, col("salt") === col("salt_b") && col("label") === col("label_b")
+        && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine(dvec(col("emb_a")), dvec(col("emb_b"))).as("sim"))
+        round(fdot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6).as("sim"))
       .filter(col("sim") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -182,13 +211,17 @@ object LlmExtras {
       |FROM pred JOIN documents USING (doc_id)
       |ORDER BY doc_id""") { (s, d) =>
     val docs = Tables.documents(s, d)
+    // char bigrams via O(n) array shifts — per-index substring() would
+    // rescan the string each call (O(n²) per doc).
     val bg = docs.select(col("doc_id"),
-      explode(expr("transform(sequence(1, length(text)-1), i -> substring(text, i, 2))")).as("b"))
+      explode(expr("""zip_with(slice(split(text, ''), 1, length(text) - 1),
+                               slice(split(text, ''), 2, length(text) - 1),
+                               (x, y) -> concat(x, y))""")).as("b"))
     val tfd = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
     val clb = tfd.join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
-    val score = tfd.join(clb, "b").join(broadcast(ltot), "lang")
+    val score = tfd.join(broadcast(clb), "b").join(broadcast(ltot), "lang")
       .groupBy(col("doc_id"), col("lang"))
       .agg((sum(col("tf") * col("c")).cast(DoubleType) / max(col("tot"))).as("sc"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("sc").desc, col("lang"))
@@ -258,7 +291,7 @@ object LlmExtras {
       |FROM fp
       |ORDER BY doc_id""") { (s, d) =>
     val chars = expr(
-      "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))")
+      "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
     Tables.documents(s, d)
       .select(col("doc_id"),
         aggregate(chars, lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
@@ -313,7 +346,7 @@ object LlmExtras {
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q0))
       .select(col("label"), col("vec_id"),
-        cosine(dvec(col("embedding")), dvec(col("q_emb"))).as("sim"))
+        fcosine(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(5)
   }

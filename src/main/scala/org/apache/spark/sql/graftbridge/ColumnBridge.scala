@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge.
+  *
+  * Spark keeps `classic.ExpressionUtils` private[sql]; libraries that
+  * ship custom Expressions conventionally expose it through a shim in
+  * the org.apache.spark.sql namespace. This is the only file outside
+  * the graft packages and contains no logic. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
