@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints `.explain("formatted")` for selected
+  * queries (all of them if no keys are given). Used to audit
+  * pushdown / broadcast / codegen per SURVEY §4; findings are
+  * recorded in PLANS.md. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val keys = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
+    SparkEntry.defs.filter(d => keys.contains(d.key)).foreach { d =>
+      println(s"\n======== ${d.key} ========")
+      d.run(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
