@@ -274,6 +274,27 @@ object LlmExtras {
       .orderBy(col("doc_id"))
   }
 
+  /** Token counting two ways: whitespace split vs a BPE-ish regex
+    * lexer (letter runs | digit runs | single other-glyphs) — the
+    * ratio approximates tokens-per-word for budget estimation. Both
+    * engines run the identical POSIX-safe pattern. */
+  val textTokenCount: QDef = q(
+    "text_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS bpe_per_word
+      |FROM documents
+      |ORDER BY doc_id""") { (s, d) =>
+    val nWs = size(split(col("text"), " "))
+    val nBpe = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), nWs.as("n_ws"), nBpe.as("n_bpe"),
+        (nBpe.cast(DoubleType) / nWs).as("bpe_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: base-31 polynomial rolling hash of the
     * character stream mod 1e9+7 — pure integer fold, identical
     * left-to-right in both engines (DuckDB's first-element seed
@@ -353,5 +374,5 @@ object LlmExtras {
 
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, dedupSimhash, dedupNearEmbedding,
-    textLangid, textQuality, textFingerprint, annIvfLabel)
+    textLangid, textQuality, textTokenCount, textFingerprint, annIvfLabel)
 }

@@ -58,6 +58,12 @@ object StreamOps {
       .withColumn("minute", date_trunc("minute", col("ts")))
       .dropDuplicates("user_id", "event_type", "minute")
 
+  /** Stream-static enrichment: a streaming fact joined to a batch
+    * dimension (the dim is re-read per micro-batch and broadcast —
+    * the streaming twin of the codebook-lookup pattern). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   // ---- custom state: hand-rolled sessionization ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp)

@@ -22,8 +22,11 @@ class QueryRegistrySpec extends SparkSpec {
   }
 
   test("every declared query runs at sf0.001") {
+    // noop sink, NOT count(): count() lets Catalyst prune projections,
+    // hiding per-column expression errors that Verify's parquet write
+    // would hit (this exact gap shipped a broken regexp once).
     val failures = SparkEntry.defs.flatMap { d =>
-      try { d.run(spark, sf).count(); None }
+      try { d.run(spark, sf).write.format("noop").mode("overwrite").save(); None }
       catch { case e: Throwable => Some(s"${d.key}: ${e.getMessage.linesIterator.next()}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))

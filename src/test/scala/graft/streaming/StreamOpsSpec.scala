@@ -106,6 +106,58 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(1).getAs[Int]("n_events") == 1)
   }
 
+  test("built-in session windows merge within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val out = runToCompletion[Ev](
+      mem,
+      df => sessionCounts(df, "10 minutes"),
+      Seq(
+        Seq(Ev(ts(0), 1, "click", 1.0), Ev(ts(20), 1, "click", 1.0)),  // one session
+        Seq(Ev(ts(120), 1, "click", 1.0)),                             // gap > 30min: new session
+        Seq(Ev(ts(900), 9, "flush", 0.0))),                            // close all
+      "builtin_sessions_sink")
+    val u1 = out.filter(col("user_id") === 1)
+      .orderBy("session_start").collect()
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L))
+    assert(u1(0).getAs[Timestamp]("session_start") == ts(0))
+    assert(u1(1).getAs[Timestamp]("session_start") == ts(120))
+  }
+
+  test("sliding windows count each event in four overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val out = runToCompletion[Ev](
+      mem,
+      df => slidingCounts(df, "10 minutes"),
+      Seq(Seq(Ev(ts(32), 1, "click", 1.0)), Seq(Ev(ts(900), 9, "flush", 0.0))),
+      "sliding_sink")
+    val wins = out.filter(col("n") === 1).collect().map(_.getAs[Timestamp]("w_start")).sorted.toSeq
+    // event at 00:32 → windows starting 23:45(prev day)+... here: 23:45 is
+    // impossible (no negative), so starts are 00:30, 00:15, 00:00, 23:45→clamped out?
+    // Spark emits all four: 23:45 of prev day is valid.
+    assert(wins.length == 4 && wins.contains(ts(30)) && wins.contains(ts(15)) && wins.contains(ts(0)))
+  }
+
+  test("stream-static join enriches events against a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val q = enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_sink")
+      .outputMode("append").start()
+    mem.addData(Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 7, "view", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enrich_sink").orderBy("user_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("tier") == "gold")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("tier")), "unknown user stays with NULL tier")
+  }
+
   test("batch and streaming tumbling windows agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
