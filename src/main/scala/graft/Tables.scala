@@ -45,4 +45,49 @@ object Tables {
     * also reachable through plain Spark SQL (SURVEY.md §3 entry B). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Expected reader-output schemas (name -> catalog type string),
+    * i.e. what this module GUARANTEES to callers after normalization
+    * (events.ts is already the µs timestamp). SURVEY §7's
+    * "schema-checked readers": drift in the fixture layout fails
+    * loudly here instead of deep inside a query. */
+  val expectedSchemas: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp_ntz"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+      "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  private val readers: Map[String, (SparkSession, String) => DataFrame] =
+    names.map(n => n -> (if (n == "events") events _ else
+      (s: SparkSession, d: String) => t(s, d, n))).toMap
+
+  /** All (table, field) deviations from the guaranteed schemas. */
+  def schemaMismatches(spark: SparkSession, sfDir: String): Seq[String] =
+    names.flatMap { n =>
+      val actual = readers(n)(spark, sfDir).schema
+        .map(f => f.name -> f.dataType.simpleString)
+      if (actual == expectedSchemas(n)) Nil
+      else Seq(s"$n: expected ${expectedSchemas(n)} got $actual")
+    }
 }

@@ -217,7 +217,10 @@ object LlmExtras {
       explode(expr("""zip_with(slice(split(text, ''), 1, length(text) - 1),
                                slice(split(text, ''), 2, length(text) - 1),
                                (x, y) -> concat(x, y))""")).as("b"))
+    // consumed twice (per-lang centroids + per-doc scoring) —
+    // materialize the 1.2M-row bigram tf table once
     val tfd = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val clb = tfd.join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))

@@ -130,6 +130,10 @@ object LlmPipeline {
                                (acc, p) -> acc | p.mask))""").as("bits"))
       .withColumn("sz", expr(
         "aggregate(bits, 0, (acc, x) -> acc + CAST(bit_count(x) AS INT))"))
+      // both join sides consume this prep; materialize it once instead
+      // of recomputing the dict/mask subtree per side (the a/b plans
+      // differ by the salt replication, so exchange reuse can't fire)
+      .localCheckpoint()
     val a = dd.select(col("doc_id").as("doc_a"), col("lang"),
       col("bits").as("bits_a"), col("sz").as("sz_a"),
       pmod(col("doc_id"), lit(nSalts)).as("salt"))

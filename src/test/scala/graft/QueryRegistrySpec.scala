@@ -17,6 +17,13 @@ class QueryRegistrySpec extends SparkSpec {
       s"unexpected no-oracle queries: $noOracle")
   }
 
+  test("fixture schemas match the reader guarantees at every sf") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val bad = Tables.schemaMismatches(spark, dir)
+      assert(bad.isEmpty, s"$dir:\n${bad.mkString("\n")}")
+    }
+  }
+
   test("flagship entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
