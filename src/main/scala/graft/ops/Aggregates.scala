@@ -228,8 +228,63 @@ object Aggregates {
       .orderBy(col("p_partkey"), col("attr"))
   }
 
+  /** Exact quantiles by integer rank selection — NO interpolation
+    * (native percentile_cont interpolates with engine-specific float
+    * paths): the p-quantile is the value at 1-based rank
+    * (n-1)*k/10 + 1 under a total order, so the output is a value
+    * that literally occurs in the data. */
+  val aggQuantilesExact: QDef = q(
+    "agg_quantiles_exact",
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  max(CASE WHEN rn = (n - 1) * 5 // 10 + 1 THEN value END) AS p50,
+      |  max(CASE WHEN rn = (n - 1) * 9 // 10 + 1 THEN value END) AS p90,
+      |  max(n) AS n
+      |FROM ranked
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        row_number().over(wOrd).as("rn"), count(lit(1)).over(wAll).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        // `div`, not `/`: Column./ is float division in Spark while the
+        // oracle's // is integer floor division
+        max(when(col("rn") === expr("(n - 1) * 5 div 10 + 1"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(n - 1) * 9 div 10 + 1"), col("value"))).as("p90"),
+        max(col("n")).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Correlated-scalar-subquery shape: rows above their group's
+    * decimal average — DataFrame side plans it as agg + broadcast
+    * join; the oracle text keeps the correlated form. */
+  val filterAboveGroupAvg: QDef = q(
+    "filter_above_group_avg",
+    """SELECT p_partkey, p_brand, p_retailprice
+      |FROM part p
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+      |ORDER BY p_partkey""") { (s, d) =>
+    val p = Tables.part(s, d)
+    val brandAvg = p.groupBy(col("p_brand").as("b_brand"))
+      .agg(avgOf(sum(money(col("p_retailprice"))), count(lit(1))).as("brand_avg"))
+    p.join(broadcast(brandAvg), col("p_brand") === col("b_brand"))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
-    pivotEventTypes, unpivotMelt)
+    pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg)
 }

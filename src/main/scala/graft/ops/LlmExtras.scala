@@ -375,7 +375,65 @@ object LlmExtras {
       .limit(5)
   }
 
+  /** Random-hyperplane LSH similarity search — the other scale path
+    * next to IVF (`ann_ivf_label`): 8 pseudo-hyperplanes with md5-
+    * derived ±1 signs per (plane, dim); a vector's bucket is the
+    * 8-bit sign pattern of its plane projections (computed on exact
+    * scaled integers — no float accumulation), and the query scans
+    * ONLY its own bucket for cosine top-5. */
+  val simLshBucketed: QDef = q(
+    "sim_lsh_bucketed",
+    s"""WITH signs AS (
+      |  SELECT p, i,
+      |    CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 2))::INT % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(1, 65)) AS i)),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    SUM(sgn * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS sp
+      |  FROM embeddings CROSS JOIN signs
+      |  GROUP BY vec_id, p),
+      |sig AS (
+      |  SELECT vec_id,
+      |    SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |qb AS (SELECT bucket FROM sig WHERE vec_id = 0)
+      |SELECT s.vec_id, s.bucket,
+      |  ${sqlCosine("e.embedding", "q.embedding")} AS sim
+      |FROM sig s
+      |JOIN embeddings e ON e.vec_id = s.vec_id
+      |JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q ON true
+      |WHERE s.bucket = (SELECT bucket FROM qb) AND s.vec_id <> 0
+      |ORDER BY sim DESC, s.vec_id
+      |LIMIT 5""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val signs = s.range(0, 8).toDF("p")
+      .crossJoin(s.range(1, 65).toDF("i"))
+      .select(col("p"), col("i"),
+        when(conv(substring(md5(concat_ws(":", col("p"), col("i"))), 1, 2), 16, 10)
+          .cast(IntegerType) % 2 === 0, 1).otherwise(-1).as("sgn"))
+    val proj = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("i", col("pos") + 1)
+      .join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("sgn") * floor(col("v").cast(DoubleType) * 1000).cast(LongType)).as("sp"))
+    val sig = proj.groupBy(col("vec_id"))
+      .agg(sum(when(col("sp") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L)).as("bucket"))
+    val qb = sig.filter(col("vec_id") === 0).select(col("bucket").as("q_bucket"))
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    sig.join(broadcast(qb), col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q0))
+      .select(col("vec_id"), col("bucket"),
+        fcosine(col("embedding"), col("q_emb")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, dedupSimhash, dedupNearEmbedding,
-    textLangid, textQuality, textTokenCount, textFingerprint, annIvfLabel)
+    textLangid, textQuality, textTokenCount, textFingerprint,
+    annIvfLabel, simLshBucketed)
 }

@@ -158,6 +158,23 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("tier")), "unknown user stays with NULL tier")
   }
 
+  test("foreachBatch parquet sink lands every epoch durably") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.toParquetSink(mem.toDF(), out, ckpt)
+    mem.addData(Seq(Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 2, "view", 2.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Ev(ts(3), 3, "click", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    assert(back.select("user_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("batch and streaming tumbling windows agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
