@@ -64,6 +64,31 @@ object StreamOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: each click joined to the same
+    * user's purchases within the next `horizon`. Both sides carry
+    * watermarks and the join condition carries the time bound, so
+    * Spark can size and evict the join state — without the bound the
+    * state would grow forever on an unbounded stream. */
+  def clickToPurchase(
+      events: DataFrame,
+      delay: String = "10 minutes",
+      horizon: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", delay)
+      .select(col("ts").as("click_ts"), col("user_id"),
+        col("value").as("click_value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", delay)
+      .select(col("ts").as("purchase_ts"), col("user_id").as("p_user_id"),
+        col("value").as("purchase_value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   // ---- custom state: hand-rolled sessionization ----
 
   case class SessionEvent(user_id: Long, ts: Timestamp)

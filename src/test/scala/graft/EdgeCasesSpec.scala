@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hostile micro-fixtures per SURVEY §5.2: empty inputs, all-NULL
+  * join sides, ties everywhere, empty arrays, unicode strings —
+  * asserting the engine's operators keep their contracts at the
+  * edges the fixtures never hit. */
+class EdgeCasesSpec extends SparkSpec {
+
+  test("aggregation over an empty input yields no groups, not a NULL row") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    val agg = empty.groupBy("k").agg(sum(col("v").cast(DecimalType(12, 2))).as("s"))
+    assert(agg.count() == 0)
+    // global aggregate over empty input: one row, NULL sum, 0 count
+    val g = empty.agg(sum(col("v")).as("s"), count(lit(1)).as("n")).head()
+    assert(g.isNullAt(0) && g.getLong(1) == 0)
+  }
+
+  test("outer join against an all-NULL key side matches nothing but keeps rows") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val right = Seq((Option.empty[Long], "x"), (Option.empty[Long], "y"))
+      .toDF("k", "rv")
+    val out = left.join(right, Seq("k"), "full")
+    // NULL keys never equal anything: 2 left rows + 2 unmatched right rows
+    assert(out.count() == 4)
+    assert(out.filter(col("lv").isNotNull && col("rv").isNotNull).count() == 0)
+  }
+
+  test("window rank functions break full ties deterministically only with a tie-break key") {
+    import spark.implicits._
+    val df = Seq((1, 5.0), (2, 5.0), (3, 5.0)).toDF("id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+    val ranks = df.select(col("id"), rank().over(w).as("r"), row_number().over(w).as("rn"))
+      .orderBy("id").collect()
+    // with the tie-break in the ORDER BY, rank is 1,2,3 (not 1,1,1)
+    assert(ranks.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(ranks.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("tokenization of empty and single-token strings never throws") {
+    import spark.implicits._
+    val df = Seq("", "one", "a b").toDF("text")
+    val t = split(col("text"), " ")
+    val out = df.select(
+      size(t).as("n"),
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))).as("prefix"),
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat_ws(" ", a, b)).as("bigrams")).collect()
+    assert(out.length == 3)
+    assert(out(0).getInt(0) == 1) // split("", " ") -> [""]
+    assert(out(1).getSeq[String](2).isEmpty, "single token -> no bigrams")
+  }
+
+  test("unicode strings survive slugify, length, and set ops") {
+    import spark.implicits._
+    import ops.Udx.slugify
+    assert(slugify("Zürich Straße") == "z-rich-stra-e") // non-ascii -> dashes
+    val df = Seq("héllo wörld", "héllo wörld", "日本語 テスト").toDF("text")
+    assert(df.distinct().count() == 2)
+    val lens = df.distinct().select(length(col("text"))).collect().map(_.getInt(0)).sorted
+    assert(lens.toSeq == Seq(7, 11), "length counts codepoints, not bytes")
+  }
+
+  test("decimal casts of extreme and negative doubles stay exact") {
+    import spark.implicits._
+    val vals = Seq(-0.0, 0.0, -99999999.99, 99999999.99, 0.005, -0.005)
+    val df = vals.toDF("v")
+    val back = df.select(col("v").cast(DecimalType(12, 2)).cast(DoubleType))
+      .collect().map(_.getDouble(0))
+    assert(back.toSeq == Seq(0.0, 0.0, -99999999.99, 99999999.99, 0.01, -0.01),
+      "HALF_UP at scale 2, exact elsewhere")
+  }
+
+  test("empty embeddings and length mismatch degrade gracefully in graft_dot") {
+    import spark.implicits._
+    val df = Seq(
+      (Array.empty[Float], Array.empty[Float]),
+      (Array(1f, 2f), Array(3f))).toDF("a", "b")
+    val out = df.select(functions.VectorFunctions.floatDot(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(out(0) == 0.0)
+    assert(out(1) == 3.0, "mismatched lengths fold over the common prefix")
+  }
+}

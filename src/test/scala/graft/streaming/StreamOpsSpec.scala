@@ -158,6 +158,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("tier")), "unknown user stays with NULL tier")
   }
 
+  test("stream-stream interval join pairs clicks with in-horizon purchases only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = clickToPurchase(mem.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    mem.addData(Seq(
+      Ev(ts(0), 1, "click", 1.0),
+      Ev(ts(10), 1, "purchase", 50.0),   // within 30min of click → joined
+      Ev(ts(45), 1, "purchase", 60.0),   // beyond horizon → dropped
+      Ev(ts(5), 2, "purchase", 70.0)))   // different user, no click → dropped
+    q.processAllAvailable()
+    mem.addData(Seq(Ev(ts(500), 9, "view", 0.0))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_sink").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("user_id") == 1L)
+    assert(rows(0).getAs[Double]("purchase_value") == 50.0)
+  }
+
   test("foreachBatch parquet sink lands every epoch durably") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
