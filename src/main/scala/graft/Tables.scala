@@ -42,9 +42,11 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** Register every fixture table as a temp view so any operator is
-    * also reachable through plain Spark SQL (SURVEY.md §3 entry B). */
+    * also reachable through plain Spark SQL (SURVEY.md §3 entry B).
+    * Uses the normalizing readers (events needs the ns-timestamp
+    * rebuild), not raw parquet reads. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach(n => readers(n)(spark, sfDir).createOrReplaceTempView(n))
 
   /** Expected reader-output schemas (name -> catalog type string),
     * i.e. what this module GUARANTEES to callers after normalization

@@ -34,6 +34,25 @@ class AsOfSpec extends SparkSpec {
     assert(i(101L) == "r3", "inclusive: left t=3 sees rights at t=3, last tie wins")
   }
 
+  test("windowed as-of equals the naive per-row definition on random data (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    val lefts = (0 until 120).map(i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(50).toLong, 1000L + i))
+    val rights = (0 until 120).map(i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(50).toLong, 2000L + i, s"v$i"))
+    val out = AsOf.asofJoinPrior(
+        lefts.toDF("k", "t", "id"), rights.toDF("k", "t", "rid", "v"),
+        "k", "t", "v", tie = "id", rightTie = "rid", strict = true)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("asof_v")).toMap
+    // naive reference: latest strictly-prior right, ties by largest rid
+    lefts.foreach { case (k, t, id) =>
+      val expected = rights.filter(r => r._1 == k && r._2 < t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._4).orNull
+      assert(out(id) == expected, s"left id=$id k=$k t=$t")
+    }
+  }
+
   test("as-of output keeps exactly the left rows") {
     val (left, right) = frames
     val out = AsOf.asofJoinPrior(left, right, "k", "t", "v",

@@ -158,6 +158,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("tier")), "unknown user stays with NULL tier")
   }
 
+  test("update output mode re-emits a window's row as late-but-valid data arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val q = tumblingCounts(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("update_sink")
+      .outputMode("update").start()
+    mem.addData(Seq(Ev(ts(5), 1, "click", 1.0)))
+    q.processAllAvailable()
+    mem.addData(Seq(Ev(ts(7), 1, "click", 1.0))) // same window, still open
+    q.processAllAvailable()
+    q.stop()
+    // update mode emits the growing count each batch: 1 then 2
+    val emitted = spark.table("update_sink")
+      .filter(col("w_start") === ts(0)).select("n")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(emitted == Seq(1L, 2L))
+  }
+
   test("stream-stream interval join pairs clicks with in-horizon purchases only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
