@@ -224,9 +224,25 @@ object LlmExtras {
     val clb = tfd.join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
-    val score = tfd.join(broadcast(clb), "b").join(broadcast(ltot), "lang")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg((sum(col("tf") * col("c")).cast(DoubleType) / max(col("tot"))).as("sc"))
+    // score via a PIVOTED centroid table: one broadcast join row per
+    // doc-bigram with 5 count columns, instead of a 5x row blowup.
+    // A lang with no shared bigram scores 0 — it can never win the
+    // argmax (the true lang always shares bigrams), so predictions
+    // are identical to the oracle's inner-join formulation.
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val clbWide = clb.groupBy(col("b"))
+      .pivot("lang", langs).agg(first(col("c")))
+      .select(col("b") +: langs.map(l => coalesce(col(l), lit(0L)).as(s"c_$l")): _*)
+    val summed = tfd.join(broadcast(clbWide), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("c_de")).as("s_de"),
+        langs.tail.map(l => sum(col("tf") * col(s"c_$l")).as(s"s_$l")): _*)
+    val score = summed
+      .unpivot(Array(col("doc_id")),
+        langs.map(l => col(s"s_$l").as(l)).toArray, "lang", "s")
+      .join(broadcast(ltot), "lang")
+      .select(col("doc_id"), col("lang"),
+        (col("s").cast(DoubleType) / col("tot")).as("sc"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("sc").desc, col("lang"))
     val pred = score.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
