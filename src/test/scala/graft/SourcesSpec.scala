@@ -57,6 +57,31 @@ class SourcesSpec extends SparkSpec {
       s"projection not pruned:\n$scan")
   }
 
+  test("orc round trip preserves schema and values") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    df.write.mode("overwrite").orc(s"$tmp/orc")
+    val back = spark.read.orc(s"$tmp/orc")
+    // ORC round trips relax nullability — names and types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("parquet file-stream source replays a directory as a stream") {
+    import spark.implicits._
+    val dir = s"$tmp/filestream"
+    val df = (0 until 20).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    df.write.mode("overwrite").parquet(dir)
+    val stream = graft.streaming.StreamOps.readParquetStream(spark, dir, df)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("fs_sink")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("fs_sink").count() == 20)
+  }
+
   test("parquet sink preserves decimal aggregation results exactly") {
     val out = ops.Aggregates.q1PricingSummary.run(spark, "/root/testdata/sf0.001")
     out.write.mode("overwrite").parquet(s"$tmp/q1")
