@@ -1,10 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** No args (the driver's call): run every query. With args: run only
+    * those keys — local iteration aid. */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // Deployment tuning for this host (single node, 128 GiB): let
@@ -13,7 +15,11 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // experiment hook: SPARK_GRAFT_CONF="k=v,k=v" overrides any conf
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JVM/codegen/vectorized-reader/broadcast/window
     // classloading costs otherwise land on whichever query happens to
@@ -31,7 +37,9 @@ object Bench {
           Window.partitionBy("r_name").orderBy("s")))
         .orderBy("r_name").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
