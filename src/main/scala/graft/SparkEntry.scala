@@ -14,7 +14,8 @@ object SparkEntry {
     ops.Scans.all ++ ops.ProjectFilter.all ++ ops.Joins.all ++
       ops.Aggregates.all ++ ops.Windows.all ++ ops.SortSetOps.all ++
       ops.Functions.all ++ ops.Udx.all ++ ops.LlmPipeline.all ++
-      ops.LlmExtras.all ++ ops.Streaming.all ++ ops.Sampling.all
+      ops.LlmExtras.all ++ ops.Streaming.all ++ ops.Sampling.all ++
+      ops.HarmonizeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

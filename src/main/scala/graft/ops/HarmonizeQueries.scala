@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import graft.pipeline.Harmonize
+import org.apache.spark.sql.functions._
+
+/** Oracle-graded execution of the harmonization pipeline — the
+  * reference's core computation (SURVEY §0.1) verified cross-engine,
+  * not just spec'd: unpivot → normalize → codebook join → split.
+  * The codebook is rules-as-data, declared inline identically on both
+  * sides (three of part's six type codes are mapped; the other three
+  * feed the unmappable report). */
+object HarmonizeQueries {
+
+  private val codebookRows = Seq(
+    ("p_retailprice", "economy", "ECO", "rule-eco"),
+    ("p_size", "economy", "ECO", "rule-eco"),
+    ("p_retailprice", "promo", "PRM", "rule-promo"),
+    ("p_size", "promo", "PRM", "rule-promo"),
+    ("p_retailprice", "large", "LRG", "rule-large"),
+    ("p_size", "large", "LRG", "rule-large"))
+
+  private val sqlCodebook =
+    """codebook(attr, raw_norm, code, rule_id) AS (
+      |  SELECT * FROM (VALUES
+      |    ('p_retailprice', 'economy', 'ECO', 'rule-eco'),
+      |    ('p_size',        'economy', 'ECO', 'rule-eco'),
+      |    ('p_retailprice', 'promo',   'PRM', 'rule-promo'),
+      |    ('p_size',        'promo',   'PRM', 'rule-promo'),
+      |    ('p_retailprice', 'large',   'LRG', 'rule-large'),
+      |    ('p_size',        'large',   'LRG', 'rule-large')))""".stripMargin
+
+  private val sqlObs =
+    """obs AS (
+      |  SELECT p_partkey,
+      |    trim(regexp_replace(lower(p_type), '[^a-z0-9]+', '-', 'g'), '-') AS raw_norm,
+      |    attr, val
+      |  FROM (
+      |    SELECT p_partkey, p_type, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+      |    UNION ALL
+      |    SELECT p_partkey, p_type, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part))""".stripMargin
+
+  /** The harmonized cube: measures aggregated over (code, attr). */
+  val harmonizeCube: QDef = q(
+    "harmonize_cube",
+    s"""WITH $sqlCodebook,
+      |$sqlObs
+      |SELECT code, attr, COUNT(*) AS n_obs,
+      |  CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_measure
+      |FROM obs JOIN codebook USING (attr, raw_norm)
+      |GROUP BY code, attr
+      |ORDER BY code, attr""") { (s, d) =>
+    import s.implicits._
+    val codebook = codebookRows.toDF("attr", "raw_norm", "code", "rule_id")
+    val obs = Harmonize.unpivotObservations(
+      Tables.part(s, d).withColumnRenamed("p_type", "raw"),
+      ids = Seq("p_partkey", "raw"),
+      values = Seq("p_retailprice", "p_size"))
+    val joined = Harmonize.applyCodebook(obs, codebook)
+    Harmonize.aggregateCube(Harmonize.mapped(joined), Seq("code", "attr"), "val")
+      .orderBy(col("code"), col("attr"))
+  }
+
+  /** The unmappable-rows report — the data-quality output for cells
+    * no rule covers. */
+  val harmonizeUnmappable: QDef = q(
+    "harmonize_unmappable",
+    s"""WITH $sqlCodebook,
+      |$sqlObs
+      |SELECT attr, raw_norm, COUNT(*) AS n_occurrences
+      |FROM obs LEFT JOIN codebook USING (attr, raw_norm)
+      |WHERE code IS NULL
+      |GROUP BY attr, raw_norm
+      |ORDER BY attr, raw_norm""") { (s, d) =>
+    import s.implicits._
+    val codebook = codebookRows.toDF("attr", "raw_norm", "code", "rule_id")
+    val obs = Harmonize.unpivotObservations(
+      Tables.part(s, d).withColumnRenamed("p_type", "raw"),
+      ids = Seq("p_partkey", "raw"),
+      values = Seq("p_retailprice", "p_size"))
+    Harmonize.unmappable(Harmonize.applyCodebook(obs, codebook))
+      .select(col("attr"), col("raw_norm"), col("n_occurrences"))
+      .orderBy(col("attr"), col("raw_norm"))
+  }
+
+  val all: Seq[QDef] = Seq(harmonizeCube, harmonizeUnmappable)
+}
