@@ -192,8 +192,54 @@ object Joins {
       .orderBy(col("r_name"), col("o_year"))
   }
 
+  /** Null-safe equality (<=> / IS NOT DISTINCT FROM): NULL keys match
+    * each other — constructed by nulling out nationkey 3 on both
+    * sides, so the NULL×NULL block and the plain matches both
+    * appear. Output ordered on every column (D1 with NULLs, D5). */
+  val joinNullsafeEq: QDef = q(
+    "join_nullsafe_eq",
+    """SELECT c_custkey, s_suppkey, nullif(c_nationkey, 3) AS nk
+      |FROM customer JOIN supplier
+      |  ON nullif(c_nationkey, 3) IS NOT DISTINCT FROM nullif(s_nationkey, 3)
+      |ORDER BY nk NULLS FIRST, c_custkey, s_suppkey""") { (s, d) =>
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("nk"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(3)).as("nk_s"))
+    c.join(sup, col("nk") <=> col("nk_s"))
+      .select(col("c_custkey"), col("s_suppkey"), col("nk"))
+      .orderBy(col("nk").asc_nulls_first, col("c_custkey"), col("s_suppkey"))
+  }
+
+  /** LATERAL correlated top-n — graded through the SQL entry point
+    * (SURVEY §3 entry B): for each high-balance customer, their two
+    * priciest orders via a correlated LATERAL subquery. */
+  val lateralTopnOrders: QDef = q(
+    "lateral_topn_orders",
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(o_totalprice AS DOUBLE) AS total
+      |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |ORDER BY c_custkey, total DESC, o_orderkey""") { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""SELECT c_custkey, o_orderkey,
+            |  CAST(o_totalprice AS DOUBLE) AS total
+            |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c,
+            |LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM orders
+            |  WHERE o_custkey = c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey
+            |  LIMIT 2) t
+            |ORDER BY c_custkey, total DESC, o_orderkey""".stripMargin)
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
-    joinAsofEvent, joinStar3way)
+    joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders)
 }

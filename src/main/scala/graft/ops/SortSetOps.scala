@@ -88,7 +88,35 @@ object SortSetOps {
     a.except(b).orderBy(col("s_suppkey"))
   }
 
+  /** Multiset INTERSECT ALL — duplicates kept min(countL, countR)
+    * times (different operator than set INTERSECT: Catalyst plans a
+    * counted left-semi aggregation, not a distinct). */
+  val setIntersectAll: QDef = q(
+    "set_intersect_all",
+    """SELECT l_partkey AS pk FROM lineitem WHERE l_quantity >= 45
+      |INTERSECT ALL
+      |SELECT l_partkey AS pk FROM lineitem WHERE l_discount <= 0.02
+      |ORDER BY pk""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_quantity") >= 45).select(col("l_partkey").as("pk"))
+    val b = li.filter(col("l_discount") <= 0.02).select(col("l_partkey").as("pk"))
+    a.intersectAll(b).orderBy(col("pk"))
+  }
+
+  /** Multiset EXCEPT ALL — per-value count subtraction. */
+  val setExceptAll: QDef = q(
+    "set_except_all",
+    """SELECT l_suppkey AS sk FROM lineitem WHERE l_quantity >= 30
+      |EXCEPT ALL
+      |SELECT l_suppkey AS sk FROM lineitem WHERE l_quantity >= 40
+      |ORDER BY sk""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_quantity") >= 30).select(col("l_suppkey").as("sk"))
+    val b = li.filter(col("l_quantity") >= 40).select(col("l_suppkey").as("sk"))
+    a.exceptAll(b).orderBy(col("sk"))
+  }
+
   val all: Seq[QDef] = Seq(
     sortMultikey, topkGlobal, setUnionAll, setUnionDistinct,
-    setIntersect, setExcept)
+    setIntersect, setExcept, setIntersectAll, setExceptAll)
 }
