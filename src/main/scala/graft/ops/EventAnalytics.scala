@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import graft.Protocol._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-analytics operators over the stream table: ordered funnels
+  * and retention cohorts — the aggregation shapes product analytics
+  * runs at petabyte scale. Both are pure chained groupBy/join plans
+  * (each step shuffles only user-level aggregates, never raw events
+  * twice) and all outputs are integers or second-truncated
+  * timestamps (D4), so they hash-match exactly. */
+object EventAnalytics {
+
+  /** Ordered 4-step funnel signup → view → click → purchase: each
+    * step's timestamp is the FIRST occurrence strictly after the
+    * previous step; reached = number of completed steps. */
+  val funnelSteps: QDef = q(
+    "funnel_steps",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |         date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE event_type = 'view' AND t > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE event_type = 'click' AND t > t2 GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, min(t) AS t4 FROM e JOIN s3 ON e.user_id = s3.user_id
+      |       WHERE event_type = 'purchase' AND t > t3 GROUP BY e.user_id)
+      |SELECT s1.user_id AS user_id, t1, t2, t3, t4,
+      |  1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN t4 IS NULL THEN 0 ELSE 1 END AS reached
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id
+      |LEFT JOIN s4 ON s1.user_id = s4.user_id
+      |ORDER BY s1.user_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), tsSec(col("ts")).as("t"))
+    def step(prev: org.apache.spark.sql.DataFrame, prevT: String,
+        evType: String, outT: String) =
+      e.filter(col("event_type") === evType)
+        .join(prev.select(col("user_id"), col(prevT)), "user_id")
+        .filter(col("t") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("t")).as(outT))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val s2 = step(s1, "t1", "view", "t2")
+    val s3 = step(s2, "t2", "click", "t3")
+    val s4 = step(s3, "t3", "purchase", "t4")
+    val reached = lit(1) +
+      when(col("t2").isNull, 0).otherwise(1) +
+      when(col("t3").isNull, 0).otherwise(1) +
+      when(col("t4").isNull, 0).otherwise(1)
+    s1.join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .join(s4.select(col("user_id"), col("t4")), Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("t4"),
+        reached.as("reached"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Retention cohorts: users grouped by first-seen day-bucket
+    * (7-day cohorts), counted by how many distinct week offsets they
+    * came back in. Integer arithmetic throughout. */
+  val retentionCohorts: QDef = q(
+    "retention_cohorts",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+      |              date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_no
+      |  FROM events),
+      |first_seen AS (
+      |  SELECT user_id, min(day_no) // 7 AS cohort_week FROM e GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT e.user_id, cohort_week,
+      |    e.day_no // 7 - cohort_week AS week_offset
+      |  FROM e JOIN first_seen ON e.user_id = first_seen.user_id)
+      |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+      |FROM activity
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""") { (s, d) =>
+    val dayNo = datediff(date_trunc("day", col("ts")).cast(DateType),
+      lit("2024-01-01").cast(DateType))
+    val e = Tables.events(s, d).select(col("user_id"), dayNo.as("day_no"))
+    val firstSeen = e.groupBy(col("user_id"))
+      .agg(expr("min(day_no) div 7").as("cohort_week"))
+    val activity = e.join(firstSeen, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (expr("day_no div 7") - col("cohort_week")).as("week_offset"))
+      .distinct()
+    activity.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts)
+}
