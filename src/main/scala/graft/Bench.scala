@@ -44,10 +44,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the LAST ~2000 chars of stdout; round 1's
+    // full per-query map (~3.9k chars) overflowed that window and the
+    // driver recorded parsed=null. Keep the line comfortably under the
+    // window: 3-decimal seconds, and per-query entries only for the
+    // slowest 25 (total still covers every query run).
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val slowest = results.toSeq.sortBy(-_._2).take(25)
+    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -177,17 +177,20 @@ object Aggregates {
   }
 
   /** collect_list is order-nondeterministic (D9) — always sorted, then
-    * sliced, so the array value is a pure function of the group. */
+    * sliced, so the array value is a pure function of the group; the
+    * list is '|'-joined on output (D12 flat-output rule). */
   val aggCollectSorted: QDef = q(
     "agg_collect_sorted",
-    """SELECT n_name, (list(c_name ORDER BY c_name))[1:5] AS top_names
+    """SELECT n_name,
+      |  array_to_string((list(c_name ORDER BY c_name))[1:5], '|') AS top_names
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name
       |ORDER BY n_name""") { (s, d) =>
     Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(slice(sort_array(collect_list(col("c_name"))), 1, 5).as("top_names"))
+      .agg(array_join(slice(sort_array(collect_list(col("c_name"))), 1, 5), "|")
+        .as("top_names"))
       .orderBy(col("n_name"))
   }
 

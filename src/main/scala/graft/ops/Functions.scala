@@ -32,7 +32,7 @@ object Functions {
       |  lpad(p_brand, 12, '*') AS lp,
       |  length(p_name) AS len,
       |  replace(p_name, 'widget', 'gadget') AS rep,
-      |  string_split(p_name, ' ') AS toks,
+      |  array_to_string(string_split(p_name, ' '), '|') AS toks,
       |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
       |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel
       |FROM part
@@ -47,7 +47,7 @@ object Functions {
         lpad(col("p_brand"), 12, "*").as("lp"),
         length(col("p_name")).as("len"),
         regexp_replace(col("p_name"), "widget", "gadget").as("rep"),
-        split(col("p_name"), " ").as("toks"),
+        array_join(split(col("p_name"), " "), "|").as("toks"),
         regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"))
       .orderBy(col("p_partkey"))
@@ -141,14 +141,16 @@ object Functions {
   /** Array family over tokenized documents. array_distinct's output
     * order is engine-specific — always sorted before output; Spark
     * array_position and DuckDB list_position both return 0 when
-    * missing (probed). */
+    * missing (probed). Array-valued results are serialized with a '|'
+    * join (D12: outputs must be flat scalars — the driver's comparer
+    * is pandas-based and cannot hash list cells). */
   val fnArray: QDef = q(
     "fn_array",
     """SELECT doc_id,
       |  len(string_split(text, ' ')) AS n_toks,
-      |  list_sort(list_distinct(string_split(text, ' '))) AS toks_uniq,
+      |  array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS toks_uniq,
       |  list_contains(string_split(text, ' '), 'join') AS has_join,
-      |  (string_split(text, ' '))[1:5] AS first5,
+      |  array_to_string((string_split(text, ' '))[1:5], '|') AS first5,
       |  CAST(list_position(string_split(text, ' '), 'scan') AS BIGINT) AS scan_pos
       |FROM documents
       |ORDER BY doc_id""") { (s, d) =>
@@ -156,18 +158,20 @@ object Functions {
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(t).as("n_toks"),
-        sort_array(array_distinct(t)).as("toks_uniq"),
+        array_join(sort_array(array_distinct(t)), "|").as("toks_uniq"),
         array_contains(t, "join").as("has_join"),
-        slice(t, 1, 5).as("first5"),
+        array_join(slice(t, 1, 5), "|").as("first5"),
         array_position(t, "scan").as("scan_pos"))
       .orderBy(col("doc_id"))
   }
 
-  /** JSON-string → typed map: keys + element access, scalar output. */
+  /** JSON-string → typed map: keys + element access, scalar output.
+    * Key list is sorted (map iteration order is engine-specific) and
+    * '|'-joined (D12 flat-output rule). */
   val fnMapJson: QDef = q(
     "fn_map_json",
     """SELECT event_id,
-      |  CAST(json_keys(props) AS VARCHAR[]) AS ks,
+      |  array_to_string(list_sort(CAST(json_keys(props) AS VARCHAR[])), '|') AS ks,
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k2
       |FROM events
@@ -175,7 +179,7 @@ object Functions {
     val m = from_json(col("props"), MapType(StringType, IntegerType))
     Tables.events(s, d)
       .select(col("event_id"),
-        map_keys(m).as("ks"),
+        array_join(sort_array(map_keys(m)), "|").as("ks"),
         element_at(m, "k").as("k"),
         (element_at(m, "k") * 2).as("k2"))
       .orderBy(col("event_id"))
@@ -225,8 +229,9 @@ object Functions {
       |  list_reduce(list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
       |    (a, b) -> a + b) AS sum_milli,
-      |  list_transform(embedding,
-      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))[1:3] AS first3_milli
+      |  array_to_string(list_transform(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))[1:3],
+      |      x -> CAST(x AS VARCHAR)), '|') AS first3_milli
       |FROM embeddings
       |ORDER BY vec_id""") { (s, d) =>
     val milli = transform(col("embedding"),
@@ -235,7 +240,8 @@ object Functions {
       .select(col("vec_id"),
         size(filter(col("embedding"), x => x.cast(DoubleType) > 0)).as("n_pos"),
         aggregate(milli, lit(0L), (a, b) => a + b).as("sum_milli"),
-        slice(milli, 1, 3).as("first3_milli"))
+        array_join(transform(slice(milli, 1, 3), _.cast(StringType)), "|")
+          .as("first3_milli"))
       .orderBy(col("vec_id"))
   }
 

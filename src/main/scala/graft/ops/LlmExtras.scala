@@ -124,7 +124,8 @@ object LlmExtras {
       |  GROUP BY doc_id, j),
       |sig AS (
       |  SELECT doc_id,
-      |    SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      |    CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+      |      AS simhash
       |  FROM votes GROUP BY doc_id)
       |SELECT doc_id, simhash,
       |  COUNT(*) OVER (PARTITION BY simhash) AS group_size
@@ -411,7 +412,8 @@ object LlmExtras {
       |  GROUP BY vec_id, p),
       |sig AS (
       |  SELECT vec_id,
-      |    SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+      |    CAST(SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+      |      AS bucket
       |  FROM proj GROUP BY vec_id),
       |qb AS (SELECT bucket FROM sig WHERE vec_id = 0)
       |SELECT s.vec_id, s.bucket,

@@ -59,6 +59,23 @@ class QueryRegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("D12: graded outputs are flat scalars (no array/map/struct columns)") {
+    // The driver's comparer loads both sides into pandas and sorts by
+    // every column; a list-typed cell raises `unhashable type:
+    // numpy.ndarray` and voids the query (round-1 lesson: five queries
+    // lost this way). Serialize nested values with array_join/to_json.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.defs.filter(_.oracle.isDefined).flatMap { d =>
+      val nested = d.run(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => f.name
+      }
+      if (nested.isEmpty) None else Some(s"${d.key}: ${nested.mkString(",")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("every declared query runs at sf0.001") {
     // noop sink, NOT count(): count() lets Catalyst prune projections,
     // hiding per-column expression errors that Verify's parquet write

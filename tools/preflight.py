@@ -35,10 +35,24 @@ def norm_cell(v):
 def fetch(con, sql):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
+    types = [str(d[1]) for d in cur.description]
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return [cols[i] for i in order], [
-        tuple(norm_cell(r[i]) for i in order) for r in rows]
+        tuple(norm_cell(r[i]) for i in order) for r in rows], \
+        [types[i] for i in order]
+
+
+def pandas_sortable(con, sql, key):
+    """Replicate the driver's comparer: pandas load + sort by all
+    columns. Round-1 lesson: list cells raise `unhashable type:
+    numpy.ndarray` there and void the query even when values match."""
+    try:
+        df = con.execute(sql).df()
+        df.sort_values(by=list(df.columns), inplace=True)
+        return None
+    except Exception as e:
+        return f"{key}: pandas sort failed (driver comparer would too): {e}"
 
 
 def main():
@@ -58,10 +72,10 @@ def main():
             print(f"FAIL {key}: no spark output")
             n_fail += 1
             continue
-        mine_cols, mine = fetch(
-            con, f"SELECT * FROM read_parquet({files!r})")
+        spark_sql = f"SELECT * FROM read_parquet({files!r})"
+        mine_cols, mine, mine_ty = fetch(con, spark_sql)
         try:
-            ref_cols, ref = fetch(con, oracle[key])
+            ref_cols, ref, ref_ty = fetch(con, oracle[key])
         except Exception as e:
             print(f"FAIL {key}: oracle SQL error: {e}")
             n_fail += 1
@@ -72,6 +86,21 @@ def main():
             continue
         if len(mine) != len(ref):
             print(f"FAIL {key}: rows {len(mine)} != {len(ref)}")
+            n_fail += 1
+            continue
+        # dtype drift breaks the driver's pandas hash even when repr
+        # values match (round-1 lesson: DuckDB SUM(BIGINT) -> HUGEINT
+        # becomes a different pandas dtype than Spark's int64).
+        ty_bad = [(c, a, b) for c, a, b in zip(mine_cols, mine_ty, ref_ty)
+                  if a != b]
+        err = (pandas_sortable(con, spark_sql, key)
+               or pandas_sortable(con, oracle[key], key))
+        if err:
+            print(f"FAIL {err}")
+            n_fail += 1
+            continue
+        if ty_bad:
+            print(f"FAIL {key}: dtype drift (spark vs oracle): {ty_bad}")
             n_fail += 1
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(mine, ref)) if a != b]
