@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QDef, Tables}
 import graft.QDef.q
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -71,11 +72,15 @@ object LlmExtras {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
+    // array_distinct already dedups shingles within a doc, so the
+    // oracle's SELECT DISTINCT is a no-op here — skipping it saves a
+    // full shuffle. Checkpointed: consumed by both the minhash agg and
+    // the exact-verify set build.
     val sh = toks.select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
           .as("shingle"))
-      .distinct()
+      .localCheckpoint()
     val h = md5(col("shingle"))
     val mh = sh.groupBy(col("doc_id"))
       .agg(min(substring(h, 1, 8)).as("h0"), min(substring(h, 4, 8)).as("h1"),
@@ -214,16 +219,20 @@ object LlmExtras {
     val docs = Tables.documents(s, d)
     // char bigrams via O(n) array shifts — per-index substring() would
     // rescan the string each call (O(n²) per doc).
+    // Consumed twice (per-lang centroids + per-doc scoring) —
+    // materialize the ~1.5M-row occurrence table once. The per-(doc,b)
+    // tf table the oracle names is never built here: SUM(tf*c) over
+    // distinct bigrams == SUM(c) over raw occurrences (and SUM(tf) per
+    // (lang,b) == COUNT(*) per (lang,b)), so scoring runs straight off
+    // occurrences and skips a 1.2M-row groupBy shuffle. Integer sums —
+    // exact, hence still hash-identical to the oracle's formulation.
     val bg = docs.select(col("doc_id"),
       explode(expr("""zip_with(slice(split(text, ''), 1, length(text) - 1),
                                slice(split(text, ''), 2, length(text) - 1),
                                (x, y) -> concat(x, y))""")).as("b"))
-    // consumed twice (per-lang centroids + per-doc scoring) —
-    // materialize the 1.2M-row bigram tf table once
-    val tfd = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val clb = tfd.join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c"))
+    val clb = bg.join(broadcast(docs.select(col("doc_id"), col("lang"))), "doc_id")
+      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
     // score via a PIVOTED centroid table: one broadcast join row per
     // doc-bigram with 5 count columns, instead of a 5x row blowup.
@@ -234,21 +243,36 @@ object LlmExtras {
     val clbWide = clb.groupBy(col("b"))
       .pivot("lang", langs).agg(first(col("c")))
       .select(col("b") +: langs.map(l => coalesce(col(l), lit(0L)).as(s"c_$l")): _*)
-    val summed = tfd.join(broadcast(clbWide), "b")
+    val summed = bg.join(broadcast(clbWide), "b")
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("c_de")).as("s_de"),
-        langs.tail.map(l => sum(col("tf") * col(s"c_$l")).as(s"s_$l")): _*)
-    val score = summed
-      .unpivot(Array(col("doc_id")),
-        langs.map(l => col(s"s_$l").as(l)).toArray, "lang", "s")
-      .join(broadcast(ltot), "lang")
-      .select(col("doc_id"), col("lang"),
-        (col("s").cast(DoubleType) / col("tot")).as("sc"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("sc").desc, col("lang"))
-    val pred = score.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"))
-    pred.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .agg(sum(col("c_de")).as("s_de"),
+        langs.tail.map(l => sum(col(s"c_$l")).as(s"s_$l")): _*)
+    // argmax over the five wide score columns, ties to the
+    // alphabetically-first lang — exactly the oracle's
+    // row_number() OVER (ORDER BY sc DESC, lang) = 1, but with no
+    // unpivot, no 25k-row window shuffle, and no per-row ltot join
+    // (the 5 language totals ride in as a broadcast 1-row table).
+    // sc = exact-int sum / exact-int total: one float division on
+    // identical operands per (doc, lang) — deterministic.
+    // coalesce-to-1: a lang absent from the corpus would pivot to a
+    // NULL total and poison the CASE comparisons; with tot=1 its score
+    // is 0/1=0 and can never beat the doc's own lang (score > 0) —
+    // same outcome as the oracle's inner join dropping the lang.
+    val ltotWide = ltot.groupBy()
+      .pivot("lang", langs).agg(first(col("tot")))
+      .select(langs.map(l => coalesce(col(l), lit(1L)).as(s"tot_$l")): _*)
+    val sc = langs.map(l =>
+      (col(s"s_$l").cast(DoubleType) / col(s"tot_$l")).as(s"sc_$l"))
+    val scored = summed.crossJoin(broadcast(ltotWide))
+      .select(col("doc_id") +: sc: _*)
+    val argmax = langs.foldRight(lit(langs.last): Column) { (l, rest) =>
+      if (l == langs.last) rest
+      else when(langs.filter(_ > l)
+        .map(m => col(s"sc_$l") >= col(s"sc_$m"))
+        .reduce(_ && _), l).otherwise(rest)
+    }
+    val pred = scored.select(col("doc_id"), argmax.as("pred_lang"))
+    pred.join(broadcast(docs.select(col("doc_id"), col("lang"))), "doc_id")
       .select(col("doc_id"), col("lang"), col("pred_lang"),
         (col("lang") === col("pred_lang")).as("correct"))
       .orderBy(col("doc_id"))
@@ -425,24 +449,30 @@ object LlmExtras {
       |ORDER BY sim DESC, s.vec_id
       |LIMIT 5""") { (s, d) =>
     val e = Tables.embeddings(s, d)
-    val signs = s.range(0, 8).toDF("p")
-      .crossJoin(s.range(1, 65).toDF("i"))
-      .select(col("p"), col("i"),
-        when(conv(substring(md5(concat_ws(":", col("p"), col("i"))), 1, 2), 16, 10)
-          .cast(IntegerType) % 2 === 0, 1).otherwise(-1).as("sgn"))
-    val proj = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("i", col("pos") + 1)
-      .join(broadcast(signs), "i")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("sgn") * floor(col("v").cast(DoubleType) * 1000).cast(LongType)).as("sp"))
-    val sig = proj.groupBy(col("vec_id"))
-      .agg(sum(when(col("sp") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p AS INT))")).otherwise(0L)).as("bucket"))
-    val qb = sig.filter(col("vec_id") === 0).select(col("bucket").as("q_bucket"))
+    // The oracle spells the plane projections as an unnest + two
+    // GROUP BYs; here the 8×64 md5-derived ±1 sign matrix is built
+    // ONCE as a single 512-element array row (md5 evaluated 512
+    // times total, not per vector), broadcast onto every vector, and
+    // the whole 8-bit bucket is one nested higher-order expression —
+    // identical integer math (sign × exact milli-scaled components,
+    // sign threshold, bit-OR), zero shuffles to compute signatures.
+    val signsRow = s.range(1).select(expr(
+      """transform(sequence(0, 511), k ->
+        |  IF(CAST(conv(substring(md5(concat_ws(':', k div 64, k % 64 + 1)), 1, 2), 16, 10) AS INT) % 2 = 0,
+        |     CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))""".stripMargin).as("signs"))
+    val bucketExpr = expr(
+      """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
+        |  acc + IF(
+        |    aggregate(zip_with(embedding, slice(signs, p * 64 + 1, 64), (x, sg) ->
+        |        sg * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |      CAST(0 AS BIGINT), (a, b) -> a + b) > 0,
+        |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
+    val withB = e.crossJoin(broadcast(signsRow))
+      .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
+    val qb = withB.filter(col("vec_id") === 0).select(col("bucket").as("q_bucket"))
     val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    sig.join(broadcast(qb), col("bucket") === col("q_bucket"))
+    withB.join(broadcast(qb), col("bucket") === col("q_bucket"))
       .filter(col("vec_id") =!= 0)
-      .join(e, "vec_id")
       .crossJoin(broadcast(q0))
       .select(col("vec_id"), col("bucket"),
         fcosine(col("embedding"), col("q_emb")).as("sim"))
