@@ -51,11 +51,27 @@ object Bench {
     // slowest 25 (total still covers every query run).
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val slowest = results.toSeq.sortBy(-_._2).take(25)
-    val qs = slowest.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"sf":"$sfDir"}"""
+    // Belt and braces against sbt's [info]/[success] wrapping defeating
+    // the driver's stdout parser (parsed=null in rounds 1+2): emit the
+    // bare line on BOTH streams, repeat it after spark.stop() so it is
+    // the true last output, and write file artifacts — BENCH.json (the
+    // compact line) and BENCH_full.json (every per-query timing, so
+    // regressions in currently-fast queries stay visible).
+    def writeFile(path: String, content: String): Unit = {
+      val w = new java.io.PrintWriter(path); try w.println(content) finally w.close()
+    }
+    writeFile("BENCH.json", line)
+    writeFile("BENCH_full.json",
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
+    println(line)
+    System.err.println(line)
     spark.stop()
+    println(line)
   }
 }

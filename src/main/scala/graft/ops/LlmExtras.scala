@@ -69,20 +69,28 @@ object LlmExtras {
       |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
       |    / len(list_distinct(x.s || y.s)) >= 0.5
       |ORDER BY doc_a, doc_b""") { (s, d) =>
+    // repartition before the explode: the one-file fixture scan is a
+    // single partition, so shingle generation (split+md5 over ~100
+    // shingles/doc) would otherwise run on one core
     val toks = Tables.documents(s, d)
+      .repartition(32)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
     // array_distinct already dedups shingles within a doc, so the
     // oracle's SELECT DISTINCT is a no-op here — skipping it saves a
-    // full shuffle. Checkpointed: consumed by both the minhash agg and
+    // full shuffle. Cached (persist, not localCheckpoint — lineage
+    // survives executor loss): consumed by both the minhash agg and
     // the exact-verify set build.
     val sh = toks.select(col("doc_id"),
         explode(array_distinct(expr(
           "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
           .as("shingle"))
-      .localCheckpoint()
-    val h = md5(col("shingle"))
-    val mh = sh.groupBy(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // md5 materialized ONCE per shingle row — inlining it into the 8
+    // min-aggregates would evaluate the hash 8× per row
+    val h = col("h")
+    val mh = sh.withColumn("h", md5(col("shingle")))
+      .groupBy(col("doc_id"))
       .agg(min(substring(h, 1, 8)).as("h0"), min(substring(h, 4, 8)).as("h1"),
         min(substring(h, 7, 8)).as("h2"), min(substring(h, 10, 8)).as("h3"),
         min(substring(h, 13, 8)).as("h4"), min(substring(h, 16, 8)).as("h5"),
@@ -97,13 +105,19 @@ object LlmExtras {
     val cand = a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b")
         && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("s"))
-    val jacc = size(array_intersect(col("s_a"), col("s_b"))).cast(DoubleType) /
-      size(array_union(col("s_a"), col("s_b")))
+    // exact verify via the codegen'd sorted merge-walk intersection
+    // (graft_sorted_intersect) — array_intersect/array_union built a
+    // hash set per candidate pair; |A∪B| = |A|+|B|−|A∩B| since the
+    // collect_set arrays are distinct.
+    val sets = sh.groupBy(col("doc_id")).agg(sort_array(collect_set(col("shingle"))).as("s"))
+    val inter = graft.functions.VectorFunctions.sortedIntersect(col("s_a"), col("s_b"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jacc.as("jacc"))
+      .withColumn("inter", inter)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) /
+          (size(col("s_a")) + size(col("s_b")) - col("inter"))).as("jacc"))
       .filter(col("jacc") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -141,12 +155,19 @@ object LlmExtras {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val hv = tf.withColumn("h",
       conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
-    val votes = hv.crossJoin(s.range(0, 32).toDF("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(when(expr("(h >> j) & 1") === 1, col("tf")).otherwise(-col("tf"))).as("v"))
-    val sig = votes.groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-        .otherwise(0L)).as("simhash"))
+    // The oracle spells the 32 bit-votes as a 32x CROSS JOIN row
+    // blowup; here each doc folds its (hash, tf) pairs through ONE
+    // nested higher-order expression — same integer votes (order-free
+    // exact sums), zero extra rows, zero extra shuffles.
+    val sig = hv.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("h"), col("tf"))).as("hts"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
+          |  acc + IF(
+          |    aggregate(hts, CAST(0 AS BIGINT),
+          |      (a, t) -> a + IF((t.h >> j) & 1 = 1, t.tf, -t.tf)) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+        .as("simhash"))
     sig.select(col("doc_id"), col("simhash"),
         count(lit(1)).over(Window.partitionBy(col("simhash"))).as("group_size"))
       .orderBy(col("doc_id"))
@@ -176,7 +197,10 @@ object LlmExtras {
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
       pmod(col("vec_id"), lit(nSalts)).as("salt"))
-    val b = e.crossJoin(s.range(nSalts).toDF("salt_b"))
+    // spread the probe side: one parquet file → one scan partition,
+    // and the broadcast join adds no shuffle (same fix as
+    // dedup_near_jaccard — without it pair evaluation is single-core)
+    val b = e.repartition(32).crossJoin(s.range(nSalts).toDF("salt_b"))
       .select(col("vec_id").as("vec_b"), col("label").as("label_b"),
         col("embedding").as("emb_b"), col("nrm").as("nrm_b"), col("salt_b"))
     a.join(b, col("salt") === col("salt_b") && col("label") === col("label_b")
@@ -226,11 +250,14 @@ object LlmExtras {
     // (lang,b) == COUNT(*) per (lang,b)), so scoring runs straight off
     // occurrences and skips a 1.2M-row groupBy shuffle. Integer sums —
     // exact, hence still hash-identical to the oracle's formulation.
-    val bg = docs.select(col("doc_id"),
+    // repartition before the explode: the one-file scan is a single
+    // partition — without it the ~1.5M-row bigram build (and the
+    // cached table every downstream join reads) lives on one core
+    val bg = docs.repartition(32).select(col("doc_id"),
       explode(expr("""zip_with(slice(split(text, ''), 1, length(text) - 1),
                                slice(split(text, ''), 2, length(text) - 1),
                                (x, y) -> concat(x, y))""")).as("b"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clb = bg.join(broadcast(docs.select(col("doc_id"), col("lang"))), "doc_id")
       .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
@@ -439,13 +466,19 @@ object LlmExtras {
       |    CAST(SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
       |      AS bucket
       |  FROM proj GROUP BY vec_id),
-      |qb AS (SELECT bucket FROM sig WHERE vec_id = 0)
+      |qb AS (SELECT bucket FROM sig WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT unnest(list_transform(range(0, 9),
+      |    k -> CASE WHEN k = 0 THEN bucket
+      |              ELSE xor(bucket, 1::BIGINT << (k - 1)) END)) AS probe
+      |  FROM qb)
       |SELECT s.vec_id, s.bucket,
       |  ${sqlCosine("e.embedding", "q.embedding")} AS sim
       |FROM sig s
+      |JOIN probes ON s.bucket = probes.probe
       |JOIN embeddings e ON e.vec_id = s.vec_id
       |JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q ON true
-      |WHERE s.bucket = (SELECT bucket FROM qb) AND s.vec_id <> 0
+      |WHERE s.vec_id <> 0
       |ORDER BY sim DESC, s.vec_id
       |LIMIT 5""") { (s, d) =>
     val e = Tables.embeddings(s, d)
@@ -456,6 +489,9 @@ object LlmExtras {
     // the whole 8-bit bucket is one nested higher-order expression —
     // identical integer math (sign × exact milli-scaled components,
     // sign threshold, bit-OR), zero shuffles to compute signatures.
+    // REQUIRES 64-dim embeddings: zip_with NULL-pads a short/long
+    // vector, so the per-dim product is coalesced to 0 (matching the
+    // oracle, where DuckDB SUM skips the NULL terms).
     val signsRow = s.range(1).select(expr(
       """transform(sequence(0, 511), k ->
         |  IF(CAST(conv(substring(md5(concat_ws(':', k div 64, k % 64 + 1)), 1, 2), 16, 10) AS INT) % 2 = 0,
@@ -464,14 +500,23 @@ object LlmExtras {
       """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
         |  acc + IF(
         |    aggregate(zip_with(embedding, slice(signs, p * 64 + 1, 64), (x, sg) ->
-        |        sg * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        |        coalesce(sg * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT), CAST(0 AS BIGINT))),
         |      CAST(0 AS BIGINT), (a, b) -> a + b) > 0,
         |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
     val withB = e.crossJoin(broadcast(signsRow))
       .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
     val qb = withB.filter(col("vec_id") === 0).select(col("bucket").as("q_bucket"))
+    // MULTI-PROBE: the query's own bucket plus every Hamming-distance-1
+    // bucket — 9 probe values expanded from the 1-row query side, then
+    // an EQUALITY join on bucket (the shape that stays a bucket-pruned
+    // equi-join at 100 TB, unlike a bit_count(bucket ^ q) predicate
+    // which would force a full nested-loop scan).
+    val probes = qb.select(explode(expr(
+      """transform(sequence(0, 8), k ->
+        |  IF(k = 0, q_bucket,
+        |     q_bucket ^ shiftleft(CAST(1 AS BIGINT), k - 1)))""".stripMargin)).as("probe"))
     val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    withB.join(broadcast(qb), col("bucket") === col("q_bucket"))
+    withB.join(broadcast(probes), col("bucket") === col("probe"))
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q0))
       .select(col("vec_id"), col("bucket"),

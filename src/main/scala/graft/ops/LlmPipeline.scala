@@ -77,6 +77,11 @@ object LlmPipeline {
     * bound the quadratic (each block joins only with itself).
     *
     * Scale formulation (same answer, bench-tuned):
+    *  - NO corpus-global coordination: each doc independently maps to
+    *    its sorted distinct token array in one embarrassingly-parallel
+    *    pass (a corpus dictionary — however assigned — is a global
+    *    artifact to build, broadcast, and keep consistent; at 100 TB
+    *    vocabulary it is the bottleneck, so it is simply gone).
     *  - SALTED block join: `lang` has only 5 values, so a plain
     *    lang-keyed shuffle puts the biggest block on one core. The
     *    left side carries salt = doc_id % 16 and the (small) right
@@ -85,6 +90,8 @@ object LlmPipeline {
     *  - Lossless size prefilter: jacc >= 0.5 forces the smaller
     *    token set to be >= half the larger, so mismatched sizes are
     *    skipped before any array work.
+    *  - |A∩B| via the codegen'd `graft_sorted_intersect` merge walk
+    *    (graft.functions) — no per-pair hash set, no allocation.
     *  - |A∪B| = |A|+|B|−|A∩B| arithmetically (sets are distinct) —
     *    no array_union materialization; and the threshold filter is
     *    the exact integer predicate 2·inter >= union (no float
@@ -102,54 +109,48 @@ object LlmPipeline {
       |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
       |    / len(list_distinct(a.ts || b.ts)) >= 0.5
       |ORDER BY doc_a, doc_b""") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val nSalts = 16
-    // Token sets as BITMASKS: a corpus-wide dictionary (distinct
-    // token -> dense id via a deterministic sorted row_number) turns
-    // each doc's token set into ceil(V/64) longs, so the per-pair
-    // intersection is popcount(AND) — ~100x cheaper than hashing
-    // string arrays, and the salted shuffle moves 2 longs per doc
-    // instead of the token strings. W (word count) is derived from
-    // max(id) inside the plan — no driver-side collect.
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val dict = toks.select(col("tok")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy(col("tok"))) - 1)
-    val nWords = dict.agg((max(col("id")).cast(LongType) / 64 + 1).cast(IntegerType).as("w"))
-    val wordMasks = toks.join(broadcast(dict), "tok")
-      .groupBy(col("doc_id"), col("lang"), (col("id") / 64).cast(IntegerType).as("wi"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT)))").as("mask"))
-    val dd = wordMasks
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(collect_list(struct(col("wi"), col("mask"))).as("wm"))
-      .crossJoin(broadcast(nWords))
+    // Per-doc sorted distinct token-HASH set (xxhash64 per distinct
+    // token): one stateless map pass — no shuffle, no corpus
+    // dictionary, no cached prep. Distinct tokens map to distinct
+    // 64-bit hashes (collision odds ~n²·2⁻⁶⁴ per doc pair — below
+    // any fixture's reach; verified hash-identical to the oracle),
+    // so |hash set| = |token set| and hash-set intersections equal
+    // token-set intersections. The subtree is cheap enough that both
+    // join sides just recompute it (at 100 TB, persist(dd) here).
+    val dd = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        expr("""transform(sequence(0, w - 1),
-                i -> aggregate(filter(wm, p -> p.wi = i), CAST(0 AS BIGINT),
-                               (acc, p) -> acc | p.mask))""").as("bits"))
-      .withColumn("sz", expr(
-        "aggregate(bits, 0, (acc, x) -> acc + CAST(bit_count(x) AS INT))"))
-      // both join sides consume this prep; materialize it once instead
-      // of recomputing the dict/mask subtree per side (the a/b plans
-      // differ by the salt replication, so exchange reuse can't fire)
-      .localCheckpoint()
+        sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+          .as("ts"))
+      .withColumn("sz", size(col("ts")))
     val a = dd.select(col("doc_id").as("doc_a"), col("lang"),
-      col("bits").as("bits_a"), col("sz").as("sz_a"),
+      col("ts").as("ts_a"), col("sz").as("sz_a"),
       pmod(col("doc_id"), lit(nSalts)).as("salt"))
-    val b = dd.crossJoin(s.range(nSalts).toDF("salt_b"))
+    // The probe side MUST be spread explicitly: the fixture is one
+    // small parquet file → one scan partition, and a broadcast join
+    // introduces no shuffle — without this repartition the entire
+    // multi-million-pair evaluation runs on ONE core. (At 100 TB the
+    // join leaves broadcast range and becomes a shuffle join on
+    // (salt, lang) — 16×5 groups — which is exactly what the salt
+    // replication is for.)
+    val b = dd.repartition(32).crossJoin(s.range(nSalts).toDF("salt_b"))
       .select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-        col("bits").as("bits_b"), col("sz").as("sz_b"), col("salt_b"))
-    val inter = expr(
-      "aggregate(zip_with(bits_a, bits_b, (x, y) -> CAST(bit_count(x & y) AS INT)), 0, (acc, v) -> acc + v)")
-    val uni = col("sz_a") + col("sz_b") - col("inter")
+        col("ts").as("ts_b"), col("sz").as("sz_b"), col("salt_b"))
+    // codegen'd merge-walk intersection over primitive longs — no
+    // per-pair hash set, no allocation, runs inside whole-stage codegen
+    val inter = graft.functions.VectorFunctions.sortedIntersectLong(col("ts_a"), col("ts_b"))
+    // Predicate ORDER is deliberate: a detached post-join filter gets
+    // pushed into the join condition AHEAD of these cheap conjuncts
+    // (evaluating the merge walk for every probe pair), so the
+    // threshold rides in the join condition explicitly, last, and in
+    // the single-occurrence form 3·inter >= sz_a+sz_b (algebraically
+    // identical to 2·inter >= |A∪B| = sz_a+sz_b−inter).
     a.join(b, col("salt") === col("salt_b") && col("lang") === col("lang_b")
         && col("doc_a") < col("doc_b")
-        && col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a"))
-      .withColumn("inter", inter)
-      .filter(col("inter") * 2 >= uni)
+        && col("sz_a") * 2 >= col("sz_b") && col("sz_b") * 2 >= col("sz_a")
+        && inter * 3 >= col("sz_a") + col("sz_b"))
       .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast(DoubleType) / uni).as("jacc"))
+        (inter.cast(DoubleType) / (col("sz_a") + col("sz_b") - inter)).as("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

