@@ -59,4 +59,23 @@ class WindowFrameSpec extends SparkSpec {
     // v asc: 5,10,20,20 — the two v=20 rows are RANGE-peers: both see 55
     assert(out.toSeq == Seq(15.0, 55.0, 55.0, 5.0))
   }
+
+  test("distributed win_distribution equals Spark's own global window functions") {
+    // The graded query derives ntile/percent_rank/cume_dist from
+    // range-partitioned rank arithmetic (no single-partition window);
+    // this pins it row-for-row to the built-ins it replaces.
+    val sf = "/root/testdata/sf0.001"
+    val ours = SparkEntry.queries("win_distribution")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val ref = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey"))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(ours.length == ref.length && ours.nonEmpty)
+    assert(ours.sameElements(ref))
+  }
 }
