@@ -69,27 +69,28 @@ object LlmExtras {
       |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
       |    / len(list_distinct(x.s || y.s)) >= 0.5
       |ORDER BY doc_a, doc_b""") { (s, d) =>
-    // repartition before the explode: the one-file fixture scan is a
-    // single partition, so shingle generation (split+md5 over ~100
-    // shingles/doc) would otherwise run on one core
-    val toks = Tables.documents(s, d)
+    // Per-doc SORTED DISTINCT shingle array in one stateless pass —
+    // no shuffle and no 490k-row materialization anywhere in the
+    // prep: array_distinct covers the oracle's SELECT DISTINCT and
+    // sort_array feeds the merge-walk verify directly (this replaces
+    // a persisted shingle-row table + a collect_set shuffle). The
+    // repartition spreads the one-partition fixture scan; the tiny
+    // 5000-row array table is what gets cached (persist, not
+    // localCheckpoint — lineage survives executor loss) for its three
+    // consumers (minhash agg + both verify sides).
+    val base = Tables.documents(s, d)
       .repartition(32)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-    // array_distinct already dedups shingles within a doc, so the
-    // oracle's SELECT DISTINCT is a no-op here — skipping it saves a
-    // full shuffle. Cached (persist, not localCheckpoint — lineage
-    // survives executor loss): consumed by both the minhash agg and
-    // the exact-verify set build.
-    val sh = toks.select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
-          .as("shingle"))
+      .select(col("doc_id"), sort_array(array_distinct(expr(
+        "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
+        .as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // md5 materialized ONCE per shingle row — inlining it into the 8
     // min-aggregates would evaluate the hash 8× per row
     val h = col("h")
-    val mh = sh.withColumn("h", md5(col("shingle")))
+    val mh = base.select(col("doc_id"), explode(col("s")).as("shingle"))
+      .withColumn("h", md5(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(min(substring(h, 1, 8)).as("h0"), min(substring(h, 4, 8)).as("h1"),
         min(substring(h, 7, 8)).as("h2"), min(substring(h, 10, 8)).as("h3"),
@@ -108,12 +109,11 @@ object LlmExtras {
     // exact verify via the codegen'd sorted merge-walk intersection
     // (graft_sorted_intersect) — array_intersect/array_union built a
     // hash set per candidate pair; |A∪B| = |A|+|B|−|A∩B| since the
-    // collect_set arrays are distinct.
-    val sets = sh.groupBy(col("doc_id")).agg(sort_array(collect_set(col("shingle"))).as("s"))
+    // arrays are distinct.
     val inter = graft.functions.VectorFunctions.sortedIntersect(col("s_a"), col("s_b"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
       .withColumn("inter", inter)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
@@ -251,13 +251,14 @@ object LlmExtras {
     // occurrences and skips a 1.2M-row groupBy shuffle. Integer sums —
     // exact, hence still hash-identical to the oracle's formulation.
     // repartition before the explode: the one-file scan is a single
-    // partition — without it the ~1.5M-row bigram build (and the
-    // cached table every downstream join reads) lives on one core
+    // partition — without it the ~1.5M-row bigram build lives on one
+    // core. NOT persisted: the build is a stateless map pass and its
+    // two consumers recompute it in parallel for less than the
+    // columnar cache write of 1.5M rows costs.
     val bg = docs.repartition(32).select(col("doc_id"),
       explode(expr("""zip_with(slice(split(text, ''), 1, length(text) - 1),
                                slice(split(text, ''), 2, length(text) - 1),
                                (x, y) -> concat(x, y))""")).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clb = bg.join(broadcast(docs.select(col("doc_id"), col("lang"))), "doc_id")
       .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))

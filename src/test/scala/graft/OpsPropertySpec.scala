@@ -65,6 +65,27 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("graded near-dup jaccard equals a direct string-set formulation on sf0.001") {
+    // engine-internal parity guard for the hashed encoding: the graded
+    // query intersects sorted xxhash64 arrays; this recomputes every
+    // output pair with plain array_intersect on token strings.
+    val sf = "/root/testdata/sf0.001"
+    val graded = SparkEntry.queries("dedup_near_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("ts"))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("ts").as("ts_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("ts").as("ts_b"))
+    val inter = size(array_intersect(col("ts_a"), col("ts_b"))).cast(DoubleType)
+    val uni = size(array_union(col("ts_a"), col("ts_b")))
+    val ref = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (inter / uni).as("jacc"))
+      .filter(col("jacc") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(graded.nonEmpty && graded == ref)
+  }
+
   test("exact dedup is idempotent and survivor-deterministic") {
     import spark.implicits._
     val docs = Seq((5L, "x y"), (2L, "x y"), (9L, "z"), (1L, "x y")).toDF("doc_id", "text")

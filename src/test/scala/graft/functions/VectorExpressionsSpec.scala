@@ -46,4 +46,54 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT graft_dot(v, v) AS n2 FROM vexp_test ORDER BY id LIMIT 1").head()
     assert(out.getDouble(0) > 0.0)
   }
+
+  // --- sorted-intersect merge walks (near-dup hot paths) -----------
+
+  private def randSets = {
+    import spark.implicits._
+    val r = new scala.util.Random(77)
+    (0 until 60).map { i =>
+      val a = Seq.fill(r.nextInt(20))(s"t${r.nextInt(30)}").distinct.sorted
+      val b = Seq.fill(r.nextInt(20))(s"t${r.nextInt(30)}").distinct.sorted
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+  }
+
+  test("sortedIntersect equals size(array_intersect) on random distinct sorted sets") {
+    val df = randSets.select(col("id"),
+      VectorFunctions.sortedIntersect(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("sortedIntersect edge cases: empty, disjoint, identical, subset") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq.empty[String], Seq("a", "b")),            // empty left
+      (Seq("a", "b"), Seq.empty[String]),            // empty right
+      (Seq("a", "b"), Seq("c", "d")),                // disjoint
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),      // identical
+      (Seq("a", "c"), Seq("a", "b", "c", "d"))       // subset
+    ).toDF("a", "b")
+      .select(VectorFunctions.sortedIntersect(col("a"), col("b")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 0, 3, 2))
+  }
+
+  test("sortedIntersectLong agrees with the string walk under xxhash64 encoding") {
+    val enc = (c: String) =>
+      sort_array(expr(s"transform($c, t -> xxhash64(t))"))
+    val df = randSets.select(col("id"),
+      VectorFunctions.sortedIntersectLong(enc("a"), enc("b")).as("viaHash"),
+      VectorFunctions.sortedIntersect(col("a"), col("b")).as("viaString"))
+    assert(df.filter(col("viaHash") =!= col("viaString")).count() == 0)
+  }
+
+  test("sorted-intersect interpreted eval matches codegen (driver-side recompute)") {
+    val rows = randSets.select(col("a"), col("b"),
+      VectorFunctions.sortedIntersect(col("a"), col("b")).as("n")).collect()
+    rows.foreach { r =>
+      val expected = r.getSeq[String](0).toSet.intersect(r.getSeq[String](1).toSet).size
+      assert(r.getInt(2) == expected)
+    }
+  }
 }
