@@ -506,20 +506,22 @@ object LlmExtras {
         |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
     val withB = e.crossJoin(broadcast(signsRow))
       .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
-    val qb = withB.filter(col("vec_id") === 0).select(col("bucket").as("q_bucket"))
     // MULTI-PROBE: the query's own bucket plus every Hamming-distance-1
     // bucket — 9 probe values expanded from the 1-row query side, then
     // an EQUALITY join on bucket (the shape that stays a bucket-pruned
     // equi-join at 100 TB, unlike a bit_count(bucket ^ q) predicate
-    // which would force a full nested-loop scan).
-    val probes = qb.select(explode(expr(
-      """transform(sequence(0, 8), k ->
-        |  IF(k = 0, q_bucket,
-        |     q_bucket ^ shiftleft(CAST(1 AS BIGINT), k - 1)))""".stripMargin)).as("probe"))
-    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    // which would force a full nested-loop scan). The query embedding
+    // rides in the SAME 9-row broadcast, so the plan has one probe-side
+    // broadcast instead of a probes broadcast plus a q₀ cross join.
+    val probes = withB.filter(col("vec_id") === 0)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+      .select(explode(expr(
+        """transform(sequence(0, 8), k ->
+          |  IF(k = 0, q_bucket,
+          |     q_bucket ^ shiftleft(CAST(1 AS BIGINT), k - 1)))""".stripMargin)).as("probe"),
+        col("q_emb"))
     withB.join(broadcast(probes), col("bucket") === col("probe"))
       .filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q0))
       .select(col("vec_id"), col("bucket"),
         fcosine(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
