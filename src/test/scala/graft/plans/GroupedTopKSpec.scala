@@ -63,4 +63,17 @@ class GroupedTopKSpec extends SparkSpec {
     val out = GroupedTopK.topkPerGroup(df, Seq("g"), Seq("v" -> true), 100)
     assert(out.count() == 3)
   }
+
+  test("null order values follow SortOrder defaults (nulls first ascending)") {
+    import spark.implicits._
+    val df = Seq(("g", Some(2)), ("g", None), ("g", Some(1)), ("g", Some(3)))
+      .toDF("g", "v")
+    val viaCustom = GroupedTopK.topkPerGroup(df, Seq("g"), Seq("v" -> true), 2)
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getInt(1))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .collect().map(r => if (r.isNullAt(1)) None else Some(r.getInt(1))).toSet
+    // Spark sorts NULL FIRST ascending — both paths must keep {null, 1}
+    assert(viaCustom == viaWindow && viaCustom == Set(None, Some(1)))
+  }
 }
