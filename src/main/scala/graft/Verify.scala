@@ -23,6 +23,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries that persist() intermediates (jaccard prep, minhash
+      // shingles, win_distribution pids) cannot unpersist them
+      // themselves — the action runs here, after they return. Dropping
+      // the cache per query keeps a long session's footprint bounded.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
