@@ -88,14 +88,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect"
 
+  // The merge walk dereferences every element, so a null element would
+  // surface as an opaque executor NPE. Requiring containsNull=false
+  // turns that misuse into a clean analysis-time error; callers built
+  // on collect_set / split already carry the non-null element type.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
+      case ArrayType(StringType, containsNull) => !containsNull
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect expects two array<string> args, got " +
+      s"graft_sorted_intersect expects two array<string> args with " +
+        s"non-null elements, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -155,14 +160,18 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect_long"
 
+  // getLong on a null element silently reads 0 — a wrong count, worse
+  // than a crash. Same containsNull=false contract as the string
+  // variant, enforced at analysis time.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, containsNull) => !containsNull
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_intersect_long expects two array<bigint> args, got " +
+      s"graft_sorted_intersect_long expects two array<bigint> args with " +
+        s"non-null elements, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 

@@ -130,9 +130,16 @@ object Windows {
       .withColumn("pid", spark_partition_id())
     // per-pid row numbers and sizes share ONE shuffle/WindowExec pass
     val wpid = Window.partitionBy(col("pid"))
+    // `local` feeds counts/offsets/nRow AND the final join. Each
+    // consumer must observe the SAME pid assignment, and a re-executed
+    // range exchange re-samples boundaries from a fresh RDD-id-derived
+    // seed — exchange reuse usually dedups the consumers onto one
+    // exchange, but that is an optimizer behavior, not a guarantee.
+    // Persisting pins one materialized pid assignment for all of them.
     val local = withPid.select(col("c_custkey"), col("c_acctbal"), col("pid"),
       row_number().over(wpid.orderBy(keys: _*)).as("lrn"),
       count(lit(1)).over(wpid).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = local.select(col("pid"), col("cnt")).distinct()
     val offsets = counts
       .join(counts.select(col("pid").as("pid2"), col("cnt").as("cnt2")),
@@ -149,7 +156,12 @@ object Windows {
                |     THEN (r - 1) div (n div 4 + 1) + 1
                |     ELSE n % 4 + (r - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
                |     END AS INT)""".stripMargin).as("quartile"),
-        ((col("r") - 1).cast(DoubleType) / (col("n") - 1)).as("pct_rank"),
+        // n=1 makes the divisor 0 → null, but percent_rank() defines
+        // the single-row case as 0.0 (the quartile CASE already
+        // handles n<4; this term must too).
+        when(col("n") > 1,
+          (col("r") - 1).cast(DoubleType) / (col("n") - 1))
+          .otherwise(lit(0.0)).as("pct_rank"),
         (col("r").cast(DoubleType) / col("n")).as("cume"))
       .orderBy(col("c_custkey"))
   }

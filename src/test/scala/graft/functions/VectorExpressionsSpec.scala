@@ -49,6 +49,12 @@ class VectorExpressionsSpec extends SparkSpec {
 
   // --- sorted-intersect merge walks (near-dup hot paths) -----------
 
+  // toDF types Seq[String] as array<string> with nullable elements;
+  // the merge-walk expressions reject that at analysis time (their
+  // contract is containsNull=false). array_compact both drops nulls
+  // AND narrows the element type — the idiomatic caller-side bridge.
+  private def nn(c: org.apache.spark.sql.Column) = array_compact(c)
+
   private def randSets = {
     import spark.implicits._
     val r = new scala.util.Random(77)
@@ -61,7 +67,7 @@ class VectorExpressionsSpec extends SparkSpec {
 
   test("sortedIntersect equals size(array_intersect) on random distinct sorted sets") {
     val df = randSets.select(col("id"),
-      VectorFunctions.sortedIntersect(col("a"), col("b")).as("fast"),
+      VectorFunctions.sortedIntersect(nn(col("a")), nn(col("b"))).as("fast"),
       size(array_intersect(col("a"), col("b"))).as("ref"))
     assert(df.filter(col("fast") =!= col("ref")).count() == 0)
   }
@@ -75,7 +81,7 @@ class VectorExpressionsSpec extends SparkSpec {
       (Seq("a", "b", "c"), Seq("a", "b", "c")),      // identical
       (Seq("a", "c"), Seq("a", "b", "c", "d"))       // subset
     ).toDF("a", "b")
-      .select(VectorFunctions.sortedIntersect(col("a"), col("b")).as("n"))
+      .select(VectorFunctions.sortedIntersect(nn(col("a")), nn(col("b"))).as("n"))
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 0, 0, 3, 2))
   }
 
@@ -84,16 +90,26 @@ class VectorExpressionsSpec extends SparkSpec {
       sort_array(expr(s"transform($c, t -> xxhash64(t))"))
     val df = randSets.select(col("id"),
       VectorFunctions.sortedIntersectLong(enc("a"), enc("b")).as("viaHash"),
-      VectorFunctions.sortedIntersect(col("a"), col("b")).as("viaString"))
+      VectorFunctions.sortedIntersect(nn(col("a")), nn(col("b"))).as("viaString"))
     assert(df.filter(col("viaHash") =!= col("viaString")).count() == 0)
   }
 
   test("sorted-intersect interpreted eval matches codegen (driver-side recompute)") {
     val rows = randSets.select(col("a"), col("b"),
-      VectorFunctions.sortedIntersect(col("a"), col("b")).as("n")).collect()
+      VectorFunctions.sortedIntersect(nn(col("a")), nn(col("b"))).as("n")).collect()
     rows.foreach { r =>
       val expected = r.getSeq[String](0).toSet.intersect(r.getSeq[String](1).toSet).size
       assert(r.getInt(2) == expected)
     }
+  }
+
+  test("sorted-intersect rejects nullable-element arrays at analysis time") {
+    // Without the containsNull guard a null element would NPE (string
+    // walk) or silently read 0 (long walk) deep inside an executor.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      randSets.select(
+        VectorFunctions.sortedIntersect(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("graft_sorted_intersect"))
   }
 }
