@@ -86,16 +86,20 @@ object LlmExtras {
         "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
         .as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // md5 materialized ONCE per shingle row — inlining it into the 8
-    // min-aggregates would evaluate the hash 8× per row
-    val h = col("h")
-    val mh = base.select(col("doc_id"), explode(col("s")).as("shingle"))
-      .withColumn("h", md5(col("shingle")))
-      .groupBy(col("doc_id"))
-      .agg(min(substring(h, 1, 8)).as("h0"), min(substring(h, 4, 8)).as("h1"),
-        min(substring(h, 7, 8)).as("h2"), min(substring(h, 10, 8)).as("h3"),
-        min(substring(h, 13, 8)).as("h4"), min(substring(h, 16, 8)).as("h5"),
-        min(substring(h, 19, 8)).as("h6"), min(substring(h, 22, 8)).as("h7"))
+    // The signature is computed PER ROW over the shingle array — one
+    // md5 per shingle via transform, then eight array_min's over
+    // hex-window substrings. The alternative (explode → md5 → groupBy
+    // with 8 min-aggregates) flows every shingle occurrence (~100×
+    // the doc count) through a full shuffle just to put them back
+    // under their doc_id; here the rows never leave their partition
+    // and the aggregation shuffle disappears. array_min on strings
+    // uses the same binary UTF8 ordering as the min() aggregate, so
+    // the signatures are identical.
+    val mh = base
+      .select(col("doc_id"), expr("transform(s, x -> md5(x))").as("hs"))
+      .select(col("doc_id") +: (0 until 8).map(i =>
+        expr(s"array_min(transform(hs, h -> substring(h, ${3 * i + 1}, 8)))")
+          .as(s"h$i")): _*)
     val bands = mh.select(col("doc_id"),
         posexplode(array(
           concat_ws("|", col("h0"), col("h1")), concat_ws("|", col("h2"), col("h3")),
