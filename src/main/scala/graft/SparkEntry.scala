@@ -15,7 +15,8 @@ object SparkEntry {
       ops.Aggregates.all ++ ops.Windows.all ++ ops.SortSetOps.all ++
       ops.Functions.all ++ ops.Udx.all ++ ops.LlmPipeline.all ++
       ops.LlmExtras.all ++ ops.Streaming.all ++ ops.Sampling.all ++
-      ops.HarmonizeQueries.all ++ ops.EventAnalytics.all
+      ops.HarmonizeQueries.all ++ ops.EventAnalytics.all ++
+      ops.PipelineOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

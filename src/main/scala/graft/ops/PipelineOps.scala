@@ -1,0 +1,185 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline operators beyond dedup/similarity: benchmark
+  * decontamination, context-window sequence packing, weighted domain
+  * mixing, and repetition scoring — the curation stages that sit
+  * between raw crawl and tokenizer in a 100 TB corpus build.
+  *
+  * Determinism rules as everywhere else: integer arithmetic end to
+  * end, one float division at the output edge, md5 for any sampling
+  * decision (cross-engine identical, partition-count independent).
+  */
+object PipelineOps {
+
+  /** Benchmark decontamination: flag corpus docs whose token-3-gram
+    * shingle set overlaps a benchmark set (here: the `src0` docs) by
+    * ≥ 5%. Shingles are xxhash64-encoded; the benchmark set rides in
+    * as ONE broadcast sorted-long array and each corpus doc counts its
+    * hits with the codegen'd merge walk (`graft_sorted_intersect_long`)
+    * — the corpus side never explodes and never joins, so the whole
+    * scan is one map pipeline. A benchmark set is small by nature
+    * (MBs of n-grams for real eval suites), so the broadcast always
+    * fits; if it ever didn't, the fallback is the explode + semi join
+    * on the shingle hash — still zero doc×doc work. */
+  val contaminationNgram: QDef = q(
+    "contamination_ngram",
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    unnest(list_transform(range(3, len(t) + 1),
+      |           i -> t[i-2] || ' ' || t[i-1] || ' ' || t[i])) AS shingle
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+      |corp AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles
+      |  FROM sh WHERE source <> 'src0' GROUP BY doc_id),
+      |hits AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_hit
+      |  FROM sh s JOIN bench USING (shingle)
+      |  WHERE s.source <> 'src0' GROUP BY s.doc_id)
+      |SELECT c.doc_id, c.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+      |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / c.n_shingles AS contam_ratio
+      |FROM corp c LEFT JOIN hits h USING (doc_id)
+      |WHERE CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / c.n_shingles >= 0.05
+      |ORDER BY doc_id""") { (s, d) =>
+    // Token arrays once per doc; the filter on source pushes to the
+    // scan, so each branch only tokenizes its own rows.
+    def toks(src: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Tables.documents(s, d)
+        .filter(src(col("source")))
+        .repartition(32)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+    // Corpus: per-doc sorted distinct shingle-hash array in one
+    // stateless row-level pass (the dedup_near_jaccard construction,
+    // 3-grams instead of tokens).
+    def shingled(src: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      toks(src).select(col("doc_id"), sort_array(array_distinct(expr(
+        "transform(sequence(3, size(t)), i -> xxhash64(concat_ws(' ', t[i-3], t[i-2], t[i-1])))")))
+        .as("sh"))
+    // Benchmark set as ONE sorted array row. Built by exploding the
+    // INDEX sequence and hashing per row — NOT by exploding the
+    // transform()'d array: a Generate over an interpreted
+    // higher-order expression re-evaluates the lambda pathologically
+    // (measured ~10x this formulation on the same data), while
+    // sequence-explode + row-level xxhash64 stays inside whole-stage
+    // codegen end to end.
+    val bench = toks(_ === "src0")
+      .select(col("t"), explode(expr("sequence(3, size(t))")).as("i"))
+      .select(xxhash64(concat_ws(" ",
+        expr("t[i-3]"), expr("t[i-2]"), expr("t[i-1]"))).as("h"))
+      .distinct()
+      .agg(sort_array(collect_list(col("h"))).as("bench"))
+    val inter = graft.functions.VectorFunctions
+      .sortedIntersectLong(col("sh"), col("bench"))
+    shingled(_ =!= "src0")
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"),
+        inter.cast(LongType).as("n_hit"))
+      .withColumn("contam_ratio",
+        col("n_hit").cast(DoubleType) / col("n_shingles"))
+      .filter(col("contam_ratio") >= 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context-window sequence packing, split-allowed: docs are laid out
+    * end-to-end per source in doc_id order and cut into 512-token
+    * windows; a doc's window is its exclusive token prefix-sum div
+    * 512. One partitioned window (PARTITION BY source) — the prefix
+    * is sequential only WITHIN a source, so packing parallelizes
+    * across sources; at 100 TB you'd sub-shard the partition key
+    * (source, doc_id div N) the same way the offsets here compose:
+    * pure integer cumsums. */
+  val packSequences: QDef = q(
+    "pack_sequences",
+    """SELECT source, doc_id, n_tokens,
+      |  off AS token_offset, off // 512 AS seq_no
+      |FROM (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    COALESCE(SUM(len(string_split(text, ' '))) OVER (
+      |      PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM documents)
+      |ORDER BY source, doc_id""") { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("off").as("token_offset"), expr("off div 512").as("seq_no"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Weighted domain mixing: re-weight the corpus per source with
+    * deterministic per-mille keep thresholds (src0 keeps all, the
+    * long tail keeps 10%). The mixing config rides in as a broadcast
+    * dim table — the pipeline-config-as-data shape — and the decision
+    * is an md5 bucket of doc_id: identical on any engine and any
+    * partitioning, so the mixed corpus is reproducible build-to-build.
+    * Pure broadcast-join + filter over the scan — embarrassingly
+    * parallel at any scale. */
+  val mixDomainWeighted: QDef = q(
+    "mix_domain_weighted",
+    """SELECT doc_id, source, lang
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 1000
+      |  < CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 750
+      |    WHEN 'src2' THEN 500 WHEN 'src3' THEN 250 ELSE 100 END
+      |ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    val weights = Seq(("src0", 1000), ("src1", 750), ("src2", 500), ("src3", 250))
+      .toDF("source", "keep_permille")
+    Tables.documents(s, d)
+      .join(broadcast(weights), Seq("source"), "left")
+      .withColumn("keep_permille", coalesce(col("keep_permille"), lit(100)))
+      .filter(conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+        .cast(IntegerType) % 1000 < col("keep_permille"))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-doc repetition metrics (the Gopher-style quality signals):
+    * distinct-token fraction and top-token share. Wordcount shape —
+    * explode + two partial-aggregating groupBys — which is exactly
+    * the formulation that scales: both shuffles carry map-side
+    * combined (doc, tok) partials, never raw occurrences. */
+  val textRepetition: QDef = q(
+    "text_repetition",
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok)
+      |SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_distinct,
+      |  MAX(tf) AS top_tf,
+      |  CAST(MAX(tf) AS DOUBLE) / SUM(tf) AS top_share,
+      |  CAST(SUM(tf) - COUNT(*) AS DOUBLE) / SUM(tf) AS rep_ratio
+      |FROM tf GROUP BY doc_id
+      |ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .repartition(32)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_tf"),
+        (col("top_tf").cast(DoubleType) / col("n_tokens")).as("top_share"),
+        ((col("n_tokens") - col("n_distinct")).cast(DoubleType) / col("n_tokens"))
+          .as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    contaminationNgram, packSequences, mixDomainWeighted, textRepetition)
+}
