@@ -245,24 +245,30 @@ object LlmExtras {
       |FROM pred JOIN documents USING (doc_id)
       |ORDER BY doc_id""") { (s, d) =>
     val docs = Tables.documents(s, d)
-    // char bigrams via O(n) array shifts — per-index substring() would
-    // rescan the string each call (O(n²) per doc).
-    // Consumed twice (per-lang centroids + per-doc scoring) —
-    // materialize the ~1.5M-row occurrence table once. The per-(doc,b)
-    // tf table the oracle names is never built here: SUM(tf*c) over
-    // distinct bigrams == SUM(c) over raw occurrences (and SUM(tf) per
-    // (lang,b) == COUNT(*) per (lang,b)), so scoring runs straight off
-    // occurrences and skips a 1.2M-row groupBy shuffle. Integer sums —
-    // exact, hence still hash-identical to the oracle's formulation.
+    // Char bigrams by exploding the INDEX sequence and slicing per
+    // row: substr stays inside whole-stage codegen, whereas exploding
+    // a zip_with()'d array pays the interpreted-lambda Generate path
+    // (measured 3x slower on this corpus) — and this is literally the
+    // oracle's own substr(text, i, 2) formulation.
+    // The per-(doc,b) tf table the oracle names is never built here:
+    // SUM(tf*c) over distinct bigrams == SUM(c) over raw occurrences
+    // (and SUM(tf) per (lang,b) == COUNT(*) per (lang,b)), so scoring
+    // runs straight off occurrences and skips a 1.2M-row groupBy
+    // shuffle. Integer sums — exact, hence still hash-identical to
+    // the oracle's formulation.
     // repartition before the explode: the one-file scan is a single
     // partition — without it the ~1.5M-row bigram build lives on one
     // core. NOT persisted: the build is a stateless map pass and its
     // two consumers recompute it in parallel for less than the
     // columnar cache write of 1.5M rows costs.
-    val bg = docs.repartition(32).select(col("doc_id"),
-      explode(expr("""zip_with(slice(split(text, ''), 1, length(text) - 1),
-                               slice(split(text, ''), 2, length(text) - 1),
-                               (x, y) -> concat(x, y))""")).as("b"))
+    // length > 1 guard: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+    // unlike the oracle's empty range — and a bigram-less doc is
+    // absent from the output under both formulations anyway.
+    val bg = docs.repartition(32)
+      .filter(length(col("text")) > 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 1)")).as("i"))
+      .select(col("doc_id"), expr("substr(text, i, 2)").as("b"))
     val clb = bg.join(broadcast(docs.select(col("doc_id"), col("lang"))), "doc_id")
       .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
