@@ -104,13 +104,18 @@ object Udx {
       |GROUP BY bigram
       |ORDER BY n DESC, bigram
       |LIMIT 30""") { (s, d) =>
-    val t = split(col("text"), " ")
-    val bigrams = zip_with(
-      slice(t, lit(1), size(t) - 1),
-      slice(t, lit(2), size(t) - 1),
-      (a, b) => concat_ws(" ", a, b))
+    // Index-explode + row-level concat (stays in whole-stage codegen)
+    // instead of exploding a zip_with()'d array — a Generate over an
+    // interpreted higher-order expression pays the slow lambda path
+    // (see the langid bigram build). t[...] is 0-based here vs the
+    // oracle's 1-based list indexing; size > 1 guards Spark's
+    // counting-down sequence(1, 0).
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) > 1)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, size(t) - 1)")).as("i"))
+      .select(col("doc_id"), expr("concat_ws(' ', t[i-1], t[i])").as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n").desc, col("bigram"))
