@@ -19,15 +19,49 @@ class PlanInvariantsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("no graded query plans a single-partition (unpartitioned) window") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.sparkPlan
-      val globals = plan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
+  private def offenders(pred: org.apache.spark.sql.execution.SparkPlan => Boolean,
+      except: Set[String] = Set.empty): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => except(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        if (plan.exists(pred)) Some(name) else None
       }
-      if (globals.nonEmpty) Some(name) else None
+
+  test("no graded query plans a single-partition (unpartitioned) window") {
+    val bad = offenders {
+      case w: WindowExec => w.partitionSpec.isEmpty
+      case _ => false
     }
-    assert(offenders.isEmpty,
-      s"unpartitioned WindowExec in graded plans: ${offenders.mkString(", ")}")
+    assert(bad.isEmpty,
+      s"unpartitioned WindowExec in graded plans: ${bad.mkString(", ")}")
+  }
+
+  test("no graded query plans a CartesianProduct") {
+    // Every cross join in a graded plan must be a broadcast nested
+    // loop (small side broadcast), never CartesianProductExec — the
+    // all-pairs shuffle that cannot survive any scale-up.
+    val bad = offenders(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    assert(bad.isEmpty,
+      s"CartesianProductExec in graded plans: ${bad.mkString(", ")}")
+  }
+
+  test("no graded query explodes an interpreted higher-order expression") {
+    // A Generate whose generator input is a higher-order function
+    // (transform/zip_with/...) drops off the codegen path and
+    // re-evaluates the interpreted lambda pathologically — measured
+    // 3-10x slower than exploding an index sequence and computing per
+    // row (see the langid/udtf_bigrams/contamination builds).
+    // Exception: sim_lsh_bucketed explodes a transform over its ONE
+    // probe row — 9 evaluations total, structurally harmless.
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val bad = offenders({
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        g.generator.children.exists(_.exists(_.isInstanceOf[HigherOrderFunction]))
+      case _ => false
+    }, except = Set("sim_lsh_bucketed"))
+    assert(bad.isEmpty,
+      s"Generate over higher-order expression in graded plans: ${bad.mkString(", ")}")
   }
 }
