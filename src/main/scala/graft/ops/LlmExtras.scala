@@ -258,9 +258,10 @@ object LlmExtras {
     // the oracle's formulation.
     // repartition before the explode: the one-file scan is a single
     // partition — without it the ~1.5M-row bigram build lives on one
-    // core. NOT persisted: the build is a stateless map pass and its
-    // two consumers recompute it in parallel for less than the
-    // columnar cache write of 1.5M rows costs.
+    // core. NOT persisted: the build is a stateless codegen map pass
+    // and its two consumers recompute it in parallel for less than
+    // the columnar cache write of 1.5M rows costs (re-measured after
+    // the index-explode rewrite: persisting adds ~1 s one-shot).
     // length > 1 guard: Spark's sequence(1, 0) counts DOWN ([1, 0]),
     // unlike the oracle's empty range — and a bigram-less doc is
     // absent from the output under both formulations anyway.
