@@ -98,5 +98,38 @@ object EventAnalytics {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
-  val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts)
+  /** Time-series gap filling: zero-fill the days inside each user's
+    * own [first, last] activity span. The calendar is generated FROM
+    * the per-user span table (sequence + explode — a few hundred rows
+    * per user, never a global calendar cross join), and every stage
+    * is keyed by user_id, so the whole plan shuffles on one key and
+    * parallelizes by user at any scale. */
+  val timeseriesGapfill: QDef = q(
+    "timeseries_gapfill",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM spans)
+      |SELECT c.user_id, c.day, COALESCE(d.n_events, 0) AS n_events
+      |FROM cal c LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY user_id, day""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("n_events"))
+    val cal = daily
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill)
 }

@@ -216,7 +216,28 @@ object Windows {
       .orderBy(col("p_brand"), col("rn"))
   }
 
+  /** VALUE-range frame (RANGE BETWEEN 500 PRECEDING): the frame is
+    * defined by the order key's value distance, so its contents are
+    * deterministic even under order-key ties (all peers included) —
+    * the one frame kind that needs no tie-break key. Exact decimal
+    * sum inside; both engines compare IEEE doubles for the bound. */
+  val winRangeNumeric: QDef = q(
+    "win_range_numeric",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice
+      |    RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val w = overCust.orderBy(col("o_totalprice"))
+      .rangeBetween(-500, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        outDouble(sum(money(col("o_totalprice"))).over(w)).as("near_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
-    winDistribution, winFirstLast, topkPerGroup)
+    winDistribution, winFirstLast, topkPerGroup, winRangeNumeric)
 }
