@@ -180,6 +180,93 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction by regex: mask emails and long digit runs, and count
+    * what was masked (the audit trail a compliance pass needs). The
+    * fixture corpus has no raw PII by construction, so the query first
+    * derives a deterministic PII-bearing contact line from customer
+    * fields — the graded op is the scrub itself. Patterns stay in the
+    * common subset of Java regex (Spark) and RE2 (DuckDB): plain
+    * character classes and bounded repetition, no lookaround. Pure
+    * map-side string work — zero shuffles before the presentation
+    * sort, so at 100 TB this runs at scan speed. */
+  val textPiiScrub: QDef = {
+    val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val idPat = "[0-9]{6,}"
+    q(
+      "text_pii_scrub",
+      s"""WITH raw AS (
+         |  SELECT c_custkey,
+         |    c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+         |      || '@example.org> ref ' || CAST(c_custkey * 7919 AS VARCHAR) AS contact
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(contact, '$emailPat', '[EMAIL]', 'g'),
+         |                 '$idPat', '[ID]', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(contact, '$emailPat')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(contact, '$idPat')) AS BIGINT) AS n_ids
+         |FROM raw
+         |ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .repartition(32)
+        .select(col("c_custkey"),
+          concat(col("c_name"), lit(" <"),
+            lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
+            lit("@example.org> ref "),
+            (col("c_custkey") * 7919).cast(StringType)).as("contact"))
+        .select(col("c_custkey"),
+          regexp_replace(regexp_replace(col("contact"), emailPat, "[EMAIL]"),
+            idPat, "[ID]").as("scrubbed"),
+          regexp_count(col("contact"), lit(emailPat)).cast(LongType).as("n_emails"),
+          regexp_count(col("contact"), lit(idPat)).cast(LongType).as("n_ids"))
+        .orderBy(col("c_custkey"))
+    }
+  }
+
+  /** int8 embedding quantization: per-vector max-abs scale, elements
+    * mapped to round(x·127/scale) — the standard 4× storage cut before
+    * an ANN index build. Everything is elementwise (zero shuffles), and
+    * the rounding is floor(y + 0.5) rather than round(): both engines
+    * floor identically, while round() half-even vs half-away ties
+    * could diverge. max_err re-derives the dequantized delta per
+    * element — the quality audit that ships with a quantization job. */
+  val embedQuantizeInt8: QDef = q(
+    "embed_quantize_int8",
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, label, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS scale
+      |  FROM e)
+      |SELECT vec_id, label, scale,
+      |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+      |    ELSE list_transform(v, x -> CAST(floor((x * 127.0) / scale + 0.5) AS INT))
+      |  END AS q,
+      |  CASE WHEN scale = 0 THEN 0.0
+      |    ELSE list_max(list_transform(range(1, len(v) + 1),
+      |      i -> abs(v[i] - (CAST(floor((v[i] * 127.0) / scale + 0.5) AS INT) * scale) / 127.0)))
+      |  END AS max_err
+      |FROM sc
+      |ORDER BY vec_id""") { (s, d) =>
+    Tables.embeddings(s, d)
+      .repartition(32)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q",
+        when(col("scale") === 0.0, expr("transform(v, x -> 0)"))
+          .otherwise(expr(
+            "transform(v, x -> cast(floor((x * 127.0) / scale + 0.5) as int))")))
+      .withColumn("max_err",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(expr(
+            "array_max(zip_with(v, q, (a, b) -> abs(a - (b * scale) / 127.0)))")))
+      .select(col("vec_id"), col("label"), col("scale"), col("q"), col("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QDef] = Seq(
-    contaminationNgram, packSequences, mixDomainWeighted, textRepetition)
+    contaminationNgram, packSequences, mixDomainWeighted, textRepetition,
+    textPiiScrub, embedQuantizeInt8)
 }
