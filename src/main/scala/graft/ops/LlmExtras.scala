@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QDef, Tables}
 import graft.QDef.q
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -69,6 +69,15 @@ object LlmExtras {
       |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
       |    / len(list_distinct(x.s || y.s)) >= 0.5
       |ORDER BY doc_a, doc_b""") { (s, d) =>
+    minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Unsorted verified near-dup pairs — the shared pipeline behind the
+    * graded `dedup_minhash_lsh` (which adds the presentation sort) and
+    * `dedup_cluster_cc` (which consumes the pairs orderless; skipping
+    * the sort also skips the range-partitioner's sampling pass, which
+    * would run the verify join a second time per materialization). */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // Per-doc SORTED DISTINCT shingle array in one stateless pass —
     // no shuffle and no 490k-row materialization anywhere in the
     // prep: array_distinct covers the oracle's SELECT DISTINCT and
@@ -123,7 +132,6 @@ object LlmExtras {
         (col("inter").cast(DoubleType) /
           (size(col("s_a")) + size(col("s_b")) - col("inter"))).as("jacc"))
       .filter(col("jacc") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 32-bit SimHash per document: md5-derived token hash bits,

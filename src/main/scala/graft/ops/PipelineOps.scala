@@ -101,7 +101,8 @@ object PipelineOps {
   val packSequences: QDef = q(
     "pack_sequences",
     """SELECT source, doc_id, n_tokens,
-      |  off AS token_offset, off // 512 AS seq_no
+      |  CAST(off AS BIGINT) AS token_offset,
+      |  CAST(off // 512 AS BIGINT) AS seq_no
       |FROM (
       |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens,
       |    COALESCE(SUM(len(string_split(text, ' '))) OVER (
@@ -159,7 +160,7 @@ object PipelineOps {
       |  SELECT doc_id, tok, COUNT(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |  GROUP BY doc_id, tok)
-      |SELECT doc_id, SUM(tf) AS n_tokens, COUNT(*) AS n_distinct,
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
       |  MAX(tf) AS top_tf,
       |  CAST(MAX(tf) AS DOUBLE) / SUM(tf) AS top_share,
       |  CAST(SUM(tf) - COUNT(*) AS DOUBLE) / SUM(tf) AS rep_ratio
@@ -197,7 +198,7 @@ object PipelineOps {
       s"""WITH raw AS (
          |  SELECT c_custkey,
          |    c_name || ' <' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
-         |      || '@example.org> ref ' || CAST(c_custkey * 7919 AS VARCHAR) AS contact
+         |      || '@example.org> ref ' || CAST(CAST(c_custkey AS BIGINT) * 7919 AS VARCHAR) AS contact
          |  FROM customer)
          |SELECT c_custkey,
          |  regexp_replace(regexp_replace(contact, '$emailPat', '[EMAIL]', 'g'),
@@ -212,7 +213,9 @@ object PipelineOps {
           concat(col("c_name"), lit(" <"),
             lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
             lit("@example.org> ref "),
-            (col("c_custkey") * 7919).cast(StringType)).as("contact"))
+            // 64-bit from the start: 32-bit c_custkey * 7919 overflows
+            // for custkey > ~271k (SF ≳ 2) while DuckDB promotes.
+            (col("c_custkey").cast(LongType) * 7919L).cast(StringType)).as("contact"))
         .select(col("c_custkey"),
           regexp_replace(regexp_replace(col("contact"), emailPat, "[EMAIL]"),
             idPat, "[ID]").as("scrubbed"),
@@ -238,17 +241,24 @@ object PipelineOps {
       |sc AS (
       |  SELECT vec_id, label, v,
       |    list_max(list_transform(v, x -> abs(x))) AS scale
-      |  FROM e)
+      |  FROM e),
+      |q1 AS (
+      |  SELECT vec_id, label, v, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+      |      ELSE list_transform(v, x -> CAST(floor((x * 127.0) / scale + 0.5) AS INT))
+      |    END AS q
+      |  FROM sc)
       |SELECT vec_id, label, scale,
-      |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
-      |    ELSE list_transform(v, x -> CAST(floor((x * 127.0) / scale + 0.5) AS INT))
-      |  END AS q,
+      |  array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), '|') AS q_packed,
       |  CASE WHEN scale = 0 THEN 0.0
       |    ELSE list_max(list_transform(range(1, len(v) + 1),
-      |      i -> abs(v[i] - (CAST(floor((v[i] * 127.0) / scale + 0.5) AS INT) * scale) / 127.0)))
+      |      i -> abs(v[i] - (q[i] * scale) / 127.0)))
       |  END AS max_err
-      |FROM sc
+      |FROM q1
       |ORDER BY vec_id""") { (s, d) =>
+    // D12 flat-output rule: the driver's pandas comparer cannot
+    // sort/hash list cells, so the quantized vector ships as a
+    // '|'-joined string; scale/max_err stay scalars.
     Tables.embeddings(s, d)
       .repartition(32)
       .select(col("vec_id"), col("label"),
@@ -262,7 +272,9 @@ object PipelineOps {
         when(col("scale") === 0.0, lit(0.0))
           .otherwise(expr(
             "array_max(zip_with(v, q, (a, b) -> abs(a - (b * scale) / 127.0)))")))
-      .select(col("vec_id"), col("label"), col("scale"), col("q"), col("max_err"))
+      .select(col("vec_id"), col("label"), col("scale"),
+        expr("array_join(transform(q, x -> cast(x as string)), '|')").as("q_packed"),
+        col("max_err"))
       .orderBy(col("vec_id"))
   }
 
