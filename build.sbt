@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 executor threads in THIS heap, and
+  // the shingle/md5-heavy dedup queries churn multi-GB of short-lived
+  // garbage; at 8g the GC pauses bled 10-20 s into innocent-neighbor
+  // query timings. The host has 128 GiB. On a real cluster this maps
+  // to per-executor memory, sized per core count the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

