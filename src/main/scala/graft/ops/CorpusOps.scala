@@ -1,0 +1,198 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-level curation statistics — the whole-collection passes a
+  * training-data build runs between per-doc scoring and tokenization:
+  * boilerplate detection (document-frequency of n-grams), vocabulary
+  * rank/frequency profiling, deterministic train/holdout splitting,
+  * and per-doc character-distribution stats.
+  *
+  * Shapes are all explode → partial-agg → broadcast-join-back: the
+  * only shuffles carry (key, count) partials, never raw occurrences,
+  * so every operator here survives a 100 TB corpus unchanged.
+  */
+object CorpusOps {
+
+  /** CCNet/C4-style boilerplate detection, adapted to the fixture's
+    * line-less documents: a 5-gram that appears in >= 3 distinct
+    * documents is boilerplate (absolute support, the same rule
+    * paragraph-dedup uses for "seen on multiple pages"); per doc,
+    * report how much of it is boilerplate. Spark shingles are
+    * xxhash64-encoded (counts are what ship, so the encoding never
+    * reaches the output). */
+  val boilerplateNgram: QDef = q(
+    "boilerplate_ngram",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |gr AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(5, len(t) + 1),
+      |      i -> t[i-4] || ' ' || t[i-3] || ' ' || t[i-2] || ' ' || t[i-1] || ' ' || t[i])) AS g
+      |  FROM toks),
+      |df AS (SELECT g, COUNT(*) AS df FROM gr GROUP BY g),
+      |boiler AS (SELECT g FROM df WHERE df >= 3),
+      |per AS (SELECT doc_id, COUNT(*) AS n_grams FROM gr GROUP BY doc_id),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_boiler
+      |  FROM gr JOIN boiler USING (g) GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_grams, COALESCE(h.n_boiler, 0) AS n_boiler,
+      |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / p.n_grams AS boiler_ratio
+      |FROM per p LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .repartition(32)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+    // Distinct (doc, 5-gram-hash) pairs, built with the index-explode
+    // pattern (sequence-explode + row-level xxhash64 stays inside
+    // whole-stage codegen; Generate over an interpreted higher-order
+    // expression re-evaluates the lambda pathologically).
+    val grams = toks
+      .select(col("doc_id"), col("t"), explode(expr("sequence(5, size(t))")).as("i"))
+      .select(col("doc_id"), xxhash64(concat_ws(" ",
+        expr("t[i-5]"), expr("t[i-4]"), expr("t[i-3]"),
+        expr("t[i-2]"), expr("t[i-1]"))).as("g"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val boiler = df.filter(col("df") >= 3).select(col("g"))
+    val per = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = grams.join(boiler, "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    per.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast(DoubleType) / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus rank/frequency profile (the Zipf table): top-100 tokens by
+    * frequency with their corpus share. The heavy part is one
+    * wordcount aggregation; the top-100 cut is TakeOrderedAndProject
+    * (no global sort), and the rank is a window over the already
+    * bounded 100-row result — partitionBy(lit(0)) on a bounded set,
+    * never a global window over corpus-sized data. */
+  val corpusZipf: QDef = q(
+    "corpus_zipf",
+    """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS freq FROM tf GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM freq),
+      |top AS (SELECT tok, freq FROM freq ORDER BY freq DESC, tok LIMIT 100)
+      |SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank, tok, freq,
+      |  CAST(freq AS DOUBLE) / n_total AS freq_ratio
+      |FROM top, tot
+      |ORDER BY rank""") { (s, d) =>
+    val freq = Tables.documents(s, d)
+      .repartition(32)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = freq.agg(sum(col("freq")).as("n_total"))
+    freq
+      .orderBy(col("freq").desc, col("tok")).limit(100)
+      .crossJoin(broadcast(tot))
+      .select(
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("freq").desc, col("tok"))).cast(LongType).as("rank"),
+        col("tok"), col("freq"),
+        (col("freq").cast(DoubleType) / col("n_total")).as("freq_ratio"))
+      .orderBy(col("rank"))
+  }
+
+  /** Deterministic train/val/test split audit: an md5 bucket of doc_id
+    * (cross-engine identical, partition-count independent — the same
+    * keyed-sampling protocol as sample_hash_docs) routes 80/10/10, and
+    * the report counts docs per (source, split). Any engine, any
+    * cluster size, any run: byte-identical split membership. */
+  val splitTrainHoldout: QDef = q(
+    "split_train_holdout",
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM b GROUP BY source, split
+      |ORDER BY source, split""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(IntegerType) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** Per-doc character-distribution stats: distinct chars, Simpson
+    * diversity (1 − Σp² — pure rational arithmetic from integer
+    * counts, bit-identical everywhere), and Shannon entropy in
+    * millibits. The entropy sum is the one place floating point could
+    * drift ACROSS ENGINES (different group orders → different rounding
+    * order), so each p·log2(p) term is cast to DECIMAL(28,18) first
+    * and summed exactly — the sum is then order-independent and the
+    * final millibit floor lands identically in both engines. */
+  val textCharStats: QDef = q(
+    "text_char_stats",
+    """WITH cf AS (
+      |  SELECT doc_id, c, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+      |        FROM documents WHERE length(text) > 0)
+      |  GROUP BY doc_id, c),
+      |n AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+      |    COUNT(*) AS n_distinct_chars,
+      |    CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+      |  FROM cf GROUP BY doc_id),
+      |ent AS (
+      |  SELECT cf.doc_id,
+      |    SUM(CAST((CAST(cnt AS DOUBLE) / n_chars)
+      |      * (ln(CAST(cnt AS DOUBLE) / n_chars) / ln(2.0)) AS DECIMAL(28,18))) AS h_neg
+      |  FROM cf JOIN n USING (doc_id) GROUP BY cf.doc_id)
+      |SELECT n.doc_id, n.n_chars, n.n_distinct_chars,
+      |  1.0 - CAST(n.sum_sq AS DOUBLE) / (n.n_chars * n.n_chars) AS simpson,
+      |  CAST(floor(CAST(-ent.h_neg AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS entropy_mb
+      |FROM n JOIN ent ON n.doc_id = ent.doc_id
+      |ORDER BY n.doc_id""") { (s, d) =>
+    val cf = Tables.documents(s, d)
+      .repartition(32)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cf.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+    val p = col("cnt").cast(DoubleType) / col("n_chars")
+    // ln(p)/ln(2) spelled the same way in both engines (a dedicated
+    // log2 uses different internal polynomials per platform).
+    val ent = cf.join(n.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(col("doc_id"),
+        (p * (log(p) / log(lit(2.0)))).cast(DecimalType(28, 18)).as("term"))
+      .groupBy(col("doc_id")).agg(sum(col("term")).as("h_neg"))
+    n.join(ent, "doc_id")
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (lit(1.0) - col("sum_sq").cast(DoubleType) /
+          (col("n_chars") * col("n_chars"))).as("simpson"),
+        floor((col("h_neg").cast(DoubleType) * -1000) + 0.5)
+          .cast(LongType).as("entropy_mb"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats)
+}

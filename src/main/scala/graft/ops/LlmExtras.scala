@@ -36,9 +36,11 @@ object LlmExtras {
     * hash-index replication join). The banding is replicated
     * bit-for-bit in the oracle, so the (approximate) recall set is
     * identical across engines. */
-  val dedupMinhashLsh: QDef = q(
-    "dedup_minhash_lsh",
-    """WITH toks AS (
+  /** Shared DuckDB CTE chain for every minhash-derived oracle
+    * (`dedup_minhash_lsh`, `dedup_cluster_cc`'s pair source,
+    * `minhash_est_audit`) — one text, zero drift between them. */
+  private[ops] val lshCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (
@@ -61,7 +63,11 @@ object LlmExtras {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
       |    AND a.doc_id < b.doc_id),
-      |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)
+      |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)""".stripMargin
+
+  val dedupMinhashLsh: QDef = q(
+    "dedup_minhash_lsh",
+    s"""WITH $lshCtes
       |SELECT doc_a, doc_b,
       |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
       |    / len(list_distinct(x.s || y.s)) AS jacc
@@ -77,17 +83,17 @@ object LlmExtras {
     * `dedup_cluster_cc` (which consumes the pairs orderless; skipping
     * the sort also skips the range-partitioner's sampling pass, which
     * would run the verify join a second time per materialization). */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    // Per-doc SORTED DISTINCT shingle array in one stateless pass —
-    // no shuffle and no 490k-row materialization anywhere in the
-    // prep: array_distinct covers the oracle's SELECT DISTINCT and
-    // sort_array feeds the merge-walk verify directly (this replaces
-    // a persisted shingle-row table + a collect_set shuffle). The
-    // repartition spreads the one-partition fixture scan; the tiny
-    // 5000-row array table is what gets cached (persist, not
-    // localCheckpoint — lineage survives executor loss) for its three
-    // consumers (minhash agg + both verify sides).
-    val base = Tables.documents(s, d)
+  /** Per-doc SORTED DISTINCT shingle array in one stateless pass —
+    * no shuffle and no 490k-row materialization anywhere in the
+    * prep: array_distinct covers the oracle's SELECT DISTINCT and
+    * sort_array feeds the merge-walk verify directly (this replaces
+    * a persisted shingle-row table + a collect_set shuffle). The
+    * repartition spreads the one-partition fixture scan; the tiny
+    * 5000-row array table is what gets cached (persist, not
+    * localCheckpoint — lineage survives executor loss) for its three
+    * consumers (minhash agg + both verify sides). */
+  private[ops] def shingleBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .repartition(32)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -95,20 +101,25 @@ object LlmExtras {
         "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
         .as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The signature is computed PER ROW over the shingle array — one
-    // md5 per shingle via transform, then eight array_min's over
-    // hex-window substrings. The alternative (explode → md5 → groupBy
-    // with 8 min-aggregates) flows every shingle occurrence (~100×
-    // the doc count) through a full shuffle just to put them back
-    // under their doc_id; here the rows never leave their partition
-    // and the aggregation shuffle disappears. array_min on strings
-    // uses the same binary UTF8 ordering as the min() aggregate, so
-    // the signatures are identical.
-    val mh = base
+
+  /** The signature is computed PER ROW over the shingle array — one
+    * md5 per shingle via transform, then eight array_min's over
+    * hex-window substrings. The alternative (explode → md5 → groupBy
+    * with 8 min-aggregates) flows every shingle occurrence (~100×
+    * the doc count) through a full shuffle just to put them back
+    * under their doc_id; here the rows never leave their partition
+    * and the aggregation shuffle disappears. array_min on strings
+    * uses the same binary UTF8 ordering as the min() aggregate, so
+    * the signatures are identical. */
+  private[ops] def mhSigs(base: DataFrame): DataFrame =
+    base
       .select(col("doc_id"), expr("transform(s, x -> md5(x))").as("hs"))
       .select(col("doc_id") +: (0 until 8).map(i =>
         expr(s"array_min(transform(hs, h -> substring(h, ${3 * i + 1}, 8)))")
           .as(s"h$i")): _*)
+
+  /** Band buckets → distinct candidate pairs (doc_a < doc_b). */
+  private[ops] def bandCandidates(mh: DataFrame): DataFrame = {
     val bands = mh.select(col("doc_id"),
         posexplode(array(
           concat_ws("|", col("h0"), col("h1")), concat_ws("|", col("h2"), col("h3")),
@@ -116,13 +127,16 @@ object LlmExtras {
           .as(Seq("band", "sig")))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("sig").as("sig_b"))
-    val cand = a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b")
+    a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b")
         && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verify via the codegen'd sorted merge-walk intersection
-    // (graft_sorted_intersect) — array_intersect/array_union built a
-    // hash set per candidate pair; |A∪B| = |A|+|B|−|A∩B| since the
-    // arrays are distinct.
+  }
+
+  /** Exact Jaccard for candidate pairs via the codegen'd sorted
+    * merge-walk intersection (graft_sorted_intersect) —
+    * array_intersect/array_union built a hash set per candidate pair;
+    * |A∪B| = |A|+|B|−|A∩B| since the arrays are distinct. */
+  private[ops] def exactJaccard(cand: DataFrame, base: DataFrame): DataFrame = {
     val inter = graft.functions.VectorFunctions.sortedIntersect(col("s_a"), col("s_b"))
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
@@ -131,7 +145,65 @@ object LlmExtras {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (size(col("s_a")) + size(col("s_b")) - col("inter"))).as("jacc"))
+  }
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = shingleBase(s, d)
+    exactJaccard(bandCandidates(mhSigs(base)), base)
       .filter(col("jacc") >= 0.5)
+  }
+
+  /** Sketch-accuracy audit: for every LSH candidate pair, the
+    * signature-estimated Jaccard (matching minhash slots / 8) next to
+    * the exact shingle-set Jaccard and the absolute error — the
+    * quality report a pipeline owner reads before trusting banding
+    * parameters at full scale. Estimate and exact are both derived
+    * from small-integer divisions, so the doubles (and their
+    * difference) are bit-identical across engines. */
+  val minhashEstAudit: QDef = q(
+    "minhash_est_audit",
+    s"""WITH $lshCtes
+      |SELECT c.doc_a, c.doc_b,
+      |  CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS est_jacc,
+      |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |    / len(list_distinct(x.s || y.s)) AS jacc,
+      |  abs(CAST((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) +
+      |       (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 -
+      |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |      / len(list_distinct(x.s || y.s))) AS abs_err
+      |FROM cand c
+      |JOIN mh a ON a.doc_id = c.doc_a JOIN mh b ON b.doc_id = c.doc_b
+      |JOIN sets x ON x.doc_id = c.doc_a JOIN sets y ON y.doc_id = c.doc_b
+      |ORDER BY doc_a, doc_b""") { (s, d) =>
+    val base = shingleBase(s, d)
+    val mh = mhSigs(base)
+    val cand = bandCandidates(mh)
+    val matches = (0 until 8)
+      .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast(IntegerType))
+      .reduce(_ + _)
+    val est = cand
+      .join(mh.alias("a"), col("doc_a") === col("a.doc_id"))
+      .join(mh.alias("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast(DoubleType) / 8.0).as("est_jacc"))
+    exactJaccard(est.select(col("doc_a"), col("doc_b")), base)
+      .join(est, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_jacc"), col("jacc"),
+        abs(col("est_jacc") - col("jacc")).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 32-bit SimHash per document: md5-derived token hash bits,
@@ -548,7 +620,7 @@ object LlmExtras {
   }
 
   val all: Seq[QDef] = Seq(
-    dedupMinhashLsh, dedupSimhash, dedupNearEmbedding,
+    dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
     annIvfLabel, simLshBucketed)
 }
