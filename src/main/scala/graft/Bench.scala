@@ -57,6 +57,29 @@ object Bench {
         .select(graft.functions.VectorFunctions
           .sortedIntersectLong(col("sh"), col("arr")).as("x"))
         .agg(sum(col("x"))).count()
+      // Minhash machinery (md5-transform signatures, band posexplode,
+      // string-array merge-walk) and the RDD re-rooting bridge used by
+      // the iterative CC loop — first-use codegen/classloading for
+      // these otherwise lands inside whichever dedup query runs first.
+      val sigs = toks
+        .select(col("n_nationkey"), sort_array(array_distinct(expr(
+          "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")))
+          .as("s"))
+        .select(col("n_nationkey"), col("s"),
+          expr("transform(s, x -> md5(x))").as("hs"))
+        .select(col("n_nationkey"), col("s"),
+          expr("array_min(transform(hs, h -> substring(h, 1, 8)))").as("h0"),
+          expr("array_min(transform(hs, h -> substring(h, 4, 8)))").as("h1"))
+      val bands = sigs.select(col("n_nationkey"), col("s"),
+        posexplode(array(concat_ws("|", col("h0"), col("h1"))))
+          .as(Seq("band", "sig")))
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.sig") === col("y.sig") &&
+            col("x.n_nationkey") < col("y.n_nationkey"))
+        .select(graft.functions.VectorFunctions
+          .sortedIntersect(col("x.s"), col("y.s")).as("n"))
+      val flat = spark.createDataFrame(pairs.rdd, pairs.schema)
+      flat.groupBy(col("n")).agg(min(col("n"))).count()
       toks.unpersist()
       spark.catalog.clearCache()
     }
