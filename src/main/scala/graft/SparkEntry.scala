@@ -16,7 +16,8 @@ object SparkEntry {
       ops.Functions.all ++ ops.Udx.all ++ ops.LlmPipeline.all ++
       ops.LlmExtras.all ++ ops.Streaming.all ++ ops.Sampling.all ++
       ops.HarmonizeQueries.all ++ ops.EventAnalytics.all ++
-      ops.PipelineOps.all ++ ops.ClusterOps.all ++ ops.CorpusOps.all
+      ops.PipelineOps.all ++ ops.ClusterOps.all ++ ops.CorpusOps.all ++
+      ops.EvolutionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -76,9 +76,11 @@ object CorpusOps {
   /** Corpus rank/frequency profile (the Zipf table): top-100 tokens by
     * frequency with their corpus share. The heavy part is one
     * wordcount aggregation; the top-100 cut is TakeOrderedAndProject
-    * (no global sort), and the rank is a window over the already
-    * bounded 100-row result — partitionBy(lit(0)) on a bounded set,
-    * never a global window over corpus-sized data. */
+    * (no global sort), and the rank comes from a triangular broadcast
+    * self-join over the bounded 100-row remnant (rank = how many rows
+    * order at-or-before me) — the win_distribution pattern, so no
+    * WindowExec without a partition spec anywhere (PlanInvariantsSpec
+    * enforces that registry-wide). */
   val corpusZipf: QDef = q(
     "corpus_zipf",
     """WITH tf AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -95,13 +97,15 @@ object CorpusOps {
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = freq.agg(sum(col("freq")).as("n_total"))
-    freq
-      .orderBy(col("freq").desc, col("tok")).limit(100)
+    val top = freq.orderBy(col("freq").desc, col("tok")).limit(100)
+    top.alias("x")
+      .join(broadcast(top.alias("y")),
+        col("y.freq") > col("x.freq") ||
+          (col("y.freq") === col("x.freq") && col("y.tok") <= col("x.tok")))
+      .groupBy(col("x.tok").as("tok"), col("x.freq").as("freq"))
+      .agg(count(lit(1)).as("rank"))
       .crossJoin(broadcast(tot))
-      .select(
-        row_number().over(Window.partitionBy(lit(0))
-          .orderBy(col("freq").desc, col("tok"))).cast(LongType).as("rank"),
-        col("tok"), col("freq"),
+      .select(col("rank"), col("tok"), col("freq"),
         (col("freq").cast(DoubleType) / col("n_total")).as("freq_ratio"))
       .orderBy(col("rank"))
   }

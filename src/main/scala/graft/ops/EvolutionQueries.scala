@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import graft.pipeline.Evolution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle-graded execution of the dataset-evolution pipeline
+  * (graft.pipeline.Evolution) — merge/upsert, snapshot diff, and SCD2
+  * history verified cross-engine, not just spec'd. The fixture tables
+  * are immutable, so each query derives its "mutation" input
+  * deterministically from the data itself (modified rows by key
+  * modulus, snapshots by date cutoff, change events from the event
+  * stream). */
+object EvolutionQueries {
+
+  /** MERGE/upsert: every 10th customer gets a balance bump (update),
+    * every 97th spawns a synthetic new account (insert); the graded
+    * output is the merged book aggregated per segment. One full outer
+    * join on the key — bucket both sides on it at 100 TB and the
+    * shuffle disappears (graft.sources.Bucketing). */
+  val mergeUpsertCustomers: QDef = q(
+    "merge_upsert_customers",
+    """WITH target AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |upd AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |merged AS (
+      |  SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+      |    COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+      |    COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal
+      |  FROM target t FULL JOIN upd u ON t.c_custkey = u.c_custkey)
+      |SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      |FROM merged GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""") { (s, d) =>
+    val target = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val updates = Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"))
+      .union(Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+    Evolution.merge(target, updates, "c_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Snapshot diff between two as-of views of per-customer order
+    * state (count + exact decimal total): customers whose first order
+    * lands between the cutoffs show as `added`, customers with more
+    * orders as `changed`; unchanged keys are omitted. The struct
+    * equality inside Evolution.diff and the column-wise CASE in the
+    * oracle are the same predicate. */
+  val snapshotDiffOrders: QDef = q(
+    "snapshot_diff_orders",
+    """WITH b AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      |  GROUP BY o_custkey),
+      |a AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  GROUP BY o_custkey)
+      |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+      |  CASE WHEN b.o_custkey IS NULL THEN 'added'
+      |       WHEN a.o_custkey IS NULL THEN 'removed'
+      |       WHEN a.n_orders <> b.n_orders OR a.total <> b.total THEN 'changed'
+      |  END AS change
+      |FROM b FULL JOIN a ON a.o_custkey = b.o_custkey
+      |WHERE (CASE WHEN b.o_custkey IS NULL THEN 'added'
+      |       WHEN a.o_custkey IS NULL THEN 'removed'
+      |       WHEN a.n_orders <> b.n_orders OR a.total <> b.total THEN 'changed'
+      |  END) IS NOT NULL
+      |ORDER BY o_custkey""") { (s, d) =>
+    def snapshot(cutoff: String) = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast(TimestampType))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("total"))
+    Evolution.diff(
+      snapshot("1995-07-01 00:00:00"), snapshot("1996-07-01 00:00:00"),
+      "o_custkey")
+      .orderBy(col("o_custkey"))
+  }
+
+  /** SCD2 history of each user's event-type "state": consecutive
+    * repeats collapse, every transition opens a validity interval
+    * closed by the next one. event_id is the unique, time-ordered
+    * version key (FIXTURES.md: events are ordered by event_id
+    * ascending in ts), so the lag/lead windows are tie-free by
+    * construction. */
+  val scd2EventState: QDef = q(
+    "scd2_event_state",
+    """WITH ch AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM events),
+      |keep AS (
+      |  SELECT user_id, event_id, event_type FROM ch
+      |  WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type, event_id AS valid_from,
+      |  LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to,
+      |  CAST(LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |    AS INT) AS is_current
+      |FROM keep
+      |ORDER BY user_id, valid_from""") { (s, d) =>
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    Evolution.scd2(events, "user_id", "event_id")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("is_current").cast(IntegerType).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val all: Seq[QDef] = Seq(
+    mergeUpsertCustomers, snapshotDiffOrders, scd2EventState)
+}

@@ -46,5 +46,30 @@ object Scans {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps)
+  /** CSV sink + source round trip, oracle-graded: write the supplier
+    * table to CSV (quoted header files), read it back with an EXPLICIT
+    * schema (schema inference is banned — SURVEY §7), and prove the
+    * round trip lossless against the parquet original. Doubles survive
+    * because the writer emits shortest-round-trip representations;
+    * strings survive via standard CSV quoting. Each call writes to a
+    * fresh temp directory, so concurrent harness runs cannot collide. */
+  val sourceCsvRoundtrip: QDef = q(
+    "source_csv_roundtrip",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier
+      |ORDER BY s_suppkey""") { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    s.read.option("header", "true").schema(schema).csv(out)
+      .orderBy(col("s_suppkey"))
+  }
+
+  val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps, sourceCsvRoundtrip)
 }
