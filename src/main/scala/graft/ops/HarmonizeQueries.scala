@@ -84,5 +84,35 @@ object HarmonizeQueries {
       .orderBy(col("attr"), col("raw_norm"))
   }
 
-  val all: Seq[QDef] = Seq(harmonizeCube, harmonizeUnmappable)
+  /** The provenance report — every observation accounted to the rule
+    * that mapped it (or 'unmapped'), with reach and measure totals.
+    * This is the reference's rule-audit output: conservation holds by
+    * construction (n_obs sums to the unpivoted observation count). */
+  val harmonizeProvenance: QDef = q(
+    "harmonize_provenance",
+    s"""WITH $sqlCodebook,
+      |$sqlObs
+      |SELECT COALESCE(rule_id, 'unmapped') AS prov_rule,
+      |  COUNT(*) AS n_obs,
+      |  COUNT(DISTINCT p_partkey) AS n_parts,
+      |  CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS sum_measure
+      |FROM obs LEFT JOIN codebook USING (attr, raw_norm)
+      |GROUP BY prov_rule
+      |ORDER BY prov_rule""") { (s, d) =>
+    import s.implicits._
+    val codebook = codebookRows.toDF("attr", "raw_norm", "code", "rule_id")
+    val obs = Harmonize.unpivotObservations(
+      Tables.part(s, d).withColumnRenamed("p_type", "raw"),
+      ids = Seq("p_partkey", "raw"),
+      values = Seq("p_retailprice", "p_size"))
+    Harmonize.withProvenance(Harmonize.applyCodebook(obs, codebook))
+      .groupBy(col("prov_rule"))
+      .agg(count(lit(1)).as("n_obs"),
+        countDistinct(col("p_partkey")).as("n_parts"),
+        sum(col("val").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_measure"))
+      .orderBy(col("prov_rule"))
+  }
+
+  val all: Seq[QDef] = Seq(harmonizeCube, harmonizeUnmappable, harmonizeProvenance)
 }

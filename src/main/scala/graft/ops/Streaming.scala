@@ -124,7 +124,46 @@ object Streaming {
       .orderBy(col("user_id"), col("event_type"), col("minute"))
   }
 
+  /** Stream-stream interval join, graded through its batch twin: each
+    * purchase joined to the same user's clicks in the preceding 10
+    * minutes (the attribution-window shape). Equality on user_id
+    * carries the join — the plan shuffles both sides ONCE on user_id
+    * and evaluates the time bound as a residual predicate, so at
+    * 100 TB/day the cost is one co-partitioned join, never an
+    * all-pairs scan. The streaming execution of the same join (event
+    * time + watermark-bounded state) is covered by StreamOpsSpec's
+    * stream-stream interval join test. Timestamps are second-truncated
+    * on BOTH sides (D4) so the ns-vs-µs fixture mismatch cannot flip a
+    * boundary. */
+  val streamIntervalJoin: QDef = q(
+    "stream_interval_join",
+    """WITH p AS (
+      |  SELECT event_id, user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS cts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, COUNT(c.cts) AS n_clicks_10m
+      |FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |  AND c.cts >= p.pts - INTERVAL 10 MINUTE AND c.cts <= p.pts
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY p.event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        date_trunc("second", col("ts")).as("cts"))
+    p.join(c, col("c_user") === col("user_id") &&
+        col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES") &&
+        col("cts") <= col("pts"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("cts")).as("n_clicks_10m"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     streamTumblingCounts, streamSlidingWindows,
-    streamSessionWindows, streamDedupKeyed)
+    streamSessionWindows, streamDedupKeyed, streamIntervalJoin)
 }
