@@ -199,8 +199,16 @@ object LlmExtras {
       .join(mh.alias("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast(DoubleType) / 8.0).as("est_jacc"))
-    exactJaccard(est.select(col("doc_a"), col("doc_b")), base)
-      .join(est, Seq("doc_a", "doc_b"))
+    // exact Jaccard computed inline (est_jacc rides through the two
+    // base joins) — joining exactJaccard's projection back on the pair
+    // key would plan a needless SortMergeJoin.
+    val inter = graft.functions.VectorFunctions.sortedIntersect(col("s_a"), col("s_b"))
+    est
+      .join(base.select(col("doc_id").as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("s").as("s_b")), "doc_b")
+      .withColumn("inter", inter)
+      .withColumn("jacc", col("inter").cast(DoubleType) /
+        (size(col("s_a")) + size(col("s_b")) - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("est_jacc"), col("jacc"),
         abs(col("est_jacc") - col("jacc")).as("abs_err"))
       .orderBy(col("doc_a"), col("doc_b"))
