@@ -84,8 +84,14 @@ object ClusterOps {
     // convergence probe a filter over the (tiny) node set, and the
     // probe count() doubles as the round's materializing action: one
     // job per round, all data distributed throughout.
+    // Seed with the first neighbor-min already folded in (lbl₀ =
+    // min(id, min neighbor)) — for the common shallow clusters (pairs,
+    // small stars) the seed IS the fixpoint and the loop's first
+    // iteration only confirms it, saving a full round.
+    val nm0 = edges.groupBy(col("dst")).agg(min(col("src")).as("nm"))
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+      .join(nm0, col("id") === col("dst"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nm"), col("id"))).as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cached = labels
     var changed = 1L
@@ -134,13 +140,23 @@ object ClusterOps {
     if (changed > 0)
       sys.error(s"dedup_cluster_cc: min-label propagation not converged " +
         s"after $rounds rounds ($changed labels still changing)")
-    val full = Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, col("doc_id") === col("id"), "left")
+    // Cluster sizes come from the TINY label table, not a corpus-wide
+    // window: every member of a component that has an edge is an edge
+    // endpoint by construction, so counting labels counts the whole
+    // component — and every doc outside the label table is a singleton
+    // of size 1. The final assembly is one join over the corpus scan;
+    // the planner broadcasts the label side while it fits (no explicit
+    // hint: at 100 TB a dup set can outgrow broadcast range, and the
+    // SMJ fallback is the right degradation).
+    val sized = labels
+      .join(labels.groupBy(col("lbl").as("l2")).agg(count(lit(1)).as("sz")),
+        col("lbl") === col("l2"))
+      .select(col("id"), col("lbl"), col("sz"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(sized, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-    full
-      .withColumn("cluster_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_survivor"))
       .orderBy("doc_id")
