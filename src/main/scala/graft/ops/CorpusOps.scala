@@ -197,6 +197,105 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sliding-window chunking — the context-window prep every
+    * RAG/embedding pipeline runs before vectorization: 64-token
+    * chunks, stride 48 (16-token overlap), at least one chunk per doc.
+    * Chunk count is the closed integer form 1 + (n-17) div 48 for
+    * n > 64 (= 1 + ceil((n-64)/48)), so both engines enumerate the
+    * same windows with no float ceil. Pure index-explode + slice —
+    * zero shuffles before the presentation sort, scan-speed at any
+    * corpus size. Chunk text ships as its md5 (identical hex both
+    * engines) + token count, not the raw string. */
+  val chunkSlidingWindows: QDef = q(
+    "chunk_sliding_windows",
+    """WITH toks AS (
+      |  SELECT doc_id, t,
+      |    CASE WHEN len(t) <= 64 THEN 1
+      |      ELSE 1 + (len(t) - 17) // 48 END AS n_chunks
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 1),
+      |ch AS (
+      |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_no, t
+      |  FROM toks)
+      |SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+      |  CAST(len(t[chunk_no * 48 + 1 : least(chunk_no * 48 + 64, len(t))]) AS INT)
+      |    AS n_tokens,
+      |  md5(array_to_string(
+      |    t[chunk_no * 48 + 1 : least(chunk_no * 48 + 64, len(t))], ' ')) AS chunk_md5
+      |FROM ch
+      |ORDER BY doc_id, chunk_no""") { (s, d) =>
+    Tables.documents(s, d)
+      .repartition(32)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("n_chunks",
+        when(size(col("t")) <= 64, 1)
+          .otherwise(lit(1) + expr("(size(t) - 17) div 48").cast(IntegerType)))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_no"))
+      .withColumn("chunk", expr("slice(t, chunk_no * 48 + 1, 64)"))
+      .select(col("doc_id"), col("chunk_no").cast(IntegerType).as("chunk_no"),
+        size(col("chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  /** Bigram-LM quality scoring (the KenLM-perplexity proxy): train
+    * corpus bigram/left-unigram counts in one pass, score each doc by
+    * its average negative log-likelihood in millinats. The ln terms
+    * sum as DECIMAL(28,18) (the text_char_stats protocol), so the
+    * per-doc total is addition-order independent across engines. The
+    * prob join keys on the bigram — shuffle-partitioned by bigram hash
+    * at any scale, broadcast while the LM fits. */
+  val textNgramLogprob: QDef = q(
+    "text_ngram_logprob",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(2, len(t) + 1),
+      |    i -> t[i-1] || ' ' || t[i])) AS big
+      |  FROM toks),
+      |bigc AS (SELECT big, COUNT(*) AS c FROM bg GROUP BY big),
+      |w1c AS (
+      |  SELECT string_split(big, ' ')[1] AS w1, COUNT(*) AS c1
+      |  FROM bg GROUP BY 1),
+      |scored AS (
+      |  SELECT bg.doc_id,
+      |    CAST(ln(CAST(bigc.c AS DOUBLE) / w1c.c1) AS DECIMAL(28,18)) AS lp
+      |  FROM bg JOIN bigc USING (big)
+      |  JOIN w1c ON w1c.w1 = string_split(bg.big, ' ')[1])
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(floor(CAST(-SUM(lp) AS DOUBLE) / COUNT(*) * 1000 + 0.5) AS BIGINT)
+      |    AS nll_mnat
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""") { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .repartition(32)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"), explode(expr("sequence(2, size(t))")).as("i"))
+      .select(col("doc_id"), expr("t[i-2]").as("w1"),
+        concat_ws(" ", expr("t[i-2]"), expr("t[i-1]")).as("big"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigc = bg.groupBy(col("big")).agg(count(lit(1)).as("c"))
+    val w1c = bg.select(col("w1").as("w1c_key"))
+      .groupBy(col("w1c_key")).agg(count(lit(1)).as("c1"))
+    bg
+      .join(bigc, "big")
+      .join(w1c, col("w1") === col("w1c_key"))
+      .select(col("doc_id"),
+        log(col("c").cast(DoubleType) / col("c1"))
+          .cast(DecimalType(28, 18)).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        floor((col("slp").cast(DoubleType) * -1) / col("n_bigrams") * 1000 + 0.5)
+          .cast(LongType).as("nll_mnat"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(
-    boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats)
+    boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
+    chunkSlidingWindows, textNgramLogprob)
 }
