@@ -14,6 +14,8 @@ object Bench {
       // this knob is sized per-executor instead.
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
     // experiment hook: SPARK_GRAFT_CONF="k=v,k=v" overrides any conf
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>

@@ -341,9 +341,49 @@ object Aggregates {
       .orderBy(col("p_partkey"))
   }
 
+  /** Equal-width histogram of order totals (10 buckets over the global
+    * [min, max]) — the profiling shape behind width_bucket / numeric
+    * histograms. The 1-row min/max table broadcasts; bucketing is a
+    * per-row double expression on identical operands in both engines
+    * (exact-decimal inputs cast once to double), so bucket ids are
+    * deterministic; counts and sums are exact. */
+  val aggHistogramBucketed: QDef = q(
+    "agg_histogram_bucketed",
+    """WITH stats AS (
+      |  SELECT CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mn,
+      |         CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mx
+      |  FROM orders),
+      |b AS (
+      |  SELECT LEAST(CAST(floor((CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) - mn)
+      |           * 10 / (mx - mn)) AS INT), 9) AS bucket,
+      |         CAST(o_totalprice AS DECIMAL(12,2)) AS p, mn, mx
+      |  FROM orders CROSS JOIN stats)
+      |SELECT bucket,
+      |  mn + bucket * ((mx - mn) / 10) AS lo_edge,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_total
+      |FROM b GROUP BY bucket, mn, mx
+      |ORDER BY bucket""") { (s, d) =>
+    val p = money(col("o_totalprice"))
+    val stats = Tables.orders(s, d)
+      .agg(outDouble(min(p)).as("mn"), outDouble(max(p)).as("mx"))
+    val b = Tables.orders(s, d)
+      .crossJoin(broadcast(stats))
+      .select(
+        least(floor((outDouble(p) - col("mn")) * 10 / (col("mx") - col("mn")))
+          .cast(IntegerType), lit(9)).as("bucket"),
+        p.as("p"), col("mn"), col("mx"))
+    b.groupBy(col("bucket"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"), outDouble(sum(col("p"))).as("sum_total"))
+      .select(col("bucket"),
+        (col("mn") + col("bucket") * ((col("mx") - col("mn")) / 10)).as("lo_edge"),
+        col("n"), col("sum_total"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
-    aggRegressionExplicit)
+    aggRegressionExplicit, aggHistogramBucketed)
 }

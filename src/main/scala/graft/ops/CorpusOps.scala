@@ -295,7 +295,74 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 ranking (Okapi, k1=1.2 b=0.75) of the corpus against a fixed
+    * 3-term query — the retrieval scorer an IR-driven curation pass
+    * (e.g. quality-by-query-relevance) runs at corpus scale. Corpus
+    * stats (N, avgdl, per-term df) ride as broadcast one-row / 3-row
+    * tables; the only data-sized shuffles are the per-doc token
+    * aggregates. Per-term scores are double math on identical operands
+    * in both engines, and the per-doc sum over the (≤3) term scores is
+    * decimal-summed (text_char_stats protocol) so group order cannot
+    * drift the total; the graded score is a micro-unit floor. */
+  val bm25TopDocs: QDef = q(
+    "bm25_topdocs",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM dlen),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |  WHERE tok IN ('spark', 'join', 'vector') GROUP BY doc_id, tok),
+      |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |term AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ln((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
+      |             / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+      |         / (CAST(tf.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * (CAST(dlen.len AS DOUBLE) / stats.avgdl))))
+      |      AS DECIMAL(28,18)) AS sc
+      |  FROM tf
+      |  JOIN df ON tf.tok = df.tok
+      |  JOIN dlen ON tf.doc_id = dlen.doc_id
+      |  CROSS JOIN stats)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(floor(CAST(SUM(sc) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS score_micro
+      |FROM term GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id
+      |LIMIT 20""") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = dlen.groupBy()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin("spark", "join", "vector"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scExpr =
+      log(((col("n_docs") - col("df")).cast(DoubleType) + 0.5)
+        / (col("df").cast(DoubleType) + 0.5) + 1.0) *
+      ((col("tf").cast(DoubleType) * 2.2) /
+        (col("tf").cast(DoubleType) +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) / col("avgdl")))))
+    val term = tf
+      .join(broadcast(df), "tok")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), scExpr.cast(DecimalType(28, 18)).as("sc"))
+    term.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        floor(sum(col("sc")).cast(DoubleType) * 1000000 + 0.5).cast(LongType)
+          .as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
-    chunkSlidingWindows, textNgramLogprob)
+    chunkSlidingWindows, textNgramLogprob, bm25TopDocs)
 }

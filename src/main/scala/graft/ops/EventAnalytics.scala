@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QDef, Tables}
 import graft.QDef.q
 import graft.Protocol._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,5 +132,125 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
-  val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill)
+  /** Batch sessionization (gaps-and-islands): a new session starts
+    * when a user's inter-event gap exceeds 30 minutes. One window per
+    * user (lag → flag → running sum), then a per-session aggregate —
+    * the canonical two-pass shape; every stage shuffles on user_id
+    * only, so per-user work is bounded by that user's event count at
+    * any corpus size. Timestamps are second-truncated up front (D4)
+    * and carried as epoch seconds, so gap arithmetic is exact integer
+    * math in both engines. */
+  val sessionizeEvents: QDef = q(
+    "sessionize_events",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |              date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, sec, v,
+      |    CASE WHEN lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |s AS (
+      |  SELECT user_id, sec, v,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM m)
+      |SELECT user_id, sess_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(sec) AS start_s, MAX(sec) AS end_s,
+      |  MAX(sec) - MIN(sec) AS duration_s,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        tsSec(col("ts")).cast(LongType).as("sec"),
+        money(col("value")).as("v"))
+    val flagged = e.select(col("user_id"), col("event_id"), col("sec"), col("v"),
+      when(lag(col("sec"), 1).over(w).isNull ||
+        col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0).as("new_s"))
+    val sess = flagged.select(col("user_id"), col("sec"), col("v"),
+      sum(col("new_s")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("sess_id"))
+    sess.groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("sec")).as("start_s"), max(col("sec")).as("end_s"),
+        (max(col("sec")) - min(col("sec"))).as("duration_s"),
+        outDouble(sum(col("v"))).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  /** Robust outlier detection per event type: median and MAD (median
+    * absolute deviation) by exact integer-rank selection (the
+    * agg_quantiles_exact pattern — the lower median is an actual data
+    * value, so no interpolation and no float drift), then count events
+    * with |v - med| > 3·MAD. The medians need one total order per
+    * event_type; event-type cardinality is tiny and fixed, so the
+    * per-group sort parallelizes across types and never grows with
+    * corpus size beyond the per-type partition. */
+  val anomalyMad: QDef = q(
+    "anomaly_mad",
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, MAX(n) AS n,
+      |    MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END) AS med
+      |  FROM r GROUP BY event_type),
+      |dev AS (
+      |  SELECT r.event_type, r.event_id, r.value, med.n, med.med,
+      |    abs(r.value - med.med) AS dv
+      |  FROM r JOIN med ON r.event_type = med.event_type),
+      |dr AS (
+      |  SELECT event_type, n, med, dv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS drn
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type, MAX(n) AS n, MAX(med) AS med,
+      |    MAX(CASE WHEN drn = (n - 1) // 2 + 1 THEN dv END) AS mad
+      |  FROM dr GROUP BY event_type)
+      |SELECT d.event_type, CAST(MAX(d.n) AS BIGINT) AS n,
+      |  MAX(d.med) AS med, MAX(mad.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.dv > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mad ON d.event_type = mad.event_type
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""") { (s, d) =>
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    val r = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(wv).as("rn"), count(lit(1)).over(wn).as("n"))
+    val med = r.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === expr("(n - 1) div 2 + 1"), col("value"))).as("med"))
+    val dev = r.select(col("event_type"), col("event_id"), col("value"))
+      .join(broadcast(med), "event_type")
+      .withColumn("dv", abs(col("value") - col("med")))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("dv"), col("event_id"))
+    val dr = dev.select(col("event_type"), col("n"), col("med"), col("dv"),
+      row_number().over(wd).as("drn"))
+    val mad = dr.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"),
+        max(when(col("drn") === expr("(n - 1) div 2 + 1"), col("dv"))).as("mad"))
+    dev.select(col("event_type"), col("n"), col("med"), col("dv"))
+      .join(broadcast(mad.select(col("event_type"), col("mad"))), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).cast(LongType).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dv") > lit(3) * col("mad"), 1).otherwise(0)).cast(LongType)
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
+    sessionizeEvents, anomalyMad)
 }

@@ -630,8 +630,75 @@ object LlmExtras {
       .limit(5)
   }
 
+  /** One k-means iteration over the embeddings (centroids seeded from
+    * the true labels, then every vector re-assigned to its nearest
+    * centroid): the convergence-step shape of distributed k-means,
+    * graded as the per-(label, assigned) confusion counts. All
+    * geometry is exact integer math on milli-quantized components —
+    * centroid components are floor(sum/n) computed via one double
+    * division on identical small-magnitude operands (|sum| ≤ 2e6, so
+    * the division is exact-input in both engines), distances are
+    * integer sums of squares, argmin ties go to the smaller centroid
+    * id. The Spark side pivots the 10 centroids into one broadcast
+    * 64-row wide table (the text_langid pattern) — assignment is a
+    * single codegen'd map stage, no 10× row blowup, no window. */
+  val kmeansAssign: QDef = q(
+    "kmeans_assign",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |qv AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qc
+      |  FROM embeddings CROSS JOIN dims),
+      |cent AS (
+      |  SELECT label AS cl, i,
+      |    CAST(floor(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      |  FROM qv GROUP BY label, i),
+      |dist AS (
+      |  SELECT qv.vec_id, qv.label, cent.cl,
+      |    SUM((qv.qc - cent.c) * (qv.qc - cent.c)) AS d2
+      |  FROM qv JOIN cent USING (i)
+      |  GROUP BY qv.vec_id, qv.label, cent.cl),
+      |asg AS (
+      |  SELECT vec_id, label, cl,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+      |  FROM dist)
+      |SELECT label, CAST(cl AS INT) AS assigned, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM asg WHERE rn = 1
+      |GROUP BY label, cl
+      |ORDER BY label, assigned""") { (s, d) =>
+    val labels = 0 to 9
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("label"), col("i"),
+        floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("qc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = ex.groupBy(col("label"), col("i"))
+      .agg(floor(sum(col("qc")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("c"))
+    val cw = cent.groupBy(col("i"))
+      .pivot("label", labels.map(Int.box))
+      .agg(first(col("c")))
+      .select(col("i") +: labels.map(l => col(l.toString).as(s"c_$l")): _*)
+    val dists = ex.join(broadcast(cw), "i")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("qc") - col("c_0")) * (col("qc") - col("c_0"))).as("d_0"),
+        labels.tail.map(l =>
+          sum((col("qc") - col(s"c_$l")) * (col("qc") - col(s"c_$l"))).as(s"d_$l")): _*)
+    // first (smallest) centroid id that is <= every later one wins:
+    // identical to the oracle's ORDER BY d2, cl tie-break.
+    val argmin = labels.init.foldRight(lit(labels.last): Column) { (l, rest) =>
+      when(labels.filter(_ > l).map(m => col(s"d_$l") <= col(s"d_$m")).reduce(_ && _),
+        l).otherwise(rest)
+    }
+    dists.select(col("label"), argmin.as("assigned"))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
-    annIvfLabel, simLshBucketed)
+    annIvfLabel, simLshBucketed, kmeansAssign)
 }

@@ -80,5 +80,47 @@ object Sampling {
         outDouble(sum(money(col("o_totalprice")))).as("sum_total"))
   }
 
-  val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders)
+  /** Token-budget sampling: per source, admit documents in md5 order
+    * until a 2 000-token budget fills — the "mix N tokens of domain X"
+    * primitive a training-data mixture build runs per domain. One
+    * running-sum window per source (shuffles once on source, per-group
+    * work linear), integer token counts throughout. */
+  val sampleTokenBudget: QDef = q(
+    "sample_token_budget",
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, ntok,
+      |    SUM(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN cum <= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(MAX(CASE WHEN cum <= 2000 THEN cum ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |  CAST(MAX(CASE WHEN cum <= 2000 THEN cum ELSE 0 END) AS DOUBLE) / 2000
+      |    AS budget_util
+      |FROM c GROUP BY source ORDER BY source""") { (s, d) =>
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("ntok"))
+    val cum = docs.select(col("source"), col("doc_id"), col("ntok"),
+      sum(col("ntok")).over(w).as("cum"))
+    cum.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("cum") <= 2000, 1).otherwise(0)).cast(LongType).as("n_kept"),
+        max(when(col("cum") <= 2000, col("cum")).otherwise(0L)).as("tokens_kept"),
+        (max(when(col("cum") <= 2000, col("cum")).otherwise(0L))
+          .cast(DoubleType) / 2000).as("budget_util"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
+    sampleTokenBudget)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QDef, Tables}
 import graft.QDef.q
+import graft.Protocol._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -71,5 +72,71 @@ object Scans {
       .orderBy(col("s_suppkey"))
   }
 
-  val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps, sourceCsvRoundtrip)
+  /** Partitioned parquet sink + partition-pruned read, oracle-graded:
+    * events written `partitionBy(event_type)`, then read back with an
+    * `event_type = 'click'` filter — the filter prunes to ONE
+    * partition directory (no other partition's files are listed or
+    * read; at 100 TB this is the difference between scanning 1/5 of
+    * the lake and all of it). The graded output is the per-day click
+    * aggregate computed from the pruned read. Fresh temp dir per call. */
+  val sourcePartitionedPrune: QDef = q(
+    "source_partitioned_prune",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_type = 'click'
+      |GROUP BY day
+      |ORDER BY day""") { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        money(col("value")).as("v"), to_date(col("ts")).as("day"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "click")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), outDouble(sum(col("v"))).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  /** Bucketed co-located fact⋈fact join, oracle-graded: both orders
+    * and lineitem are laid out bucketed (and per-bucket sorted) on the
+    * order key, so the join needs NO shuffle exchange on either side —
+    * the layout cost is paid once and every downstream orderkey join
+    * is exchange-free (BucketingSpec asserts the plan shape). This is
+    * the 100 TB answer for the repeated fact⋈fact join a broadcast
+    * can't cover. Fixed table names: the harness runs queries
+    * sequentially, and reruns overwrite. */
+  val joinBucketedColo: QDef = q(
+    "join_bucketed_colo",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_b_orders", "o_orderkey", 8)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_quantity")),
+      "graft_b_lineitem", "l_orderkey", 8)
+    // MERGE hint: at fixture scale the planner would broadcast the
+    // orders side and never consult the bucketed layout; at 100 TB
+    // neither side is broadcastable and sort-merge over the bucketed
+    // distribution (no exchange, no sort) is the only sane plan — the
+    // hint makes the graded plan BE that plan.
+    s.table("graft_b_orders").hint("merge")
+      .join(s.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("revenue"),
+        sumQty(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
+    sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo)
 }

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-5 additions, checked by
+  * driver-side recomputation at sf0.001 — independent of the DuckDB
+  * oracle, so a systematic cross-engine bug can't hide a wrong
+  * formulation. */
+class R5OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("sessionize_events: sessions partition the events, gaps honored") {
+    val rows = EventAnalytics.sessionizeEvents.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalEvents = rows.map(_.getLong(2)).sum
+    assert(totalEvents == Tables.events(spark, sf).count(),
+      "per-session event counts must sum to the event count")
+    // session ids dense from 1 per user; durations non-negative
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 1 && ids.zipWithIndex.forall { case (id, i) => id == i + 1 })
+    }
+    assert(rows.forall(r => r.getLong(5) >= 0 && r.getLong(4) >= r.getLong(3)))
+  }
+
+  test("anomaly_mad: one row per type, outliers bounded, med/mad are data values") {
+    val rows = EventAnalytics.anomalyMad.run(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), "outliers cannot exceed n")
+      assert(r.getDouble(3) >= 0, "MAD is a non-negative deviation")
+    }
+  }
+
+  test("sample_token_budget: cutoff honored, utilization in [0,1]") {
+    val rows = Sampling.sampleTokenBudget.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "kept docs cannot exceed total")
+      assert(r.getLong(3) <= 2000, "kept tokens cannot exceed the budget")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+  }
+
+  test("bm25_topdocs: scores non-increasing, matched terms in 1..3") {
+    val rows = CorpusOps.bm25TopDocs.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "top-k must be ranked by score")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+  }
+
+  test("kmeans_assign: counts partition the vectors, diagonal dominates") {
+    val rows = LlmExtras.kmeansAssign.run(spark, sf).collect()
+    val nVec = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nVec,
+      "every vector is assigned exactly once")
+    // the fixture's embeddings are NOT label-clustered (measured:
+    // only ~37% stay home), so no dominance claim — instead assert
+    // the assignment is a function (deterministic across runs) and
+    // lands in the centroid id range.
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 9))
+    val again = LlmExtras.kmeansAssign.run(spark, sf).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet ==
+      again.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
+  test("agg_histogram_bucketed: buckets cover all orders, edges ordered") {
+    val rows = Aggregates.aggHistogramBucketed.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getLong(2)).sum == Tables.orders(spark, sf).count())
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) <= 9))
+    val edges = rows.map(_.getDouble(1))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a < b })
+  }
+
+  test("source_partitioned_prune: pruned read equals direct filter") {
+    val rows = Scans.sourcePartitionedPrune.run(spark, sf).collect()
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(rows.map(_.getLong(1)).sum == direct)
+  }
+
+  test("join_bucketed_colo: exchange-free join, totals conserved") {
+    val df = Scans.joinBucketedColo.run(spark, sf)
+    // the join itself must consume the bucketed layout without a
+    // shuffle on either side: no Exchange may appear BELOW the join
+    // node (the post-join groupBy legitimately shuffles).
+    val plan = df.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    joins.foreach { j =>
+      val bad = j.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(bad.isEmpty, s"bucketed join must not shuffle its inputs:\n$j")
+    }
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count())
+  }
+}
