@@ -297,66 +297,85 @@ object CorpusOps {
 
   /** BM25 ranking (Okapi, k1=1.2 b=0.75) of the corpus against a fixed
     * 3-term query — the retrieval scorer an IR-driven curation pass
-    * (e.g. quality-by-query-relevance) runs at corpus scale. Corpus
-    * stats (N, avgdl, per-term df) ride as broadcast one-row / 3-row
-    * tables; the only data-sized shuffles are the per-doc token
-    * aggregates. Per-term scores are double math on identical operands
-    * in both engines, and the per-doc sum over the (≤3) term scores is
-    * decimal-summed (text_char_stats protocol) so group order cannot
-    * drift the total; the graded score is a micro-unit floor. */
+    * (e.g. quality-by-query-relevance) runs at corpus scale.
+    *
+    * Shape: ZERO explodes and zero per-term shuffles — per-doc token
+    * length and the 3 term frequencies come from one row-local
+    * higher-order pass over the split array, the corpus stats
+    * (N, avgdl, per-term df) are ONE global aggregate broadcast back,
+    * and scoring is a codegen'd map stage feeding
+    * TakeOrderedAndProject. The only shuffle in the whole plan is the
+    * single 1-row stats aggregate. Per-doc scores are the fixed-order
+    * sum s0+s1+s2 of double terms on identical operands in both
+    * engines — no group-order exposure at all; graded as a micro-unit
+    * floor. */
   val bm25TopDocs: QDef = q(
     "bm25_topdocs",
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-      |dlen AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM toks GROUP BY doc_id),
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_0,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf_1,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS BIGINT) AS tf_2
+      |  FROM documents),
       |stats AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
-      |  FROM dlen),
-      |tf AS (
-      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
-      |  WHERE tok IN ('spark', 'join', 'vector') GROUP BY doc_id, tok),
-      |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
-      |term AS (
-      |  SELECT tf.doc_id,
-      |    CAST(ln((CAST(stats.n_docs - df.df AS DOUBLE) + 0.5)
-      |             / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-      |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
-      |         / (CAST(tf.tf AS DOUBLE)
-      |            + 1.2 * (0.25 + 0.75 * (CAST(dlen.len AS DOUBLE) / stats.avgdl))))
-      |      AS DECIMAL(28,18)) AS sc
-      |  FROM tf
-      |  JOIN df ON tf.tok = df.tok
-      |  JOIN dlen ON tf.doc_id = dlen.doc_id
-      |  CROSS JOIN stats)
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-      |  CAST(floor(CAST(SUM(sc) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS score_micro
-      |FROM term GROUP BY doc_id
+      |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl,
+      |    CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+      |    CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+      |    CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+      |  FROM base)
+      |SELECT doc_id,
+      |  CAST((CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+      |  CAST(floor((
+      |      (CASE WHEN tf_0 > 0 THEN
+      |        ln((CAST(n_docs - df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
+      |        * ((CAST(tf_0 AS DOUBLE) * 2.2) / (CAST(tf_0 AS DOUBLE)
+      |           + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
+      |    + (CASE WHEN tf_1 > 0 THEN
+      |        ln((CAST(n_docs - df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
+      |        * ((CAST(tf_1 AS DOUBLE) * 2.2) / (CAST(tf_1 AS DOUBLE)
+      |           + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
+      |    + (CASE WHEN tf_2 > 0 THEN
+      |        ln((CAST(n_docs - df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
+      |        * ((CAST(tf_2 AS DOUBLE) * 2.2) / (CAST(tf_2 AS DOUBLE)
+      |           + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
+      |    ) * 1000000 + 0.5) AS BIGINT) AS score_micro
+      |FROM base CROSS JOIN stats
+      |WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
       |ORDER BY score_micro DESC, doc_id
       |LIMIT 20""") { (s, d) =>
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val dlen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
-    val stats = dlen.groupBy()
+    val terms = Seq("spark", "join", "vector")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(Seq(col("doc_id"), size(col("t")).cast(LongType).as("len")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"size(filter(t, x -> x = '$t'))").cast(LongType).as(s"tf_$i")
+        }: _*)
+    val stats = base.groupBy()
       .agg(count(lit(1)).as("n_docs"),
-        (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-    val tf = toks.filter(col("tok").isin("spark", "join", "vector"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scExpr =
-      log(((col("n_docs") - col("df")).cast(DoubleType) + 0.5)
-        / (col("df").cast(DoubleType) + 0.5) + 1.0) *
-      ((col("tf").cast(DoubleType) * 2.2) /
-        (col("tf").cast(DoubleType) +
+        (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"),
+        sum(when(col("tf_0") > 0, 1).otherwise(0)).cast(LongType).as("df_0"),
+        sum(when(col("tf_1") > 0, 1).otherwise(0)).cast(LongType).as("df_1"),
+        sum(when(col("tf_2") > 0, 1).otherwise(0)).cast(LongType).as("df_2"))
+    // spelled once, applied three times — identical operand order to
+    // the oracle's CASE arms
+    def term(i: Int) = when(col(s"tf_$i") > 0,
+      log(((col("n_docs") - col(s"df_$i")).cast(DoubleType) + 0.5)
+        / (col(s"df_$i").cast(DoubleType) + 0.5) + 1.0) *
+      ((col(s"tf_$i").cast(DoubleType) * 2.2) /
+        (col(s"tf_$i").cast(DoubleType) +
           lit(1.2) * (lit(0.25) + lit(0.75) * (col("len").cast(DoubleType) / col("avgdl")))))
-    val term = tf
-      .join(broadcast(df), "tok")
-      .join(dlen, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), scExpr.cast(DecimalType(28, 18)).as("sc"))
-    term.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"),
-        floor(sum(col("sc")).cast(DoubleType) * 1000000 + 0.5).cast(LongType)
+    ).otherwise(lit(0.0))
+    val nTerms = (when(col("tf_0") > 0, 1).otherwise(0)
+      + when(col("tf_1") > 0, 1).otherwise(0)
+      + when(col("tf_2") > 0, 1).otherwise(0)).cast(LongType)
+    base.crossJoin(broadcast(stats))
+      .filter(col("tf_0") > 0 || col("tf_1") > 0 || col("tf_2") > 0)
+      .select(col("doc_id"), nTerms.as("n_terms"),
+        floor((term(0) + term(1) + term(2)) * 1000000 + 0.5).cast(LongType)
           .as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(20)

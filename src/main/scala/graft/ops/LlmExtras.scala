@@ -672,7 +672,9 @@ object LlmExtras {
         posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("label"), col("i"),
         floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("qc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // not persisted: both consumers re-run the posexplode, but that is
+    // a pure codegen map over a 2k-row scan — cheaper than writing a
+    // 128k-row columnar cache (measured both ways).
     val cent = ex.groupBy(col("label"), col("i"))
       .agg(floor(sum(col("qc")).cast(DoubleType) / count(lit(1)))
         .cast(LongType).as("c"))
