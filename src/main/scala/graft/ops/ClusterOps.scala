@@ -162,5 +162,40 @@ object ClusterOps {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QDef] = Seq(dedupClusterCc)
+  /** Degree profile of the near-dup graph: for each degree (number of
+    * verified near-duplicate partners), how many documents have it —
+    * including the degree-0 singleton mass, which at a real corpus
+    * scale is almost everything. The monitoring view a dedup pipeline
+    * publishes per run (a fattening high-degree tail is the classic
+    * symptom of a boilerplate flood or a broken shingle hash). Two
+    * wordcount-shaped shuffles over the (pairs-sized) edge list; the
+    * corpus itself contributes one count. */
+  val graphDegreeStats: QDef = q(
+    "graph_degree_stats",
+    s"""WITH pairs AS (
+       |${LlmExtras.dedupMinhashLsh.oracle.get}
+       |),
+       |ends AS (
+       |  SELECT doc_a AS id FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b FROM pairs),
+       |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM ends GROUP BY id),
+       |hist AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree)
+       |SELECT degree, n_nodes FROM hist
+       |UNION ALL
+       |SELECT CAST(0 AS BIGINT) AS degree,
+       |  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg) AS n_nodes
+       |ORDER BY degree""") { (s, d) =>
+    val pairs = LlmExtras.minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val ends = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id")))
+    val deg = ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val zero = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_ep")))
+      .select(lit(0L).as("degree"), (col("n_docs") - col("n_ep")).as("n_nodes"))
+    hist.union(zero).orderBy(col("degree"))
+  }
+
+  val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats)
 }

@@ -251,6 +251,42 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Calendar rolling metric: per event type, daily exact-decimal
+    * value totals with a trailing-7-day rolling sum via a VALUE-range
+    * window frame over the day number (missing days correctly shrink
+    * the frame — a ROWS frame would silently span gaps). Aggregation
+    * first (events collapse to ~types × days rows), window second over
+    * the tiny daily table: the window's per-partition sort is bounded
+    * by the calendar, not the corpus. */
+  val rolling7dValue: QDef = q(
+    "rolling_7d_value",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01',
+      |              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS day_no,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS v
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day_no,
+      |  CAST(v AS DOUBLE) AS day_value,
+      |  CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day_no
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS v7
+      |FROM daily
+      |ORDER BY event_type, day_no""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(date_trunc("day", col("ts")).cast(DateType),
+          lit("2024-01-01").cast(DateType)).as("day_no"),
+        money(col("value")).as("v0"))
+      .groupBy(col("event_type"), col("day_no"))
+      .agg(sum(col("v0")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+      .rangeBetween(-6, Window.currentRow)
+    daily.select(col("event_type"), col("day_no"),
+      outDouble(col("v")).as("day_value"),
+      outDouble(sum(col("v")).over(w)).as("v7"))
+      .orderBy(col("event_type"), col("day_no"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
-    sessionizeEvents, anomalyMad)
+    sessionizeEvents, anomalyMad, rolling7dValue)
 }

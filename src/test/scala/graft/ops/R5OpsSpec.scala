@@ -78,6 +78,27 @@ class R5OpsSpec extends SparkSpec {
     assert(edges.zip(edges.tail).forall { case (a, b) => a < b })
   }
 
+  test("graph_degree_stats: node counts cover the corpus, degrees positive") {
+    val rows = ClusterOps.graphDegreeStats.run(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs,
+      "degree histogram must partition the corpus (incl. degree 0)")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
+  test("rolling_7d_value: v7 bounded by total, matches single-day where isolated") {
+    val rows = EventAnalytics.rolling7dValue.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // (type, day) is a key
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).distinct.length == rows.length)
+    // per type, the first day's rolling value equals its day value
+    // (nothing precedes it in the range frame)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val first = rs.minBy(_.getInt(1))
+      assert(first.getDouble(3) == first.getDouble(2))
+    }
+  }
+
   test("source_partitioned_prune: pruned read equals direct filter") {
     val rows = Scans.sourcePartitionedPrune.run(spark, sf).collect()
     val direct = Tables.events(spark, sf)
