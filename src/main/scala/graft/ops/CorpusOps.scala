@@ -176,19 +176,25 @@ object CorpusOps {
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = cf.groupBy(col("doc_id"))
+    // ONE per-doc aggregate (the old shape was two aggregates + a
+    // re-join of the char-count table against itself): the count list
+    // rides along and the entropy fold runs row-locally over ≤|alphabet|
+    // elements. collect_list order varies by partitioning — irrelevant,
+    // the fold is an exact decimal sum (commutative), re-capped to
+    // DECIMAL(28,18) each step (decimal + widens to (29,18); the cap
+    // is exact at these magnitudes). ln(p)/ln(2) spelled the same way
+    // in both engines (a dedicated log2 uses different internal
+    // polynomials per platform).
+    cf.groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_chars"),
         count(lit(1)).as("n_distinct_chars"),
-        sum(col("cnt") * col("cnt")).as("sum_sq"))
-    val p = col("cnt").cast(DoubleType) / col("n_chars")
-    // ln(p)/ln(2) spelled the same way in both engines (a dedicated
-    // log2 uses different internal polynomials per platform).
-    val ent = cf.join(n.select(col("doc_id"), col("n_chars")), "doc_id")
-      .select(col("doc_id"),
-        (p * (log(p) / log(lit(2.0)))).cast(DecimalType(28, 18)).as("term"))
-      .groupBy(col("doc_id")).agg(sum(col("term")).as("h_neg"))
-    n.join(ent, "doc_id")
+        sum(col("cnt") * col("cnt")).as("sum_sq"),
+        collect_list(col("cnt")).as("cs"))
+      .withColumn("h_neg", expr(
+        """aggregate(cs, CAST(0 AS DECIMAL(28,18)), (acc, cnt) ->
+          |CAST(acc + CAST((CAST(cnt AS DOUBLE) / n_chars)
+          |  * (ln(CAST(cnt AS DOUBLE) / n_chars) / ln(2.0))
+          |  AS DECIMAL(28,18)) AS DECIMAL(28,18)))""".stripMargin))
       .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
         (lit(1.0) - col("sum_sq").cast(DoubleType) /
           (col("n_chars") * col("n_chars"))).as("simpson"),

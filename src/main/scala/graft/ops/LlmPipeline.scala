@@ -249,13 +249,18 @@ object LlmPipeline {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val idf = round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
-    tf.join(df, "term").crossJoin(broadcast(n))
+    // df is vocabulary-sized — broadcast it (unhinted, the unknown
+    // aggregate stats planned an SMJ that shuffled every (doc, term)
+    // row on a skewed 31-value key), and take the per-doc top-1
+    // through the bounded-heap GroupedTopKExec instead of a full
+    // per-doc sort window.
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * idf, 6).as("tfidf"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    graft.plans.GroupedTopK.topkPerGroup(scored,
+        groupCols = Seq("doc_id"),
+        orderBy = Seq(("tfidf", false), ("term", true)),
+        k = 1)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
       .orderBy(col("doc_id"))
   }
