@@ -109,25 +109,37 @@ object ClusterOps {
         .select(col("l.id").as("id"),
           least(col("l.lbl"), coalesce(col("nmin"), col("l.lbl"))).as("m"),
           col("l.lbl").as("prev"))
-      // Half-round B: pointer jump — lbl(v) ← lbl(lbl(v)). Valid
-      // because label values are always node ids inside v's component
-      // (they start as own-ids and only ever copy other labels), so
-      // the jump target has a row in m and stays in-component; it can
-      // only shrink the label further. Fixpoint is unchanged: closure
-      // under neighbor-min over symmetric edges already forces one
-      // label per component (= min id). The jump is what turns the
-      // worst case from O(diameter) rounds into O(log diameter).
-      val joined = m.alias("x")
-        .join(m.select(col("id").as("jid"), col("m").as("jm")).alias("y"),
-          col("x.m") === col("jid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.m"), coalesce(col("jm"), col("x.m"))).as("lbl"),
-          col("x.prev").as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = joined.filter(col("lbl") < col("prev")).count()
-      cached.unpersist()
-      cached = joined
-      labels = joined.select("id", "lbl")
+      changed = m.filter(col("m") < col("prev")).count()
+      if (changed == 0) {
+        // Fixpoint PROVEN by half-round A alone: edges are symmetric,
+        // so "no node improves under neighbor-min" means labels are
+        // equal across every edge — constant per component. The jump
+        // below could not change anything; skipping it saves a
+        // self-join per converged probe (the common case: the seeded
+        // start makes round 1 a pure confirmation).
+        m.unpersist()
+      } else {
+        // Half-round B: pointer jump — lbl(v) ← lbl(lbl(v)). Valid
+        // because label values are always node ids inside v's component
+        // (they start as own-ids and only ever copy other labels), so
+        // the jump target has a row in m and stays in-component; it can
+        // only shrink the label further. Fixpoint is unchanged: closure
+        // under neighbor-min over symmetric edges already forces one
+        // label per component (= min id). The jump is what turns the
+        // worst case from O(diameter) rounds into O(log diameter).
+        val joined = m.alias("x")
+          .join(m.select(col("id").as("jid"), col("m").as("jm")).alias("y"),
+            col("x.m") === col("jid"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.m"), coalesce(col("jm"), col("x.m"))).as("lbl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        joined.count() // materialize before dropping the m it reads
+        m.unpersist()
+        cached.unpersist()
+        cached = joined
+        labels = joined
+      }
       rounds += 1
     }
     System.err.println(f"[dedup_cluster_cc] converged=${changed == 0} rounds=$rounds " +

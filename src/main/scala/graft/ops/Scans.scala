@@ -137,6 +137,40 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Range-partitioned, per-file-sorted parquet layout + min/max
+    * row-group pruning, oracle-graded: orders written
+    * `repartitionByRange(o_orderdate).sortWithinPartitions(o_orderdate)`
+    * — the sort-by-time layout (Z-order's 1-D case) every event lake
+    * uses — then read back with a one-year predicate. Because each
+    * file covers a disjoint date range, the pushed filter's min/max
+    * stats skip every non-matching row group; at 100 TB that is the
+    * difference between reading one year and reading the lake. Graded
+    * output: monthly totals from the pruned read. */
+  val sourceSortedRanges: QDef = q(
+    "source_sorted_ranges",
+    """SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY month
+      |ORDER BY month""") { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft_ranges").toString
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .groupBy(trunc(col("o_orderdate").cast(DateType), "month").as("month"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("sum_total"))
+      .orderBy(col("month"))
+  }
+
   val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
-    sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo)
+    sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo,
+    sourceSortedRanges)
 }

@@ -106,6 +106,15 @@ class R5OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == direct)
   }
 
+  test("source_sorted_ranges: pruned-layout read equals direct filter+agg") {
+    val rows = Scans.sourceSortedRanges.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 12)
+    val direct = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp")).count()
+    assert(rows.map(_.getLong(1)).sum == direct)
+  }
+
   test("join_bucketed_colo: exchange-free join, totals conserved") {
     val df = Scans.joinBucketedColo.run(spark, sf)
     // the join itself must consume the bucketed layout without a
