@@ -354,8 +354,9 @@ object Aggregates {
       |         CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS mx
       |  FROM orders),
       |b AS (
-      |  SELECT LEAST(CAST(floor((CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) - mn)
-      |           * 10 / (mx - mn)) AS INT), 9) AS bucket,
+      |  SELECT CASE WHEN mx = mn THEN 0 ELSE
+      |      LEAST(CAST(floor((CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) - mn)
+      |           * 10 / (mx - mn)) AS INT), 9) END AS bucket,
       |         CAST(o_totalprice AS DECIMAL(12,2)) AS p, mn, mx
       |  FROM orders CROSS JOIN stats)
       |SELECT bucket,
@@ -370,8 +371,11 @@ object Aggregates {
     val b = Tables.orders(s, d)
       .crossJoin(broadcast(stats))
       .select(
-        least(floor((outDouble(p) - col("mn")) * 10 / (col("mx") - col("mn")))
-          .cast(IntegerType), lit(9)).as("bucket"),
+        // degenerate guard: a constant column would otherwise divide
+        // 0/0 into NaN (and engines disagree on casting NaN)
+        when(col("mx") === col("mn"), 0).otherwise(
+          least(floor((outDouble(p) - col("mn")) * 10 / (col("mx") - col("mn")))
+            .cast(IntegerType), lit(9))).as("bucket"),
         p.as("p"), col("mn"), col("mx"))
     b.groupBy(col("bucket"), col("mn"), col("mx"))
       .agg(count(lit(1)).as("n"), outDouble(sum(col("p"))).as("sum_total"))

@@ -114,5 +114,39 @@ object HarmonizeQueries {
       .orderBy(col("prov_rule"))
   }
 
-  val all: Seq[QDef] = Seq(harmonizeCube, harmonizeUnmappable, harmonizeProvenance)
+  /** Fuzzy entity matching — the record-linkage step a harmonization
+    * pipeline runs when keys don't line up: candidate pairs blocked by
+    * (nation, market segment), verified by edit distance ≤ 1 on the
+    * name, graded as per-nation pair counts. The blocked self-join is
+    * the same salted-pair shape as the near-dup detectors: pair count
+    * follows block density, never n²; at 100 TB the block key widens
+    * (e.g. + name-prefix bucket) to keep blocks bounded. */
+  val entityMatchFuzzy: QDef = q(
+    "entity_match_fuzzy",
+    """SELECT a.c_nationkey AS nationkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(levenshtein(a.c_name, b.c_name)) AS BIGINT) AS min_dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey
+      | AND a.c_mktsegment = b.c_mktsegment
+      | AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |GROUP BY a.c_nationkey
+      |ORDER BY nationkey""") { (s, d) =>
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"))
+    val a = c.toDF("k_a", "name_a", "nat", "seg").repartition(32, col("nat"), col("seg"))
+    val b = c.toDF("k_b", "name_b", "nat", "seg")
+    a.join(b, Seq("nat", "seg"))
+      .filter(col("k_a") < col("k_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .groupBy(col("nat").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(levenshtein(col("name_a"), col("name_b"))).cast("long").as("min_dist"))
+      .orderBy(col("nationkey"))
+  }
+
+  val all: Seq[QDef] = Seq(harmonizeCube, harmonizeUnmappable, harmonizeProvenance,
+    entityMatchFuzzy)
 }

@@ -121,6 +121,33 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Referential-integrity reconciliation between the order book and
+    * its line items — the one-row audit an ingest pipeline publishes
+    * per load: row counts both sides, childless parents, dangling
+    * children (both via anti-joins — at scale these are the same
+    * shuffles the FK join itself needs, so the audit is free riding
+    * on the join layout). */
+  val reconcileOrdersItems: QDef = q(
+    "reconcile_orders_items",
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders) AS n_orders,
+      |  (SELECT COUNT(*) FROM lineitem) AS n_items,
+      |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |     (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_childless,
+      |  (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |     (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_dangling""") {
+    (s, d) =>
+    val o = Tables.orders(s, d).select(col("o_orderkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"))
+    val nOrders = o.agg(count(lit(1)).as("n_orders"))
+    val nItems = l.agg(count(lit(1)).as("n_items"))
+    val childless = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_childless"))
+    val dangling = l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_dangling"))
+    nOrders.crossJoin(nItems).crossJoin(childless).crossJoin(dangling)
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
-    sampleTokenBudget)
+    sampleTokenBudget, reconcileOrdersItems)
 }

@@ -115,6 +115,23 @@ class R5OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == direct)
   }
 
+  test("reconcile_orders_items: counts match direct recomputation") {
+    val r = Sampling.reconcileOrdersItems.run(spark, sf).collect().head
+    assert(r.getLong(0) == Tables.orders(spark, sf).count())
+    assert(r.getLong(1) == Tables.lineitem(spark, sf).count())
+    assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
+  }
+
+  test("entity_match_fuzzy: pairs respect the block and the distance bound") {
+    val rows = HarmonizeQueries.entityMatchFuzzy.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1)
+    }
+  }
+
   test("join_bucketed_colo: exchange-free join, totals conserved") {
     val df = Scans.joinBucketedColo.run(spark, sf)
     // the join itself must consume the bucketed layout without a
