@@ -63,9 +63,12 @@ object CorpusOps {
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val boiler = df.filter(col("df") >= 3).select(col("g"))
     val per = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = grams.join(boiler, "g")
+    // the boilerplate set is the df>=3 tail — tiny relative to the
+    // gram table; broadcast it (and the doc-level hits) instead of
+    // letting unknown aggregate stats plan gram-table SMJs.
+    val hits = grams.join(broadcast(boiler), "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-    per.join(hits, Seq("doc_id"), "left")
+    per.join(broadcast(hits), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
@@ -287,9 +290,12 @@ object CorpusOps {
     val bigc = bg.groupBy(col("big")).agg(count(lit(1)).as("c"))
     val w1c = bg.select(col("w1").as("w1c_key"))
       .groupBy(col("w1c_key")).agg(count(lit(1)).as("c1"))
+    // both model tables are vocabulary-bounded (≤|V|² bigrams) —
+    // broadcast them; unhinted, the unknown aggregate stats planned
+    // two SMJs that each shuffled the full doc-bigram table.
     bg
-      .join(bigc, "big")
-      .join(w1c, col("w1") === col("w1c_key"))
+      .join(broadcast(bigc), "big")
+      .join(broadcast(w1c), col("w1") === col("w1c_key"))
       .select(col("doc_id"),
         log(col("c").cast(DoubleType) / col("c1"))
           .cast(DecimalType(28, 18)).as("lp"))
