@@ -126,6 +126,82 @@ object EvolutionQueries {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** CDC apply — fold an ordered insert/update/delete change log into
+    * a base table with last-writer-wins semantics (the lakehouse
+    * MERGE-from-changefeed staple, distinct from the plain upsert in
+    * `merge_upsert_customers` because DELETEs and multi-version
+    * updates are in play). The change log is derived deterministically
+    * from the base via md5 buckets: buckets <30 get an UPDATE (+100),
+    * <10 a second UPDATE (+200, must win), [30,40) a DELETE, [95,100)
+    * an INSERT under a shifted key. One window per key (seq desc)
+    * picks the surviving version; graded as the final per-priority
+    * state plus applied-op counts. */
+  val cdcApplyOrders: QDef = q(
+    "cdc_apply_orders",
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::INT % 100 AS b
+      |  FROM orders),
+      |log AS (
+      |  SELECT k, prio, CAST(price + 100 AS DECIMAL(12,2)) AS price,
+      |         1 AS seq, 'U' AS op FROM base WHERE b < 30
+      |  UNION ALL
+      |  SELECT k, prio, CAST(price + 200 AS DECIMAL(12,2)), 2, 'U'
+      |  FROM base WHERE b < 10
+      |  UNION ALL
+      |  SELECT k, prio, price, 1, 'D' FROM base WHERE b >= 30 AND b < 40
+      |  UNION ALL
+      |  SELECT k + 10000000, prio, price, 1, 'I' FROM base WHERE b >= 95),
+      |all_v AS (
+      |  SELECT k, prio, price, 0 AS seq, 'I' AS op FROM base
+      |  UNION ALL
+      |  SELECT k, prio, price, seq, op FROM log),
+      |latest AS (
+      |  SELECT k, prio, price, op,
+      |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM all_v),
+      |final AS (SELECT k, prio, price FROM latest WHERE rn = 1 AND op <> 'D')
+      |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY prio
+      |ORDER BY prio""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
+        (conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 4), 16, 10)
+          .cast(IntegerType) % 100).as("b"))
+    val upd1 = base.filter(col("b") < 30)
+      .select(col("k"), col("prio"),
+        (col("price") + 100).cast(DecimalType(12, 2)).as("price"),
+        lit(1).as("seq"), lit("U").as("op"))
+    val upd2 = base.filter(col("b") < 10)
+      .select(col("k"), col("prio"),
+        (col("price") + 200).cast(DecimalType(12, 2)).as("price"),
+        lit(2).as("seq"), lit("U").as("op"))
+    val del = base.filter(col("b") >= 30 && col("b") < 40)
+      .select(col("k"), col("prio"), col("price"), lit(1).as("seq"), lit("D").as("op"))
+    val ins = base.filter(col("b") >= 95)
+      .select((col("k") + 10000000L).as("k"), col("prio"), col("price"),
+        lit(1).as("seq"), lit("I").as("op"))
+    val allV = base
+      .select(col("k"), col("prio"), col("price"), lit(0).as("seq"), lit("I").as("op"))
+      .union(upd1).union(upd2).union(del).union(ins)
+    // last-writer-wins as a HASH AGGREGATE, not a window: seq is
+    // unique per key, so max(struct(seq, …)) picks the surviving
+    // version with map-side partial aggregation and no per-key sort —
+    // the shape that scales to a billion-key changefeed. (The oracle
+    // keeps the window spelling; same rows either way.)
+    allV.groupBy(col("k"))
+      .agg(max(struct(col("seq"), col("op"), col("prio"), col("price"))).as("v"))
+      .filter(col("v.op") =!= "D")
+      .groupBy(col("v.prio").as("prio"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v.price")).cast(DoubleType).as("sum_price"))
+      .orderBy(col("prio"))
+  }
+
   val all: Seq[QDef] = Seq(
-    mergeUpsertCustomers, snapshotDiffOrders, scd2EventState)
+    mergeUpsertCustomers, snapshotDiffOrders, scd2EventState, cdcApplyOrders)
 }

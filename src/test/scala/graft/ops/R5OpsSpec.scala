@@ -132,6 +132,18 @@ class R5OpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc_apply_orders: final cardinality = base - deletes + inserts") {
+    val rows = EvolutionQueries.cdcApplyOrders.run(spark, sf).collect()
+    val base = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100).as("b"))
+    val nBase = base.count()
+    val nDel = base.filter(col("b") >= 30 && col("b") < 40).count()
+    val nIns = base.filter(col("b") >= 95).count()
+    assert(rows.map(_.getLong(1)).sum == nBase - nDel + nIns)
+  }
+
   test("join_bucketed_colo: exchange-free join, totals conserved") {
     val df = Scans.joinBucketedColo.run(spark, sf)
     // the join itself must consume the bucketed layout without a
