@@ -144,6 +144,13 @@ class R5OpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == nBase - nDel + nIns)
   }
 
+  test("source_schema_merge: generations partition the table, old rows null-filled") {
+    val rows = Scans.sourceSchemaMerge.run(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    assert(rows.exists(_.getString(0) == "(pre-evolution)"),
+      "the pre-evolution generation must surface as null-filled rows")
+  }
+
   test("join_bucketed_colo: exchange-free join, totals conserved") {
     val df = Scans.joinBucketedColo.run(spark, sf)
     // the join itself must consume the bucketed layout without a
