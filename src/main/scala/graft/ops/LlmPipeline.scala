@@ -307,7 +307,34 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Binary-column processing, oracle-graded: documents carried as an
+    * opaque BINARY column (the multimodal posture — media bytes the
+    * engine moves but never interprets), with the typed-metadata pass
+    * a media pipeline runs per blob: byte length, leading byte, and a
+    * content fingerprint. The fixture corpus is ASCII, so
+    * CAST(text AS BINARY) is a deterministic blob both engines agree
+    * on; the graded work (octet length, header byte, md5) is exactly
+    * what `graft.multimodal` does before its (stubbed) codec step.
+    * Pure scan-pipeline expressions — zero shuffles except the
+    * presentation sort. */
+  val multimodalBinaryMeta: QDef = q(
+    "multimodal_binary_meta",
+    """SELECT doc_id,
+      |  CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
+      |  ascii(substr(text, 1, 1)) AS first_byte,
+      |  md5(text) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).as("first_byte"),
+        md5(col("text").cast(BinaryType)).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupExactDocs, dedupNearJaccard, simSearchTopk, knnPerLabel,
-    textTokenTf, textTfidfTopterms, textLangProfile, multimodalEnrich)
+    textTokenTf, textTfidfTopterms, textLangProfile, multimodalEnrich,
+    multimodalBinaryMeta)
 }
