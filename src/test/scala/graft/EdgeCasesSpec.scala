@@ -85,4 +85,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out(0) == 0.0)
     assert(out(1) == 3.0, "mismatched lengths fold over the common prefix")
   }
+
+  test("Evolution merge/diff on empty sides keep their contracts") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val some = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // empty updates -> target unchanged; empty target -> all inserts
+    assert(pipeline.Evolution.merge(some, empty, "k").count() == 2)
+    assert(pipeline.Evolution.merge(empty, some, "k").count() == 2)
+    assert(pipeline.Evolution.merge(empty, empty, "k").count() == 0)
+    // diff of identical sides is empty; diff against empty is all adds/removes
+    assert(pipeline.Evolution.diff(some, some, "k").count() == 0)
+    assert(pipeline.Evolution.diff(empty, some, "k")
+      .filter(col("change") === "added").count() == 2)
+  }
+
+  test("GroupedTopK with k exceeding every group size returns whole groups") {
+    import spark.implicits._
+    val df = Seq(("g1", 1), ("g1", 2), ("g2", 3)).toDF("g", "x")
+    val out = plans.GroupedTopK.topkPerGroup(df,
+      groupCols = Seq("g"), orderBy = Seq(("x", true)), k = 10)
+    assert(out.count() == 3, "k > |group| must not drop or duplicate rows")
+  }
 }
