@@ -15,9 +15,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed, per-bucket-sorted parquet table in the
-    * session catalog. */
+    * session catalog.
+    *
+    * The pre-repartition on the bucket key matters twice over: it
+    * parallelizes the write (a single-partition upstream — e.g. a
+    * one-file scan — would otherwise sort and write EVERY bucket in
+    * one task), and it makes each task own exactly one bucket, so the
+    * table lands as one file per bucket instead of
+    * upstream-partitions × buckets fragments. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    df.repartition(buckets, df(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
