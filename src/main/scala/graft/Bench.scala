@@ -25,7 +25,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        graft.TempDirs.create("graft-warehouse"))
       .config("spark.ui.enabled", "false")
     // experiment hook: SPARK_GRAFT_CONF="k=v,k=v" overrides any conf
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
@@ -97,7 +97,7 @@ object Bench {
       // saveAsTable, partitionBy and repartitionByRange parquet
       // writes, CSV write/read — first-use committer/catalog
       // classloading otherwise lands inside the graded sink queries.
-      val wdir = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      val wdir = graft.TempDirs.create("graft-warm")
       n.select(col("n_nationkey"), col("n_name"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(2, "n_nationkey").sortBy("n_nationkey")

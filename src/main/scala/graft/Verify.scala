@@ -16,7 +16,7 @@ object Verify {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-warehouse").toString)
+        TempDirs.create("graft-warehouse"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -64,11 +64,14 @@ object CorpusOps {
     val boiler = df.filter(col("df") >= 3).select(col("g"))
     val per = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     // the boilerplate set is the df>=3 tail — tiny relative to the
-    // gram table; broadcast it (and the doc-level hits) instead of
-    // letting unknown aggregate stats plan gram-table SMJs.
+    // gram table; broadcast it instead of letting unknown aggregate
+    // stats plan gram-table SMJs. `hits` however is doc-sized (one row
+    // per document with boilerplate) — it must NOT broadcast: both
+    // `per` and `hits` leave their groupBy hash-partitioned on doc_id,
+    // so the left join below is already exchange-free.
     val hits = grams.join(broadcast(boiler), "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
-    per.join(broadcast(hits), Seq("doc_id"), "left")
+    per.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",

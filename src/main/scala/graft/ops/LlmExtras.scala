@@ -682,11 +682,17 @@ object LlmExtras {
       .pivot("label", labels.map(Int.box))
       .agg(first(col("c")))
       .select(col("i") +: labels.map(l => col(l.toString).as(s"c_$l")): _*)
+    // coalesce to Long.MaxValue: if a label is absent from a data
+    // slice its pivot column is null, and a null distance would
+    // null-propagate through the argmin comparisons and silently
+    // mis-assign — an unreachable-by-construction centroid must LOSE
+    // every comparison instead.
+    def distTo(l: Int) = coalesce(
+      sum((col("qc") - col(s"c_$l")) * (col("qc") - col(s"c_$l"))),
+      lit(Long.MaxValue)).as(s"d_$l")
     val dists = ex.join(broadcast(cw), "i")
       .groupBy(col("vec_id"), col("label"))
-      .agg(sum((col("qc") - col("c_0")) * (col("qc") - col("c_0"))).as("d_0"),
-        labels.tail.map(l =>
-          sum((col("qc") - col(s"c_$l")) * (col("qc") - col(s"c_$l"))).as(s"d_$l")): _*)
+      .agg(distTo(0), labels.tail.map(distTo): _*)
     // first (smallest) centroid id that is <= every later one wins:
     // identical to the oracle's ORDER BY d2, cl tie-break.
     val argmin = labels.init.foldRight(lit(labels.last): Column) { (l, rest) =>

@@ -59,7 +59,7 @@ object Scans {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier
       |ORDER BY s_suppkey""") { (s, d) =>
-    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val out = graft.TempDirs.create("graft_csv")
     Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -88,7 +88,7 @@ object Scans {
       |WHERE event_type = 'click'
       |GROUP BY day
       |ORDER BY day""") { (s, d) =>
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val out = graft.TempDirs.create("graft_part")
     Tables.events(s, d)
       .select(col("user_id"), col("event_type"),
         money(col("value")).as("v"), to_date(col("ts")).as("day"))
@@ -156,7 +156,7 @@ object Scans {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY month
       |ORDER BY month""") { (s, d) =>
-    val out = java.nio.file.Files.createTempDirectory("graft_ranges").toString
+    val out = graft.TempDirs.create("graft_ranges")
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .repartitionByRange(8, col("o_orderdate"))
@@ -194,7 +194,7 @@ object Scans {
       |FROM merged
       |GROUP BY priority
       |ORDER BY priority""") { (s, d) =>
-    val out = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val out = graft.TempDirs.create("graft_evo")
     val g = Tables.orders(s, d)
       .select(col("o_orderkey"), money(col("o_totalprice")).as("price"),
         col("o_orderpriority"),
