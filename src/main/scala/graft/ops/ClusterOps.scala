@@ -65,8 +65,21 @@ object ClusterOps {
     // propagation job would otherwise reference the cold cache through
     // two racing branches and run the full LSH pipeline twice.
     val tEdges0 = System.nanoTime()
-    edgesDeep.count()
+    val nEdges = edgesDeep.count()
     val tEdges = (System.nanoTime() - tEdges0) / 1e9
+    // Size the LOOP's shuffles from the measured edge count — the
+    // label/edge tables are pairs-sized (at any corpus scale, orders
+    // of magnitude below the corpus), and running their per-round
+    // joins at the session's corpus-sized partition count charges
+    // ~30 task launches per tiny stage (measured: 1.28 s -> 0.49 s
+    // for the converged one-round loop at sf0.1). This is the same
+    // decision AQE's partition coalescer makes from runtime stats on
+    // a cluster (AQE is deliberately off at the bench tier); the
+    // formula returns the session default once edges outgrow ~50k
+    // rows per partition. Scoped: restored before the corpus-scale
+    // final assembly below.
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1, math.min(sessionParts, (nEdges / 50000L).toInt + 1))
     // Catalyst-plan truncation WITHOUT giving up the recompute path:
     // re-root the cached edge table as an RDD-backed DataFrame. Every
     // loop iteration's plan would otherwise embed the entire minhash
@@ -88,6 +101,8 @@ object ClusterOps {
     // min(id, min neighbor)) — for the common shallow clusters (pairs,
     // small stars) the seed IS the fixpoint and the loop's first
     // iteration only confirms it, saving a full round.
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val finalLabels = try {
     val nm0 = edges.groupBy(col("dst")).agg(min(col("src")).as("nm"))
     var labels = edges.select(col("src").as("id")).distinct()
       .join(nm0, col("id") === col("dst"), "left")
@@ -152,6 +167,8 @@ object ClusterOps {
     if (changed > 0)
       sys.error(s"dedup_cluster_cc: min-label propagation not converged " +
         s"after $rounds rounds ($changed labels still changing)")
+    labels
+    } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
     // Cluster sizes come from the TINY label table, not a corpus-wide
     // window: every member of a component that has an edge is an edge
     // endpoint by construction, so counting labels counts the whole
@@ -160,8 +177,8 @@ object ClusterOps {
     // the planner broadcasts the label side while it fits (no explicit
     // hint: at 100 TB a dup set can outgrow broadcast range, and the
     // SMJ fallback is the right degradation).
-    val sized = labels
-      .join(labels.groupBy(col("lbl").as("l2")).agg(count(lit(1)).as("sz")),
+    val sized = finalLabels
+      .join(finalLabels.groupBy(col("lbl").as("l2")).agg(count(lit(1)).as("sz")),
         col("lbl") === col("l2"))
       .select(col("id"), col("lbl"), col("sz"))
     Tables.documents(s, d).select(col("doc_id"))

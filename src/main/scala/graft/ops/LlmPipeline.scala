@@ -244,8 +244,14 @@ object LlmPipeline {
       |ORDER BY doc_id""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
+    // persisted: tf feeds BOTH the vocabulary aggregate (broadcast
+    // side) and the scoring join's stream side — unpersisted, the
+    // explode + first shuffle run twice per execution (the
+    // persist-when-the-branch-reshuffles rule; caller unpersists via
+    // clearCache, same convention as the dedup prep tables).
     val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val idf = round(log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6)
