@@ -53,4 +53,58 @@ class CboStatsSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS graft_cbo CASCADE")
     }
   }
+
+  test("CBO reorders a star join from analyzed stats (VERDICT r5 item 5)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_cbo2")
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      Tables.nation(spark, sf).write.mode("overwrite").saveAsTable("graft_cbo2.nation")
+      Tables.customer(spark, sf).write.mode("overwrite").saveAsTable("graft_cbo2.customer")
+      Tables.orders(spark, sf).write.mode("overwrite").saveAsTable("graft_cbo2.orders")
+      Seq("nation", "customer", "orders").foreach { t =>
+        spark.sql(s"ANALYZE TABLE graft_cbo2.$t COMPUTE STATISTICS")
+        spark.sql(s"ANALYZE TABLE graft_cbo2.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      // Written fact-first: (orders ⋈ customer) ⋈ nation. With exact
+      // row counts (orders >> customer > nation) the cost-based
+      // reorder prefers building the small dim⋈dim side first —
+      // the smallest intermediate — so the optimized tree differs
+      // from the syntactic one. That decision needs the ANALYZE
+      // stats; syntax alone can't make it (both orders are valid
+      // chains, no cross product for the heuristic rule to fix).
+      def star = spark.table("graft_cbo2.orders")
+        .join(spark.table("graft_cbo2.customer"), col("o_custkey") === col("c_custkey"))
+        .join(spark.table("graft_cbo2.nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      def innermostJoinLeaves(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+        val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        joins.last.collectLeaves().map(_.toString)
+      }
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val before = innermostJoinLeaves(star)
+      assert(before.exists(_.contains("orders")),
+        s"syntactic inner join should include the fact table: $before")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val after = innermostJoinLeaves(star)
+      assert(!after.exists(_.contains("orders")),
+        s"CBO should join the two analyzed dims first, fact last: $after")
+      assert(after.exists(_.contains("customer")) && after.exists(_.contains("nation")),
+        s"expected customer x nation as the innermost join: $after")
+      // reorder must not change results
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val rowsOff = star.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val rowsOn = star.collect().map(_.toString).sorted.toSeq
+      assert(rowsOn == rowsOff)
+    } finally {
+      prevCbo match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      spark.sql("DROP DATABASE IF EXISTS graft_cbo2 CASCADE")
+    }
+  }
 }
