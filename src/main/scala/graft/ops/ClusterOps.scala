@@ -53,13 +53,17 @@ object ClusterOps {
        |  CAST(doc_id = cluster_id AS INT) AS is_survivor
        |FROM cc
        |ORDER BY doc_id""") { (s, d) =>
-    // Edge list = the graded near-dup query's own output, symmetrized.
-    // Persisted: every propagation round joins against it.
-    val pairs = LlmExtras.minhashPairs(s, d)
-      .select(col("doc_a"), col("doc_b"))
-    val edgesDeep = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
+    // Edge list = the graded near-dup query's own output, symmetrized
+    // by a row-local explode of both endpoint orders — NOT a union of
+    // two selects, whose branches would each run the LSH verify join
+    // once (shingleBase is cached, but the candidate join + merge-walk
+    // verify ran twice). Persisted: every propagation round joins
+    // against it.
+    val edgesDeep = LlmExtras.minhashPairs(s, d)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Materialize BEFORE anything forks the lineage: the first
     // propagation job would otherwise reference the cold cache through
@@ -215,9 +219,10 @@ object ClusterOps {
        |SELECT CAST(0 AS BIGINT) AS degree,
        |  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM deg) AS n_nodes
        |ORDER BY degree""") { (s, d) =>
-    val pairs = LlmExtras.minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val ends = pairs.select(col("doc_a").as("id"))
-      .union(pairs.select(col("doc_b").as("id")))
+    // both endpoints in one pass (row-local explode) — a union of two
+    // selects would run the LSH verify join once per branch
+    val ends = LlmExtras.minhashPairs(s, d)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
     val deg = ends.groupBy(col("id")).agg(count(lit(1)).as("degree"))
     val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
     val zero = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
