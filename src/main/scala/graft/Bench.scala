@@ -156,11 +156,19 @@ object Bench {
     // warm-up (JIT state), not result caching: clearCache() drops any
     // data the pass may have pinned.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      selected.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+      // failures are non-fatal (the timed run decides correctness) but
+      // never silent: an unwarmed query's first-use codegen lands back
+      // in its timed region, which would read as a regression.
+      val failed = selected.flatMap { case (name, fn) =>
+        val r = try { fn(spark, warmDir).count(); None }
+          catch { case e: Throwable => Some(s"$name (${e.getClass.getSimpleName})") }
         spark.catalog.clearCache()
+        r
       }
+      if (failed.nonEmpty)
+        System.err.println(s"[bench] warm-up failed for ${failed.size}: ${failed.mkString(", ")}")
+    }
     System.gc()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
