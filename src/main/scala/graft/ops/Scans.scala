@@ -212,7 +212,42 @@ object Scans {
       .orderBy(col("priority"))
   }
 
+  /** ORC sink + source round trip, oracle-graded: orders written to
+    * ORC (Spark's other built-in columnar format — the
+    * format-portability story next to parquet/CSV/JSON) and read
+    * back. The graded per-priority aggregate carries a decimal total
+    * AND epoch-exact min/max order timestamps, so any lossy decimal
+    * or timestamp conversion through the ORC writer/reader flips the
+    * hash (the oracle computes the same aggregate from the parquet
+    * original). Fresh TempDirs scratch dir per call. */
+  val sourceOrcRoundtrip: QDef = q(
+    "source_orc_roundtrip",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |       date_trunc('second', MIN(o_orderdate))) AS BIGINT) AS first_s,
+      |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |       date_trunc('second', MAX(o_orderdate))) AS BIGINT) AS last_s
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    val out = graft.TempDirs.create("graft_orc")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderdate"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total_price"),
+        tsSec(min(col("o_orderdate"))).cast(LongType).as("first_s"),
+        tsSec(max(col("o_orderdate"))).cast(LongType).as("last_s"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
     sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo,
-    sourceSortedRanges, sourceSchemaMerge)
+    sourceSortedRanges, sourceSchemaMerge, sourceOrcRoundtrip)
 }
