@@ -247,7 +247,44 @@ object Scans {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** JSON-lines sink + source round trip, oracle-graded with the
+    * same lossiness trap as the ORC twin: decimal totals and
+    * epoch-exact timestamps survive only if the JSON writer's decimal
+    * rendering and ISO-8601 timestamp format round-trip exactly
+    * (read back under an EXPLICIT schema — inference stays banned).
+    * Completes the sink/source matrix: parquet (plain, partitioned,
+    * bucketed, range-sorted, schema-merged), CSV, ORC, JSON. */
+  val sourceJsonRoundtrip: QDef = q(
+    "source_json_roundtrip",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |       date_trunc('second', MIN(o_orderdate))) AS BIGINT) AS first_s
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    val out = graft.TempDirs.create("graft_jsonl")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        money(col("o_totalprice")).as("o_totalprice"), col("o_orderdate"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DecimalType(12, 2)),
+      StructField("o_orderdate", TimestampType)))
+    s.read.schema(schema).json(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("total_price"),
+        tsSec(min(col("o_orderdate"))).cast(LongType).as("first_s"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
     sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo,
-    sourceSortedRanges, sourceSchemaMerge, sourceOrcRoundtrip)
+    sourceSortedRanges, sourceSchemaMerge, sourceOrcRoundtrip,
+    sourceJsonRoundtrip)
 }
