@@ -385,9 +385,38 @@ object Aggregates {
       .orderBy(col("bucket"))
   }
 
+  /** Deterministic per-group MODE (most frequent value, ties to the
+    * smallest value — built-in `mode()` has engine-specific ties, so
+    * both sides spell the tie-break out). Count-then-top1 through the
+    * custom GroupedTopKExec: the count aggregate carries map-side
+    * partials and the top-1 cut is a bounded heap per group, so the
+    * shape holds when the (group, value) domain is billions wide. */
+  val aggModeDeterministic: QDef = q(
+    "agg_mode_deterministic",
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS q,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, q AS mode_qty, n AS n_occurrences FROM c
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY l_returnflag ORDER BY n DESC, q) = 1
+      |ORDER BY l_returnflag""") { (s, d) =>
+    val counts = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast(IntegerType).as("q"))
+      .groupBy(col("l_returnflag"), col("q"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.GroupedTopK.topkPerGroup(counts,
+        groupCols = Seq("l_returnflag"),
+        orderBy = Seq(("n", false), ("q", true)), k = 1)
+      .select(col("l_returnflag"), col("q").as("mode_qty"),
+        col("n").as("n_occurrences"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
-    aggRegressionExplicit, aggHistogramBucketed)
+    aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic)
 }
