@@ -160,9 +160,14 @@ object Bench {
       // failures are non-fatal (the timed run decides correctness) but
       // never silent: an unwarmed query's first-use codegen lands back
       // in its timed region, which would read as a regression.
+      // NonFatal only: an OutOfMemoryError here means the JVM is
+      // already degraded, and recording "genuine" timings from a
+      // GC-thrashing heap is the baseline misrepresentation the
+      // artifact guard below exists to prevent — let it crash.
       val failed = selected.flatMap { case (name, fn) =>
         val r = try { fn(spark, warmDir).count(); None }
-          catch { case e: Throwable => Some(s"$name (${e.getClass.getSimpleName})") }
+          catch { case scala.util.control.NonFatal(e) =>
+            Some(s"$name (${e.getClass.getSimpleName})") }
         spark.catalog.clearCache()
         r
       }

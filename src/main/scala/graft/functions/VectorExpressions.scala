@@ -102,7 +102,9 @@ case class FloatCosine(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
     while (i < n) {
@@ -111,6 +113,12 @@ case class FloatCosine(left: Expression, right: Expression)
       dab += xv * yv; daa += xv * xv; dbb += yv * yv
       i += 1
     }
+    // tails: the three-pass form norms each array over its FULL
+    // length (dot(a,a) sees all of a even when b is shorter) — match
+    // it exactly so unequal-length inputs cannot silently diverge
+    while (i < nx) { val xv = x.getFloat(i).toDouble; daa += xv * xv; i += 1 }
+    var j = n
+    while (j < ny) { val yv = y.getFloat(j).toDouble; dbb += yv * yv; j += 1 }
     dab / (math.sqrt(daa) * math.sqrt(dbb))
   }
 
@@ -123,13 +131,23 @@ case class FloatCosine(left: Expression, right: Expression)
       val dbb = ctx.freshName("dbb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
          |double $dab = 0.0; double $daa = 0.0; double $dbb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $a.getFloat($i);
          |  double $yv = (double) $b.getFloat($i);
          |  $dab += $xv * $yv; $daa += $xv * $xv; $dbb += $yv * $yv;
+         |}
+         |for (int $i = $n; $i < $nx; $i++) {
+         |  double $xv = (double) $a.getFloat($i); $daa += $xv * $xv;
+         |}
+         |for (int $i = $n; $i < $ny; $i++) {
+         |  double $yv = (double) $b.getFloat($i); $dbb += $yv * $yv;
          |}
          |${ev.value} = $dab / (java.lang.Math.sqrt($daa) * java.lang.Math.sqrt($dbb));
        """.stripMargin

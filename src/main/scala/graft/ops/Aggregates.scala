@@ -394,16 +394,19 @@ object Aggregates {
   val aggModeDeterministic: QDef = q(
     "agg_mode_deterministic",
     """WITH c AS (
-      |  SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS q,
+      |  SELECT l_returnflag, CAST(FLOOR(l_quantity) AS INTEGER) AS q,
       |    CAST(COUNT(*) AS BIGINT) AS n
       |  FROM lineitem GROUP BY 1, 2)
       |SELECT l_returnflag, q AS mode_qty, n AS n_occurrences FROM c
       |QUALIFY row_number() OVER (
       |  PARTITION BY l_returnflag ORDER BY n DESC, q) = 1
       |ORDER BY l_returnflag""") { (s, d) =>
+    // FLOOR on BOTH sides: a bare int cast truncates toward zero in
+    // Spark but rounds to nearest in DuckDB — a latent hash flip the
+    // moment a fractional quantity appears. floor() agrees everywhere.
     val counts = Tables.lineitem(s, d)
       .select(col("l_returnflag"),
-        col("l_quantity").cast(IntegerType).as("q"))
+        floor(col("l_quantity")).cast(IntegerType).as("q"))
       .groupBy(col("l_returnflag"), col("q"))
       .agg(count(lit(1)).as("n"))
     graft.plans.GroupedTopK.topkPerGroup(counts,

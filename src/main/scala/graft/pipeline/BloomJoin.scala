@@ -29,14 +29,34 @@ object BloomJoin {
 
   /** Inner-join `probe` to `build` on long-typed `key`, pre-filtering
     * the probe side through a Bloom filter of the build side's keys.
-    * Result rows are exactly `probe.join(build, key)`. */
-  def prefilteredJoin(
+    * Result rows are exactly `probe.join(build, key)`.
+    *
+    * BROADCAST LIFETIME: the returned (DataFrame, release) pair makes
+    * the caller own the bloom's broadcast — call `release()` once the
+    * join's last action has run. Without a release path every call
+    * would pin an MB-scale broadcast for the session's lifetime
+    * (unbounded accumulation in a long-lived per-partition pipeline —
+    * the /tmp-growth failure mode, on the driver). The plain
+    * `prefilteredJoin` wrapper keeps the one-shot ergonomics for
+    * session-scoped use and documents that it leaks until
+    * session end. */
+  def prefilteredJoinManaged(
       probe: DataFrame, build: DataFrame, key: String,
-      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): (DataFrame, () => Unit) = {
     val bloom = build.stat.bloomFilter(key, expectedKeys, fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k))
-    probe.filter(mightContain(col(key))).join(build, Seq(key))
+    (probe.filter(mightContain(col(key))).join(build, Seq(key)),
+      () => bc.destroy())
   }
+
+  /** One-shot form: the bloom's broadcast lives until the session
+    * ends. Fine for a run-to-completion job; a long-lived session
+    * issuing many of these should use `prefilteredJoinManaged` and
+    * release each filter. */
+  def prefilteredJoin(
+      probe: DataFrame, build: DataFrame, key: String,
+      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    prefilteredJoinManaged(probe, build, key, expectedKeys, fpp)._1
 }

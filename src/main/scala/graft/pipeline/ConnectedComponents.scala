@@ -116,8 +116,16 @@ object ConnectedComponents {
     if (!converged)
       sys.error(s"largeStarSmallStar: no fixpoint after $rounds rounds")
     // star fixpoint: every node's min neighbor (or itself) is the
-    // component min
-    sym(edges).groupBy(col("u").as("id"))
+    // component min. Join back against the FULL input node set (taken
+    // from the raw pairs, BEFORE self-edges were canonicalized away):
+    // a node appearing only in self-pairs has no star edge but is
+    // still a singleton component of itself — dropping it would lose
+    // docs from the cluster map.
+    val nodes = pairs
+      .select(explode(array(col(srcCol), col(dstCol))).as("id")).distinct()
+    val starLabels = sym(edges).groupBy(col("u").as("id"))
       .agg(least(min(col("v")), first(col("u"))).as("cluster_id"))
+    nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 }

@@ -44,10 +44,8 @@ object SimSearch {
   def chooseMode(corpusRows: Long, ivfThreshold: Long): String =
     if (corpusRows < ivfThreshold) "exact" else "ivf"
 
-  private def fcosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    val d = graft.functions.VectorFunctions.floatDot _
-    round(d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b))), 6)
-  }
+  private def fcosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    round(graft.functions.VectorFunctions.floatCosine(a, b), 6)
 
   /** Brute-force cosine top-k: broadcast 1-row query, codegen'd dot,
     * TakeOrderedAndProject. */

@@ -144,4 +144,24 @@ class VectorExpressionsSpec extends SparkSpec {
       .filter(abs(col("c") - 1.0) > 1e-9).count()
     assert(far == 0, s"self-cosine drifted (exact-1 misses: $n)")
   }
+
+  test("floatCosine matches the three-pass formula on UNEQUAL-length arrays") {
+    // the three-pass form norms each array over its FULL length; the
+    // fused loop must do the same (truncated/malformed embeddings
+    // must not silently score as more similar than they are)
+    def threePass(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      VectorFunctions.floatDot(a, b) /
+        (sqrt(VectorFunctions.floatDot(a, a)) * sqrt(VectorFunctions.floatDot(b, b)))
+    val df = vecs
+      .withColumn("v2", slice(reverse(col("v")), 1, 40)) // 64 vs 40 dims
+      .select(VectorFunctions.floatCosine(col("v"), col("v2")).as("fused"),
+        threePass(col("v"), col("v2")).as("ref"))
+    assert(df.filter(col("fused") =!= col("ref")).count() == 0)
+    // and the asymmetric orientation too
+    val df2 = vecs
+      .withColumn("v2", slice(reverse(col("v")), 1, 40))
+      .select(VectorFunctions.floatCosine(col("v2"), col("v")).as("fused"),
+        threePass(col("v2"), col("v")).as("ref"))
+    assert(df2.filter(col("fused") =!= col("ref")).count() == 0)
+  }
 }

@@ -64,4 +64,13 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(edges)
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("a node appearing ONLY in self-pairs survives as its own singleton") {
+    // identity matches are plausible similarity output; losing the doc
+    // from the cluster map would silently drop it from dedup
+    val edges = Seq[(Long, Long)]((1, 2), (7, 7))
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(got == groundTruth(edges))
+  }
 }

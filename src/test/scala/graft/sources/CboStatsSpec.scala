@@ -81,16 +81,20 @@ class CboStatsSpec extends SparkSpec {
         val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
         joins.last.collectLeaves().map(_.toString)
       }
+      // match on the qualified TABLE identifier, not a bare substring:
+      // the customer leaf's string contains "c_nationkey", so a bare
+      // contains("nation") would be satisfied by customer alone
       spark.conf.set("spark.sql.cbo.enabled", "false")
       val before = innermostJoinLeaves(star)
-      assert(before.exists(_.contains("orders")),
+      assert(before.exists(_.contains("graft_cbo2.orders")),
         s"syntactic inner join should include the fact table: $before")
       spark.conf.set("spark.sql.cbo.enabled", "true")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       val after = innermostJoinLeaves(star)
-      assert(!after.exists(_.contains("orders")),
+      assert(!after.exists(_.contains("graft_cbo2.orders")),
         s"CBO should join the two analyzed dims first, fact last: $after")
-      assert(after.exists(_.contains("customer")) && after.exists(_.contains("nation")),
+      assert(after.exists(_.contains("graft_cbo2.customer")) &&
+        after.exists(_.contains("graft_cbo2.nation")),
         s"expected customer x nation as the innermost join: $after")
       // reorder must not change results
       spark.conf.set("spark.sql.cbo.enabled", "false")
