@@ -27,9 +27,14 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         graft.TempDirs.create("graft-warehouse"))
       .config("spark.ui.enabled", "false")
-    // experiment hook: SPARK_GRAFT_CONF="k=v,k=v" overrides any conf
+    // experiment hook: SPARK_GRAFT_CONF="k=v,k=v" overrides any conf.
+    // (Comma is the entry separator, so list-valued confs can't be set
+    // here; a segment without '=' fails loudly instead of MatchError.)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k, v)
+        case _ => sys.error(s"SPARK_GRAFT_CONF entry without '=': '$kv'")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -175,9 +180,16 @@ object Bench {
         System.err.println(s"[bench] warm-up failed for ${failed.size}: ${failed.mkString(", ")}")
     }
     System.gc()
+    // failures must be LOUD: a query that throws after 0.1 s would
+    // otherwise be recorded as a fast success and make the shipped
+    // total look better — the same misrepresentation the full-run
+    // artifact guard below exists to prevent.
+    val crashed = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(e) =>
+        crashed += s"$name (${e.getClass.getSimpleName})" }
       val dt = (System.nanoTime() - t0) / 1e9
       // Unpersist per-query caches (see Verify for why the queries
       // can't do it themselves). Inside the timed region would charge
@@ -201,8 +213,15 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val slowest = results.sortBy(-_._2).take(25)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries surface in the JSON itself (additive field — the
+    // driver reads metric/value/queries and ignores extras) AND on
+    // stderr, so a crash can never masquerade as a fast success.
+    val failedJson = if (crashed.isEmpty) ""
+      else s""","failed":${crashed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    if (crashed.nonEmpty)
+      System.err.println(s"[bench] ${crashed.size} queries FAILED: ${crashed.mkString(", ")}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)}$failedJson,"sf":"$sfDir"}"""
     // Belt and braces against sbt's [info]/[success] wrapping defeating
     // the driver's stdout parser (parsed=null in rounds 1+2): emit the
     // bare line on BOTH streams, repeat it after spark.stop() so it is
@@ -219,7 +238,7 @@ object Bench {
     if (args.isEmpty) {
       writeFile("BENCH.json", line)
       writeFile("BENCH_full.json",
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.sortBy(_._1))},"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.sortBy(_._1))}$failedJson,"sf":"$sfDir"}""")
     }
     println(line)
     System.err.println(line)

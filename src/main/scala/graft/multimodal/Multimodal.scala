@@ -95,11 +95,15 @@ object Multimodal {
     val out = media.select("media_id", "kind", "payload", "source")
       .as[(Long, String, Array[Byte], String)]
       .mapPartitions(_.map { case (id, kind, payload, src) =>
-        val (w, h, c) = decodeHeader(payload)
         val body = payload.drop(12)
         val stride = math.max(1, math.ceil(body.length.toDouble / maxBytes).toInt)
         val sampled = body.indices.collect { case i if i % stride == 0 => body(i) }.toArray
-        (id, kind, encodePayload(w / stride, h, c, sampled), src)
+        // the stride resample is 1-D over bytes and does NOT preserve
+        // 2-D geometry, so the rewritten header declares the honest
+        // shape (sampled.length × 1 × 1) — `w / stride` kept the old
+        // h×c and could claim width 0 (stride > w) or a w·h·c product
+        // that no longer matched the body length
+        (id, kind, encodePayload(sampled.length, 1, 1, sampled), src)
       })
     out.toDF("media_id", "kind", "payload", "source")
   }

@@ -308,10 +308,14 @@ object Aggregates {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         count(lit(1)).cast(DecimalType(6, 0)).as("nd"),
-        sum(x).cast(DecimalType(14, 0)).as("sx"),
+        // precisions MATCH the oracle twin's casts (sx/sxx at 19,0):
+        // narrower Spark casts would overflow (null/throw) orders of
+        // magnitude before DuckDB does, diverging exactly where the
+        // twins must agree. Values are exact integers either way.
+        sum(x).cast(DecimalType(19, 0)).as("sx"),
         sum(y0).cast(DecimalType(14, 0)).as("sy0"),
         sum(x * y0).cast(DecimalType(22, 0)).as("sxy0"),
-        sum(x * x).cast(DecimalType(18, 0)).as("sxx"))
+        sum(x * x).cast(DecimalType(19, 0)).as("sxx"))
     val slope = (col("nd") * col("sxy0") - col("sx") * col("sy0")).cast(DoubleType) /
       (col("nd") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) / 100.0
     sums.select(col("event_type"), col("n"),

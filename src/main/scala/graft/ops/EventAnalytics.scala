@@ -88,11 +88,18 @@ object EventAnalytics {
     val dayNo = datediff(date_trunc("day", col("ts")).cast(DateType),
       lit("2024-01-01").cast(DateType))
     val e = Tables.events(s, d).select(col("user_id"), dayNo.as("day_no"))
+    // FLOOR division on both engines: Spark's `div` truncates toward
+    // zero but DuckDB's `//` floors toward -inf, which diverges the
+    // moment day_no goes negative (an event before the 2024-01-01
+    // epoch) — the truncate-vs-floor hazard agg_mode guards too.
+    // floor(x/7.0) is exact for |day_no| < 2^52.
+    def weekOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast(DoubleType) / 7).cast(LongType)
     val firstSeen = e.groupBy(col("user_id"))
-      .agg(expr("min(day_no) div 7").as("cohort_week"))
+      .agg(weekOf(min(col("day_no"))).as("cohort_week"))
     val activity = e.join(firstSeen, "user_id")
       .select(col("user_id"), col("cohort_week"),
-        (expr("day_no div 7") - col("cohort_week")).as("week_offset"))
+        (weekOf(col("day_no")) - col("cohort_week")).as("week_offset"))
       .distinct()
     activity.groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))

@@ -138,7 +138,15 @@ object Joins {
     * by (second-truncated ts, event_id) — O(n log n), one shuffle on
     * user_id, scales linearly with events. Same windowed SQL on the
     * DuckDB side for bit-identical tie semantics (SURVEY §2.3).
-    * Second truncation per D4 (parquet ns vs Spark us). */
+    * Second truncation per D4 (parquet ns vs Spark us).
+    *
+    * Deliberately NOT expressed via AsOf.asofJoinPrior: that operator
+    * tie-breaks equal-ts rows by side-tag first (strictness encoded
+    * in the tag order), while this query's oracle pins the stronger
+    * global (ts_sec, event_id) order — event_id is unique across BOTH
+    * event kinds, so an equal-second click counts iff its event_id
+    * precedes the purchase's. Rewriting through AsOf would change
+    * results on equal-second pairs and break the hash gate. */
   val joinAsofEvent: QDef = q(
     "join_asof_event",
     """SELECT event_id, user_id, ts_sec AS purchase_sec, click_sec

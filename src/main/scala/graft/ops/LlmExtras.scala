@@ -197,18 +197,20 @@ object LlmExtras {
     val matches = (0 until 8)
       .map(i => (col(s"a.h$i") === col(s"b.h$i")).cast(IntegerType))
       .reduce(_ + _)
+    // ONE pair of base joins: the shingle arrays (sl) ride through
+    // the same joins that fetch the h-signature columns — re-joining
+    // base afterwards just to refetch sl paid two extra join stages
+    // per execution (r6 review finding). And est_jacc rides inline:
+    // joining exactJaccard's projection back on the pair key would
+    // plan a needless SortMergeJoin.
     val est = cand
       .join(base.alias("a"), col("doc_a") === col("a.doc_id"))
       .join(base.alias("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (matches.cast(DoubleType) / 8.0).as("est_jacc"))
-    // exact Jaccard computed inline (est_jacc rides through the two
-    // base joins) — joining exactJaccard's projection back on the pair
-    // key would plan a needless SortMergeJoin.
+        (matches.cast(DoubleType) / 8.0).as("est_jacc"),
+        col("a.sl").as("s_a"), col("b.sl").as("s_b"))
     val inter = graft.functions.VectorFunctions.sortedIntersectLong(col("s_a"), col("s_b"))
     est
-      .join(base.select(col("doc_id").as("doc_a"), col("sl").as("s_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sl").as("s_b")), "doc_b")
       .withColumn("inter", inter)
       .withColumn("jacc", col("inter").cast(DoubleType) /
         (size(col("s_a")) + size(col("s_b")) - col("inter")))

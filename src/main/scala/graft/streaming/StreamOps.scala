@@ -140,14 +140,19 @@ object StreamOps {
       }
   }
 
-  /** foreachBatch parquet sink: transactional per epoch, the standard
-    * pattern for routing a stream into a batch-queryable lake. */
+  /** foreachBatch parquet sink, idempotent per epoch: the epoch id
+    * keys the directory and the write OVERWRITES it, so a replayed
+    * epoch (restart from checkpoint after a crash mid-commit — the
+    * case foreachBatch's at-least-once contract guarantees WILL
+    * happen) lands the same rows once instead of appending
+    * duplicates. This overwrite-by-epoch is what makes the
+    * at-least-once callback an exactly-once lake. */
   def toParquetSink(df: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/epoch=$epochId")
+        batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
       }
       .start()
 
