@@ -43,6 +43,11 @@ object BloomJoin {
   def prefilteredJoinManaged(
       probe: DataFrame, build: DataFrame, key: String,
       expectedKeys: Long = 1000000L, fpp: Double = 0.01): (DataFrame, () => Unit) = {
+    // Spark's stat.bloomFilter NPEs on an empty build side (the
+    // sketch aggregate returns null bytes) — and an empty build means
+    // an empty inner join, no filter needed.
+    if (build.isEmpty)
+      return (probe.filter(lit(false)).join(build, Seq(key)), () => ())
     val bloom = build.stat.bloomFilter(key, expectedKeys, fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: java.lang.Long) =>
