@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{FloatCosine, FloatDotProduct}
+import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct}
 
 /** SQL-surface registration for the engine's custom expressions
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[FloatCosine].getName, "graft_cosine"),
       (children: Seq[Expression]) => FloatCosine(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_char_bigrams"),
+      new ExpressionInfo(classOf[CharBigrams].getName, "graft_char_bigrams"),
+      (children: Seq[Expression]) => CharBigrams(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -309,7 +309,72 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** One-pass char-bigram extraction: all `substr(text, i, 2)` windows
+  * (i = 1 .. numChars-1) computed in a SINGLE walk over the UTF-8
+  * bytes. The `explode(sequence) + substr(text, i, 2)` formulation
+  * this replaces calls UTF8String.substring once per index, and each
+  * call re-scans from byte 0 to find the char boundary (UTF-8 is
+  * variable-width) — O(len²) characters touched per document. Here
+  * the boundary table is built once and every bigram is a zero-copy
+  * slice view: O(len). Bigram VALUES are identical (same
+  * char-boundary semantics as substr), so the langid scoring and its
+  * DuckDB oracle are unaffected.
+  */
+object CharBigramsUtil {
+  def bigrams(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    // char-boundary byte offsets (one walk)
+    val offsets = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < nBytes) {
+      offsets(c) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offsets(c) = nBytes
+    if (c < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](c - 1)
+    var k = 0
+    while (k < c - 1) {
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        bytes, offsets(k), offsets(k + 2) - offsets(k))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class CharBigrams(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_bigrams"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_char_bigrams expects string, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharBigramsUtil.bigrams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharBigramsUtil.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigrams =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
+  /** Column API for the one-pass char-bigram array. */
+  def charBigrams(text: Column): Column =
+    ColumnBridge.column(CharBigrams(ColumnBridge.expression(text)))
+
+
   /** Column API for the codegen'd dot product over float32 arrays. */
   def floatDot(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -355,14 +355,17 @@ object LlmExtras {
     // and its two consumers recompute it in parallel for less than
     // the columnar cache write of 1.5M rows costs (re-measured after
     // the index-explode rewrite: persisting adds ~1 s one-shot).
-    // length > 1 guard: Spark's sequence(1, 0) counts DOWN ([1, 0]),
-    // unlike the oracle's empty range — and a bigram-less doc is
-    // absent from the output under both formulations anyway.
+    // r6: bigrams come from the one-pass graft_char_bigrams
+    // expression — the previous explode(sequence) + substr(text, i, 2)
+    // called UTF8String.substring per index, and each call re-scans
+    // from byte 0 to find the char boundary: O(len²) per document,
+    // paid TWICE (both consumers rebuild bg). Same bigram values
+    // (substr char semantics), same row set: a doc with <2 chars
+    // yields an empty array and explode drops it, exactly like the
+    // length guard + empty sequence did.
     val bg = docs.repartition(32)
-      .filter(length(col("text")) > 1)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, length(text) - 1)")).as("i"))
-      .select(col("doc_id"), expr("substr(text, i, 2)").as("b"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.charBigrams(col("text"))).as("b"))
     val clb = bg.join(broadcast(docs.select(col("doc_id"), col("lang"))), "doc_id")
       .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))

@@ -164,4 +164,28 @@ class VectorExpressionsSpec extends SparkSpec {
         threePass(col("v2"), col("v")).as("ref"))
     assert(df2.filter(col("fused") =!= col("ref")).count() == 0)
   }
+
+  test("charBigrams equals the explode(sequence)+substr formulation, incl. multibyte") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, "日本語のテキスト処理"),   // multibyte CJK
+        (100002L, "héllo wörld ñ"),          // 2-byte chars mixed in
+        (100003L, "a"),                       // single char -> no bigrams
+        (100004L, "")                         // empty -> no bigrams
+      ).toDF("doc_id", "text"))
+    val viaExpr = docs.select(col("doc_id"),
+      explode(VectorFunctions.charBigrams(col("text"))).as("b"))
+    val viaSubstr = docs.filter(length(col("text")) > 1)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 1)")).as("i"))
+      .select(col("doc_id"), expr("substr(text, i, 2)").as("b"))
+    assert(viaExpr.exceptAll(viaSubstr).count() == 0)
+    assert(viaSubstr.exceptAll(viaExpr).count() == 0)
+    // explicit spot check on the CJK row: chars, not bytes
+    val cjk = viaExpr.filter(col("doc_id") === 100001L)
+      .collect().map(_.getString(1)).toSeq
+    assert(cjk.head == "日本" && cjk.length == 9)
+  }
 }
