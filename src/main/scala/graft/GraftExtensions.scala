@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct}
+import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct, TermCounts, WordBigrams}
 
 /** SQL-surface registration for the engine's custom expressions
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_char_bigrams"),
       new ExpressionInfo(classOf[CharBigrams].getName, "graft_char_bigrams"),
       (children: Seq[Expression]) => CharBigrams(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
+      (children: Seq[Expression]) => TermCounts(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_bigrams"),
+      new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
+      (children: Seq[Expression]) => WordBigrams(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -22,9 +22,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The same per-key shuffle presizing the bench applies
+    // (PartitionPolicy): the hash gate must certify the EXACT plans
+    // the bench times, so a policy value that changed results would
+    // fail here, not ship silently.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      spark.conf.set("spark.sql.shuffle.partitions",
+        PartitionPolicy.forKey(name, sessionParts).toString)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

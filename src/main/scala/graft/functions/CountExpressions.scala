@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local multiset counting — the "wordcount without the shuffle
+  * of every occurrence" primitive (SURVEY §2 text family; VERDICT r6
+  * items 3-4).
+  *
+  * `explode(tokens) → groupBy(doc, token).count()` ships ONE ROW PER
+  * OCCURRENCE through Generate and an aggregation exchange before
+  * anything combines; for a 100 TB corpus that is the corpus's entire
+  * token stream on the wire. Counting occurrences WITHIN the row
+  * first (`explode(graft_term_counts(tokens))`) emits one row per
+  * DISTINCT term per document — the same (doc, term, tf) table the
+  * groupBy produced, at the document's distinct-term cardinality
+  * (~40-60% of the occurrence stream for natural language, and the
+  * per-doc aggregation is gone entirely, not just map-side-combined).
+  *
+  * Implemented as a static-call codegen expression in the
+  * CharBigramsUtil style: the hash-count loop runs in one JVM method
+  * per row, and the expression stays inside whole-stage codegen (a
+  * higher-order-function RLE over sort_array would fall out of
+  * codegen AND pay the interpreted-lambda Generate path — measured 3x
+  * slower on this corpus for the char-bigram build it replaced).
+  */
+object TermCountsUtil {
+  private val emptyArray = new GenericArrayData(Array.empty[Any])
+
+  /** (term, tf) pairs for one string array, first-occurrence order
+    * (deterministic for a given input — downstream aggregations are
+    * order-blind, but determinism keeps reruns bit-identical). */
+  def counts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return emptyArray
+    // LinkedHashMap: O(1) upsert + stable first-occurrence iteration.
+    // Values are one-element long arrays to avoid box-unbox churn on
+    // the increment path.
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](
+      math.min(n * 2, 1 << 16))
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val c = m.get(s)
+        if (c == null) m.put(s, Array(1L)) else c(0) += 1L
+      }
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_term_counts(array<string>) -> array<struct<term, tf>>`. */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_term_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_term_counts expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TermCountsUtil.counts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TermCountsUtil.counts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+/** One-pass adjacent-pair strings: `[a, b, c] -> ["a b", "b c"]` —
+  * the word-bigram builder for the n-gram language model, replacing
+  * the `explode(sequence(2, size(t))) + t[i-2] || ' ' || t[i-1]`
+  * index-explode (which ships one row per POSITION through Generate
+  * before the bigram string even exists). Composes with
+  * `graft_term_counts` so the LM's count tables build from
+  * one-row-per-distinct-bigram-per-doc. */
+object WordBigramsUtil {
+  private val emptyArray = new GenericArrayData(Array.empty[Any])
+  private val space = UTF8String.fromString(" ")
+
+  def bigrams(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return emptyArray
+    val out = new Array[Any](n - 1)
+    var prev = arr.getUTF8String(0)
+    var k = 1
+    while (k < n) {
+      val cur = arr.getUTF8String(k)
+      out(k - 1) = UTF8String.concatWs(space, prev, cur)
+      prev = cur
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_word_bigrams(array<string>) -> array<string>`. */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_bigrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_bigrams expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordBigramsUtil.bigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBigramsUtil.bigrams($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+}

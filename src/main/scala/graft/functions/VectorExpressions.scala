@@ -374,6 +374,15 @@ object VectorFunctions {
   def charBigrams(text: Column): Column =
     ColumnBridge.column(CharBigrams(ColumnBridge.expression(text)))
 
+  /** Column API for the row-local multiset count:
+    * array<string> -> array<struct<term, tf>>. */
+  def termCounts(arr: Column): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(arr)))
+
+  /** Column API for the one-pass adjacent-pair (word-bigram) array. */
+  def wordBigrams(arr: Column): Column =
+    ColumnBridge.column(WordBigrams(ColumnBridge.expression(arr)))
+
 
   /** Column API for the codegen'd dot product over float32 arrays. */
   def floatDot(a: Column, b: Column): Column =

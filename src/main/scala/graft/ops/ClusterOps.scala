@@ -105,6 +105,14 @@ object ClusterOps {
     // min(id, min neighbor)) — for the common shallow clusters (pairs,
     // small stars) the seed IS the fixpoint and the loop's first
     // iteration only confirms it, saving a full round.
+    // SINGLE-THREADED ASSUMPTION (ADVICE r6): this scopes the
+    // session-global shuffle-partition conf around the loop (restored
+    // in finally), which is safe for the Verify/Bench/test drivers —
+    // all single-query-at-a-time, the same contract the harness's
+    // per-key partition policy (graft.PartitionPolicy) relies on. A
+    // host running concurrent queries on a shared SparkSession must
+    // wrap this query in spark.newSession() so the conf mutation is
+    // session-local to it.
     s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val finalLabels = try {
     val nm0 = edges.groupBy(col("dst")).agg(min(col("src")).as("nm"))

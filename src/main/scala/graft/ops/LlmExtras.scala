@@ -338,36 +338,34 @@ object LlmExtras {
       |FROM pred JOIN documents USING (doc_id)
       |ORDER BY doc_id""") { (s, d) =>
     val docs = Tables.documents(s, d)
-    // Char bigrams by exploding the INDEX sequence and slicing per
-    // row: substr stays inside whole-stage codegen, whereas exploding
-    // a zip_with()'d array pays the interpreted-lambda Generate path
-    // (measured 3x slower on this corpus) — and this is literally the
-    // oracle's own substr(text, i, 2) formulation.
-    // The per-(doc,b) tf table the oracle names is never built here:
-    // SUM(tf*c) over distinct bigrams == SUM(c) over raw occurrences
-    // (and SUM(tf) per (lang,b) == COUNT(*) per (lang,b)), so scoring
-    // runs straight off occurrences and skips a 1.2M-row groupBy
-    // shuffle. Integer sums — exact, hence still hash-identical to
-    // the oracle's formulation.
-    // repartition before the explode: the one-file scan is a single
-    // partition — without it the ~1.5M-row bigram build lives on one
+    // r7: the oracle's per-(doc, b) tf table IS built now — but
+    // row-locally, with zero aggregation shuffle: graft_char_bigrams
+    // walks the UTF-8 bytes once (O(len), zero-copy slices — the r6
+    // fix for the O(len²) substr re-scans), and graft_term_counts
+    // hash-counts the bigrams within the row, so the explode emits
+    // one row per DISTINCT bigram per doc (~40% of the ~1.5M-row
+    // occurrence stream the r6 form shipped through Generate and
+    // BOTH downstream consumers). Weighting every consumer by tf
+    // keeps the sums over occurrences: SUM(tf) per (lang,b) ==
+    // COUNT(*) per (lang,b), and per doc SUM(tf*c) over distinct
+    // bigrams == SUM(c) over raw occurrences. Integer sums — exact,
+    // hence still hash-identical to the oracle's formulation.
+    // repartition before the count pass: the one-file scan is a
+    // single partition — without it the bigram build lives on one
     // core. NOT persisted: the build is a stateless codegen map pass
     // and its two consumers recompute it in parallel for less than
-    // the columnar cache write of 1.5M rows costs (re-measured after
-    // the index-explode rewrite: persisting adds ~1 s one-shot).
-    // r6: bigrams come from the one-pass graft_char_bigrams
-    // expression — the previous explode(sequence) + substr(text, i, 2)
-    // called UTF8String.substring per index, and each call re-scans
-    // from byte 0 to find the char boundary: O(len²) per document,
-    // paid TWICE (both consumers rebuild bg). Same bigram values
-    // (substr char semantics), same row set: a doc with <2 chars
-    // yields an empty array and explode drops it, exactly like the
+    // the columnar cache write costs (measured on the bigger r6
+    // occurrence table: persisting added ~1 s one-shot).
+    // Same row semantics at the edges: a doc with <2 chars yields an
+    // empty bigram array and explode drops it, exactly like the
     // length guard + empty sequence did.
     val bg = docs.repartition(32)
       .select(col("doc_id"),
-        explode(graft.functions.VectorFunctions.charBigrams(col("text"))).as("b"))
+        explode(graft.functions.VectorFunctions.termCounts(
+          graft.functions.VectorFunctions.charBigrams(col("text")))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("b"), col("tc.tf").as("tf"))
     val clb = bg.join(broadcast(docs.select(col("doc_id"), col("lang"))), "doc_id")
-      .groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c"))
     val ltot = clb.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
     // score via a PIVOTED centroid table: one broadcast join row per
     // doc-bigram with 5 count columns, instead of a 5x row blowup.
@@ -380,8 +378,8 @@ object LlmExtras {
       .select(col("b") +: langs.map(l => coalesce(col(l), lit(0L)).as(s"c_$l")): _*)
     val summed = bg.join(broadcast(clbWide), "b")
       .groupBy(col("doc_id"))
-      .agg(sum(col("c_de")).as("s_de"),
-        langs.tail.map(l => sum(col(s"c_$l")).as(s"s_$l")): _*)
+      .agg(sum(col("tf") * col("c_de")).as("s_de"),
+        langs.tail.map(l => sum(col("tf") * col(s"c_$l")).as(s"s_$l")): _*)
     // argmax over the five wide score columns, ties to the
     // alphabetically-first lang — exactly the oracle's
     // row_number() OVER (ORDER BY sc DESC, lang) = 1, but with no

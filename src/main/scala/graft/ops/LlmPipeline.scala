@@ -249,13 +249,25 @@ object LlmPipeline {
       |ORDER BY doc_id""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    // persisted: tf feeds BOTH the vocabulary aggregate (broadcast
-    // side) and the scoring join's stream side — unpersisted, the
-    // explode + first shuffle run twice per execution (the
+    // r7: the (doc, term, tf) table builds ROW-LOCALLY — one
+    // hash-count pass per document (codegen'd graft_term_counts),
+    // exploded at one row per DISTINCT term per doc. The r6 form
+    // (explode every occurrence → groupBy(doc, term)) shipped the
+    // corpus's whole token stream through Generate and an aggregation
+    // exchange just to count within-document runs; that shuffle is
+    // gone entirely (the bm25 zero-explode pattern, applied to an
+    // unbounded vocabulary). repartition before the count pass: the
+    // one-file scan is a single partition and the counting is the
+    // query's heavy compute. Persisted: tf feeds BOTH the vocabulary
+    // aggregate (broadcast side) and the scoring join's stream side,
+    // and its recompute branch contains the repartition shuffle (the
     // persist-when-the-branch-reshuffles rule; caller unpersists via
     // clearCache, same convention as the dedup prep tables).
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = docs.repartition(32)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.termCounts(
+          split(col("text"), " "))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))

@@ -36,7 +36,9 @@ object BloomJoin {
     * join's last action has run. Without a release path every call
     * would pin an MB-scale broadcast for the session's lifetime
     * (unbounded accumulation in a long-lived per-partition pipeline —
-    * the /tmp-growth failure mode, on the driver). The plain
+    * the /tmp-growth failure mode, on the driver). release() only
+    * unpersists (drops executor copies): the DataFrame stays valid
+    * afterwards and re-broadcasts lazily if re-executed. The plain
     * `prefilteredJoin` wrapper keeps the one-shot ergonomics for
     * session-scoped use and documents that it leaks until
     * session end. */
@@ -52,8 +54,15 @@ object BloomJoin {
     val bc = probe.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k))
+    // unpersist(), not destroy(): it frees the executor copies (the
+    // MB-scale cost release() exists to bound) but keeps the driver-
+    // side value, so a re-execution of the returned DataFrame after
+    // release (a later action, a cache-evicted recompute, a retried
+    // stage) lazily re-broadcasts instead of throwing on a destroyed
+    // broadcast. destroy()'s only extra saving is the one driver-side
+    // copy — not worth making the DataFrame a use-after-free hazard.
     (probe.filter(mightContain(col(key))).join(build, Seq(key)),
-      () => bc.destroy())
+      () => bc.unpersist())
   }
 
   /** One-shot form: the bloom's broadcast lives until the session

@@ -31,7 +31,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * spec-tested (SimSearchSpec), not oracle-graded.
   *
   * Column contract: `corpus` has (idCol: long, bucketCol, vecCol:
-  * array<float>); `query` is one row bearing `vecCol`. At 100 TB the
+  * array<float>) with a UNIFORM vector dimension — bucket routing
+  * normalizes by max over dims of the per-(bucket, dim) row count,
+  * which equals |B| exactly when every vector is full-length. A
+  * ragged corpus still routes deterministically (short vectors act
+  * zero-padded in the bucket mean, recall-only impact — exact
+  * rescoring inside probed buckets is unaffected) but should be
+  * length-normalized upstream. `query` is one row bearing `vecCol`.
+  * At 100 TB the
   * corpus count comes free from catalog/AQE stats and the per-bucket
   * sums are a precomputed table maintained by the ingest pipeline;
   * both are computed inline here (one metadata count + one

@@ -24,6 +24,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(2) > 0), "no boilerplate detected at all")
   }
 
+  test("boilerplate_ngram: broadcast and shuffle boiler modes return identical rows") {
+    // the size-threshold switch must be strategy-only: the exchange
+    // layout changes, the result set must not (PLANS.md r6 open item
+    // 2 — the graded key freezes broadcast mode; this is the proof
+    // the degradation path is safe to flip to at scale).
+    val b = CorpusOps.boilerplateFrame(spark, sf, boilerMode = "broadcast")
+      .collect().map(_.toSeq).toSeq
+    val sh = CorpusOps.boilerplateFrame(spark, sf, boilerMode = "shuffle")
+      .collect().map(_.toSeq).toSeq
+    assert(b.nonEmpty && b == sh)
+  }
+
+  test("boilerplate boiler-join switch picks broadcast below the bound, shuffle above") {
+    assert(CorpusOps.chooseBoilerJoin(10, 100) == "broadcast")
+    assert(CorpusOps.chooseBoilerJoin(100, 100) == "broadcast")
+    assert(CorpusOps.chooseBoilerJoin(101, 100) == "shuffle")
+    // auto mode resolves without error and matches broadcast results
+    // at fixture scale (boiler set far under the default bound)
+    val auto = CorpusOps.boilerplateFrame(spark, sf, boilerMode = "auto")
+      .collect().map(_.toSeq).toSeq
+    val b = CorpusOps.boilerplateFrame(spark, sf, boilerMode = "broadcast")
+      .collect().map(_.toSeq).toSeq
+    assert(auto == b)
+  }
+
   test("corpus_zipf: ranks are 1..n, frequencies non-increasing, ratios sum to ~1") {
     val rows = CorpusOps.corpusZipf.run(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 100)
