@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Golden shuffle-exchange counts — the plan-shape regression guard
+  * VERDICT r6 item 2 asked for: PlanInvariantsSpec excludes the
+  * catastrophic shapes (cartesian products, unpartitioned windows),
+  * but nothing stopped a refactor from silently ADDING an exchange to
+  * a query that still returns the right rows. Every graded query's
+  * static-plan ShuffleExchangeExec count is pinned here against the
+  * value audited in PLANS.md.
+  *
+  * Counted on `executedPlan` (exchanges are inserted by the
+  * EnsureRequirements PREPARATION rule — `sparkPlan` has none) with
+  * AQE scoped OFF (the adaptive wrapper hides children from
+  * collect()). Exchange reuse has already run, so a self-join's
+  * shared shuffle counts once — the number is "distinct shuffles this
+  * plan pays", which is exactly the regression currency.
+  *
+  * To update DELIBERATELY after a plan change:
+  * `sbt "Test / runMain graft.tools.ShuffleAudit"` regenerates the
+  * block; paste it here and note the why in PLANS.md.
+  */
+class GoldenShufflesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val golden: Map[String, Int] = Map(
+    "agg_approx_distinct" -> 2,
+    "agg_collect_sorted" -> 2,
+    "agg_count_distinct" -> 3,
+    "agg_cube" -> 2,
+    "agg_grouping_sets" -> 2,
+    "agg_histogram_bucketed" -> 3,
+    "agg_mode_deterministic" -> 3,
+    "agg_quantiles_exact" -> 2,
+    "agg_regression_explicit" -> 2,
+    "agg_rollup" -> 2,
+    "agg_stats_explicit" -> 2,
+    "ann_ivf_label" -> 2,
+    "anomaly_mad" -> 4,
+    "bm25_topdocs" -> 1,
+    "boilerplate_ngram" -> 4,
+    "cdc_apply_orders" -> 3,
+    "chunk_sliding_windows" -> 2,
+    "contamination_ngram" -> 5,
+    "corpus_zipf" -> 1,
+    "curation_funnel" -> 5,
+    "dedup_cluster_cc" -> 2,
+    "dedup_exact_docs" -> 2,
+    "dedup_minhash_lsh" -> 2,
+    "dedup_near_embedding" -> 2,
+    "dedup_near_jaccard" -> 2,
+    "dedup_simhash" -> 4,
+    "embed_quantize_int8" -> 2,
+    "entity_match_fuzzy" -> 3,
+    "filter_above_group_avg" -> 2,
+    "filter_compound" -> 1,
+    "fn_array" -> 1,
+    "fn_conditional" -> 3,
+    "fn_date" -> 1,
+    "fn_higher_order" -> 1,
+    "fn_map_json" -> 1,
+    "fn_math" -> 1,
+    "fn_string" -> 1,
+    "fn_string_distance" -> 1,
+    "funnel_steps" -> 4,
+    "graph_degree_stats" -> 7,
+    "harmonize_cube" -> 2,
+    "harmonize_provenance" -> 3,
+    "harmonize_unmappable" -> 2,
+    "join_anti" -> 1,
+    "join_asof_event" -> 2,
+    "join_broadcast_dim" -> 1,
+    "join_bucketed_colo" -> 2,
+    "join_cross_small" -> 1,
+    "join_full_outer" -> 3,
+    "join_inner_equi" -> 1,
+    "join_left_outer" -> 1,
+    "join_nullsafe_eq" -> 1,
+    "join_semi" -> 1,
+    "join_skew_salted" -> 4,
+    "join_star_3way" -> 2,
+    "join_theta_range" -> 1,
+    "kmeans_assign" -> 5,
+    "knn_per_label" -> 3,
+    "lateral_topn_orders" -> 2,
+    "merge_upsert_customers" -> 4,
+    "minhash_est_audit" -> 2,
+    "mix_domain_weighted" -> 1,
+    "multimodal_binary_meta" -> 1,
+    "multimodal_enrich" -> 2,
+    "pack_sequences" -> 2,
+    "pivot_event_types" -> 3,
+    "profile_orders" -> 2,
+    "project_arithmetic" -> 1,
+    "q1_pricing_summary" -> 2,
+    "reconcile_orders_items" -> 4,
+    "retention_cohorts" -> 3,
+    "rolling_7d_value" -> 3,
+    "sample_hash_docs" -> 1,
+    "sample_stratified_docs" -> 2,
+    "sample_token_budget" -> 2,
+    "scan_parquet_project" -> 1,
+    "scd2_event_state" -> 2,
+    "sessionize_events" -> 2,
+    "set_except" -> 2,
+    "set_except_all" -> 2,
+    "set_intersect" -> 2,
+    "set_intersect_all" -> 2,
+    "set_union_all" -> 1,
+    "set_union_distinct" -> 2,
+    "sim_lsh_bucketed" -> 0,
+    "sim_search_topk" -> 0,
+    "snapshot_diff_orders" -> 3,
+    "sort_multikey" -> 1,
+    "source_csv_roundtrip" -> 1,
+    "source_json_props" -> 1,
+    "source_json_roundtrip" -> 2,
+    "source_orc_roundtrip" -> 2,
+    "source_partitioned_prune" -> 2,
+    "source_schema_merge" -> 2,
+    "source_sorted_ranges" -> 2,
+    "split_train_holdout" -> 2,
+    "stream_dedup_keyed" -> 2,
+    "stream_interval_join" -> 2,
+    "stream_session_windows" -> 2,
+    "stream_sliding_windows" -> 2,
+    "stream_tumbling_counts" -> 2,
+    "text_char_stats" -> 4,
+    "text_fingerprint" -> 2,
+    "text_lang_profile" -> 3,
+    "text_langid" -> 7,
+    "text_ngram_logprob" -> 4,
+    "text_pii_scrub" -> 2,
+    "text_quality" -> 1,
+    "text_repetition" -> 4,
+    "text_tfidf_topterms" -> 4,
+    "text_token_count" -> 1,
+    "text_token_tf" -> 1,
+    "timeseries_gapfill" -> 3,
+    "topk_global" -> 0,
+    "topk_per_group" -> 2,
+    "udaf_weighted_avg" -> 2,
+    "udf_slugify" -> 1,
+    "udtf_bigrams" -> 2,
+    "unpivot_melt" -> 1,
+    "win_distribution" -> 2,
+    "win_first_last" -> 2,
+    "win_lag_lead" -> 2,
+    "win_range_numeric" -> 2,
+    "win_rank_dense_row" -> 2,
+    "win_running_sum" -> 2,
+    "win_session_running" -> 2,
+    "win_sliding_avg" -> 2)
+
+  test("every graded query is pinned") {
+    val keys = SparkEntry.queries.keySet
+    assert(golden.keySet == keys,
+      s"golden map out of sync: missing=${(keys -- golden.keySet).toSeq.sorted} " +
+        s"stale=${(golden.keySet -- keys).toSeq.sorted}")
+  }
+
+  test("no graded query plans more shuffle exchanges than its audited count") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val drifted = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val n = fn(spark, sf).queryExecution.executedPlan.collect {
+          case _: ShuffleExchangeExec => 1
+        }.sum
+        if (n != golden(name)) Some(s"$name: $n shuffles (audited ${golden(name)})")
+        else None
+      }
+      assert(drifted.isEmpty,
+        "shuffle-count drift (run graft.tools.ShuffleAudit and update " +
+          "deliberately if intended):\n  " + drifted.mkString("\n  "))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+}

@@ -17,12 +17,17 @@ object ShuffleAudit {
   def main(args: Array[String]): Unit = {
     val spark = graft.SparkSpec.session
     val sf = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val n = fn(spark, sf).queryExecution.sparkPlan.collect {
+    // Exchanges are inserted by the EnsureRequirements PREPARATION
+    // rule, so they only exist in executedPlan — and AQE must be off
+    // or the adaptive wrapper hides the exchange nodes from collect()
+    // (same conf scoping as GoldenShufflesSpec; single-threaded).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val n = fn(spark, sf).queryExecution.executedPlan.collect {
         case _: ShuffleExchangeExec => 1
       }.sum
       println(s"""    "$name" -> $n,""")
-    }
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
     spark.stop()
   }
 }
