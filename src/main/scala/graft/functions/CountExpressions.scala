@@ -102,20 +102,51 @@ object WordBigramsUtil {
   private val emptyArray = new GenericArrayData(Array.empty[Any])
   private val space = UTF8String.fromString(" ")
 
-  def bigrams(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    if (n < 2) return emptyArray
-    val out = new Array[Any](n - 1)
-    var prev = arr.getUTF8String(0)
-    var k = 1
-    while (k < n) {
-      val cur = arr.getUTF8String(k)
-      out(k - 1) = UTF8String.concatWs(space, prev, cur)
-      prev = cur
+  /** Space-joined n-token windows, one pass, zero-copy element reads.
+    * `[a,b,c] -> ["a b","b c"]` at n=2; the 5-gram shape feeds the
+    * boilerplate detector. */
+  def ngrams(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return emptyArray
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](len - n + 1)
+    val window = new Array[UTF8String](n)
+    var k = 0
+    while (k <= len - n) {
+      System.arraycopy(toks, k, window, 0, n)
+      out(k) = UTF8String.concatWs(space, window: _*)
       k += 1
     }
     new GenericArrayData(out)
   }
+
+  def bigrams(arr: ArrayData): ArrayData = ngrams(arr, 2)
+}
+
+/** `graft_word_ngrams(array<string>, n) -> array<string>` (n is a
+  * plan-time literal, so codegen bakes it into the static call). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_word_ngrams: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_ngrams expects array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordBigramsUtil.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordBigramsUtil.ngrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
 }
 
 /** `graft_word_bigrams(array<string>) -> array<string>`. */

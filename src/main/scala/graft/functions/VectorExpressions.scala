@@ -383,6 +383,10 @@ object VectorFunctions {
   def wordBigrams(arr: Column): Column =
     ColumnBridge.column(WordBigrams(ColumnBridge.expression(arr)))
 
+  /** Column API for the one-pass n-token-window array. */
+  def wordNgrams(arr: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(arr), n))
+
 
   /** Column API for the codegen'd dot product over float32 arrays. */
   def floatDot(a: Column, b: Column): Column =

@@ -69,20 +69,28 @@ object CorpusOps {
       .repartition(32)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
-    // Distinct (doc, 5-gram-hash) pairs, built with the index-explode
-    // pattern (sequence-explode + row-level xxhash64 stays inside
-    // whole-stage codegen; Generate over an interpreted higher-order
-    // expression re-evaluates the lambda pathologically).
-    val grams = toks
-      .select(col("doc_id"), col("t"), explode(expr("sequence(5, size(t))")).as("i"))
-      .select(col("doc_id"), xxhash64(concat_ws(" ",
-        expr("t[i-5]"), expr("t[i-4]"), expr("t[i-3]"),
-        expr("t[i-2]"), expr("t[i-1]"))).as("g"))
-      .distinct()
+    // r7: the DISTINCT (doc, 5-gram) set deduplicates ROW-LOCALLY —
+    // graft_word_ngrams builds the 5-token windows in one pass and
+    // graft_term_counts' keys are the per-doc distinct grams, so the
+    // corpus-pair `.distinct()` exchange the r5 index-explode shape
+    // paid (every (doc, gram-hash) pair on the wire just to dedup
+    // within documents) is GONE, and the per-doc distinct-gram count
+    // is `size(tcs)` — no aggregation at all. Persisting the one-row-
+    // per-doc array table (not the exploded pairs) makes both explode
+    // consumers a codegen map over cached rows. Gram identity still
+    // ships as xxhash64 longs (now of the prebuilt n-gram string —
+    // byte-identical input to the r5 concat_ws, same values, same
+    // accepted collision risk; hashes never reach the output).
+    val gramArrs = toks
+      .select(col("doc_id"), graft.functions.VectorFunctions.termCounts(
+        graft.functions.VectorFunctions.wordNgrams(col("t"), 5)).as("tcs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = gramArrs
+      .select(col("doc_id"), explode(col("tcs")).as("tc"))
+      .select(col("doc_id"), xxhash64(col("tc.term")).as("g"))
     val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val boiler = df.filter(col("df") >= 3).select(col("g"))
-    val per = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val per = gramArrs.select(col("doc_id"), size(col("tcs")).cast("long").as("n_grams"))
     // the boilerplate set is the df>=3 tail — while it stays small,
     // broadcast it instead of letting unknown aggregate stats plan
     // gram-table SMJs; past the row bound, the plain join degrades

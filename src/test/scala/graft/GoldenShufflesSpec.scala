@@ -40,7 +40,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "ann_ivf_label" -> 2,
     "anomaly_mad" -> 4,
     "bm25_topdocs" -> 1,
-    "boilerplate_ngram" -> 4,
+    // r7: row-local distinct gram build removed the corpus-pair
+    // .distinct() exchange (PLANS.md r7)
+    "boilerplate_ngram" -> 3,
     "cdc_apply_orders" -> 3,
     "chunk_sliding_windows" -> 2,
     "contamination_ngram" -> 5,
