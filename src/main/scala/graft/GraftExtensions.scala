@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct, TermCounts, WordBigrams}
+import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct, MinhashPrep, ShingleHashes, TermCounts, WordBigrams, WordNgrams}
 
 /** SQL-surface registration for the engine's custom expressions
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -35,6 +35,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_word_bigrams"),
       new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
       (children: Seq[Expression]) => WordBigrams(children.head)))
+    // the Int-parameterized expressions take n as a literal second arg
+    def litInt(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: n must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_word_ngrams"),
+      (children: Seq[Expression]) =>
+        WordNgrams(children.head, litInt(children(1), "graft_word_ngrams"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children.head, litInt(children(1), "graft_shingle_hashes"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_prep"),
+      new ExpressionInfo(classOf[MinhashPrep].getName, "graft_minhash_prep"),
+      (children: Seq[Expression]) =>
+        MinhashPrep(children.head, litInt(children(1), "graft_minhash_prep"))))
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

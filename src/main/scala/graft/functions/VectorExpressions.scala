@@ -387,6 +387,14 @@ object VectorFunctions {
   def wordNgrams(arr: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(arr), n))
 
+  /** Column API for the fused sorted-distinct shingle-hash set. */
+  def shingleHashes(arr: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(arr), n))
+
+  /** Column API for the fused shingle-set + minhash-window prep. */
+  def minhashPrep(arr: Column, n: Int): Column =
+    ColumnBridge.column(MinhashPrep(ColumnBridge.expression(arr), n))
+
 
   /** Column API for the codegen'd dot product over float32 arrays. */
   def floatDot(a: Column, b: Column): Column =

@@ -105,19 +105,23 @@ object LlmExtras {
     *
     * The repartition spreads the one-partition fixture scan. */
   private[ops] def shingleBase(s: SparkSession, d: String): DataFrame =
+    // r7: the whole prep is the fused one-pass graft_minhash_prep
+    // expression — the declarative form ran ~11 interpreted lambda
+    // traversals per doc (n-gram transform, xxhash64 transform, md5
+    // transform, then 8 array_min(transform(substring)) walks); md5
+    // is now computed once per DISTINCT shingle and the windows
+    // stream past their minima in the same loop. Same hash values,
+    // same signature strings (the expression replicates xxhash64's
+    // seed-42 function and substr(md5hex, 3i+1, 8) exactly —
+    // ShingleExpressionsSpec pins both against the SQL forms).
     Tables.documents(s, d)
       .repartition(32)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), expr(
-        "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))")
-        .as("sh"))
       .select(col("doc_id"),
-        sort_array(array_distinct(expr("transform(sh, x -> xxhash64(x))"))).as("sl"),
-        expr("transform(sh, x -> md5(x))").as("hs"))
-      .select(Seq(col("doc_id"), col("sl")) ++ (0 until 8).map(i =>
-        expr(s"array_min(transform(hs, h -> substring(h, ${3 * i + 1}, 8)))")
-          .as(s"h$i")): _*)
+        graft.functions.VectorFunctions.minhashPrep(col("t"), 3).as("mp"))
+      .select(Seq(col("doc_id"), col("mp.sl").as("sl")) ++ (0 until 8).map(i =>
+        col("mp.mins").getItem(i).as(s"h$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Band buckets → distinct candidate pairs (doc_a < doc_b).

@@ -123,10 +123,15 @@ object LlmPipeline {
     // so |hash set| = |token set| and hash-set intersections equal
     // token-set intersections. The subtree is cheap enough that both
     // join sides just recompute it (at 100 TB, persist(dd) here).
+    // r7: graft_shingle_hashes(t, 1) — one compiled pass instead of
+    // the interpreted transform lambda; dedups by hash where the old
+    // form deduped by token (identical sets absent a 64-bit collision
+    // within one document — the same standing assumption the jacc
+    // math above already documents).
     val dd = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
-          .as("ts"))
+        graft.functions.VectorFunctions.shingleHashes(
+          split(col("text"), " "), 1).as("ts"))
       .withColumn("sz", size(col("ts")))
     val a = dd.select(col("doc_id").as("doc_a"), col("lang"),
       col("ts").as("ts_a"), col("sz").as("sz_a"),

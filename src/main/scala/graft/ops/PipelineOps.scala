@@ -58,24 +58,21 @@ object PipelineOps {
         .repartition(32)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 3)
-    // Corpus: per-doc sorted distinct shingle-hash array in one
-    // stateless row-level pass (the dedup_near_jaccard construction,
-    // 3-grams instead of tokens).
+    // Corpus: per-doc sorted distinct shingle-hash array in ONE
+    // compiled pass (r7: graft_shingle_hashes replaces the
+    // interpreted transform-lambda stack — same values, same sort,
+    // same distinct-by-hash semantics; ShingleExpressionsSpec pins
+    // the equality against the declarative form).
     def shingled(src: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      toks(src).select(col("doc_id"), sort_array(array_distinct(expr(
-        "transform(sequence(3, size(t)), i -> xxhash64(concat_ws(' ', t[i-3], t[i-2], t[i-1])))")))
-        .as("sh"))
-    // Benchmark set as ONE sorted array row. Built by exploding the
-    // INDEX sequence and hashing per row — NOT by exploding the
-    // transform()'d array: a Generate over an interpreted
-    // higher-order expression re-evaluates the lambda pathologically
-    // (measured ~10x this formulation on the same data), while
-    // sequence-explode + row-level xxhash64 stays inside whole-stage
-    // codegen end to end.
+      toks(src).select(col("doc_id"),
+        graft.functions.VectorFunctions.shingleHashes(col("t"), 3).as("sh"))
+    // Benchmark set as ONE sorted array row: per-doc distinct hash
+    // arrays from the same compiled pass, exploded (Generate over a
+    // codegen'd custom expression — not a higher-order lambda), then
+    // the cross-document distinct + one collect.
     val bench = toks(_ === "src0")
-      .select(col("t"), explode(expr("sequence(3, size(t))")).as("i"))
-      .select(xxhash64(concat_ws(" ",
-        expr("t[i-3]"), expr("t[i-2]"), expr("t[i-1]"))).as("h"))
+      .select(explode(
+        graft.functions.VectorFunctions.shingleHashes(col("t"), 3)).as("h"))
       .distinct()
       .agg(sort_array(collect_list(col("h"))).as("bench"))
     val inter = graft.functions.VectorFunctions

@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The fused shingle-prep expressions must be BIT-identical to the
+  * declarative lambda stacks they replaced — the DuckDB oracles for
+  * the whole near-dup family hash against those formulations. */
+class ShingleExpressionsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toks = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .filter(size(col("t")) >= 3)
+
+  test("shingleHashes(t, 3) equals sort_array(array_distinct(transform(xxhash64)))") {
+    val fused = toks.select(col("doc_id"),
+      VectorFunctions.shingleHashes(col("t"), 3).as("sh"))
+    val declarative = toks.select(col("doc_id"), sort_array(array_distinct(expr(
+      "transform(sequence(3, size(t)), i -> xxhash64(concat_ws(' ', t[i-3], t[i-2], t[i-1])))")))
+      .as("sh"))
+    assert(fused.count() > 0)
+    assert(fused.exceptAll(declarative).isEmpty && declarative.exceptAll(fused).isEmpty)
+  }
+
+  test("shingleHashes(t, 1) equals the token-hash form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fused = docs.select(col("doc_id"),
+      VectorFunctions.shingleHashes(split(col("text"), " "), 1).as("ts"))
+    val declarative = docs.select(col("doc_id"),
+      sort_array(expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))")).as("ts"))
+    assert(fused.exceptAll(declarative).isEmpty && declarative.exceptAll(fused).isEmpty)
+  }
+
+  test("minhashPrep reproduces sl and all 8 md5-window minima exactly") {
+    val fused = toks.select(col("doc_id"),
+      VectorFunctions.minhashPrep(col("t"), 3).as("mp"))
+      .select(Seq(col("doc_id"), col("mp.sl").as("sl")) ++ (0 until 8).map(i =>
+        col("mp.mins").getItem(i).as(s"h$i")): _*)
+    val declarative = toks
+      .select(col("doc_id"), expr(
+        "transform(sequence(3, size(t)), i -> concat_ws(' ', t[i-3], t[i-2], t[i-1]))").as("sh"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(expr("transform(sh, x -> xxhash64(x))"))).as("sl"),
+        expr("transform(sh, x -> md5(x))").as("hs"))
+      .select(Seq(col("doc_id"), col("sl")) ++ (0 until 8).map(i =>
+        expr(s"array_min(transform(hs, h -> substring(h, ${3 * i + 1}, 8)))").as(s"h$i")): _*)
+    assert(fused.count() > 0)
+    assert(fused.exceptAll(declarative).isEmpty && declarative.exceptAll(fused).isEmpty)
+  }
+
+  test("fewer than n tokens yields an empty hash set and null minima") {
+    import spark.implicits._
+    val row = Seq(Tuple1(Seq("a", "b")))
+      .toDF("t")
+      .select(VectorFunctions.shingleHashes(col("t"), 3).as("sh"),
+        VectorFunctions.minhashPrep(col("t"), 3).as("mp"))
+      .head()
+    assert(row.getSeq[Long](0).isEmpty)
+    val mp = row.getStruct(1)
+    assert(mp.getSeq[Long](0).isEmpty)
+    assert(mp.getSeq[String](1).forall(_ == null))
+  }
+
+  test("graft_shingle_hashes / graft_minhash_prep are callable from SQL") {
+    val row = spark.sql(
+      """SELECT graft_shingle_hashes(array('a','b','c','a','b','c'), 3) AS sh,
+        |       graft_minhash_prep(array('a','b','c'), 3).mins[0] AS m0""".stripMargin)
+      .head()
+    // 4 windows, 2 distinct 3-grams ("a b c", "b c a", "c a b", "a b c")
+    assert(row.getSeq[Long](0).size == 3)
+    assert(row.getString(1) != null && row.getString(1).length == 8)
+  }
+}
