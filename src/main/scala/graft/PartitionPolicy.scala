@@ -45,7 +45,7 @@ object PartitionPolicy {
     * their innermost shuffle — a single reduce task beats 4 by more
     * than noise (no range-sampling job on the presentation sort, one
     * task launch per stage). */
-  private val narrow: Set[String] = Set(
+  private[graft] val narrow: Set[String] = Set(
     "agg_collect_sorted", "dedup_exact_docs", "dedup_minhash_lsh",
     "join_star_3way", "lateral_topn_orders", "retention_cohorts",
     "source_orc_roundtrip", "source_partitioned_prune")
@@ -54,7 +54,7 @@ object PartitionPolicy {
     * parallel work at bench scale (bm25's build-side stats feed a
     * 32-wide probe; the theta-range join and the FK-reconciliation
     * anti-joins carry order-item volume into the reduce). */
-  private val wide: Set[String] = Set(
+  private[graft] val wide: Set[String] = Set(
     "bm25_topdocs", "join_theta_range", "reconcile_orders_items")
 
   /** Shuffle-partition count for one graded query, never above the

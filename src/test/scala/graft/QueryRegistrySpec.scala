@@ -76,6 +76,16 @@ class QueryRegistrySpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("PartitionPolicy exception keys exist in the registry") {
+    // a renamed/removed graded key must not leave a stale policy
+    // entry silently falling back to the default tier
+    val keys = SparkEntry.queries.keySet
+    val stale = (PartitionPolicy.narrow ++ PartitionPolicy.wide).filterNot(keys)
+    assert(stale.isEmpty, s"policy entries without a registry key: $stale")
+    assert((PartitionPolicy.narrow & PartitionPolicy.wide).isEmpty,
+      "a key cannot be both narrow and wide")
+  }
+
   test("every declared query runs at sf0.001") {
     // noop sink, NOT count(): count() lets Catalyst prune projections,
     // hiding per-column expression errors that Verify's parquet write
