@@ -172,22 +172,28 @@ object EvolutionQueries {
         col("o_totalprice").cast(DecimalType(12, 2)).as("price"),
         (conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 4), 16, 10)
           .cast(IntegerType) % 100).as("b"))
-    val upd1 = base.filter(col("b") < 30)
-      .select(col("k"), col("prio"),
-        (col("price") + 100).cast(DecimalType(12, 2)).as("price"),
-        lit(1).as("seq"), lit("U").as("op"))
-    val upd2 = base.filter(col("b") < 10)
-      .select(col("k"), col("prio"),
-        (col("price") + 200).cast(DecimalType(12, 2)).as("price"),
-        lit(2).as("seq"), lit("U").as("op"))
-    val del = base.filter(col("b") >= 30 && col("b") < 40)
-      .select(col("k"), col("prio"), col("price"), lit(1).as("seq"), lit("D").as("op"))
-    val ins = base.filter(col("b") >= 95)
-      .select((col("k") + 10000000L).as("k"), col("prio"), col("price"),
-        lit(1).as("seq"), lit("I").as("op"))
+    // r7: the five changefeed branches synthesize in ONE scan pass —
+    // the union-of-filters form re-read the parquet and recomputed
+    // the md5 routing hash once PER BRANCH (5x the scan and 5x the
+    // hashing for the same rows). Each base row now emits its five
+    // candidate log records through one row-local explode (array of
+    // like-typed structs, all codegen — no higher-order lambda) and a
+    // keep-flag filter; row set and values are identical, so the
+    // oracle (which keeps the UNION ALL spelling) still hash-matches.
+    def rec(keep: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column,
+        seq: Int, op: String, price: org.apache.spark.sql.Column) =
+      struct(keep.as("keep"), k.as("k"), lit(seq).as("seq"), lit(op).as("op"),
+        col("prio").as("prio"), price.cast(DecimalType(12, 2)).as("price"))
     val allV = base
-      .select(col("k"), col("prio"), col("price"), lit(0).as("seq"), lit("I").as("op"))
-      .union(upd1).union(upd2).union(del).union(ins)
+      .select(explode(array(
+        rec(lit(true), col("k"), 0, "I", col("price")),
+        rec(col("b") < 30, col("k"), 1, "U", col("price") + 100),
+        rec(col("b") < 10, col("k"), 2, "U", col("price") + 200),
+        rec(col("b") >= 30 && col("b") < 40, col("k"), 1, "D", col("price")),
+        rec(col("b") >= 95, col("k") + 10000000L, 1, "I", col("price")))).as("r"))
+      .filter(col("r.keep"))
+      .select(col("r.k").as("k"), col("r.prio").as("prio"),
+        col("r.price").as("price"), col("r.seq").as("seq"), col("r.op").as("op"))
     // last-writer-wins as a HASH AGGREGATE, not a window: seq is
     // unique per key, so max(struct(seq, …)) picks the surviving
     // version with map-side partial aggregation and no per-key sort —
