@@ -65,6 +65,28 @@ class OpsPropertySpec extends SparkSpec {
     }
   }
 
+  test("r7-rewritten queries are shuffle-partition invariant on sf0.001") {
+    // the row-local counting rewrites (tfidf/langid/ngram_logprob/
+    // boilerplate/cdc) must return identical rows at any
+    // spark.sql.shuffle.partitions — the PartitionPolicy presizing
+    // relies on it (Verify certifies one conf; this pins the
+    // invariance itself)
+    val sf = "/root/testdata/sf0.001"
+    val keys = Seq("text_tfidf_topterms", "text_langid", "text_ngram_logprob",
+      "boilerplate_ngram", "cdc_apply_orders")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try keys.foreach { k =>
+      def rows(parts: Int): Set[Seq[Any]] = {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val out = SparkEntry.queries(k)(spark, sf).collect().map(_.toSeq).toSet
+        spark.catalog.clearCache()
+        out
+      }
+      val (one, seven) = (rows(1), rows(7))
+      assert(one == seven, s"$k differs between 1 and 7 shuffle partitions")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("graded near-dup jaccard equals a direct string-set formulation on sf0.001") {
     // engine-internal parity guard for the hashed encoding: the graded
     // query intersects sorted xxhash64 arrays; this recomputes every
