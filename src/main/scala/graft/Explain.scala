@@ -19,7 +19,12 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val keys = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
+    // same per-key presizing as Bench/Verify, so the printed exchange
+    // partition counts are the ones the timed runs actually use
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     SparkEntry.defs.filter(d => keys.contains(d.key)).foreach { d =>
+      spark.conf.set("spark.sql.shuffle.partitions",
+        PartitionPolicy.forKey(d.key, sessionParts).toString)
       println(s"\n======== ${d.key} ========")
       d.run(spark, sfDir).explain("formatted")
     }
