@@ -27,16 +27,9 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         graft.TempDirs.create("graft-warehouse"))
       .config("spark.ui.enabled", "false")
-    // experiment hook: SPARK_GRAFT_CONF="k=v,k=v" overrides any conf.
-    // (Comma is the entry separator, so list-valued confs can't be set
-    // here; a segment without '=' fails loudly instead of MatchError.)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) => builder.config(k, v)
-        case _ => sys.error(s"SPARK_GRAFT_CONF entry without '=': '$kv'")
-      }
-    })
-    val spark = builder.getOrCreate()
+    // experiment hook: SPARK_GRAFT_CONF="k=v,k=v" overrides any conf
+    // (shared with Verify/Explain — HarnessConf, ADVICE r7).
+    val spark = HarnessConf.applyEnv(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JVM/codegen/vectorized-reader/broadcast/window/Generate
     // classloading costs otherwise land on whichever query happens to
@@ -166,8 +159,7 @@ object Bench {
     // disables it — that env hook exists precisely for global sweeps,
     // which the per-key policy would silently defeat.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val policyActive = !sys.env.get("SPARK_GRAFT_CONF")
-      .exists(_.contains("spark.sql.shuffle.partitions"))
+    val policyActive = HarnessConf.policyActive
     def applyPolicy(key: String): Unit = if (policyActive)
       spark.conf.set("spark.sql.shuffle.partitions",
         PartitionPolicy.forKey(key, sessionParts).toString)
@@ -192,6 +184,17 @@ object Bench {
         System.err.println(s"[bench] warm-up failed for ${failed.size}: ${failed.mkString(", ")}")
     }
     System.gc()
+    // Host load (1-min avg from /proc/loadavg) at start and end of
+    // the timed loop, recorded as additive JSON fields (the driver
+    // reads metric/value/queries and ignores extras — the `failed`
+    // precedent). Every round's adjudication of driver-vs-builder
+    // deltas has hinged on INFERRING external contention; this
+    // measures it instead (VERDICT r7 item 3).
+    def load1: Double = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val loadStart = load1
     // failures must be LOUD: a query that throws after 0.1 s would
     // otherwise be recorded as a fast success and make the shipped
     // total look better — the same misrepresentation the full-run
@@ -228,6 +231,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val loadEnd = load1
+    val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)}"""
     val slowest = results.sortBy(-_._2).take(25)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // failed queries surface in the JSON itself (additive field — the
@@ -238,7 +243,7 @@ object Bench {
     if (crashed.nonEmpty)
       System.err.println(s"[bench] ${crashed.size} queries FAILED: ${crashed.mkString(", ")}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)}$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)}$failedJson$loadJson,"sf":"$sfDir"}"""
     // Against sbt's [info]/[success] wrapping defeating the driver's
     // stdout parser (parsed=null in rounds 1+2): emit the bare line
     // ONCE on stdout AFTER spark.stop() (so it is the true last
@@ -258,7 +263,7 @@ object Bench {
     if (args.isEmpty) {
       writeFile("BENCH.json", line)
       writeFile("BENCH_full.json",
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.sortBy(_._1))}$failedJson,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.sortBy(_._1))}$failedJson$loadJson,"sf":"$sfDir"}""")
     }
     System.err.println(line)
     spark.stop()

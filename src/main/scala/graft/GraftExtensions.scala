@@ -35,11 +35,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_word_bigrams"),
       new ExpressionInfo(classOf[WordBigrams].getName, "graft_word_bigrams"),
       (children: Seq[Expression]) => WordBigrams(children.head)))
-    // the Int-parameterized expressions take n as a literal second arg
-    def litInt(e: Expression, fn: String): Int = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => throw new IllegalArgumentException(
-        s"$fn: n must be an integer literal, got $other")
+    // The Int-parameterized expressions take n as a foldable integral
+    // second arg. Accepting any foldable (a 2L long literal, a CAST
+    // around one, a folded arithmetic expression) instead of only a
+    // bare IntegerType Literal, and failing with a real
+    // AnalysisException (standard NON_FOLDABLE_ARGUMENT error class)
+    // instead of a raw IllegalArgumentException mid-analysis
+    // (ADVICE r7).
+    def litInt(e: Expression, fn: String): Int = {
+      def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> s"`$fn`", "paramName" -> "`n`", "paramType" -> "\"INT\""),
+        None)
+      if (!e.resolved || !e.foldable) fail()
+      e.eval() match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case _ => fail()
+      }
     }
     ext.injectFunction((
       new FunctionIdentifier("graft_word_ngrams"),

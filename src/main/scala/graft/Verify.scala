@@ -10,7 +10,7 @@ object Verify {
     // iteration only — the driver always calls with exactly two args).
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = HarnessConf.applyEnv(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
@@ -18,20 +18,24 @@ object Verify {
       .config("spark.sql.warehouse.dir",
         TempDirs.create("graft-warehouse"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // The same per-key shuffle presizing the bench applies
     // (PartitionPolicy): the hash gate must certify the EXACT plans
     // the bench times, so a policy value that changed results would
-    // fail here, not ship silently.
+    // fail here, not ship silently. Both the SPARK_GRAFT_CONF
+    // overrides and the policy-disable condition are SHARED with
+    // Bench/Explain (HarnessConf, ADVICE r7) — during a sweep all
+    // three drivers see the swept conf, not a mix.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      spark.conf.set("spark.sql.shuffle.partitions",
-        PartitionPolicy.forKey(name, sessionParts).toString)
+      if (HarnessConf.policyActive)
+        spark.conf.set("spark.sql.shuffle.partitions",
+          PartitionPolicy.forKey(name, sessionParts).toString)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

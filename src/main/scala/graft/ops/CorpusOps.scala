@@ -359,8 +359,22 @@ object CorpusOps {
         log(col("c").cast(DoubleType) / col("c1"))
           .cast(DecimalType(28, 18)).as("lp"))
       .groupBy(col("doc_id"))
+      // The (6,0) bound on tf is LOAD-BEARING for bit-exactness
+      // (ADVICE r7): tf(6,0) × lp(28,18) products and their sum stay
+      // within DECIMAL(38,18) un-rescaled — a wider tf precision
+      // would push the product type past 38, force a down-rescale,
+      // and expose the engines' divergent rounding (Protocol D2). The
+      // cost is an assumption: one bigram repeated ≥10^6 times WITHIN
+      // one document would overflow, and a non-ANSI cast would
+      // silently null it, corrupting slp. At the 100 TB tier that
+      // must fail loudly, not corrupt — hence the raise_error branch
+      // (codegen'd row-local conditional, never taken on sane docs;
+      // a 10^6-token doc is pre-filterable long before this scorer).
       .agg(sum(col("tf")).as("n_bigrams"),
-        sum(col("tf").cast(DecimalType(6, 0)) * col("lp")).as("slp"))
+        sum(when(col("tf") < 1000000, col("tf").cast(DecimalType(6, 0)))
+          .otherwise(raise_error(concat(
+            lit("text_ngram_logprob: per-doc bigram tf overflows DECIMAL(6,0): "),
+            col("tf").cast(StringType)))) * col("lp")).as("slp"))
       .select(col("doc_id"), col("n_bigrams"),
         floor((col("slp").cast(DoubleType) * -1) / col("n_bigrams") * 1000 + 0.5)
           .cast(LongType).as("nll_mnat"))

@@ -76,6 +76,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "join_broadcast_dim" -> 1,
     "join_bucketed_colo" -> 2,
     "join_cross_small" -> 1,
+    // r8: group-agg + presentation sort; dim broadcast and the DPP
+    // subquery reuse it, so pruning adds no exchange (PLANS.md r8)
+    "join_dpp_partitioned" -> 2,
     "join_full_outer" -> 3,
     "join_inner_equi" -> 1,
     "join_left_outer" -> 1,

@@ -76,9 +76,12 @@ class OpsPropertySpec extends SparkSpec {
       "boilerplate_ngram", "cdc_apply_orders")
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try keys.foreach { k =>
-      def rows(parts: Int): Set[Seq[Any]] = {
+      // sorted multiset, not toSet (ADVICE r7): a partition-count-
+      // dependent change in duplicate-row MULTIPLICITY must fail too
+      def rows(parts: Int): Seq[String] = {
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        val out = SparkEntry.queries(k)(spark, sf).collect().map(_.toSeq).toSet
+        val out = SparkEntry.queries(k)(spark, sf).collect()
+          .map(_.toString).sorted.toSeq
         spark.catalog.clearCache()
         out
       }

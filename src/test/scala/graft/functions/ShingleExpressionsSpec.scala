@@ -72,4 +72,23 @@ class ShingleExpressionsSpec extends SparkSpec {
     assert(row.getSeq[Long](0).size == 3)
     assert(row.getString(1) != null && row.getString(1).length == 8)
   }
+
+  test("SQL n argument accepts any foldable integral, rejects non-foldable cleanly") {
+    // ADVICE r7: a 2L long literal / CAST / folded arithmetic must all
+    // work, and a column reference must fail analysis with a real
+    // AnalysisException (NON_FOLDABLE_ARGUMENT), not a raw
+    // IllegalArgumentException from inside the function builder.
+    val ok = spark.sql(
+      """SELECT size(graft_shingle_hashes(array('a','b','c','d'), 3L)) AS a,
+        |       size(graft_shingle_hashes(array('a','b','c','d'), CAST(3 AS INT))) AS b,
+        |       size(graft_shingle_hashes(array('a','b','c','d'), 1 + 2)) AS c""".stripMargin)
+      .head()
+    assert(ok.getInt(0) == 2 && ok.getInt(1) == 2 && ok.getInt(2) == 2)
+    import spark.implicits._
+    Seq((Seq("a", "b"), 2)).toDF("t", "n").createOrReplaceTempView("litint_probe")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_shingle_hashes(t, n) FROM litint_probe").collect()
+    }
+    assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.toString)
+  }
 }
