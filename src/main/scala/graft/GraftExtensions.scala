@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct, MinhashPrep, ShingleHashes, TermCounts, WordBigrams, WordNgrams}
+import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct, LshBucket, MinhashPrep, ShingleHashes, SimhashSig, TermCounts, WordBigrams, WordNgrams}
 
 /** SQL-surface registration for the engine's custom expressions
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -71,6 +71,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashPrep].getName, "graft_minhash_prep"),
       (children: Seq[Expression]) =>
         MinhashPrep(children.head, litInt(children(1), "graft_minhash_prep"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
+      (children: Seq[Expression]) =>
+        SimhashSig(children.head, litInt(children(1), "graft_simhash"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) =>
+        LshBucket(children.head, children(1),
+          litInt(children(2), "graft_lsh_bucket"),
+          litInt(children(3), "graft_lsh_bucket"))))
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

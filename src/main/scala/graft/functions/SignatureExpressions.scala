@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused signature folds for the sketch family (PLANS.md r7 open
+  * item 2, VERDICT r7 item 5 — the last two measured interpreted-
+  * lambda sites with recoverable mass).
+  *
+  * Both replace a NESTED `aggregate(sequence(...), aggregate(...))`
+  * higher-order tree: the built-in HOFs bind lambda variables
+  * interpreted per element, and nesting multiplies the evaluations
+  * (32 × terms per document for simhash; 8 planes × 64 dims per
+  * vector for the LSH bucket ≈ 10M lambda calls over the sf0.1
+  * embeddings). Each fold is one compiled loop per row inside
+  * whole-stage codegen, in the ShingleExpressions style.
+  *
+  * Numerics are IDENTICAL to the trees they replace (integer adds /
+  * shifts only — order-free exact sums), pinned by the paired
+  * equivalence tests in SignatureExpressionsSpec; the consumer keys'
+  * oracle hashes are unchanged.
+  */
+object SignatureUtil {
+
+  /** Tf-weighted simhash over (hash, tf) pairs: vote[j] += tf if bit
+    * j of h is set else -tf; signature bit j set iff vote[j] > 0.
+    *
+    * Null parity with the SQL fold it replaces (unreachable from
+    * `collect_list(struct(h, tf))`, but parity beats assumption): a
+    * null element or null tf nulls the inner per-bit aggregate, which
+    * the outer IF(«null» > 0, …) folds to 0 for EVERY bit — signature
+    * 0; a null h with a valid tf hits IF's null-predicate FALSE
+    * branch, contributing -tf to every bit like a never-set hash. */
+  def simhash(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0L
+      val t = arr.getStruct(i, 2)
+      if (t.isNullAt(1)) return 0L
+      val tf = t.getLong(1)
+      if (t.isNullAt(0)) {
+        var j = 0
+        while (j < bits) { votes(j) -= tf; j += 1 }
+      } else {
+        val h = t.getLong(0)
+        var j = 0
+        while (j < bits) {
+          if (((h >> j) & 1L) == 1L) votes(j) += tf else votes(j) -= tf
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0L) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Random-hyperplane LSH bucket: for each plane p, project the
+    * milli-quantized vector (`(long) floor(x * 1000)` per component —
+    * the repo-wide exact-integer quantization protocol) onto the ±1
+    * sign row `signs[p*dims .. p*dims+dims-1]`; bucket bit p is the
+    * projection's sign.
+    *
+    * Null/length parity with the `zip_with(embedding, slice(signs,…))
+    * + coalesce` tree it replaces: a missing component on EITHER side
+    * (short array or null element) contributes 0 to the projection,
+    * never nulls it. */
+  def lshBucket(emb: ArrayData, signs: ArrayData, planes: Int, dims: Int): Long = {
+    val embLen = emb.numElements()
+    val signsLen = signs.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val base = p * dims
+      // zip length per plane: min over the vector and this plane's
+      // available sign row (both tails coalesce to 0 terms)
+      var n = dims
+      if (embLen < n) n = embLen
+      if (signsLen - base < n) n = math.max(signsLen - base, 0)
+      var sp = 0L
+      var i = 0
+      while (i < n) {
+        if (!emb.isNullAt(i) && !signs.isNullAt(base + i)) {
+          sp += signs.getLong(base + i) *
+            (Math.floor(emb.getFloat(i).toDouble * 1000.0)).toLong
+        }
+        i += 1
+      }
+      if (sp > 0L) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** `graft_simhash(array<struct<long, long>>, bits) -> long` (bits is
+  * a plan-time literal baked into the static call). */
+case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"graft_simhash: bits must be in [1,64], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(Array(a, b)), _)
+        if a.dataType == LongType && b.dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects array<struct<long, long>>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SignatureUtil.simhash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureUtil.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSig =
+    copy(child = newChild)
+}
+
+/** `graft_lsh_bucket(array<float>, array<long>, planes, dims) -> long`
+  * (planes/dims are plan-time literals baked into the static call;
+  * the ±1000 milli-quantization scale is the repo-wide protocol). */
+case class LshBucket(left: Expression, right: Expression, planes: Int, dims: Int)
+    extends BinaryExpression {
+  require(planes >= 1 && planes <= 64,
+    s"graft_lsh_bucket: planes must be in [1,64], got $planes")
+  require(dims >= 1, s"graft_lsh_bucket: dims must be >= 1, got $dims")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket expects (array<float>, array<long>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureUtil.lshBucket(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], planes, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SignatureUtil.lshBucket($a, $b, $planes, $dims);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucket =
+    copy(left = newLeft, right = newRight)
+}

@@ -396,6 +396,15 @@ object VectorFunctions {
     ColumnBridge.column(MinhashPrep(ColumnBridge.expression(arr), n))
 
 
+  /** Column API for the fused tf-weighted simhash signature fold. */
+  def simhashSig(hts: Column, bits: Int): Column =
+    ColumnBridge.column(SimhashSig(ColumnBridge.expression(hts), bits))
+
+  /** Column API for the fused random-hyperplane LSH bucket fold. */
+  def lshBucket(emb: Column, signs: Column, planes: Int, dims: Int): Column =
+    ColumnBridge.column(LshBucket(
+      ColumnBridge.expression(emb), ColumnBridge.expression(signs), planes, dims))
+
   /** Column API for the codegen'd dot product over float32 arrays. */
   def floatDot(a: Column, b: Column): Column =
     ColumnBridge.column(

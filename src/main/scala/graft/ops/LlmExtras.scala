@@ -258,17 +258,16 @@ object LlmExtras {
       conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType))
     // The oracle spells the 32 bit-votes as a 32x CROSS JOIN row
     // blowup; here each doc folds its (hash, tf) pairs through ONE
-    // nested higher-order expression — same integer votes (order-free
-    // exact sums), zero extra rows, zero extra shuffles.
+    // compiled pass (graft_simhash, SignatureExpressions — r8; the r7
+    // form was a nested interpreted `aggregate(sequence(0,31),
+    // aggregate(hts, …))` paying 32 × terms lambda evals per doc) —
+    // same integer votes (order-free exact sums), zero extra rows,
+    // zero extra shuffles. Bit-equality with the SQL fold pinned by
+    // SignatureExpressionsSpec.
     val sig = hv.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("h"), col("tf"))).as("hts"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) ->
-          |  acc + IF(
-          |    aggregate(hts, CAST(0 AS BIGINT),
-          |      (a, t) -> a + IF((t.h >> j) & 1 = 1, t.tf, -t.tf)) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
-        .as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhashSig(col("hts"), 32).as("simhash"))
     sig.select(col("doc_id"), col("simhash"),
         count(lit(1)).over(Window.partitionBy(col("simhash"))).as("group_size"))
       .orderBy(col("doc_id"))
@@ -606,13 +605,15 @@ object LlmExtras {
       """transform(sequence(0, 511), k ->
         |  IF(CAST(conv(substring(md5(concat_ws(':', k div 64, k % 64 + 1)), 1, 2), 16, 10) AS INT) % 2 = 0,
         |     CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))""".stripMargin).as("signs"))
-    val bucketExpr = expr(
-      """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) ->
-        |  acc + IF(
-        |    aggregate(zip_with(embedding, slice(signs, p * 64 + 1, 64), (x, sg) ->
-        |        coalesce(sg * CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT), CAST(0 AS BIGINT))),
-        |      CAST(0 AS BIGINT), (a, b) -> a + b) > 0,
-        |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""".stripMargin)
+    // r8: the bucket fold is one compiled pass per vector
+    // (graft_lsh_bucket, SignatureExpressions) — the r7 form was a
+    // nested interpreted `aggregate(sequence(0,7),
+    // aggregate(zip_with(…)))` paying 8 planes × 64 dims lambda evals
+    // per vector (~10M over the sf0.1 embeddings). Identical integer
+    // math (sign × exact milli-scaled components, sign threshold,
+    // bit-OR), pinned by SignatureExpressionsSpec.
+    val bucketExpr = graft.functions.VectorFunctions
+      .lshBucket(col("embedding"), col("signs"), 8, 64)
     val withB = e.crossJoin(broadcast(signsRow))
       .select(col("vec_id"), col("embedding"), bucketExpr.as("bucket"))
     // MULTI-PROBE: the query's own bucket plus every Hamming-distance-1
