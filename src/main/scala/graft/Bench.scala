@@ -184,17 +184,14 @@ object Bench {
         System.err.println(s"[bench] warm-up failed for ${failed.size}: ${failed.mkString(", ")}")
     }
     System.gc()
-    // Host load (1-min avg from /proc/loadavg) at start and end of
-    // the timed loop, recorded as additive JSON fields (the driver
-    // reads metric/value/queries and ignores extras — the `failed`
-    // precedent). Every round's adjudication of driver-vs-builder
-    // deltas has hinged on INFERRING external contention; this
-    // measures it instead (VERDICT r7 item 3).
-    def load1: Double = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-    } catch { case scala.util.control.NonFatal(_) => -1.0 }
-    val loadStart = load1
+    // Host load (1-min avg, HarnessConf.load1 — shared with Verify's
+    // stderr bracket) at start and end of the timed loop, recorded as
+    // additive JSON fields (the driver reads metric/value/queries and
+    // ignores extras — the `failed` precedent). Every round's
+    // adjudication of driver-vs-builder deltas has hinged on
+    // INFERRING external contention; this measures it instead
+    // (VERDICT r7 item 3, r8 item 3).
+    val loadStart = HarnessConf.load1
     // failures must be LOUD: a query that throws after 0.1 s would
     // otherwise be recorded as a fast success and make the shipped
     // total look better — the same misrepresentation the full-run
@@ -231,7 +228,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val loadEnd = load1
+    val loadEnd = HarnessConf.load1
     val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)}"""
     val slowest = results.sortBy(-_._2).take(25)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -39,21 +39,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // second arg. Accepting any foldable (a 2L long literal, a CAST
     // around one, a folded arithmetic expression) instead of only a
     // bare IntegerType Literal, and failing with a real
-    // AnalysisException (standard NON_FOLDABLE_ARGUMENT error class)
-    // instead of a raw IllegalArgumentException mid-analysis
-    // (ADVICE r7).
+    // AnalysisException mid-analysis instead of a raw
+    // IllegalArgumentException (ADVICE r7). The error class matches
+    // the actual defect (ADVICE r8): NON_FOLDABLE_ARGUMENT only for
+    // a genuinely non-foldable arg; a foldable arg whose VALUE is
+    // unusable (null literal, out-of-Int-range long, non-integral
+    // type) raises the standard INVALID_PARAMETER_VALUE.INTEGER.
     def litInt(e: Expression, fn: String): Int = {
-      def fail(): Nothing = throw new org.apache.spark.sql.AnalysisException(
-        "NON_FOLDABLE_ARGUMENT",
-        Map("funcName" -> s"`$fn`", "paramName" -> "`n`", "paramType" -> "\"INT\""),
-        None)
-      if (!e.resolved || !e.foldable) fail()
+      if (!e.resolved || !e.foldable)
+        throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> s"`$fn`", "paramName" -> "`n`", "paramType" -> "\"INT\""),
+          None)
       e.eval() match {
         case i: Int => i
         case l: Long if l.isValidInt => l.toInt
         case s: Short => s.toInt
         case b: Byte => b.toInt
-        case _ => fail()
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          "INVALID_PARAMETER_VALUE.INTEGER",
+          Map("parameter" -> "`n`", "functionName" -> s"`$fn`",
+            "invalidValue" -> String.valueOf(other)),
+          None)
       }
     }
     ext.injectFunction((

@@ -21,20 +21,44 @@ import org.apache.spark.sql.SparkSession
   */
 object HarnessConf {
 
-  /** Apply the SPARK_GRAFT_CONF overrides to a session builder. */
-  def applyEnv(builder: SparkSession.Builder): SparkSession.Builder = {
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+  /** SPARK_GRAFT_CONF parsed into (key, value) entries — ONE parse
+    * shared by applyEnv and policyActive, so the conf a sweep sets
+    * and the conf the policy gate tests are the same string split the
+    * same way (ADVICE r8: the old substring `contains` let a VALUE
+    * mentioning the partitions key, or a longer key with it as a
+    * prefix, disable the policy without pinning anything). */
+  private[graft] def parseEntries(conf: String): Seq[(String, String)] =
+    conf.split(',').toSeq.map { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) => builder.config(k, v)
+        case Array(k, v) => (k, v)
         case _ => sys.error(s"SPARK_GRAFT_CONF entry without '=': '$kv'")
       }
-    })
+    }
+
+  private def envEntries: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(parseEntries)
+
+  /** Apply the SPARK_GRAFT_CONF overrides to a session builder. */
+  def applyEnv(builder: SparkSession.Builder): SparkSession.Builder = {
+    envEntries.foreach { case (k, v) => builder.config(k, v) }
     builder
   }
 
   /** Is the per-key shuffle presizing in force for this process? One
     * definition, so Bench (timing), Verify (hash gate), and Explain
-    * (plan dumps) always flip together. */
-  def policyActive: Boolean = !sys.env.get("SPARK_GRAFT_CONF")
-    .exists(_.contains("spark.sql.shuffle.partitions"))
+    * (plan dumps) always flip together. Key EQUALITY against the
+    * parsed entries — exactly the keys applyEnv would set. */
+  def policyActive: Boolean = policyActiveFor(sys.env.get("SPARK_GRAFT_CONF"))
+
+  private[graft] def policyActiveFor(conf: Option[String]): Boolean =
+    !conf.toSeq.flatMap(parseEntries).exists(_._1 == "spark.sql.shuffle.partitions")
+
+  /** 1-minute host load average from /proc/loadavg (-1.0 if
+    * unreadable). Bench records it as JSON fields, Verify on stderr —
+    * both drivers' artifacts attribute contention the same way
+    * (VERDICT r8 item 3). */
+  def load1: Double = try {
+    java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+  } catch { case scala.util.control.NonFatal(_) => -1.0 }
 }

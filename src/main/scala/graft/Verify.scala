@@ -22,6 +22,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Host load bracketing the hash-gate run, same probe as Bench's
+    // load_start/load_end JSON fields (VERDICT r8 item 3): a
+    // contended Verify run is attributable too.
+    System.err.println(f"[verify] load_start=${HarnessConf.load1}%.3f")
     // The same per-key shuffle presizing the bench applies
     // (PartitionPolicy): the hash gate must certify the EXACT plans
     // the bench times, so a policy value that changed results would
@@ -62,6 +66,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(f"[verify] load_end=${HarnessConf.load1}%.3f")
     spark.stop()
   }
 }

