@@ -50,4 +50,37 @@ class SqlEntrySpec extends SparkSpec {
         |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).collect()
     assert(sims.length == 5 && sims.forall(_.getDouble(1) > 0.0))
   }
+
+  test("SQL-text and DataFrame forms of graft_cosine compile to the identical plan") {
+    // VERDICT r8 item 5: the extension registration (entry point B)
+    // must produce the SAME expression tree the DataFrame builders
+    // produce — not merely the same rows. Canonicalized optimized
+    // plans compare structurally (exprIds normalized), so any drift
+    // between the two surfaces (a cast, a different child order, a
+    // wrapper) fails here.
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_cosine(embedding, embedding) AS c FROM embeddings")
+    val viaDf = spark.table("embeddings")
+      .select(col("vec_id"),
+        functions.VectorFunctions.floatCosine(col("embedding"), col("embedding")).as("c"))
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ==
+      viaDf.queryExecution.optimizedPlan.canonicalized,
+      s"SQL:\n${viaSql.queryExecution.optimizedPlan}\nDF:\n${viaDf.queryExecution.optimizedPlan}")
+  }
+
+  test("SQL-text and DataFrame forms of a litInt-parameterized expression match") {
+    // Same contract for the builder path that folds the SQL `n`
+    // argument into the expression's Int parameter (litInt): the
+    // SQL literal 3 and the Scala literal 3 must yield one plan.
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_shingle_hashes(split(text, ' '), 3) AS sh FROM documents")
+    val viaDf = spark.table("documents")
+      .select(col("doc_id"),
+        functions.VectorFunctions.shingleHashes(split(col("text"), " "), 3).as("sh"))
+    assert(viaSql.queryExecution.optimizedPlan.canonicalized ==
+      viaDf.queryExecution.optimizedPlan.canonicalized,
+      s"SQL:\n${viaSql.queryExecution.optimizedPlan}\nDF:\n${viaDf.queryExecution.optimizedPlan}")
+  }
 }
