@@ -133,6 +133,19 @@ class SignatureExpressionsSpec extends SparkSpec {
       lshRows.mkString("; "))
   }
 
+  test("the interpreted eval path folds top-level null to 0 too") {
+    // The dataframe-level null test above typically runs through
+    // codegen; the eval override is the path Spark's silent
+    // codegen-failure fallback takes. Call it directly.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val htsType = ArrayType(StructType(Seq(
+      StructField("h", LongType), StructField("tf", LongType))))
+    assert(SimhashSig(Literal.create(null, htsType), 32).eval(null) == 0L)
+    assert(LshBucket(
+      Literal.create(null, ArrayType(FloatType)),
+      Literal.create(null, ArrayType(LongType)), 8, 64).eval(null) == 0L)
+  }
+
   test("graft_simhash / graft_lsh_bucket are callable from SQL") {
     val row = spark.sql(
       """SELECT graft_simhash(array(struct(CAST(5 AS BIGINT) AS h, CAST(2 AS BIGINT) AS tf)), 32) AS s,
