@@ -19,6 +19,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val keys = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
+    run(spark, keys, sfDir)
+    spark.stop()
+  }
+
+  /** The session-lifecycle-free body, so a spec can smoke the audit
+    * loop against the shared test session without main's stop(). */
+  def run(spark: SparkSession, keys: Set[String], sfDir: String): Unit = {
     // same per-key presizing AND the same sweep-disable condition as
     // Bench/Verify (HarnessConf, ADVICE r7), so the printed plans are
     // the ones the timed runs actually execute — under a sweep too
@@ -30,6 +37,5 @@ object Explain {
       println(s"\n======== ${d.key} ========")
       d.run(spark, sfDir).explain("formatted")
     }
-    spark.stop()
   }
 }
