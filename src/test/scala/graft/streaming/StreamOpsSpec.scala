@@ -216,6 +216,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(back.select("user_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("a restarted query resumes from the checkpoint with state intact") {
+    // The operational contract a long-lived 100 TB pipeline depends
+    // on: executor loss / planned restart must resume from the
+    // checkpointed offsets AND state store, not recount or drop. The
+    // hour-0 window stays OPEN (unemitted) across the stop, so its
+    // count lives only in the state store — if recovery lost it, the
+    // post-restart emission would miss the pre-restart events
+    // (MemoryStream does not re-serve committed batches). Sink is the
+    // fault-tolerant foreachBatch parquet lake (the memory sink
+    // refuses checkpoint recovery by design).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    val mem = MemoryStream[Ev]
+    def start() = StreamOps.toParquetSink(
+      tumblingCounts(mem.toDF(), "10 minutes"), out, ckpt)
+    val q1 = start()
+    mem.addData(Seq(Ev(ts(5), 1, "click", 1.0), Ev(ts(8), 1, "click", 1.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    mem.addData(Seq(Ev(ts(200), 1, "click", 1.0))) // watermark past hour 0
+    q2.processAllAvailable()
+    q2.stop()
+    val hour0 = spark.read.parquet(out)
+      .filter(col("w_start") === ts(0)).select("n")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hour0 == Seq(2L),
+      s"restarted query emitted $hour0 for hour 0 (state lost or double-counted)")
+  }
+
   test("batch and streaming tumbling windows agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
