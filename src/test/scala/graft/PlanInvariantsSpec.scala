@@ -47,6 +47,26 @@ class PlanInvariantsSpec extends SparkSpec {
       s"CartesianProductExec in graded plans: ${bad.mkString(", ")}")
   }
 
+  test("no custom expression in a graded plan is a CodegenFallback") {
+    // The repo's expression contract: every graft.* Expression ships
+    // real doGenCode (a CodegenFallback would evaluate interpreted
+    // per row INSIDE an apparently-codegen'd span — invisible in
+    // explain output, 3-10x in the hot path). Walk every expression
+    // tree of every graded plan; InterpretedParitySpec proves the
+    // eval twin agrees, this proves the codegen twin exists.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan
+      val offending = plan.flatMap(_.expressions.flatMap(_.collect {
+        case e if e.getClass.getName.startsWith("graft.") &&
+            e.isInstanceOf[CodegenFallback] => e.getClass.getSimpleName
+      })).distinct
+      if (offending.nonEmpty) Some(s"$name: ${offending.mkString(",")}") else None
+    }
+    assert(bad.isEmpty,
+      s"CodegenFallback custom expressions in graded plans: ${bad.mkString("; ")}")
+  }
+
   test("no graded query explodes an interpreted higher-order expression") {
     // A Generate whose generator input is a higher-order function
     // (transform/zip_with/...) drops off the codegen path and
