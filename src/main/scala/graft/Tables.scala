@@ -26,17 +26,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively (PARQUET_TYPE_ILLEGAL). Read it as a raw nanosecond
-    * LONG and truncate to a µs timestamp (integer floor-div — exact,
-    * deterministic). Raw `ts` still must never be output (SURVEY D4):
-    * DuckDB keeps ns, so only second-or-coarser truncations match. */
+  /** `events.ts` has shipped in two fixture generations: parquet
+    * TIMESTAMP(NANOS) (which Spark 4 refuses to read natively —
+    * PARQUET_TYPE_ILLEGAL — so it arrives as a nanosecond LONG under
+    * `nanosAsLong=true`) and, since the round-9 regeneration, plain
+    * timestamp[us]. Branch on the footer type instead of assuming one
+    * generation: a LONG gets the exact ns→µs rebuild (integer
+    * floor-div), a timestamp passes through (NTZ normalized to the
+    * session-UTC TimestampType every downstream query and
+    * `expectedSchemas` were written against). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported fixture type $other (expected ns-long, " +
+          "timestamp, or timestamp_ntz)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
