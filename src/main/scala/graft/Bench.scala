@@ -192,6 +192,7 @@ object Bench {
     // INFERRING external contention; this measures it instead
     // (VERDICT r7 item 3, r8 item 3).
     val loadStart = HarnessConf.load1
+    val ticksStart = HarnessConf.cpuTicks
     // failures must be LOUD: a query that throws after 0.1 s would
     // otherwise be recorded as a fast success and make the shipped
     // total look better — the same misrepresentation the full-run
@@ -229,7 +230,9 @@ object Bench {
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val loadEnd = HarnessConf.load1
-    val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)}"""
+    val stealFrac = HarnessConf.stealFrac(ticksStart, HarnessConf.cpuTicks)
+    val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)}""" +
+      s""","steal_frac":${r3(stealFrac)}"""
     val slowest = results.sortBy(-_._2).take(25)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // failed queries surface in the JSON itself (additive field — the

@@ -61,4 +61,24 @@ object HarnessConf {
     java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split(" ")(0).toDouble
   } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Cumulative (steal, total) CPU ticks from /proc/stat's aggregate
+    * cpu line ((-1,-1) if unreadable). Guest loadavg is blind to
+    * hypervisor steal — round 10 measured same-code bench totals
+    * spreading 63→91 s while loadavg looked quiet, with steal at ~42%
+    * of user ticks in the slow window — so Bench brackets the run
+    * with these and emits the window's steal fraction next to
+    * load_start/load_end, making a stolen window attributable from
+    * the artifact alone. */
+  def cpuTicks: (Long, Long) = try {
+    val parts = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+      .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+    (if (parts.length > 7) parts(7) else 0L, parts.sum)
+  } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+
+  /** Steal fraction of all CPU ticks between two cpuTicks() brackets;
+    * -1.0 when either bracket was unreadable or the window is empty. */
+  def stealFrac(start: (Long, Long), end: (Long, Long)): Double =
+    if (start._2 < 0 || end._2 < 0 || end._2 <= start._2) -1.0
+    else (end._1 - start._1).toDouble / (end._2 - start._2)
 }

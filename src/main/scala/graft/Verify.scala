@@ -4,6 +4,33 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump one query's result to `outDir/name` (the driver's compare
+    * unit). On ANY failure, writes a one-row `graft_error` sentinel
+    * parquet in its place — a schema no oracle can match — so the
+    * driver records a loud per-key failure instead of dropping the
+    * key from the round's correctness artifact (ADVICE r9: 23
+    * analysis failures vanished silently that way). Returns whether
+    * the real result was written. Factored out of main so the
+    * sentinel contract is unit-testable without a session lifecycle. */
+  def dumpQuery(spark: SparkSession, sfDir: String, outDir: String,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      true
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        import spark.implicits._
+        Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+          .toDF("graft_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e2: Throwable =>
+        System.err.println(s"[verify] $name sentinel failed: ${e2.getMessage}")
+      }
+      false
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // Optional extra args: restrict the dump to these keys (local
@@ -40,24 +67,7 @@ object Verify {
       if (HarnessConf.policyActive)
         spark.conf.set("spark.sql.shuffle.partitions",
           PartitionPolicy.forKey(name, sessionParts).toString)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // ADVICE r9: a silently-absent dump let 23 analysis failures
-        // vanish from CORRECTNESS_r09.json. Write a one-row sentinel
-        // whose schema (`graft_error`) can never match any oracle, so
-        // the driver's compare records a loud per-key failure instead
-        // of dropping the key from the artifact.
-        try {
-          import spark.implicits._
-          Seq(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
-            .toDF("graft_error").coalesce(1)
-            .write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case e2: Throwable =>
-          System.err.println(s"[verify] $name sentinel failed: ${e2.getMessage}")
-        }
-      }
+      try dumpQuery(spark, sfDir, outDir, name, fn)
       // Queries that persist() intermediates (jaccard prep, minhash
       // shingles, win_distribution pids) cannot unpersist them
       // themselves — the action runs here, after they return. Dropping

@@ -34,4 +34,18 @@ class HarnessConfSpec extends AnyFunSuite {
     val e = intercept[RuntimeException] { HarnessConf.parseEntries("a=1,oops") }
     assert(e.getMessage.contains("oops"))
   }
+
+  test("cpuTicks reads monotone cumulative counters with steal <= total") {
+    val a = HarnessConf.cpuTicks
+    val b = HarnessConf.cpuTicks
+    assert(a._2 > 0 && a._1 >= 0 && a._1 <= a._2)
+    assert(b._1 >= a._1 && b._2 >= a._2)
+  }
+
+  test("stealFrac attributes a window and guards degenerate brackets") {
+    assert(HarnessConf.stealFrac((100L, 1000L), (520L, 2000L)) == 0.42)
+    assert(HarnessConf.stealFrac((-1L, -1L), (520L, 2000L)) == -1.0)
+    assert(HarnessConf.stealFrac((100L, 1000L), (-1L, -1L)) == -1.0)
+    assert(HarnessConf.stealFrac((100L, 1000L), (100L, 1000L)) == -1.0)
+  }
 }
