@@ -43,6 +43,22 @@ class SqlEntrySpec extends SparkSpec {
     assert(viaSql.toSeq == viaDf.toSeq)
   }
 
+  test("events view serves the normalized timestamp through SQL text") {
+    // Entry point B over the one table whose on-disk type has drifted
+    // between fixture generations (ns through r8, µs since r9): the
+    // registered view must serve Tables.events' NORMALIZED output —
+    // session-UTC TimestampType — not the raw footer type, and SQL
+    // text must see the same values as the DataFrame reader.
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT event_id, ts FROM events ORDER BY event_id LIMIT 3")
+    assert(viaSql.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val viaDf = Tables.events(spark, sf)
+      .select("event_id", "ts").orderBy("event_id").limit(3)
+    assert(viaSql.collect().toSeq == viaDf.collect().toSeq)
+  }
+
   test("the custom graft_dot expression is usable in SQL over the embeddings view") {
     Tables.registerViews(spark, sf)
     val sims = spark.sql(
