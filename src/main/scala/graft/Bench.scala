@@ -23,6 +23,12 @@ object Bench {
       // The plans themselves don't depend on it — broadcasts and
       // partitioning are explicit in every graded query.
       .config("spark.sql.adaptive.enabled", "false")
+      // Session-timezone parity with Verify/Explain (ADVICE r10): the
+      // events reader's TimestampNTZ cast is session-tz-dependent, so
+      // an unpinned bench on a non-UTC host would time different
+      // session/window/date_trunc groupings than the plans the hash
+      // gate certifies.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         graft.TempDirs.create("graft-warehouse"))
@@ -164,6 +170,20 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions",
         PartitionPolicy.forKey(key, sessionParts).toString)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // 3 passes, not 1 (r11): one pass compiles the Janino classes but
+    // leaves C2 JIT to fire mid-timing — back-edge counters only cross
+    // the compile thresholds at sf0.1 row counts, so every query's
+    // hot generated loops were being C2-compiled INSIDE its timed
+    // region (measured suite-wide: 70-80 s of compiler-thread time vs
+    // ~1.5 s of GC; the two r10 "variance magnets" carried the most,
+    // cdc_apply_orders at 2.8-3.0 s). Because the codegen cache keys
+    // on generated source (data-path independent), repeated sf0.001
+    // passes accumulate back edges on the SAME classes the timed run
+    // executes: 3 passes cut cdc's in-timed JIT to 0.6 s and dropped
+    // both magnets into the pack. Cost ~+80 s of warm phase, all
+    // outside the timed region.
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
+    val warmT0 = System.nanoTime()
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
       // failures are non-fatal (the timed run decides correctness) but
       // never silent: an unwarmed query's first-use codegen lands back
@@ -172,16 +192,20 @@ object Bench {
       // already degraded, and recording "genuine" timings from a
       // GC-thrashing heap is the baseline misrepresentation the
       // artifact guard below exists to prevent — let it crash.
-      val failed = selected.flatMap { case (name, fn) =>
-        applyPolicy(name)
-        val r = try { fn(spark, warmDir).count(); None }
-          catch { case scala.util.control.NonFatal(e) =>
-            Some(s"$name (${e.getClass.getSimpleName})") }
-        spark.catalog.clearCache()
-        r
-      }
+      val failed = (1 to warmPasses).flatMap { _ =>
+        selected.flatMap { case (name, fn) =>
+          applyPolicy(name)
+          val r = try { fn(spark, warmDir).count(); None }
+            catch { case scala.util.control.NonFatal(e) =>
+              Some(s"$name (${e.getClass.getSimpleName})") }
+          spark.catalog.clearCache()
+          r
+        }
+      }.distinct
       if (failed.nonEmpty)
         System.err.println(s"[bench] warm-up failed for ${failed.size}: ${failed.mkString(", ")}")
+      System.err.println(s"[bench] warm_phase $warmDir x$warmPasses " +
+        f"${(System.nanoTime() - warmT0) / 1e9}%.1fs")
     }
     System.gc()
     // Host load (1-min avg, HarnessConf.load1 — shared with Verify's
@@ -191,8 +215,26 @@ object Bench {
     // adjudication of driver-vs-builder deltas has hinged on
     // INFERRING external contention; this measures it instead
     // (VERDICT r7 item 3, r8 item 3).
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val loadStart = HarnessConf.load1
     val ticksStart = HarnessConf.cpuTicks
+    // Per-query JVM-debt brackets (GC + JIT time landing INSIDE the
+    // timed region) — the r10 adjudication of the two "variance
+    // magnet" queries had to infer GC debt from suite order; this
+    // measures it. stderr only (one line per query): the artifact
+    // keeps its compact schema, a human diagnosing a slow run reads
+    // the diag column next to the timing.
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def jitMs: Long = {
+      val c = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (c != null && c.isCompilationTimeMonitoringSupported)
+        c.getTotalCompilationTime else 0L
+    }
     // failures must be LOUD: a query that throws after 0.1 s would
     // otherwise be recorded as a fast success and make the shipped
     // total look better — the same misrepresentation the full-run
@@ -200,11 +242,14 @@ object Bench {
     val crashed = scala.collection.mutable.ListBuffer[String]()
     val results = selected.flatMap { case (name, fn) =>
       applyPolicy(name)
+      val (gc0, jit0) = (gcMs, jitMs)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case scala.util.control.NonFatal(e) =>
           crashed += s"$name (${e.getClass.getSimpleName})"; false }
       val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        s"[bench] $name ${r3(dt)}s gc_ms=${gcMs - gc0} jit_ms=${jitMs - jit0}")
       // Unpersist per-query caches (see Verify for why the queries
       // can't do it themselves). Inside the timed region would charge
       // cleanup to the query; here it is honest session hygiene —
@@ -225,14 +270,45 @@ object Bench {
     // driver recorded parsed=null. Keep the line comfortably under the
     // window: 3-decimal seconds, and per-query entries only for the
     // slowest 25 (total still covers every query run).
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val loadEnd = HarnessConf.load1
     val stealFrac = HarnessConf.stealFrac(ticksStart, HarnessConf.cpuTicks)
+    // Self-attribution (VERDICT r10 item 3): median per-query ratio of
+    // this run vs the last COMMITTED whole-suite artifact
+    // (`git show HEAD:BENCH_full.json` — the working-dir copy may
+    // already hold an uncommitted rerun, which would compare the run
+    // against itself). A driver artifact then carries its own
+    // host-shift attribution: ratio_median ≈ 1 says "same host floor",
+    // a uniform 1.4 says "slower window", and a single outlier query
+    // against a ~1 median is a real plan/noise event worth chasing.
+    // -1.0 when HEAD has no artifact or no keys are shared.
+    val ratioMedian: Double = try {
+      val p = new ProcessBuilder("git", "show", "HEAD:BENCH_full.json")
+        .redirectErrorStream(false).start()
+      val txt = new String(p.getInputStream.readAllBytes, "UTF-8")
+      if (p.waitFor() != 0) -1.0 else {
+        val i = txt.indexOf("\"queries\":{")
+        val committed: Map[String, Double] =
+          if (i < 0) Map.empty
+          else txt.substring(i + 11, txt.indexOf('}', i)).split(',')
+            .flatMap { e =>
+              e.split(':') match {
+                case Array(k, v) =>
+                  try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+                  catch { case _: NumberFormatException => None }
+                case _ => None
+              }
+            }.toMap
+        val ratios = results.flatMap { case (k, v) =>
+          committed.get(k).filter(_ > 0.0).map(v / _) }.sorted
+        if (ratios.isEmpty) -1.0
+        else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+      }
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)}""" +
-      s""","steal_frac":${r3(stealFrac)}"""
+      s""","steal_frac":${r3(stealFrac)},"ratio_median":${r3(ratioMedian)}"""
     val slowest = results.sortBy(-_._2).take(25)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // failed queries surface in the JSON itself (additive field — the

@@ -73,7 +73,11 @@ object HarnessConf {
   def cpuTicks: (Long, Long) = try {
     val parts = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
       .linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
-    (if (parts.length > 7) parts(7) else 0L, parts.sum)
+    // Total = first 8 fields only (user nice system idle iowait irq
+    // softirq steal): the kernel folds guest/guest_nice into user/nice
+    // already, so summing all 10 would double-count guest time and
+    // understate steal_frac on hosts running nested VMs (ADVICE r10).
+    (if (parts.length > 7) parts(7) else 0L, parts.take(8).sum)
   } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
   /** Steal fraction of all CPU ticks between two cpuTicks() brackets;
