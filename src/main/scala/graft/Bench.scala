@@ -169,22 +169,37 @@ object Bench {
     def applyPolicy(key: String): Unit = if (policyActive)
       spark.conf.set("spark.sql.shuffle.partitions",
         PartitionPolicy.forKey(key, sessionParts).toString)
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    // 3 passes, not 1 (r11): one pass compiles the Janino classes but
-    // leaves C2 JIT to fire mid-timing — back-edge counters only cross
-    // the compile thresholds at sf0.1 row counts, so every query's
-    // hot generated loops were being C2-compiled INSIDE its timed
-    // region (measured suite-wide: 70-80 s of compiler-thread time vs
-    // ~1.5 s of GC; the two r10 "variance magnets" carried the most,
-    // cdc_apply_orders at 2.8-3.0 s). Because the codegen cache keys
-    // on generated source (data-path independent), repeated sf0.001
+    // Warm SCHEDULE, not a single pass (r11): one sf0.001 pass
+    // compiles the Janino classes but leaves C2 JIT to fire
+    // mid-timing — back-edge counters only cross the compile
+    // thresholds (~40k loop iterations) at real row counts, so every
+    // query's hot generated loops were being C2-compiled INSIDE its
+    // timed region (measured suite-wide: 70-80 s of compiler-thread
+    // time vs ~1.5 s of GC; the two r10 "variance magnets" carried
+    // the most, cdc_apply_orders at 2.8-3.0 s). Because the codegen
+    // cache keys on generated source (data-path independent), warm
     // passes accumulate back edges on the SAME classes the timed run
-    // executes: 3 passes cut cdc's in-timed JIT to 0.6 s and dropped
-    // both magnets into the pack. Cost ~+80 s of warm phase, all
-    // outside the timed region.
-    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt
-    val warmT0 = System.nanoTime()
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+    // executes — but 3 sf0.001 passes only reach ~18k back edges for
+    // lineitem-volume loops, so the schedule ends with one sf0.01
+    // pass (60k rows) to push the heavy loops over the C2 threshold
+    // before timing starts. Measured: 3x sf0.001 alone cut cdc's
+    // in-timed JIT 2782 -> 639 ms and suite-wide in-timed JIT
+    // 79.5 -> 50-60 s; the sf0.01 stage targets the remainder. All
+    // warm cost is outside the timed region.
+    // Env override: SPARK_GRAFT_WARM="dir[:passes],dir[:passes],…".
+    val warmSchedule: Seq[(String, Int)] =
+      sys.env.getOrElse("SPARK_GRAFT_WARM",
+        "/root/testdata/sf0.001:3,/root/testdata/sf0.01:1")
+        .split(',').toSeq.filter(_.nonEmpty).map { stage =>
+          stage.split(':') match {
+            case Array(dir) => (dir, 1)
+            case Array(dir, n) => (dir, n.toInt)
+            case _ => sys.error(s"SPARK_GRAFT_WARM stage '$stage' is not dir[:passes]")
+          }
+        }
+    for ((warmDir, warmPasses) <- warmSchedule
+         if java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+      val warmT0 = System.nanoTime()
       // failures are non-fatal (the timed run decides correctness) but
       // never silent: an unwarmed query's first-use codegen lands back
       // in its timed region, which would read as a regression.
@@ -287,25 +302,8 @@ object Bench {
       val p = new ProcessBuilder("git", "show", "HEAD:BENCH_full.json")
         .redirectErrorStream(false).start()
       val txt = new String(p.getInputStream.readAllBytes, "UTF-8")
-      if (p.waitFor() != 0) -1.0 else {
-        val i = txt.indexOf("\"queries\":{")
-        val committed: Map[String, Double] =
-          if (i < 0) Map.empty
-          else txt.substring(i + 11, txt.indexOf('}', i)).split(',')
-            .flatMap { e =>
-              e.split(':') match {
-                case Array(k, v) =>
-                  try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
-                  catch { case _: NumberFormatException => None }
-                case _ => None
-              }
-            }.toMap
-        val ratios = results.flatMap { case (k, v) =>
-          committed.get(k).filter(_ > 0.0).map(v / _) }.sorted
-        if (ratios.isEmpty) -1.0
-        else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
-        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
-      }
+      if (p.waitFor() != 0) -1.0
+      else HarnessConf.ratioMedian(results, HarnessConf.parseBenchQueries(txt))
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)}""" +
       s""","steal_frac":${r3(stealFrac)},"ratio_median":${r3(ratioMedian)}"""

@@ -85,4 +85,41 @@ object HarnessConf {
   def stealFrac(start: (Long, Long), end: (Long, Long)): Double =
     if (start._2 < 0 || end._2 < 0 || end._2 <= start._2) -1.0
     else (end._1 - start._1).toDouble / (end._2 - start._2)
+
+  /** Per-query seconds parsed out of a Bench artifact line's
+    * `"queries":{...}` object (r11 — feeds `ratio_median`). The
+    * artifact is machine-written flat JSON (no nesting inside the
+    * object, keys are bare query names), so a scan to the next '}'
+    * plus comma/colon splits is exact, not approximate; anything
+    * unparsable yields an empty map rather than a throw — a missing
+    * or malformed committed artifact must never fail a bench run. */
+  private[graft] def parseBenchQueries(txt: String): Map[String, Double] = {
+    val i = txt.indexOf("\"queries\":{")
+    if (i < 0) Map.empty else {
+      val end = txt.indexOf('}', i)
+      if (end < 0) Map.empty
+      else txt.substring(i + 11, end).split(',')
+        .flatMap { e =>
+          e.split(':') match {
+            case Array(k, v) =>
+              try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+    }
+  }
+
+  /** Median of per-query time ratios current/committed over the keys
+    * both runs measured; -1.0 when no keys are shared. The host-shift
+    * attribution statistic: uniform ratios ≈ the median mean "window",
+    * a lone outlier against a ~1 median means "this query". */
+  private[graft] def ratioMedian(current: Seq[(String, Double)],
+      committed: Map[String, Double]): Double = {
+    val ratios = current.flatMap { case (k, v) =>
+      committed.get(k).filter(_ > 0.0).map(v / _) }.sorted
+    if (ratios.isEmpty) -1.0
+    else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+    else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+  }
 }

@@ -45,6 +45,34 @@ class HarnessConfSpec extends AnyFunSuite {
     assert(b._1 >= a._1 && b._2 >= a._2)
   }
 
+  test("parseBenchQueries reads the artifact's queries object exactly") {
+    val line = """{"metric":"total","value":51.473,"unit":"sec","n_queries":3,""" +
+      """"queries":{"q_a":1.500,"q_b":0.250,"q_c":3.000},""" +
+      """"load_start":1.630,"steal_frac":0.000,"sf":"/x"}"""
+    assert(HarnessConf.parseBenchQueries(line) ==
+      Map("q_a" -> 1.5, "q_b" -> 0.25, "q_c" -> 3.0))
+    // top-level numeric fields outside the object must NOT leak in
+    assert(!HarnessConf.parseBenchQueries(line).contains("value"))
+    // malformed / missing input degrades to empty, never throws
+    assert(HarnessConf.parseBenchQueries("") == Map.empty)
+    assert(HarnessConf.parseBenchQueries("""{"queries":{""") == Map.empty)
+    assert(HarnessConf.parseBenchQueries("""{"queries":{"q":oops}}""") == Map.empty)
+  }
+
+  test("ratioMedian: shared-key median, odd/even, no-overlap sentinel") {
+    val committed = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "z" -> 0.0)
+    // odd count: ratios 2.0, 1.5, 1.0 -> median 1.5
+    assert(HarnessConf.ratioMedian(
+      Seq("a" -> 2.0, "b" -> 3.0, "c" -> 4.0), committed) == 1.5)
+    // even count: ratios 2.0, 1.5 -> mean of the middle pair
+    assert(HarnessConf.ratioMedian(Seq("a" -> 2.0, "b" -> 3.0), committed) == 1.75)
+    // keys only on one side are ignored; zero committed time excluded
+    assert(HarnessConf.ratioMedian(
+      Seq("a" -> 2.0, "new" -> 9.0, "z" -> 1.0), committed) == 2.0)
+    assert(HarnessConf.ratioMedian(Seq("only_new" -> 1.0), committed) == -1.0)
+    assert(HarnessConf.ratioMedian(Nil, committed) == -1.0)
+  }
+
   test("stealFrac attributes a window and guards degenerate brackets") {
     assert(HarnessConf.stealFrac((100L, 1000L), (520L, 2000L)) == 0.42)
     assert(HarnessConf.stealFrac((-1L, -1L), (520L, 2000L)) == -1.0)
