@@ -187,16 +187,19 @@ object Bench {
     // 79.5 -> 50-60 s; the sf0.01 stage targets the remainder. All
     // warm cost is outside the timed region.
     // Env override: SPARK_GRAFT_WARM="dir[:passes],dir[:passes],…".
-    val warmSchedule: Seq[(String, Int)] =
+    val warmSchedule: Seq[(String, Int)] = HarnessConf.parseWarmSchedule(
       sys.env.getOrElse("SPARK_GRAFT_WARM",
-        "/root/testdata/sf0.001:3,/root/testdata/sf0.01:1")
-        .split(',').toSeq.filter(_.nonEmpty).map { stage =>
-          stage.split(':') match {
-            case Array(dir) => (dir, 1)
-            case Array(dir, n) => (dir, n.toInt)
-            case _ => sys.error(s"SPARK_GRAFT_WARM stage '$stage' is not dir[:passes]")
-          }
-        }
+        "/root/testdata/sf0.001:3,/root/testdata/sf0.01:1"))
+    // Wall budget over the WHOLE warm phase (env override, seconds):
+    // on a badly contended host the multi-pass warm could balloon,
+    // and a harness that kills a still-warming Bench leaves NO
+    // artifact for the round — strictly worse than a noisier timed
+    // run. Checked between passes (never mid-pass, never the timed
+    // loop); skipped stages are logged, so a budget-truncated warm is
+    // attributable from stderr next to the run's own gc/jit columns.
+    val warmBudgetS = sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET_S", "300").toInt
+    val warmAllT0 = System.nanoTime()
+    def warmElapsedS: Double = (System.nanoTime() - warmAllT0) / 1e9
     for ((warmDir, warmPasses) <- warmSchedule
          if java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
       val warmT0 = System.nanoTime()
@@ -207,8 +210,12 @@ object Bench {
       // already degraded, and recording "genuine" timings from a
       // GC-thrashing heap is the baseline misrepresentation the
       // artifact guard below exists to prevent — let it crash.
-      val failed = (1 to warmPasses).flatMap { _ =>
-        selected.flatMap { case (name, fn) =>
+      val failed = (1 to warmPasses).flatMap { pass =>
+        if (warmElapsedS > warmBudgetS) {
+          System.err.println(f"[bench] warm budget ${warmBudgetS}s exhausted " +
+            f"at $warmElapsedS%.1fs — skipping $warmDir pass $pass+")
+          Seq.empty
+        } else selected.flatMap { case (name, fn) =>
           applyPolicy(name)
           val r = try { fn(spark, warmDir).count(); None }
             catch { case scala.util.control.NonFatal(e) =>

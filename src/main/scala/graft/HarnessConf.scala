@@ -110,6 +110,19 @@ object HarnessConf {
     }
   }
 
+  /** Bench's warm schedule parsed from "dir[:passes],dir[:passes],…"
+    * (r11). A malformed stage fails loudly — a silently dropped warm
+    * stage would move JIT compilation back inside the timed regions,
+    * which reads as a regression. */
+  private[graft] def parseWarmSchedule(spec: String): Seq[(String, Int)] =
+    spec.split(',').toSeq.filter(_.nonEmpty).map { stage =>
+      stage.split(':') match {
+        case Array(dir) => (dir, 1)
+        case Array(dir, n) if n.forall(_.isDigit) && n.nonEmpty => (dir, n.toInt)
+        case _ => sys.error(s"SPARK_GRAFT_WARM stage '$stage' is not dir[:passes]")
+      }
+    }
+
   /** Median of per-query time ratios current/committed over the keys
     * both runs measured; -1.0 when no keys are shared. The host-shift
     * attribution statistic: uniform ratios ≈ the median mean "window",

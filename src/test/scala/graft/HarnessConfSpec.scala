@@ -73,6 +73,15 @@ class HarnessConfSpec extends AnyFunSuite {
     assert(HarnessConf.ratioMedian(Nil, committed) == -1.0)
   }
 
+  test("parseWarmSchedule: dir[:passes] list, default pass count, loud failure") {
+    assert(HarnessConf.parseWarmSchedule("/a:3,/b:1") == Seq(("/a", 3), ("/b", 1)))
+    assert(HarnessConf.parseWarmSchedule("/a") == Seq(("/a", 1)))
+    assert(HarnessConf.parseWarmSchedule("") == Seq.empty)
+    val e = intercept[RuntimeException] { HarnessConf.parseWarmSchedule("/a:x") }
+    assert(e.getMessage.contains("/a:x"))
+    intercept[RuntimeException] { HarnessConf.parseWarmSchedule("/a:1:2") }
+  }
+
   test("stealFrac attributes a window and guards degenerate brackets") {
     assert(HarnessConf.stealFrac((100L, 1000L), (520L, 2000L)) == 0.42)
     assert(HarnessConf.stealFrac((-1L, -1L), (520L, 2000L)) == -1.0)
