@@ -187,47 +187,72 @@ object Bench {
     // 79.5 -> 50-60 s; the sf0.01 stage targets the remainder. All
     // warm cost is outside the timed region.
     // Env override: SPARK_GRAFT_WARM="dir[:passes],dir[:passes],…".
-    val warmSchedule: Seq[(String, Int)] = HarnessConf.parseWarmSchedule(
-      sys.env.getOrElse("SPARK_GRAFT_WARM",
+    // The pre-r11 single-stage knobs (SPARK_GRAFT_WARM_DIR /
+    // SPARK_GRAFT_WARM_PASSES) stay honored when the schedule env is
+    // absent — a harness still setting them gets exactly the stage it
+    // asked for (no surprise extra sf0.01 stage), not a silently
+    // ignored knob.
+    val warmSchedule: Seq[(String, Int)] = sys.env.get("SPARK_GRAFT_WARM")
+      .map(HarnessConf.parseWarmSchedule)
+      .orElse {
+        val legacyDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+        val legacyPasses = sys.env.get("SPARK_GRAFT_WARM_PASSES")
+        if (legacyDir.isEmpty && legacyPasses.isEmpty) None
+        else Some(Seq((legacyDir.getOrElse("/root/testdata/sf0.001"),
+          legacyPasses.getOrElse("3").toInt)))
+      }
+      .getOrElse(HarnessConf.parseWarmSchedule(
         "/root/testdata/sf0.001:3,/root/testdata/sf0.01:1"))
     // Wall budget over the WHOLE warm phase (env override, seconds):
     // on a badly contended host the multi-pass warm could balloon,
     // and a harness that kills a still-warming Bench leaves NO
     // artifact for the round — strictly worse than a noisier timed
     // run. Checked between passes (never mid-pass, never the timed
-    // loop); skipped stages are logged, so a budget-truncated warm is
-    // attributable from stderr next to the run's own gc/jit columns.
+    // loop); skipped stages and passes are logged, so a truncated
+    // warm is attributable from stderr next to the gc/jit columns.
     val warmBudgetS = sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET_S", "300").toInt
     val warmAllT0 = System.nanoTime()
     def warmElapsedS: Double = (System.nanoTime() - warmAllT0) / 1e9
-    for ((warmDir, warmPasses) <- warmSchedule
-         if java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
-      val warmT0 = System.nanoTime()
-      // failures are non-fatal (the timed run decides correctness) but
-      // never silent: an unwarmed query's first-use codegen lands back
-      // in its timed region, which would read as a regression.
-      // NonFatal only: an OutOfMemoryError here means the JVM is
-      // already degraded, and recording "genuine" timings from a
-      // GC-thrashing heap is the baseline misrepresentation the
-      // artifact guard below exists to prevent — let it crash.
-      val failed = (1 to warmPasses).flatMap { pass =>
-        if (warmElapsedS > warmBudgetS) {
-          System.err.println(f"[bench] warm budget ${warmBudgetS}s exhausted " +
-            f"at $warmElapsedS%.1fs — skipping $warmDir pass $pass+")
-          Seq.empty
-        } else selected.flatMap { case (name, fn) =>
-          applyPolicy(name)
-          val r = try { fn(spark, warmDir).count(); None }
-            catch { case scala.util.control.NonFatal(e) =>
-              Some(s"$name (${e.getClass.getSimpleName})") }
-          spark.catalog.clearCache()
-          r
-        }
-      }.distinct
-      if (failed.nonEmpty)
-        System.err.println(s"[bench] warm-up failed for ${failed.size}: ${failed.mkString(", ")}")
-      System.err.println(s"[bench] warm_phase $warmDir x$warmPasses " +
-        f"${(System.nanoTime() - warmT0) / 1e9}%.1fs")
+    for ((warmDir, warmPasses) <- warmSchedule) {
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir))) {
+        // A vanished warm dir must be LOUD (the driver regenerates
+        // /root/testdata between rounds): a silently skipped stage
+        // moves C2 JIT back inside the timed regions, which would
+        // read as a plan regression with nothing to attribute it.
+        System.err.println(s"[bench] warm dir $warmDir missing - stage skipped")
+      } else {
+        val warmT0 = System.nanoTime()
+        // failures are non-fatal (the timed run decides correctness)
+        // but never silent: an unwarmed query's first-use codegen
+        // lands back in its timed region, which would read as a
+        // regression. NonFatal only: an OutOfMemoryError here means
+        // the JVM is already degraded, and recording "genuine"
+        // timings from a GC-thrashing heap is the baseline
+        // misrepresentation the artifact guard below exists to
+        // prevent — let it crash.
+        var ranPasses = 0
+        val failed = (1 to warmPasses).flatMap { _ =>
+          if (warmElapsedS > warmBudgetS) Seq.empty
+          else {
+            ranPasses += 1
+            selected.flatMap { case (name, fn) =>
+              applyPolicy(name)
+              val r = try { fn(spark, warmDir).count(); None }
+                catch { case scala.util.control.NonFatal(e) =>
+                  Some(s"$name (${e.getClass.getSimpleName})") }
+              spark.catalog.clearCache()
+              r
+            }
+          }
+        }.distinct
+        if (failed.nonEmpty)
+          System.err.println(s"[bench] warm-up failed for ${failed.size}: ${failed.mkString(", ")}")
+        if (ranPasses < warmPasses)
+          System.err.println(f"[bench] warm budget ${warmBudgetS}s exhausted at " +
+            f"$warmElapsedS%.1fs - $warmDir ran $ranPasses of $warmPasses passes")
+        System.err.println(s"[bench] warm_phase $warmDir x$ranPasses/$warmPasses " +
+          f"${(System.nanoTime() - warmT0) / 1e9}%.1fs")
+      }
     }
     System.gc()
     // Host load (1-min avg, HarnessConf.load1 — shared with Verify's
@@ -309,7 +334,11 @@ object Bench {
       val p = new ProcessBuilder("git", "show", "HEAD:BENCH_full.json")
         .redirectErrorStream(false).start()
       val txt = new String(p.getInputStream.readAllBytes, "UTF-8")
-      if (p.waitFor() != 0) -1.0
+      // A ratio against an artifact from a DIFFERENT scale factor is
+      // not host-shift attribution — it's the data-size ratio wearing
+      // the attribution field's name. Guard on the committed line's
+      // sf field (absent in very old artifacts → guard fails → -1).
+      if (p.waitFor() != 0 || !txt.contains(s""""sf":"$sfDir"""")) -1.0
       else HarnessConf.ratioMedian(results, HarnessConf.parseBenchQueries(txt))
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)}""" +

@@ -116,9 +116,12 @@ object HarnessConf {
     * which reads as a regression. */
   private[graft] def parseWarmSchedule(spec: String): Seq[(String, Int)] =
     spec.split(',').toSeq.filter(_.nonEmpty).map { stage =>
-      stage.split(':') match {
-        case Array(dir) => (dir, 1)
-        case Array(dir, n) if n.forall(_.isDigit) && n.nonEmpty => (dir, n.toInt)
+      // split with -1 keeps trailing empties: "dir:" must be a loud
+      // error (a typo'd pass count), not a silent 1-pass stage.
+      stage.split(":", -1) match {
+        case Array(dir) if dir.nonEmpty => (dir, 1)
+        case Array(dir, n) if dir.nonEmpty && n.nonEmpty &&
+            n.length <= 3 && n.forall(_.isDigit) => (dir, n.toInt)
         case _ => sys.error(s"SPARK_GRAFT_WARM stage '$stage' is not dir[:passes]")
       }
     }

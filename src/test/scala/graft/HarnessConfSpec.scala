@@ -80,6 +80,12 @@ class HarnessConfSpec extends AnyFunSuite {
     val e = intercept[RuntimeException] { HarnessConf.parseWarmSchedule("/a:x") }
     assert(e.getMessage.contains("/a:x"))
     intercept[RuntimeException] { HarnessConf.parseWarmSchedule("/a:1:2") }
+    // every malformed-stage shape fails loudly rather than silently
+    // dropping or mis-counting a warm stage (r11 review): trailing
+    // colon (typo'd pass count), empty dir, oversized pass count
+    intercept[RuntimeException] { HarnessConf.parseWarmSchedule("/a:") }
+    intercept[RuntimeException] { HarnessConf.parseWarmSchedule(":3,/a:1") }
+    intercept[RuntimeException] { HarnessConf.parseWarmSchedule("/a:9999") }
   }
 
   test("stealFrac attributes a window and guards degenerate brackets") {
