@@ -421,9 +421,51 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ARG_MAX / ARG_MIN (max_by / min_by) per group (r11) — "which
+    * order was the priciest" without a window or a self-join: one
+    * hash aggregate whose partials carry a single (arg, key) pair per
+    * group, so the shuffle is group-cardinality at any fact size.
+    * Both engines' arg extrema are tie-nondeterministic, so the
+    * ordering key is made UNIQUE by construction: cents (exact via
+    * the D2 decimal cast) composed with the orderkey into one BIGINT.
+    * The composition bounds assumed: price < 10^9 dollars and
+    * orderkey < 10^8 — true by orders of magnitude on this schema; a
+    * corpus that breaks them needs a wider composite, not a different
+    * plan. */
+  val aggArgminmax: QDef = q(
+    "agg_argminmax",
+    """WITH o AS (
+      |  SELECT o_orderpriority AS pri, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000
+      |      + o_orderkey AS ordkey
+      |  FROM orders)
+      |SELECT pri,
+      |  arg_max(o_orderkey, ordkey) AS max_order,
+      |  arg_min(o_orderkey, ordkey) AS min_order,
+      |  max(tp) AS max_price,
+      |  min(tp) AS min_price,
+      |  COUNT(*) AS n
+      |FROM o GROUP BY pri
+      |ORDER BY pri""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("tp"))
+      .withColumn("ordkey",
+        (col("tp") * 100).cast(LongType) * lit(100000000L) + col("o_orderkey"))
+      .groupBy(col("pri"))
+      .agg(max_by(col("o_orderkey"), col("ordkey")).as("max_order"),
+        min_by(col("o_orderkey"), col("ordkey")).as("min_order"),
+        max(col("tp")).as("max_price"),
+        min(col("tp")).as("min_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("pri"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
-    aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic)
+    aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
+    aggArgminmax)
 }

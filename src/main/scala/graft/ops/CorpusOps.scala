@@ -467,7 +467,72 @@ object CorpusOps {
       .limit(20)
   }
 
+  /** Token co-occurrence with PMI scoring (r11) — the collocation /
+    * phrase-mining primitive: for every unordered token pair (a < b),
+    * the number of documents containing both, scored by pointwise
+    * mutual information ln(N·c_ab / (c_a·c_b)) in millinats. Pairs
+    * are generated ROW-LOCALLY from each doc's sorted distinct-token
+    * array (an indexed-transform over suffix slices — no self-join,
+    * no shuffle of raw occurrences); the only exchanges carry (pair,
+    * count) partials, vocabulary²-bounded, and the marginal tables
+    * broadcast. The PMI double divides one exact integer product by
+    * another (< 2^53 — exact in both engines), so the single ln + the
+    * millinat rounding is the whole float surface, same as
+    * `text_ngram_logprob`'s. */
+  val cooccurPmi: QDef = q(
+    "cooccur_pmi",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS nd FROM documents),
+      |ca AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |pairs AS (
+      |  SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+      |cab AS (SELECT ta, tb, COUNT(*) AS c_ab FROM pairs GROUP BY ta, tb)
+      |SELECT ta, tb, c_ab,
+      |  CAST(floor(ln(CAST(c_ab * nd AS DOUBLE) / (ca1.c * ca2.c)) * 1000 + 0.5)
+      |    AS BIGINT) AS pmi_mnat
+      |FROM cab CROSS JOIN n
+      |JOIN ca ca1 ON ca1.tok = cab.ta
+      |JOIN ca ca2 ON ca2.tok = cab.tb
+      |ORDER BY ta, tb""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    // persisted: the marginal table feeds TWO broadcast builds (ta
+    // and tb sides), whose alias-renamed subtrees defeat exchange
+    // reuse — without the persist each build re-runs the corpus-wide
+    // explode+count (the text_ngram_logprob persist precedent).
+    val ca = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    // Pairs come from two chained index-sequence explodes (i, then
+    // j > i) over the sorted distinct-token array — the codegen-safe
+    // generator shape (PlanInvariantsSpec forbids Generate over a
+    // higher-order lambda). The size >= 2 guard runs BEFORE the first
+    // explode: Spark's sequence(0, -1) would generate a DESCENDING
+    // range, not an empty one.
+    val pairs = docs
+      .select(array_sort(array_distinct(split(col("text"), " "))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("t"), explode(expr("sequence(0, size(t) - 2)")).as("i"))
+      .select(col("t"), col("i"), explode(expr("sequence(i + 1, size(t) - 1)")).as("j"))
+      .select(expr("t[i]").as("ta"), expr("t[j]").as("tb"))
+    pairs.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+      .crossJoin(broadcast(nDocs))
+      .join(broadcast(ca.select(col("tok").as("ta_k"), col("c").as("c_a"))),
+        col("ta") === col("ta_k"))
+      .join(broadcast(ca.select(col("tok").as("tb_k"), col("c").as("c_b"))),
+        col("tb") === col("tb_k"))
+      .select(col("ta"), col("tb"), col("c_ab"),
+        floor(log((col("c_ab") * col("nd")).cast(DoubleType) /
+            (col("c_a") * col("c_b"))) * 1000 + 0.5)
+          .cast(LongType).as("pmi_mnat"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
-    chunkSlidingWindows, textNgramLogprob, bm25TopDocs)
+    chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi)
 }

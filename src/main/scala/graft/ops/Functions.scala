@@ -245,7 +245,42 @@ object Functions {
       .orderBy(col("vec_id"))
   }
 
+  /** Bitwise family over the events keys (r11) — the integer-mask
+    * toolkit hash-partitioners, bitmap indexes, and feature hashing
+    * are built from: AND/OR/XOR/NOT, shifts, popcount, and the
+    * power-of-two probe. All operands are int64 and every op is
+    * defined bit-identically in both engines (DuckDB spells XOR as
+    * `xor()` and NOT as `~`; popcount types differ — pinned to INT,
+    * Spark's bit_count type). Pure row-local projection: one scan,
+    * no shuffle except the presentation sort. */
+  val fnBitwise: QDef = q(
+    "fn_bitwise",
+    """SELECT event_id,
+      |  event_id & 255 AS band,
+      |  event_id | 4096 AS bor,
+      |  xor(event_id, user_id) AS bxor,
+      |  ~event_id AS bnot,
+      |  event_id << 3 AS shl,
+      |  event_id >> 2 AS shr,
+      |  CAST(bit_count(event_id) AS INTEGER) AS pc,
+      |  ((event_id & (event_id - 1)) = 0 AND event_id <> 0) AS pow2
+      |FROM events
+      |ORDER BY event_id""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("band"),
+        col("event_id").bitwiseOR(lit(4096L)).as("bor"),
+        col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+        bitwise_not(col("event_id")).as("bnot"),
+        shiftleft(col("event_id"), 3).as("shl"),
+        shiftright(col("event_id"), 2).as("shr"),
+        bit_count(col("event_id")).as("pc"),
+        (col("event_id").bitwiseAND(col("event_id") - 1) === 0 &&
+          col("event_id") =!= 0).as("pow2"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     fnString, fnStringDistance, fnDate, fnMath, fnArray,
-    fnMapJson, fnConditional, fnHigherOrder)
+    fnMapJson, fnConditional, fnHigherOrder, fnBitwise)
 }

@@ -286,9 +286,58 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Interval-overlap self-join (r11) — the temporal-overlap operator
+    * (concurrent sessions, co-active entities): per-user-per-day
+    * purchase intervals [min ts, max ts] in exact epoch micros,
+    * overlapping pairs found with an EQUI-join on the day block plus
+    * the overlap predicate (s1 <= e2 AND s2 <= e1, u1 < u2) as a
+    * post-join filter — never a cartesian product. The block key is
+    * sound because intervals are within-day by construction; for
+    * intervals that cross block boundaries the standard extension is
+    * explode-into-covered-blocks + distinct (the contamination-
+    * fallback shape), documented here rather than built because this
+    * operator's intervals cannot cross. Per-block candidate count is
+    * (users active that day choose 2) — bounded by block cardinality,
+    * not corpus size; a skewed block salts exactly like
+    * `join_skew_salted`. Both interval ends are exact integers, so
+    * the overlap arithmetic hashes identically. */
+  val joinIntervalOverlap: QDef = q(
+    "join_interval_overlap",
+    """WITH p AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |iv AS (SELECT user_id, day, min(us) AS s, max(us) AS e FROM p GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.day, least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+      |  FROM iv a JOIN iv b
+      |    ON a.day = b.day AND a.user_id < b.user_id
+      |  WHERE a.s <= b.e AND b.s <= a.e)
+      |SELECT day, COUNT(*) AS n_pairs, SUM(overlap_us) AS total_overlap_us
+      |FROM pr GROUP BY day
+      |ORDER BY day""") { (s, d) =>
+    val iv = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    val a = iv.select(col("day"), col("user_id").as("u1"),
+      col("s").as("s1"), col("e").as("e1"))
+    val b = iv.select(col("day").as("day_b"), col("user_id").as("u2"),
+      col("s").as("s2"), col("e").as("e2"))
+    a.join(b, col("day") === col("day_b") && col("u1") < col("u2") &&
+        col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select(col("day"),
+        (least(col("e1"), col("e2")) - greatest(col("s1"), col("s2"))).as("overlap_us"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("overlap_us")).as("total_overlap_us"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
     joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders,
-    joinSkewSalted)
+    joinSkewSalted, joinIntervalOverlap)
 }

@@ -361,8 +361,54 @@ object LlmPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Uniform frame sampling (r11) — the video-pipeline index pass
+    * `graft.multimodal.sampleFrames` runs before any decode: from
+    * per-item metadata (duration, fps — synthesized deterministically
+    * from the fixture's doc stats, since the corpus carries no real
+    * media), compute the k=8 uniformly-spaced frame indices and their
+    * timestamps. frame_idx(i) = ⌊i·(n−1)/(k−1)⌋, the standard
+    * endpoint-inclusive grid. Pure integer arithmetic end to end
+    * (div, never float), one Generate per row, no shuffle except the
+    * presentation sort — at 100 TB this is a scan-pipeline stage that
+    * parallelizes with the files. */
+  val multimodalFrameSample: QDef = q(
+    "multimodal_frame_sample",
+    """WITH meta AS (
+      |  SELECT doc_id, n_chars * 40 AS duration_ms,
+      |    24 + (doc_id % 3) * 6 AS fps
+      |  FROM documents),
+      |m2 AS (SELECT doc_id, fps, duration_ms * fps // 1000 AS n_frames FROM meta),
+      |m3 AS (SELECT doc_id, fps, n_frames, least(8, n_frames) AS n_samples
+      |  FROM m2 WHERE n_frames > 0),
+      |sampled AS (
+      |  SELECT doc_id, fps, i AS sample_no,
+      |    CASE WHEN n_samples > 1 THEN i * (n_frames - 1) // (n_samples - 1)
+      |         ELSE 0 END AS frame_idx
+      |  FROM m3 CROSS JOIN range(0, 8) r(i) WHERE i < n_samples)
+      |SELECT doc_id, sample_no, frame_idx,
+      |  frame_idx * 1000 // fps AS frame_ts_ms
+      |FROM sampled
+      |ORDER BY doc_id, sample_no""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (col("n_chars") * 40).as("duration_ms"),
+        (lit(24) + (col("doc_id") % 3) * 6).as("fps"))
+      .withColumn("n_frames", expr("duration_ms * fps div 1000"))
+      .filter(col("n_frames") > 0)
+      .withColumn("n_samples", least(lit(8L), col("n_frames")))
+      .select(col("doc_id"), col("fps"), col("n_frames"), col("n_samples"),
+        explode(expr("sequence(0L, n_samples - 1)")).as("sample_no"))
+      .withColumn("frame_idx",
+        when(col("n_samples") > 1,
+          expr("sample_no * (n_frames - 1) div (n_samples - 1)"))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("sample_no"), col("frame_idx"),
+        expr("frame_idx * 1000 div fps").as("frame_ts_ms"))
+      .orderBy(col("doc_id"), col("sample_no"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupExactDocs, dedupNearJaccard, simSearchTopk, knnPerLabel,
     textTokenTf, textTfidfTopterms, textLangProfile, multimodalEnrich,
-    multimodalBinaryMeta)
+    multimodalBinaryMeta, multimodalFrameSample)
 }

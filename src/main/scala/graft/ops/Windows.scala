@@ -237,7 +237,62 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** IGNORE NULLS window surface: LOCF (last-observation-carried-
+    * forward) gap fill (r11). Per user, a daily calendar over the
+    * activity span (the `timeseries_gapfill` scaffold) holds NULL on
+    * days with no purchase; `last(..., ignoreNulls)` over the
+    * cumulative frame forward-fills the last observed purchase total,
+    * and a second IGNORE-NULLS window over the observation DAY yields
+    * staleness (days since last observation). Everything is keyed by
+    * user_id — one exchange feeds the calendar join and both windows,
+    * and per-user work is bounded by that user's span at any corpus
+    * size. Sums are D2 decimals; both engines fill from identical
+    * frames because the window order (user, day) is unique. */
+  val winFillLocf: QDef = q(
+    "win_fill_locf",
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(value AS DECIMAL(12,2)) AS v, event_type
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN v END) AS pv
+      |  FROM e GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM spans),
+      |g AS (SELECT c.user_id, c.day, d.pv FROM cal c LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, day, pv AS raw_total,
+      |  last_value(pv IGNORE NULLS) OVER w AS filled_total,
+      |  CAST(day - last_value(CASE WHEN pv IS NOT NULL THEN day END IGNORE NULLS)
+      |    OVER w AS INTEGER) AS staleness_days
+      |FROM g
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(12, 2)).as("v"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(when(col("event_type") === "purchase", col("v"))).as("pv"))
+    val cal = daily
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("pv").as("raw_total"),
+        last(col("pv"), ignoreNulls = true).over(w).as("filled_total"),
+        datediff(col("day"),
+          last(when(col("pv").isNotNull, col("day")), ignoreNulls = true).over(w))
+          .as("staleness_days"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
-    winDistribution, winFirstLast, topkPerGroup, winRangeNumeric)
+    winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
+    winFillLocf)
 }

@@ -27,6 +27,7 @@ class GoldenShufflesSpec extends SparkSpec {
 
   private val golden: Map[String, Int] = Map(
     "agg_approx_distinct" -> 2,
+    "agg_argminmax" -> 2,
     "agg_collect_sorted" -> 2,
     "agg_count_distinct" -> 3,
     "agg_cube" -> 2,
@@ -46,6 +47,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "cdc_apply_orders" -> 3,
     "chunk_sliding_windows" -> 2,
     "contamination_ngram" -> 5,
+    // r11: persisted marginal table — the second broadcast build
+    // reads the cache instead of re-aggregating (PLANS.md r11)
+    "cooccur_pmi" -> 3,
     "corpus_zipf" -> 1,
     "curation_funnel" -> 5,
     "dedup_cluster_cc" -> 2,
@@ -59,6 +63,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "filter_above_group_avg" -> 2,
     "filter_compound" -> 1,
     "fn_array" -> 1,
+    "fn_bitwise" -> 1,
     "fn_conditional" -> 3,
     "fn_date" -> 1,
     "fn_higher_order" -> 1,
@@ -81,6 +86,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "join_dpp_partitioned" -> 2,
     "join_full_outer" -> 3,
     "join_inner_equi" -> 1,
+    "join_interval_overlap" -> 3,
     "join_left_outer" -> 1,
     "join_nullsafe_eq" -> 1,
     "join_semi" -> 1,
@@ -95,6 +101,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "mix_domain_weighted" -> 1,
     "multimodal_binary_meta" -> 1,
     "multimodal_enrich" -> 2,
+    "multimodal_frame_sample" -> 1,
     "pack_sequences" -> 2,
     "pivot_event_types" -> 3,
     "profile_orders" -> 2,
@@ -151,6 +158,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "udtf_bigrams" -> 2,
     "unpivot_melt" -> 1,
     "win_distribution" -> 2,
+    "win_fill_locf" -> 3,
     "win_first_last" -> 2,
     "win_lag_lead" -> 2,
     "win_range_numeric" -> 2,

@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-11 additions, checked by
+  * driver-side recomputation at sf0.001 — independent of the DuckDB
+  * oracle, so a systematic cross-engine bug can't hide a wrong
+  * formulation (the R5OpsSpec discipline).
+  */
+class R11OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fn_bitwise: every op recomputes in plain JVM long arithmetic") {
+    val rows = Functions.fnBitwise.run(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getLong(0); val bxor = r.getLong(3)
+      assert(r.getLong(1) == (id & 255L))
+      assert(r.getLong(2) == (id | 4096L))
+      assert(r.getLong(4) == ~id)
+      assert(r.getLong(5) == (id << 3))
+      assert(r.getLong(6) == (id >> 2))
+      assert(r.getInt(7) == java.lang.Long.bitCount(id))
+      assert(r.getBoolean(8) == (id != 0 && (id & (id - 1)) == 0))
+      // xor is against user_id, not carried in the output — verify
+      // it's an involution consistent with the carried event_id.
+      assert((bxor ^ id) >= 0, "user_id is non-negative by fixture contract")
+    }
+  }
+
+  test("agg_argminmax: arg rows really carry the group's price extrema") {
+    val rows = Aggregates.aggArgminmax.run(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("tp"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val byPri = orders.groupBy(_._1)
+    assert(rows.length == byPri.size)
+    rows.foreach { r =>
+      val (pri, maxOrder, minOrder) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val grp = byPri(pri)
+      // unique composite (cents, orderkey) — recompute the argmax the
+      // slow way and demand the exact same order id.
+      def key(t: (String, Long, java.math.BigDecimal)): (java.math.BigDecimal, Long) =
+        (t._3, t._2)
+      implicit val ord: Ordering[(java.math.BigDecimal, Long)] =
+        Ordering.Tuple2(Ordering.comparatorToOrdering(
+          java.util.Comparator.naturalOrder[java.math.BigDecimal]()), Ordering.Long)
+      assert(maxOrder == grp.maxBy(key)._2)
+      assert(minOrder == grp.minBy(key)._2)
+      assert(r.getDecimal(3).compareTo(grp.map(_._3).max(
+        Ordering.comparatorToOrdering(java.util.Comparator.naturalOrder()))) == 0)
+      assert(r.getLong(5) == grp.length)
+    }
+  }
+
+  test("win_fill_locf: fill equals raw on observed days and never invents values") {
+    val rows = Windows.winFillLocf.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      var lastObs: java.math.BigDecimal = null
+      var lastObsDay: Long = -1
+      seq.foreach { r =>
+        val raw = if (r.isNullAt(2)) null else r.getDecimal(2)
+        val filled = if (r.isNullAt(3)) null else r.getDecimal(3)
+        if (raw != null) { lastObs = raw; lastObsDay = r.getDate(1).toLocalDate.toEpochDay }
+        if (lastObs == null) assert(filled == null, "no fill before first observation")
+        else assert(filled.compareTo(lastObs) == 0, "LOCF carries the last observation")
+        if (lastObs != null) {
+          val staleness = r.getDate(1).toLocalDate.toEpochDay - lastObsDay
+          assert(!r.isNullAt(4) && r.getInt(4).toLong == staleness)
+          if (raw != null) assert(r.getInt(4) == 0)
+        } else assert(r.isNullAt(4))
+      }
+    }
+  }
+
+  test("join_interval_overlap: exact match vs a naive all-pairs recomputation") {
+    val rows = Joins.joinIntervalOverlap.run(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val naive = purchases.groupBy(t => (t._1, t._2)).map { case ((day, u), es) =>
+      (day, u, es.map(_._3).min, es.map(_._3).max)
+    }.toSeq.groupBy(_._1).flatMap { case (day, ivs) =>
+      val pairs = for {
+        a <- ivs; b <- ivs
+        if a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+      } yield math.min(a._4, b._4) - math.max(a._3, b._3)
+      if (pairs.isEmpty) None
+      else Some(day -> (pairs.size.toLong, pairs.sum))
+    }
+    assert(rows == naive, "day-blocked join must equal the naive all-pairs result")
+  }
+
+  test("cooccur_pmi: pair counts match a set-based recomputation; pmi bounded") {
+    val rows = CorpusOps.cooccurPmi.run(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ").distinct.sorted)
+    val nd = docs.length.toLong
+    val ca = docs.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val cab = docs.flatMap { t =>
+      for (i <- t.indices; j <- i + 1 until t.length) yield (t(i), t(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    assert(rows.length == cab.size)
+    rows.foreach { r =>
+      val (ta, tb, c) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(ta < tb, "pairs are canonically ordered")
+      assert(cab((ta, tb)) == c)
+      assert(c <= math.min(ca(ta), ca(tb)), "co-occurrence is bounded by marginals")
+      val expected = math.floor(
+        math.log(c.toDouble * nd / (ca(ta) * ca(tb))) * 1000 + 0.5).toLong
+      assert(r.getLong(3) == expected)
+    }
+  }
+
+  test("multimodal_frame_sample: uniform grid covers [0, n_frames) endpoint-inclusive") {
+    val rows = LlmPipeline.multimodalFrameSample.run(spark, sf).collect()
+    val meta = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0); val fps = 24 + (id % 3) * 6
+        id -> (fps, r.getLong(1) * 40 * fps / 1000)
+      }.toMap
+    rows.groupBy(_.getLong(0)).foreach { case (docId, rs) =>
+      val (fps, nFrames) = meta(docId)
+      val ns = math.min(8L, nFrames)
+      val seq = rs.sortBy(_.getLong(1))
+      assert(seq.length == ns)
+      assert(seq.map(_.getLong(1)).toSeq == (0L until ns))
+      val idx = seq.map(_.getLong(2))
+      assert(idx.head == 0L)
+      if (ns > 1) assert(idx.last == nFrames - 1, "grid is endpoint-inclusive")
+      assert(idx.zip(idx.tail).forall { case (a, b) => a <= b })
+      seq.foreach { r =>
+        assert(r.getLong(2) < nFrames)
+        assert(r.getLong(3) == r.getLong(2) * 1000 / fps)
+      }
+    }
+  }
+}
