@@ -462,10 +462,47 @@ object Aggregates {
       .orderBy(col("pri"))
   }
 
+  /** Bitmap-style distinct counting (r11): per-user active-day SET as
+    * one BIGINT bitmap via the BIT_OR aggregate (1 << day-offset),
+    * popcount = exact distinct-day count — the fixed-width-sketch
+    * shape (roaring-bitmap-lite) whose partials are a single long per
+    * group regardless of row count, vs COUNT(DISTINCT)'s per-value
+    * shuffle (emitted alongside as the self-check column). The fixture
+    * events span Jan 2024 (offsets 0..29); an out-of-range offset
+    * would silently corrupt the mask, so it raises instead — the
+    * ngram_logprob overflow-guard discipline. At wider spans the same
+    * pattern shards into (user, epoch-week) masks. */
+  val aggBitmapDistinct: QDef = q(
+    "agg_bitmap_distinct",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01' AS day_off
+      |  FROM events)
+      |SELECT user_id,
+      |  bit_or(1::BIGINT << day_off) AS days_bitmap,
+      |  CAST(bit_count(bit_or(1::BIGINT << day_off)) AS INTEGER) AS n_active_days,
+      |  COUNT(DISTINCT day_off) AS n_days_check
+      |FROM e GROUP BY user_id
+      |ORDER BY user_id""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day_off"))
+      .withColumn("mask",
+        when(col("day_off").between(0, 62), expr("shiftleft(1L, day_off)"))
+          .otherwise(raise_error(concat(
+            lit("agg_bitmap_distinct: day offset outside one 64-bit mask: "),
+            col("day_off").cast(StringType)))))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(mask)").as("days_bitmap"),
+        bit_count(expr("bit_or(mask)")).as("n_active_days"),
+        countDistinct(col("day_off")).as("n_days_check"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
-    aggArgminmax)
+    aggArgminmax, aggBitmapDistinct)
 }

@@ -532,7 +532,48 @@ object CorpusOps {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Temporal n-gram novelty (r11) — the diversity/freshness monitor
+    * a growing corpus runs per ingest batch: for each document, how
+    * many of its distinct 3-gram shingles were never seen in any
+    * EARLIER document (first-seen = min doc_id, the ingest order).
+    * Same document-frequency shape as `boilerplate_ngram`: Spark
+    * ships xxhash64 shingle sets (`graft_shingle_hashes`, row-local
+    * distinct, 8 bytes per shingle on the wire) where the oracle
+    * groups raw strings — counts agree absent an xxhash64 collision
+    * (recorded in PLANS.md's collision-assumption list). min-partials
+    * shuffle one (shingle, doc) pair per distinct shingle; the
+    * join back is shingle-keyed, so the whole plan follows distinct-
+    * shingle volume, never occurrence volume. */
+  val textNgramNovelty: QDef = q(
+    "text_ngram_novelty",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(3, len(t) + 1),
+      |    i -> t[i-2] || ' ' || t[i-1] || ' ' || t[i]))) AS g
+      |  FROM toks),
+      |firstseen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+      |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+      |  SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+      |FROM sh JOIN firstseen f USING (g)
+      |GROUP BY sh.doc_id
+      |ORDER BY sh.doc_id""") { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.shingleHashes(col("t"), 3)).as("g"))
+    val firstSeen = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
-    chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi)
+    chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
+    textNgramNovelty)
 }

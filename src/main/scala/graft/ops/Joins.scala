@@ -335,9 +335,55 @@ object Joins {
       .orderBy(col("day"))
   }
 
+  /** As-of join with a MATCH TOLERANCE (r11) — `join_asof_event`'s
+    * variant of the pandas merge_asof(tolerance=...) contract: a
+    * purchase attributes to the latest prior click only if that click
+    * is within 10 minutes; staler matches are rejected (NULL), and
+    * the gap is reported for the matches. Same single-window plan as
+    * the base key (one exchange on user_id; per-user work bounded by
+    * that user's events at any scale) — the tolerance is a row-local
+    * post-filter on the window result, exactly where a 100 TB plan
+    * wants it. Epoch-second integers end to end. */
+  val joinAsofTolerance: QDef = q(
+    "join_asof_tolerance",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |              date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |m AS (
+      |  SELECT event_id, user_id, event_type, sec,
+      |    last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_sec
+      |  FROM e)
+      |SELECT event_id, user_id, sec AS purchase_sec,
+      |  CASE WHEN click_sec IS NOT NULL AND sec - click_sec <= 600
+      |       THEN click_sec END AS click_sec_tol,
+      |  CASE WHEN click_sec IS NOT NULL AND sec - click_sec <= 600
+      |       THEN sec - click_sec END AS gap_sec
+      |FROM m WHERE event_type = 'purchase'
+      |ORDER BY event_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsSec(col("ts")).cast(LongType).as("sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inTol = col("click_sec").isNotNull && col("sec") - col("click_sec") <= 600
+    e.withColumn("click_sec",
+        last(when(col("event_type") === "click", col("sec")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("sec").as("purchase_sec"),
+        when(inTol, col("click_sec")).as("click_sec_tol"),
+        when(inTol, col("sec") - col("click_sec")).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
     joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders,
-    joinSkewSalted, joinIntervalOverlap)
+    joinSkewSalted, joinIntervalOverlap, joinAsofTolerance)
 }

@@ -148,6 +148,42 @@ object Sampling {
     nOrders.crossJoin(nItems).crossJoin(childless).crossJoin(dangling)
   }
 
+  /** One-row corpus profile of `documents` (r11) — profile_orders'
+    * twin for the text table: the per-ingest-batch health report a
+    * corpus build monitors (volume, exact-duplicate mass, language /
+    * source coverage, char inventory). Distinct-text counting goes
+    * through md5 fingerprints in BOTH engines, so the shuffle carries
+    * 16-byte digests, never document bodies — the form that survives
+    * a 100 TB corpus (and the same digest the exact-dedup key keys
+    * on). The derived ratios are exact integer micros (trunc division
+    * of non-negative ints — identical in both engines). */
+  val profileDocuments: QDef = q(
+    "profile_documents",
+    """SELECT COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+      |  (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*) AS dup_frac_micro,
+      |  COUNT(DISTINCT lang) AS n_langs,
+      |  COUNT(DISTINCT source) AS n_sources,
+      |  SUM(n_chars) AS total_chars,
+      |  SUM(n_chars) * 1000000 // COUNT(*) AS avg_chars_micro,
+      |  min(doc_id) AS min_doc,
+      |  max(doc_id) AS max_doc
+      |FROM documents""") { (s, d) =>
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .select(col("n_docs"), col("n_distinct_texts"),
+        expr("(n_docs - n_distinct_texts) * 1000000 div n_docs").as("dup_frac_micro"),
+        col("n_langs"), col("n_sources"), col("total_chars"),
+        expr("total_chars * 1000000 div n_docs").as("avg_chars_micro"),
+        col("min_doc"), col("max_doc"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
-    sampleTokenBudget, reconcileOrdersItems)
+    sampleTokenBudget, reconcileOrdersItems, profileDocuments)
 }

@@ -291,8 +291,86 @@ object Windows {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Linear interpolation of interior gaps (r11) — the LOCF key's
+    * twin for metrics where carry-forward biases (sensor readings,
+    * daily rates): missing days between two observations take the
+    * straight line between them. Both window DIRECTIONS of the IGNORE
+    * NULLS surface are exercised (last over the preceding frame,
+    * first over the following frame — each fetching value AND
+    * observation day). Determinism: values are CENTS (exact BIGINT),
+    * and the interpolation divides one exact integer product by an
+    * exact integer span as a single correctly-rounded double op, then
+    * floors — identical in both engines, with no reliance on their
+    * divergent integer-division signs. NULL outside the first/last
+    * observation (nothing to anchor to). */
+  val winInterpolateLinear: QDef = q(
+    "win_interpolate_linear",
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(value AS DECIMAL(12,2)) AS v, event_type
+      |  FROM events),
+      |daily AS (
+      |  SELECT user_id, day,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN v END) * 100 AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2),
+      |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM spans),
+      |g AS (SELECT c.user_id, c.day, d.c FROM cal c LEFT JOIN daily d USING (user_id, day)),
+      |w AS (
+      |  SELECT user_id, day, c,
+      |    last_value(c IGNORE NULLS) OVER wp AS pc,
+      |    last_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+      |    first_value(c IGNORE NULLS) OVER wf AS nc,
+      |    first_value(CASE WHEN c IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS nd
+      |  FROM g
+      |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wf AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day, c AS raw_cents,
+      |  CASE WHEN c IS NOT NULL THEN c
+      |       WHEN pc IS NULL OR nc IS NULL THEN NULL
+      |       ELSE pc + CAST(floor(CAST((nc - pc) * (day - pd) AS DOUBLE) / (nd - pd))
+      |         AS BIGINT)
+      |  END AS interp_cents
+      |FROM w
+      |ORDER BY user_id, day""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(12, 2)).as("v"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg((sum(when(col("event_type") === "purchase", col("v"))) * 100)
+        .cast(LongType).as("c"))
+    val cal = daily
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wp = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("c").isNotNull, col("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("c"),
+        last(col("c"), ignoreNulls = true).over(wp).as("pc"),
+        last(obsDay, ignoreNulls = true).over(wp).as("pd"),
+        first(col("c"), ignoreNulls = true).over(wf).as("nc"),
+        first(obsDay, ignoreNulls = true).over(wf).as("nd"))
+      .select(col("user_id"), col("day"), col("c").as("raw_cents"),
+        when(col("c").isNotNull, col("c"))
+          .when(col("pc").isNull || col("nc").isNull, lit(null).cast(LongType))
+          .otherwise(col("pc") +
+            floor(((col("nc") - col("pc")) * datediff(col("day"), col("pd")))
+                .cast(DoubleType) / datediff(col("nd"), col("pd")))
+              .cast(LongType))
+          .as("interp_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
-    winFillLocf)
+    winFillLocf, winInterpolateLinear)
 }

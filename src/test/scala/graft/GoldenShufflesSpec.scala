@@ -28,6 +28,7 @@ class GoldenShufflesSpec extends SparkSpec {
   private val golden: Map[String, Int] = Map(
     "agg_approx_distinct" -> 2,
     "agg_argminmax" -> 2,
+    "agg_bitmap_distinct" -> 3,
     "agg_collect_sorted" -> 2,
     "agg_count_distinct" -> 3,
     "agg_cube" -> 2,
@@ -78,6 +79,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "harmonize_unmappable" -> 2,
     "join_anti" -> 1,
     "join_asof_event" -> 2,
+    "join_asof_tolerance" -> 2,
     "join_broadcast_dim" -> 1,
     "join_bucketed_colo" -> 2,
     "join_cross_small" -> 1,
@@ -104,6 +106,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "multimodal_frame_sample" -> 1,
     "pack_sequences" -> 2,
     "pivot_event_types" -> 3,
+    "profile_documents" -> 2,
     "profile_orders" -> 2,
     "project_arithmetic" -> 1,
     "q1_pricing_summary" -> 2,
@@ -142,6 +145,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "text_char_stats" -> 4,
     "text_fingerprint" -> 2,
     "text_lang_profile" -> 3,
+    "text_ngram_novelty" -> 3,
     "text_langid" -> 7,
     "text_ngram_logprob" -> 4,
     "text_pii_scrub" -> 2,
@@ -159,6 +163,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "unpivot_melt" -> 1,
     "win_distribution" -> 2,
     "win_fill_locf" -> 3,
+    "win_interpolate_linear" -> 3,
     "win_first_last" -> 2,
     "win_lag_lead" -> 2,
     "win_range_numeric" -> 2,

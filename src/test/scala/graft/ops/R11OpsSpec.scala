@@ -121,6 +121,110 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_bitmap_distinct: popcount equals the COUNT DISTINCT self-check") {
+    val rows = Aggregates.aggBitmapDistinct.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, ds) => u -> ds.map(_.getDate(1).toLocalDate.toEpochDay).toSet }
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (u, bitmap, n) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(java.lang.Long.bitCount(bitmap) == n)
+      assert(r.getLong(3) == n.toLong, "bitmap popcount vs COUNT(DISTINCT)")
+      val epoch0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+      val fromBitmap = (0 until 63).filter(b => (bitmap & (1L << b)) != 0)
+        .map(_ + epoch0).toSet
+      assert(fromBitmap == expected(u).map(_.toInt), "bitmap decodes to the day set")
+    }
+  }
+
+  test("win_interpolate_linear: anchors exact, interior points on the line") {
+    val rows = Windows.winInterpolateLinear.run(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      val obs = seq.zipWithIndex.filter(!_._1.isNullAt(2))
+      seq.zipWithIndex.foreach { case (r, i) =>
+        if (!r.isNullAt(2)) assert(r.getLong(3) == r.getLong(2), "observed day is its own anchor")
+        else {
+          val prev = obs.takeWhile(_._2 < i).lastOption
+          val next = obs.dropWhile(_._2 < i).headOption
+          (prev, next) match {
+            case (Some((p, pi)), Some((n, ni))) =>
+              val pc = p.getLong(2); val nc = n.getLong(2)
+              val want = pc + math.floor((nc - pc).toDouble * (i - pi) / (ni - pi)).toLong
+              assert(!r.isNullAt(3) && r.getLong(3) == want, "interior point lies on the line")
+            case _ => assert(r.isNullAt(3), "no extrapolation outside the anchors")
+          }
+        }
+      }
+    }
+  }
+
+  test("text_ngram_novelty: equals a string-shingle first-seen recomputation") {
+    val rows = CorpusOps.textNgramNovelty.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+      .filter(_._2.length >= 3)
+      .map { case (id, t) =>
+        id -> t.sliding(3).map(_.mkString(" ")).toArray.distinct
+      }.sortBy(_._1)
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    val expect = docs.map { case (id, gs) =>
+      gs.foreach(g => if (!firstSeen.contains(g)) firstSeen(g) = id)
+      id -> (gs.length.toLong, gs.count(g => firstSeen(g) == id).toLong)
+    }.toMap
+    assert(rows == expect,
+      "hashed-shingle novelty must equal the string-shingle recomputation " +
+        "(also certifies collision-freedom at fixture scale)")
+  }
+
+  test("profile_documents: one row, fields recompute from the table") {
+    val r = Sampling.profileDocuments.run(spark, sf).collect() match {
+      case Array(only) => only
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect()
+    val nDocs = docs.length.toLong
+    val nDistinct = docs.map(_.getString(1)).distinct.length.toLong
+    assert(r.getLong(0) == nDocs)
+    assert(r.getLong(1) == nDistinct)
+    assert(r.getLong(2) == (nDocs - nDistinct) * 1000000L / nDocs)
+    assert(r.getLong(3) == docs.map(_.getString(2)).distinct.length.toLong)
+    assert(r.getLong(4) == docs.map(_.getString(3)).distinct.length.toLong)
+    val total = docs.map(_.getLong(4)).sum
+    assert(r.getLong(5) == total)
+    assert(r.getLong(6) == total * 1000000L / nDocs)
+    assert(r.getLong(7) == docs.map(_.getLong(0)).min)
+    assert(r.getLong(8) == docs.map(_.getLong(0)).max)
+  }
+
+  test("join_asof_tolerance: agrees with the base as-of join, gated at 600 s") {
+    val base = Joins.joinAsofEvent.run(spark, sf).collect()
+      .map { r =>
+        val click = if (r.isNullAt(3)) None
+          else Some(r.getTimestamp(3).getTime / 1000)
+        r.getLong(0) -> (r.getTimestamp(2).getTime / 1000, click)
+      }.toMap
+    val rows = Joins.joinAsofTolerance.run(spark, sf).collect()
+    assert(rows.length == base.size, "same purchase set as the base as-of key")
+    rows.foreach { r =>
+      val (pSec, baseClick) = base(r.getLong(0))
+      assert(r.getLong(2) == pSec)
+      baseClick match {
+        case Some(c) if pSec - c <= 600 =>
+          assert(!r.isNullAt(3) && r.getLong(3) == c)
+          assert(r.getLong(4) == pSec - c && r.getLong(4) >= 0)
+        case _ =>
+          assert(r.isNullAt(3) && r.isNullAt(4), "stale or absent matches are rejected")
+      }
+    }
+  }
+
   test("multimodal_frame_sample: uniform grid covers [0, n_frames) endpoint-inclusive") {
     val rows = LlmPipeline.multimodalFrameSample.run(spark, sf).collect()
     val meta = Tables.documents(spark, sf)
