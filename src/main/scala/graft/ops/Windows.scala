@@ -237,17 +237,36 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Shared scaffold of the gap-fill family (`win_fill_locf`,
+    * `win_interpolate_linear`): per-user daily purchase totals (NULL
+    * on active days without purchases, D2 decimals) left-joined onto
+    * each user's span calendar (the `timeseries_gapfill` shape —
+    * sequence+explode from the span table, never a global calendar).
+    * Catalyst collapses the span aggregate onto the daily aggregate's
+    * user exchange and broadcasts the daily side into the join, so
+    * one user_id exchange feeds everything downstream, windows
+    * included. */
+  private def purchaseCalendar(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast(DecimalType(12, 2)).as("v"), col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(when(col("event_type") === "purchase", col("v"))).as("pv"))
+    val cal = daily
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+  }
+
   /** IGNORE NULLS window surface: LOCF (last-observation-carried-
-    * forward) gap fill (r11). Per user, a daily calendar over the
-    * activity span (the `timeseries_gapfill` scaffold) holds NULL on
-    * days with no purchase; `last(..., ignoreNulls)` over the
-    * cumulative frame forward-fills the last observed purchase total,
-    * and a second IGNORE-NULLS window over the observation DAY yields
-    * staleness (days since last observation). Everything is keyed by
-    * user_id — one exchange feeds the calendar join and both windows,
-    * and per-user work is bounded by that user's span at any corpus
-    * size. Sums are D2 decimals; both engines fill from identical
-    * frames because the window order (user, day) is unique. */
+    * forward) gap fill (r11). Over the purchase calendar,
+    * `last(..., ignoreNulls)` over the cumulative frame forward-fills
+    * the last observed purchase total, and a second IGNORE-NULLS
+    * window over the observation DAY yields staleness (days since
+    * last observation). Per-user work is bounded by that user's span
+    * at any corpus size. Both engines fill from identical frames
+    * because the window order (user, day) is unique. */
   val winFillLocf: QDef = q(
     "win_fill_locf",
     """WITH e AS (
@@ -272,17 +291,9 @@ object Windows {
       |WINDOW w AS (PARTITION BY user_id ORDER BY day
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, day""") { (s, d) =>
-    val daily = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"),
-        col("value").cast(DecimalType(12, 2)).as("v"), col("event_type"))
-      .groupBy(col("user_id"), col("day"))
-      .agg(sum(when(col("event_type") === "purchase", col("v"))).as("pv"))
-    val cal = daily
-      .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cal.join(daily, Seq("user_id", "day"), "left")
+    purchaseCalendar(s, d)
       .select(col("user_id"), col("day"), col("pv").as("raw_total"),
         last(col("pv"), ignoreNulls = true).over(w).as("filled_total"),
         datediff(col("day"),
@@ -338,21 +349,16 @@ object Windows {
       |  END AS interp_cents
       |FROM w
       |ORDER BY user_id, day""") { (s, d) =>
-    val daily = Tables.events(s, d)
-      .select(col("user_id"), to_date(col("ts")).as("day"),
-        col("value").cast(DecimalType(12, 2)).as("v"), col("event_type"))
-      .groupBy(col("user_id"), col("day"))
-      .agg((sum(when(col("event_type") === "purchase", col("v"))) * 100)
-        .cast(LongType).as("c"))
-    val cal = daily
-      .groupBy(col("user_id")).agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
     val wp = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsDay = when(col("c").isNotNull, col("day"))
-    cal.join(daily, Seq("user_id", "day"), "left")
+    purchaseCalendar(s, d)
+      // cents at the calendar grain: (pv*100) of a NULL stays NULL,
+      // so this equals the oracle's daily-level CAST(SUM(..)*100).
+      .select(col("user_id"), col("day"),
+        (col("pv") * 100).cast(LongType).as("c"))
       .select(col("user_id"), col("day"), col("c"),
         last(col("c"), ignoreNulls = true).over(wp).as("pc"),
         last(obsDay, ignoreNulls = true).over(wp).as("pd"),

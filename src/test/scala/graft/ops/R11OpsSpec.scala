@@ -12,6 +12,32 @@ class R11OpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private val r11Keys = Seq(
+    "fn_bitwise", "agg_argminmax", "agg_bitmap_distinct", "win_fill_locf",
+    "win_interpolate_linear", "join_interval_overlap", "join_asof_tolerance",
+    "cooccur_pmi", "text_ngram_novelty", "profile_documents",
+    "multimodal_frame_sample")
+
+  test("every r11 key is partition-count invariant (the 100 TB correctness property)") {
+    // The oracle certifies one partitioning; this certifies ALL of
+    // them — a key whose answer moved with spark.sql.shuffle.partitions
+    // would be wrong on a cluster even while hash-matching locally.
+    val session = spark.conf.get("spark.sql.shuffle.partitions")
+    def results(parts: Int): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try r11Keys.map { k =>
+        k -> graft.SparkEntry.queries(k)(spark, sf).collect()
+          .map(_.toString).toSeq.sorted
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", session)
+    }
+    val a = results(3); val b = results(17)
+    r11Keys.foreach { k =>
+      assert(a(k) == b(k), s"$k: result depends on the shuffle partition count")
+      assert(a(k).nonEmpty, s"$k: empty result cannot certify anything")
+    }
+  }
+
   test("fn_bitwise: every op recomputes in plain JVM long arithmetic") {
     val rows = Functions.fnBitwise.run(spark, sf).collect()
     assert(rows.length == Tables.events(spark, sf).count())
