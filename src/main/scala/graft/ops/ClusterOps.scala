@@ -239,5 +239,95 @@ object ClusterOps {
     hist.union(zero).orderBy(col("degree"))
   }
 
-  val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats)
+  /** Integer PageRank (r11, third session) — fixed-iteration rank
+    * propagation over the customer⇄supplier trade graph (distinct
+    * orders⋈lineitem partnerships, both directions, so every node
+    * has in- and out-edges and no dangling-mass term is needed).
+    * The iterative-graph twin of `dedup_cluster_cc`'s label loop:
+    * each of the 3 unrolled iterations is one edge⋈rank equi-join +
+    * one hash agg on the destination — shuffles follow edge count,
+    * never node², and the weighted edge table is built once and
+    * persisted across iterations (same reuse trick as
+    * `cooccur_pmi`'s marginals). Ranks are integer MICRO-units with
+    * damping 0.85 as `(rank*85) div (100*outdeg)` — floor division
+    * of positive longs is identical in both engines, so three
+    * iterations stay bit-deterministic with no float accumulation
+    * order to control. At 100 TB: iteration count is FIXED (no
+    * driver-side convergence probe), per-round cost is one
+    * edge-partitioned join — the standard distributed PageRank
+    * shape. Node ids pack kind+key into one long (custkey*2 /
+    * suppkey*2+1). */
+  val graphPagerank: QDef = q(
+    "graph_pagerank",
+    """WITH eb AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
+      |  UNION ALL
+      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+      |deg AS MATERIALIZED (
+      |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+      |ew AS MATERIALIZED (
+      |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src),
+      |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      |r1 AS MATERIALIZED (
+      |  SELECT ew.dst AS id, 150000 + SUM((r.rank * 85) // (100 * ew.deg)) AS rank
+      |  FROM ew JOIN r0 r ON r.id = ew.src GROUP BY ew.dst),
+      |r2 AS MATERIALIZED (
+      |  SELECT ew.dst AS id, 150000 + SUM((r.rank * 85) // (100 * ew.deg)) AS rank
+      |  FROM ew JOIN r1 r ON r.id = ew.src GROUP BY ew.dst),
+      |r3 AS (
+      |  SELECT ew.dst AS id, 150000 + SUM((r.rank * 85) // (100 * ew.deg)) AS rank
+      |  FROM ew JOIN r2 r ON r.id = ew.src GROUP BY ew.dst)
+      |SELECT CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_kind,
+      |  id // 2 AS node_key, CAST(rank AS BIGINT) AS rank_micro
+      |FROM r3
+      |ORDER BY node_kind, node_key""") { (s, d) =>
+    val eb = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = eb.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    // deg and every per-iteration rank table are O(nodes) rows — the
+    // graph's SMALL side. Broadcasting them means the (large) edge
+    // table is never shuffled: building ew is a map-side join over
+    // the edge scan, and each iteration is broadcast-join + partial
+    // agg, shuffling only group-cardinality partials. At a node
+    // count beyond broadcast range, drop the hints and both joins
+    // degrade to SMJ on src — the standard distributed-PageRank
+    // shuffle — with no semantic change.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ew = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val r0 = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+      // each node's out-SHARE (rank*85 div (100*deg)) is computed on
+      // the tiny node-sized side BEFORE touching edges, so the
+      // broadcast payload and the per-edge probe carry one precomputed
+      // long — the edge table itself is two longs per row and is
+      // never shuffled or widened
+      def step(r: org.apache.spark.sql.DataFrame) = {
+        val shares = r.join(deg, r("id") === deg("src"))
+          .select(r("id"), expr("(rank * 85) div (100 * deg)").as("share"))
+        ew.join(broadcast(shares), ew("src") === shares("id"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L) + sum(col("share"))).as("rank"))
+          .select(col("dst").as("id"), col("rank"))
+      }
+      val r3 = step(step(step(r0)))
+      r3.select(
+          when(col("id") % 2 === 0, "customer").otherwise("supplier")
+            .as("node_kind"),
+          expr("id div 2").as("node_key"),
+          col("rank").cast("bigint").as("rank_micro"))
+        .orderBy(col("node_kind"), col("node_key"))
+        // materialize before unpersisting the shared edge table
+        .localCheckpoint(eager = true)
+    } finally { ew.unpersist(); deg.unpersist() }
+  }
+
+  val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank)
 }

@@ -572,8 +572,59 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Readability scoring (r11, third session) — the syllable-density
+    * quality heuristic (Flesch-Kincaid family) a curation pipeline
+    * runs beside `text_quality`'s length/stopword ratios. Syllables
+    * are approximated as vowel GROUPS (`[aeiouy]+` runs — the
+    * standard SQL-portable proxy), sentences as punctuation runs
+    * floored at 1 (the synthetic corpus has no sentence punctuation,
+    * so every doc grades as one sentence — the formula stays
+    * well-defined). All ratios are integer milli-units via floor
+    * division (positive operands → floor = truncate in both
+    * engines); the FK grade can go negative only AFTER the exact
+    * integer divisions, so no sign-dependent division appears.
+    * Row-local projection over the scan (monosyllable counting is a
+    * codegen array filter over the word list) — parallelizes with
+    * files at any corpus size; one presentation sort. */
+  val textReadability: QDef = q(
+    "text_readability",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll,
+      |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      |      w -> len(regexp_extract_all(w, '[aeiouy]+')) = 1)) AS BIGINT) AS n_mono,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sent
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_syll, n_mono, n_sent,
+      |  (1000 * n_syll) // n_words AS syll_per_word_milli,
+      |  (1000 * n_mono) // n_words AS mono_ratio_milli,
+      |  (390 * n_words) // n_sent + (11800 * n_syll) // n_words - 15590
+      |    AS fk_grade_milli
+      |FROM m
+      |WHERE n_words > 0
+      |ORDER BY doc_id""") { (s, d) =>
+    val words = regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))
+    val syllOf = (w: org.apache.spark.sql.Column) =>
+      size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))
+    val m = Tables.documents(s, d).select(col("doc_id"),
+      size(words).cast(LongType).as("n_words"),
+      syllOf(lower(col("text"))).cast(LongType).as("n_syll"),
+      size(filter(words, w => syllOf(w) === 1)).cast(LongType).as("n_mono"),
+      greatest(lit(1), size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+        .cast(LongType).as("n_sent"))
+    m.filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_mono"),
+        col("n_sent"),
+        expr("(1000 * n_syll) div n_words").as("syll_per_word_milli"),
+        expr("(1000 * n_mono) div n_words").as("mono_ratio_milli"),
+        expr("(390 * n_words) div n_sent + (11800 * n_syll) div n_words - 15590")
+          .as("fk_grade_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
-    textNgramNovelty)
+    textNgramNovelty, textReadability)
 }

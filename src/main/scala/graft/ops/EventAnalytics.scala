@@ -343,6 +343,94 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("sess_id"), col("event_id"))
   }
 
+  /** Consecutive-sequence pattern match (r11, third session) — the
+    * MATCH_RECOGNIZE-lite complement to `funnel_steps`: that key
+    * finds view→click→purchase at ANY gap (min-timestamp joins);
+    * this one demands the three events be ADJACENT in the user's
+    * stream — the strict-sequence semantics of session replay and
+    * clickstream pattern mining. Formulation: two LEADs over the
+    * user timeline (one window, one exchange), then a row-local
+    * predicate — pattern length extends by adding leads, never by
+    * self-joining the stream. Ordering is raw µs ts + event_id (D1);
+    * output timestamp second-truncated (D4). */
+  val patternConsecutive: QDef = q(
+    "pattern_consecutive",
+    """WITH s AS (
+      |  SELECT user_id, event_type, ts,
+      |    lead(event_type, 1) OVER w AS e1,
+      |    lead(event_type, 2) OVER w AS e2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+      |  date_trunc('second', CAST(min(ts) AS TIMESTAMP)) AS first_match_t
+      |FROM s
+      |WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+      |GROUP BY user_id
+      |ORDER BY user_id""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        lead(col("event_type"), 1).over(w).as("e1"),
+        lead(col("event_type"), 2).over(w).as("e2"))
+      .filter(col("event_type") === "view" && col("e1") === "click" &&
+        col("e2") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        tsSec(min(col("ts"))).as("first_match_t"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Linear multi-touch attribution (r11, third session) — each
+    * purchase splits its value equally across the user's clicks in
+    * the preceding 7 days (marketing attribution's linear model;
+    * first/last-touch are the as-of keys' shape). The many-to-many
+    * purchase×click join is USER-equi (never a time cross join) with
+    * the lookback as a row-local µs-epoch predicate — candidate
+    * volume is bounded per user, the exact shape `join_interval_
+    * overlap` certifies; a skewed power-user key would salt like
+    * `join_skew_salted`. Credit is integer floor-division of exact
+    * cents with the remainder reported, so allocation sums
+    * reconcile to the purchase total by construction. */
+  val attributionLinear: QDef = q(
+    "attribution_linear",
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts AS pt,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, ts AS ct
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT p.purchase_id, p.user_id, p.cents
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |  WHERE c.ct <= p.pt AND epoch_us(p.pt) - epoch_us(c.ct) <= 604800000000),
+      |n AS (
+      |  SELECT purchase_id, user_id, cents, CAST(count(*) AS BIGINT) AS n_touch
+      |  FROM m GROUP BY purchase_id, user_id, cents)
+      |SELECT purchase_id, user_id, n_touch,
+      |  cents // n_touch AS credit_cents,
+      |  cents - (cents // n_touch) * n_touch AS remainder_cents
+      |FROM n
+      |ORDER BY purchase_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pt"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("ct"))
+    p.join(c, Seq("user_id"))
+      .filter(col("ct") <= col("pt") &&
+        unix_micros(col("pt")) - unix_micros(col("ct")) <= 604800000000L)
+      .groupBy(col("purchase_id"), col("user_id"), col("cents"))
+      .agg(count(lit(1)).as("n_touch"))
+      .select(col("purchase_id"), col("user_id"), col("n_touch"),
+        expr("cents div n_touch").as("credit_cents"),
+        expr("cents - (cents div n_touch) * n_touch").as("remainder_cents"))
+      .orderBy(col("purchase_id"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
-    sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning)
+    sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
+    patternConsecutive, attributionLinear)
 }

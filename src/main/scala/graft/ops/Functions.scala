@@ -280,7 +280,43 @@ object Functions {
       .orderBy(col("event_id"))
   }
 
+  /** Struct-type family (r11, third session) — the nested-record
+    * surface the registry lacked: construction (named_struct / DuckDB
+    * struct literal), field extraction (incl. two-level nesting),
+    * and whole-struct comparison (equality and the field-order
+    * lexicographic `<` both engines define). Outputs stay SCALAR
+    * (booleans + extracted fields) per the fn_map_json hash-safety
+    * rule — the driver compare never sees a struct cell. Row-local
+    * projection: one scan, presentation sort only. */
+  val fnStruct: QDef = q(
+    "fn_struct",
+    """SELECT o_orderkey,
+      |  {'k': o_custkey, 'p': CAST(o_totalprice AS DECIMAL(12,2))}
+      |    = {'k': o_custkey, 'p': CAST(o_totalprice AS DECIMAL(12,2))} AS eq_self,
+      |  {'a': o_custkey, 'b': o_orderkey} < {'a': o_custkey, 'b': o_orderkey + 1} AS lt_next,
+      |  {'a': o_custkey, 'b': o_orderkey} < {'a': o_custkey - 1, 'b': o_orderkey} AS lt_first_field,
+      |  struct_extract({'k': o_custkey, 's': o_orderstatus}, 's') AS st,
+      |  struct_extract(struct_extract(
+      |    {'outer': {'x': o_custkey * 3, 'y': o_orderkey}}, 'outer'), 'x') AS nested_x
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, d) =>
+    val kp = struct(col("o_custkey").as("k"), money(col("o_totalprice")).as("p"))
+    val ab = struct(col("o_custkey").as("a"), col("o_orderkey").as("b"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (kp === kp).as("eq_self"),
+        (ab < struct(col("o_custkey").as("a"), (col("o_orderkey") + 1).as("b")))
+          .as("lt_next"),
+        (ab < struct((col("o_custkey") - 1).as("a"), col("o_orderkey").as("b")))
+          .as("lt_first_field"),
+        struct(col("o_custkey").as("k"), col("o_orderstatus").as("s"))
+          .getField("s").as("st"),
+        struct(struct((col("o_custkey") * 3).as("x"), col("o_orderkey").as("y"))
+          .as("outer")).getField("outer").getField("x").as("nested_x"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     fnString, fnStringDistance, fnDate, fnMath, fnArray,
-    fnMapJson, fnConditional, fnHigherOrder, fnBitwise)
+    fnMapJson, fnConditional, fnHigherOrder, fnBitwise, fnStruct)
 }

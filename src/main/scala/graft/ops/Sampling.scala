@@ -184,6 +184,49 @@ object Sampling {
         col("min_doc"), col("max_doc"))
   }
 
+  /** Class-balanced downsample (r11, third session) — rebalance a
+    * skewed corpus to a 200-doc target with EQUAL per-language
+    * quotas, the label-balancing step before fine-tune mixes. Unlike
+    * `sample_stratified_docs` (fixed k per stratum), the quota here
+    * is COMPUTED from the data (target div n_classes, via two tiny
+    * count aggregates cross-joined — broadcast at any corpus size),
+    * and membership keys off the md5(doc_id) order, so the selected
+    * set is identical on any partitioning, cluster, or engine.
+    * At 100 TB: the quota table is O(n_langs) rows (broadcast), the
+    * window partitions by lang — one exchange over the corpus. */
+  val sampleClassBalance: QDef = q(
+    "sample_class_balance",
+    """WITH quota AS (
+      |  SELECT lang, 200 // (SELECT count(DISTINCT lang) FROM documents) AS q
+      |  FROM documents GROUP BY lang),
+      |ranked AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT r.lang, r.doc_id, r.n_chars
+      |FROM ranked r JOIN quota ON r.lang = quota.lang
+      |WHERE r.rn <= quota.q
+      |ORDER BY r.lang, r.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // class count derives from the per-class count table (O(n_langs)
+    // rows), not a second corpus scan — the corpus is only read for
+    // the groupBy and the window below
+    val langCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val quota = langCounts
+      .crossJoin(langCounts.agg(count(lit(1)).as("nc")))
+      .select(col("lang"), expr("200 div nc").as("q"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"), col("n_chars"),
+        row_number().over(w).as("rn"))
+      .join(broadcast(quota), Seq("lang"))
+      .filter(col("rn") <= col("q"))
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
-    sampleTokenBudget, reconcileOrdersItems, profileDocuments)
+    sampleTokenBudget, reconcileOrdersItems, profileDocuments,
+    sampleClassBalance)
 }

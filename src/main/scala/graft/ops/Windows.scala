@@ -375,8 +375,86 @@ object Windows {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Cumulative distinct count (r11, third session) — running number
+    * of DISTINCT event types each user has touched, at every event.
+    * COUNT(DISTINCT) over a running frame is unsupported (Spark) or
+    * O(frame) (engines that allow it); the scale-right formulation is
+    * the first-occurrence trick: flag each (user, type)'s first event
+    * via row_number, then a plain running SUM of flags over the user
+    * timeline. Two windows, but the second reuses nothing heavier
+    * than the user exchange — per-user state is one integer, not a
+    * distinct-set. Both windows order by raw µs ts + event_id (D1
+    * unique tie-break); only the OUTPUT timestamp is second-truncated
+    * (D4). */
+  val winRunningDistinct: QDef = q(
+    "win_running_distinct",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS t, event_type,
+      |  CAST(SUM(first_seen) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    AS n_distinct_types
+      |FROM e
+      |ORDER BY user_id, event_id""") { (s, d) =>
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        when(row_number().over(wFirst) === 1, 1).otherwise(0).as("first_seen"))
+      .select(col("user_id"), col("event_id"), tsSec(col("ts")).as("t"),
+        col("event_type"),
+        sum(col("first_seen")).over(wRun).cast(LongType).as("n_distinct_types"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Rolling exact median (r11, third session) — order-statistic
+    * window the engines don't ship natively (Spark has no windowed
+    * percentile; DuckDB's windowed median interpolates): per
+    * customer, the median of the last ≤7 orders' totals in exact
+    * cents. Formulation both engines define identically: collect the
+    * ROWS frame into a list, sort it, index the upper median
+    * (size div 2 + 1, 1-based). Frame size is CONSTANT (≤7), so the
+    * per-row list is bounded — this is the small-frame regime where
+    * list-collect is the right tool; an unbounded-frame median would
+    * instead take the two-heap/partition-recombine design. One user
+    * exchange; cents stay integers end-to-end (D2). */
+  val winRollingMedian: QDef = q(
+    "win_rolling_median",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    list(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, cents,
+      |  list_sort(win)[len(win) // 2 + 1] AS med_cents,
+      |  CAST(len(win) AS INTEGER) AS n_win
+      |FROM o
+      |ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val cents = (money(col("o_totalprice")) * 100).cast(LongType)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), cents.as("cents"),
+        collect_list(cents).over(w).as("win"))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        expr("element_at(sort_array(win), cast(size(win) div 2 + 1 as int))")
+          .as("med_cents"),
+        size(col("win")).as("n_win"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
-    winFillLocf, winInterpolateLinear)
+    winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian)
 }

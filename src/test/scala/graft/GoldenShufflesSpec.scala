@@ -41,6 +41,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_stats_explicit" -> 2,
     "ann_ivf_label" -> 2,
     "anomaly_mad" -> 4,
+    "attribution_linear" -> 2,
     "bm25_topdocs" -> 1,
     // r7: row-local distinct gram build removed the corpus-pair
     // .distinct() exchange (PLANS.md r7)
@@ -72,8 +73,14 @@ class GoldenShufflesSpec extends SparkSpec {
     "fn_math" -> 1,
     "fn_string" -> 1,
     "fn_string_distance" -> 1,
+    "fn_struct" -> 1,
     "funnel_steps" -> 4,
     "graph_degree_stats" -> 7,
+    // r11c: the rank loop materializes eagerly inside run() (same
+    // contract as dedup_cluster_cc); the RETURNED plan is the
+    // checkpointed final table, so its static plan carries no
+    // exchanges — the loop's own shuffles are audited in PLANS.md
+    "graph_pagerank" -> 0,
     "harmonize_cube" -> 2,
     "harmonize_provenance" -> 3,
     "harmonize_unmappable" -> 2,
@@ -105,6 +112,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "multimodal_enrich" -> 2,
     "multimodal_frame_sample" -> 1,
     "pack_sequences" -> 2,
+    "pattern_consecutive" -> 2,
     "pivot_event_types" -> 3,
     "profile_documents" -> 2,
     "profile_orders" -> 2,
@@ -113,6 +121,10 @@ class GoldenShufflesSpec extends SparkSpec {
     "reconcile_orders_items" -> 4,
     "retention_cohorts" -> 3,
     "rolling_7d_value" -> 3,
+    // r11c: lang-count agg + its single-row class-count agg +
+    // lang window + presentation sort + the window's rn filter
+    // join staying sort-side; quota side is broadcast (PLANS.md)
+    "sample_class_balance" -> 5,
     "sample_hash_docs" -> 1,
     "sample_stratified_docs" -> 2,
     "sample_token_budget" -> 2,
@@ -150,6 +162,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "text_ngram_logprob" -> 4,
     "text_pii_scrub" -> 2,
     "text_quality" -> 1,
+    "text_readability" -> 1,
     "text_repetition" -> 4,
     "text_tfidf_topterms" -> 4,
     "text_token_count" -> 1,
@@ -168,6 +181,8 @@ class GoldenShufflesSpec extends SparkSpec {
     "win_lag_lead" -> 2,
     "win_range_numeric" -> 2,
     "win_rank_dense_row" -> 2,
+    "win_rolling_median" -> 2,
+    "win_running_distinct" -> 3,
     "win_running_sum" -> 2,
     "win_session_running" -> 2,
     "win_sliding_avg" -> 2)

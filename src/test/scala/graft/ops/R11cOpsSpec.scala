@@ -1,0 +1,211 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-11 third-session additions,
+  * checked by driver-side recomputation at sf0.001 — independent of
+  * the DuckDB oracle, so a systematic cross-engine bug can't hide a
+  * wrong formulation (the R5OpsSpec discipline).
+  */
+class R11cOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val r11cKeys = Seq(
+    "fn_struct", "sample_class_balance", "text_readability",
+    "win_running_distinct", "win_rolling_median", "pattern_consecutive",
+    "attribution_linear", "graph_pagerank")
+
+  test("every r11c key is partition-count invariant (the 100 TB correctness property)") {
+    val session = spark.conf.get("spark.sql.shuffle.partitions")
+    def results(parts: Int): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try r11cKeys.map { k =>
+        k -> graft.SparkEntry.queries(k)(spark, sf).collect()
+          .map(_.toString).toSeq.sorted
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", session)
+    }
+    val a = results(3); val b = results(17)
+    r11cKeys.foreach { k =>
+      assert(a(k) == b(k), s"$k: result depends on the shuffle partition count")
+      assert(a(k).nonEmpty, s"$k: empty result cannot certify anything")
+    }
+  }
+
+  test("fn_struct: comparisons recompute in plain JVM arithmetic") {
+    val rows = Functions.fnStruct.run(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.length == orders.size)
+    rows.foreach { r =>
+      val (ok, ck, st) = (r.getLong(0), orders(r.getLong(0))._1, orders(r.getLong(0))._2)
+      assert(r.getBoolean(1), "a struct must equal itself")
+      // (ck, ok) < (ck, ok+1): second field decides
+      assert(r.getBoolean(2), "lexicographic < on the tie-broken field")
+      // (ck, ok) < (ck-1, ok): first field decides, and decides false
+      assert(!r.getBoolean(3), "lexicographic < must stop at the first field")
+      assert(r.getString(4) == st, "field extraction must round-trip")
+      assert(r.getLong(5) == ck * 3, "nested two-level extraction")
+    }
+  }
+
+  test("sample_class_balance: exact equal quotas, a subset, and re-runnable") {
+    val rows = Sampling.sampleClassBalance.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val nLangs = docs.map(_._1).size
+    val quota = 200 / nLangs
+    val perLang = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang.values.toSet == Set(quota),
+      s"every language must contribute exactly $quota docs: $perLang")
+    assert(rows.forall(docs), "sample must be a subset of the corpus")
+    // determinism: the same call selects the same rows
+    val again = Sampling.sampleClassBalance.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("text_readability: counts recompute against JVM regexes") {
+    val out = CorpusOps.textReadability.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wordRe = "[a-z]+".r; val syllRe = "[aeiouy]+".r; val sentRe = "[.!?]+".r
+    texts.foreach { case (id, text) =>
+      val lower = text.toLowerCase
+      val words = wordRe.findAllIn(lower).toSeq
+      if (words.nonEmpty) {
+        val r = out(id)
+        val syll = syllRe.findAllIn(lower).size.toLong
+        val mono = words.count(w => syllRe.findAllIn(w).size == 1).toLong
+        val sent = math.max(1, sentRe.findAllIn(text).size).toLong
+        assert(r.getLong(1) == words.size.toLong, s"doc $id words")
+        assert(r.getLong(2) == syll, s"doc $id syllables")
+        assert(r.getLong(3) == mono, s"doc $id monosyllables")
+        assert(r.getLong(4) == sent, s"doc $id sentences")
+        assert(r.getLong(5) == 1000L * syll / words.size, s"doc $id spw")
+        assert(r.getLong(7) ==
+          390L * words.size / sent + 11800L * syll / words.size - 15590L,
+          s"doc $id fk grade")
+      } else assert(!out.contains(id), s"doc $id: zero words must be filtered")
+    }
+  }
+
+  test("win_running_distinct: monotone per user, final value = exact distinct count") {
+    val rows = Windows.winRunningDistinct.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4)))
+    val byUser = rows.groupBy(_._1)
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val truth = events.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    byUser.foreach { case (u, es) =>
+      // output is ordered by event_id within user and the counter may
+      // only step by 0 or 1, starting at 1
+      val counts = es.sortBy(_._2).map(_._4).toSeq
+      assert(counts.head == 1L, s"user $u starts at one distinct type")
+      counts.sliding(2).foreach {
+        case Seq(a, b) => assert(b == a || b == a + 1, s"user $u: step $a->$b")
+        case _ =>
+      }
+      assert(counts.last == truth(u).toLong,
+        s"user $u: final running count must equal the exact distinct count")
+    }
+  }
+
+  test("win_rolling_median: full JVM recomputation per customer") {
+    val rows = Windows.winRollingMedian.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(12,2)").as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[java.time.LocalDateTime](2),
+        r.getDecimal(3).movePointRight(2).longValueExact()))
+    val byCust = orders.groupBy(_._1)
+    val expected = byCust.toSeq.flatMap { case (_, os) =>
+      val ordered = os.sortBy(o => (o._3, o._2))(
+        Ordering.Tuple2(Ordering.comparatorToOrdering(
+          java.util.Comparator.naturalOrder[java.time.LocalDateTime]()),
+          Ordering.Long))
+      ordered.zipWithIndex.map { case (o, i) =>
+        val win = ordered.slice(math.max(0, i - 6), i + 1).map(_._4).sorted
+        (o._1, o._2) -> (o._4, win(win.size / 2), win.size)
+      }
+    }.toMap
+    rows.foreach { case (ck, ok, cents, med, nWin) =>
+      val (eCents, eMed, eN) = expected((ck, ok))
+      assert(cents == eCents, s"order $ok cents")
+      assert(med == eMed, s"order $ok rolling median")
+      assert(nWin == eN, s"order $ok window size")
+    }
+  }
+
+  test("pattern_consecutive: JVM scan of each user's ordered stream agrees") {
+    val out = EventAnalytics.patternConsecutive.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(3).toInstant
+        // full µs precision — getTime() alone truncates to ms and
+        // could mis-order same-ms ties vs the engine's µs sort
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      }
+    val truth = events.groupBy(_._1).view.mapValues { es =>
+      val types = es.sortBy(e => (e._4, e._2)).map(_._3).toSeq
+      types.sliding(3).count(_ == Seq("view", "click", "purchase"))
+    }.toMap.filter(_._2 > 0)
+    assert(out.keySet == truth.keySet, "matching user sets")
+    truth.foreach { case (u, n) => assert(out(u) == n.toLong, s"user $u matches") }
+  }
+
+  test("attribution_linear: credit allocation reconciles to the purchase total") {
+    val rows = EventAnalytics.attributionLinear.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cents = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        (col("value").cast("decimal(12,4)") * 100).cast("long").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (pid, n, credit, rem) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 1, s"purchase $pid: touched purchases have at least one click")
+      assert(rem >= 0 && rem < n, s"purchase $pid: remainder bounded by touches")
+      assert(credit * n + rem == cents(pid),
+        s"purchase $pid: allocation must reconcile exactly")
+    }
+  }
+
+  test("graph_pagerank: full 3-iteration JVM recomputation at sf0.001") {
+    val out = ClusterOps.graphPagerank.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val eb = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = eb.flatMap { case (ck, sk) =>
+      Seq((ck * 2, sk * 2 + 1), (sk * 2 + 1, ck * 2)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank: Map[Long, Long] = deg.map { case (id, _) => id -> 1000000L }
+    (1 to 3).foreach { _ =>
+      val recv = edges.groupBy(_._2).view.mapValues { in =>
+        in.map { case (src, _) => rank(src) * 85 / (100 * deg(src)) }.sum
+      }.toMap
+      rank = recv.map { case (id, s) => id -> (150000L + s) }
+    }
+    assert(out.size == rank.size, "one output row per node")
+    rank.foreach { case (id, r) =>
+      val kind = if (id % 2 == 0) "customer" else "supplier"
+      assert(out((kind, id / 2)) == r, s"node $id rank")
+    }
+  }
+}
