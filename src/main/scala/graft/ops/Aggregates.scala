@@ -499,10 +499,89 @@ object Aggregates {
       .orderBy(col("user_id"))
   }
 
+  /** Weighted median (r11c) — the order statistic neither engine
+    * ships exactly: per return flag, the price at which HALF the
+    * shipped QUANTITY sits at or below (quantity-weighted lower
+    * median, 2·cumw ≥ totw). Formulation both engines define
+    * identically: one per-flag window computes the running weight
+    * over the (price, orderkey, linenumber) total order plus the
+    * flag total, then the threshold row is min(price) over the
+    * qualifying suffix. Weights and prices stay exact integers
+    * (D2). One flag exchange; per-flag work is a sort — at a
+    * billion-row flag the same answer comes from a two-pass
+    * histogram bisect, the documented degradation. */
+  val aggWeightedMedian: QDef = q(
+    "agg_weighted_median",
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10000 AS BIGINT) AS w,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |cum AS (
+      |  SELECT flag, price_cents, w,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY price_cents, l_orderkey, l_linenumber
+      |      ROWS UNBOUNDED PRECEDING) AS cw,
+      |    SUM(w) OVER (PARTITION BY flag) AS tw
+      |  FROM li)
+      |SELECT flag, CAST(min(price_cents) AS BIGINT) AS wmedian_cents,
+      |  CAST(min(tw) AS BIGINT) AS total_weight
+      |FROM cum WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("flag"),
+      (money(col("l_extendedprice")) * 100).cast(LongType).as("price_cents"),
+      (qty(col("l_quantity")) * 10000).cast(LongType).as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val wCum = Window.partitionBy(col("flag"))
+      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("flag"))
+    li.select(col("flag"), col("price_cents"),
+        sum(col("w")).over(wCum).as("cw"), sum(col("w")).over(wTot).as("tw"))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(col("price_cents")).as("wmedian_cents"),
+        min(col("tw")).as("total_weight"))
+      .orderBy(col("flag"))
+  }
+
+  /** Multi-aggregate pivot (r11c) — `pivot_event_types` grades the
+    * single-agg pivot; this grades Spark's multi-agg pivot surface
+    * (groupBy.pivot.agg(count, sum) → one column pair per pivot
+    * value) with exact-cents sums. The oracle is the equivalent
+    * conditional aggregation. One hash agg: partials carry a fixed
+    * 2×|values| slots per user regardless of row count. */
+  val pivotMultiAgg: QDef = q(
+    "pivot_multi_agg",
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click_n,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'click'
+      |    THEN CAST(value AS DECIMAL(12,4)) * 100 END) AS BIGINT), 0) AS click_cents,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_n,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(value AS DECIMAL(12,4)) * 100 END) AS BIGINT), 0) AS purchase_cents,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view_n,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view'
+      |    THEN CAST(value AS DECIMAL(12,4)) * 100 END) AS BIGINT), 0) AS view_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val types = Seq("click", "purchase", "view")
+    val p = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"),
+        (sum(qty(col("value"))) * 100).cast(LongType).as("cents"))
+    val cols = types.flatMap { t =>
+      Seq(coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+        coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents"))
+    }
+    p.select(col("user_id") +: cols: _*).orderBy(col("user_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
-    aggArgminmax, aggBitmapDistinct)
+    aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg)
 }

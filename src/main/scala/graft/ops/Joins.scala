@@ -381,9 +381,81 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-direction as-of join (r11c) — pandas
+    * merge_asof(direction='nearest'): each purchase pairs with its
+    * closest click in EITHER time direction (ties go backward, the
+    * deterministic convention). Completes the as-of family: backward
+    * (`join_asof_event`), backward-with-tolerance
+    * (`join_asof_tolerance`), nearest (this). Same single-window
+    * plan: one user exchange carries BOTH the backward IGNORE-NULLS
+    * last over the preceding frame and the forward IGNORE-NULLS
+    * first over the following frame — nearest-direction costs no
+    * extra shuffle over backward-only. Gaps are exact µs integers;
+    * no join materialization at any scale. */
+  val joinAsofNearest: QDef = q(
+    "join_asof_nearest",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT event_id, user_id, event_type, us, t,
+      |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back_us,
+      |    first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_us
+      |  FROM e)
+      |SELECT event_id, user_id, t AS purchase_t,
+      |  CASE
+      |    WHEN back_us IS NULL AND fwd_us IS NULL THEN NULL
+      |    WHEN fwd_us IS NULL THEN us - back_us
+      |    WHEN back_us IS NULL THEN fwd_us - us
+      |    WHEN us - back_us <= fwd_us - us THEN us - back_us
+      |    ELSE fwd_us - us END AS gap_us,
+      |  CASE
+      |    WHEN back_us IS NULL AND fwd_us IS NULL THEN 'none'
+      |    WHEN fwd_us IS NULL THEN 'before'
+      |    WHEN back_us IS NULL THEN 'after'
+      |    WHEN us - back_us <= fwd_us - us THEN 'before'
+      |    ELSE 'after' END AS direction
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY event_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), tsSec(col("ts")).as("t"))
+    val clickUs = when(col("event_type") === "click", col("us"))
+    val wBack = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wFwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val backGap = col("us") - col("back_us")
+    val fwdGap = col("fwd_us") - col("us")
+    e.withColumn("back_us", last(clickUs, ignoreNulls = true).over(wBack))
+      .withColumn("fwd_us", first(clickUs, ignoreNulls = true).over(wFwd))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("t").as("purchase_t"),
+        when(col("back_us").isNull && col("fwd_us").isNull, lit(null))
+          .when(col("fwd_us").isNull, backGap)
+          .when(col("back_us").isNull, fwdGap)
+          .when(backGap <= fwdGap, backGap)
+          .otherwise(fwdGap).as("gap_us"),
+        when(col("back_us").isNull && col("fwd_us").isNull, "none")
+          .when(col("fwd_us").isNull, "before")
+          .when(col("back_us").isNull, "after")
+          .when(backGap <= fwdGap, "before")
+          .otherwise("after").as("direction"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
     joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders,
-    joinSkewSalted, joinIntervalOverlap, joinAsofTolerance)
+    joinSkewSalted, joinIntervalOverlap, joinAsofTolerance,
+    joinAsofNearest)
 }

@@ -355,7 +355,77 @@ object PipelineOps {
       .orderBy(col("source"))
   }
 
+  /** Prefix-duplicate clusters (r11c) — the truncation-duplicate
+    * detector: web-crawl corpora carry documents that are identical
+    * for the first N characters and then diverge (paywall cuts,
+    * pagination, feed truncation), which exact whole-text dedup
+    * (`dedup_exact_docs`) misses. Group by md5 of the 64-char
+    * prefix, keep only real clusters (n > 1). The shuffle carries a
+    * 32-hex digest + counters per row, never document bodies — the
+    * `profile_documents` digest discipline. */
+  val dedupPrefixCluster: QDef = q(
+    "dedup_prefix_cluster",
+    """WITH p AS (
+      |  SELECT doc_id, n_chars, substr(text, 1, 64) AS prefix FROM documents)
+      |SELECT md5(prefix) AS prefix_md5, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+      |  CAST(max(doc_id) AS BIGINT) AS max_doc,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM p GROUP BY md5(prefix) HAVING count(*) > 1
+      |ORDER BY prefix_md5""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(md5(substring(col("text"), 1, 64)).as("prefix_md5"),
+        col("doc_id"), col("n_chars"))
+      .groupBy(col("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("n_chars")).as("total_chars"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("prefix_md5"))
+  }
+
+  /** Temperature-scaled resampling (r11c) — `mix_domain_weighted`
+    * applies STATIC permille rates; this computes them FROM the data
+    * with the α=0.5 temperature rule multilingual-corpus training
+    * uses (keep-rate ∝ 1/√n_class, normalized so the rarest class
+    * keeps everything): rare languages are preserved, the dominant
+    * one is downsampled toward balance. sqrt and the one double
+    * division are IEEE correctly-rounded in both engines, and the
+    * result is floored to integer permille BEFORE the md5-keyed
+    * membership test, so selection is deterministic on any
+    * partitioning. The rate table is O(n_classes) rows — broadcast
+    * at any corpus size; membership is a row-local filter. */
+  val mixTemperatureResample: QDef = q(
+    "mix_temperature_resample",
+    """WITH counts AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+      |mn AS (SELECT min(n) AS n_min FROM counts),
+      |rates AS (
+      |  SELECT lang, CAST(floor(1000 * sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+      |    AS keep_permille
+      |  FROM counts, mn)
+      |SELECT d.doc_id, d.lang, r.keep_permille
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT % 1000
+      |  < r.keep_permille
+      |ORDER BY d.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val rates = counts.crossJoin(counts.agg(min(col("n")).as("n_min")))
+      .select(col("lang"),
+        floor(lit(1000) * sqrt(col("n_min").cast(DoubleType) / col("n").cast(DoubleType)))
+          .cast(LongType).as("keep_permille"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+        .cast(IntegerType) % 1000 < col("keep_permille"))
+      .select(col("doc_id"), col("lang"), col("keep_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     contaminationNgram, packSequences, mixDomainWeighted, textRepetition,
-    textPiiScrub, embedQuantizeInt8, curationFunnel)
+    textPiiScrub, embedQuantizeInt8, curationFunnel, dedupPrefixCluster,
+    mixTemperatureResample)
 }

@@ -453,8 +453,37 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Ratio-to-report (r11c) — each order's share of its customer's
+    * lifetime total, the classic contribution-analysis window (no
+    * ORDER BY: the frame is the whole partition, so Spark plans an
+    * unordered WindowExec over one custkey exchange — no per-row
+    * sort semantics involved). Share is exact integer ppm via floor
+    * division of exact cents; the denominator is computed once per
+    * partition, not per row. */
+  val winRatioToReport: QDef = q(
+    "win_ratio_to_report",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total_cents,
+      |  (cents * 1000000) // SUM(cents) OVER (PARTITION BY o_custkey) AS share_ppm
+      |FROM o ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .withColumn("cust_total_cents", sum(col("cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        col("cust_total_cents"),
+        expr("(cents * 1000000) div cust_total_cents").as("share_ppm"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
-    winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian)
+    winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian,
+    winRatioToReport)
 }

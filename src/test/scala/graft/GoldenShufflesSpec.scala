@@ -39,6 +39,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_regression_explicit" -> 2,
     "agg_rollup" -> 2,
     "agg_stats_explicit" -> 2,
+    "agg_weighted_median" -> 2,
     "ann_ivf_label" -> 2,
     "anomaly_mad" -> 4,
     "attribution_linear" -> 2,
@@ -59,6 +60,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "dedup_minhash_lsh" -> 2,
     "dedup_near_embedding" -> 2,
     "dedup_near_jaccard" -> 2,
+    "dedup_prefix_cluster" -> 2,
     "dedup_simhash" -> 4,
     "embed_quantize_int8" -> 2,
     "entity_match_fuzzy" -> 3,
@@ -86,6 +88,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "harmonize_unmappable" -> 2,
     "join_anti" -> 1,
     "join_asof_event" -> 2,
+    "join_asof_nearest" -> 2,
     "join_asof_tolerance" -> 2,
     "join_broadcast_dim" -> 1,
     "join_bucketed_colo" -> 2,
@@ -108,12 +111,14 @@ class GoldenShufflesSpec extends SparkSpec {
     "merge_upsert_customers" -> 4,
     "minhash_est_audit" -> 2,
     "mix_domain_weighted" -> 1,
+    "mix_temperature_resample" -> 4,
     "multimodal_binary_meta" -> 1,
     "multimodal_enrich" -> 2,
     "multimodal_frame_sample" -> 1,
     "pack_sequences" -> 2,
     "pattern_consecutive" -> 2,
     "pivot_event_types" -> 3,
+    "pivot_multi_agg" -> 3,
     "profile_documents" -> 2,
     "profile_orders" -> 2,
     "project_arithmetic" -> 1,
@@ -181,6 +186,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "win_lag_lead" -> 2,
     "win_range_numeric" -> 2,
     "win_rank_dense_row" -> 2,
+    "win_ratio_to_report" -> 2,
     "win_rolling_median" -> 2,
     "win_running_distinct" -> 3,
     "win_running_sum" -> 2,

@@ -15,7 +15,9 @@ class R11cOpsSpec extends SparkSpec {
   private val r11cKeys = Seq(
     "fn_struct", "sample_class_balance", "text_readability",
     "win_running_distinct", "win_rolling_median", "pattern_consecutive",
-    "attribution_linear", "graph_pagerank")
+    "attribution_linear", "graph_pagerank",
+    "join_asof_nearest", "agg_weighted_median", "pivot_multi_agg",
+    "win_ratio_to_report", "dedup_prefix_cluster", "mix_temperature_resample")
 
   test("every r11c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -207,5 +209,124 @@ class R11cOpsSpec extends SparkSpec {
       val kind = if (id % 2 == 0) "customer" else "supplier"
       assert(out((kind, id / 2)) == r, s"node $id rank")
     }
+  }
+
+  test("join_asof_nearest: nearest click recomputes from a JVM scan per user") {
+    val out = Joins.joinAsofNearest.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getString(4))).toMap
+    val events = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(3).toInstant
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      }
+    events.groupBy(_._2).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (e._4, e._1)).toSeq
+      ordered.zipWithIndex.foreach { case ((id, _, tpe, us), i) =>
+        if (tpe == "purchase") {
+          val back = ordered.take(i).filter(_._3 == "click").lastOption.map(us - _._4)
+          val fwd = ordered.drop(i + 1).find(_._3 == "click").map(_._4 - us)
+          val (gap, dir) = (back, fwd) match {
+            case (None, None)       => (None, "none")
+            case (Some(b), None)    => (Some(b), "before")
+            case (None, Some(f))    => (Some(f), "after")
+            case (Some(b), Some(f)) =>
+              if (b <= f) (Some(b), "before") else (Some(f), "after")
+          }
+          assert(out(id) == ((gap, dir)), s"purchase $id nearest click")
+        }
+      }
+    }
+  }
+
+  test("agg_weighted_median: half the weight sits at or below the answer") {
+    val out = Aggregates.aggWeightedMedian.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("p"),
+        (col("l_quantity").cast("decimal(12,4)") * 10000).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val (med, tot) = out(flag)
+      assert(tot == rows.map(_._3).sum, s"$flag total weight")
+      val below = rows.filter(_._2 <= med).map(_._3).sum
+      val strictlyBelow = rows.filter(_._2 < med).map(_._3).sum
+      assert(2 * below >= tot, s"$flag: weight at or below the median reaches half")
+      assert(2 * strictlyBelow < tot, s"$flag: the median is the FIRST such price")
+    }
+  }
+
+  test("pivot_multi_agg: both aggregate planes recompute per user") {
+    val out = Aggregates.pivotMultiAgg.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast("decimal(12,4)") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    events.groupBy(_._1).foreach { case (u, es) =>
+      def n(t: String) = es.count(_._2 == t).toLong
+      def c(t: String) = es.filter(_._2 == t).map(_._3).sum
+      assert(out(u) == ((n("click"), c("click"), n("purchase"), c("purchase"),
+        n("view"), c("view"))), s"user $u pivot cells")
+    }
+  }
+
+  test("win_ratio_to_report: shares are exact floor-ppm and nearly sum to 1M") {
+    val rows = Windows.winRatioToReport.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (ck, os) =>
+      val tot = os.head._3
+      assert(os.map(_._2).sum == tot, s"cust $ck total")
+      os.foreach { case (_, cents, t, ppm) =>
+        assert(t == tot)
+        assert(ppm == cents * 1000000L / tot, s"cust $ck share")
+      }
+      // floor division loses at most (n_orders - 1) ppm
+      val s = os.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - os.length, s"cust $ck ppm sum $s")
+    }
+  }
+
+  test("dedup_prefix_cluster: clusters really share a 64-char prefix") {
+    val out = PipelineOps.dedupPrefixCluster.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).take(64)))
+    val byPrefix = docs.groupBy(_._2).filter(_._2.length > 1)
+    assert(out.length == byPrefix.size, "one row per real cluster")
+    val byCanonical = out.map(r => r._3 -> r).toMap
+    byPrefix.foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      val row = byCanonical(ids.head)
+      assert(row._2 == ids.length.toLong && row._4 == ids.last,
+        s"cluster of ${ids.head}")
+    }
+  }
+
+  test("mix_temperature_resample: rates follow 1/sqrt(n) and rarest keeps all") {
+    val rows = PipelineOps.mixTemperatureResample.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val counts = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val expectedRate =
+        math.floor(1000.0 * math.sqrt(nMin.toDouble / counts(lang).toDouble)).toLong
+      assert(rs.forall(_._3 == expectedRate), s"$lang keep rate")
+      // the kept fraction should be within ±10 permille-points of the
+      // rate at this corpus size (md5 uniformity, not a tight bound)
+      val kept = 1000.0 * rs.length / counts(lang)
+      assert(math.abs(kept - expectedRate) < 110, s"$lang kept $kept vs $expectedRate")
+    }
+    val rarest = counts.minBy(_._2)._1
+    assert(rows.count(_._2 == rarest).toLong == counts(rarest),
+      "the rarest class is kept in full")
   }
 }
