@@ -527,18 +527,46 @@ object Aggregates {
       |SELECT flag, CAST(min(price_cents) AS BIGINT) AS wmedian_cents,
       |  CAST(min(tw) AS BIGINT) AS total_weight
       |FROM cum WHERE 2 * cw >= tw GROUP BY flag ORDER BY flag""") { (s, d) =>
+    // Spark side takes the HISTOGRAM-BISECT formulation (the oracle
+    // keeps the naive one-window spelling): a direct per-flag
+    // running-weight window sorts the WHOLE group — with a handful of
+    // flags that is a full-table sort across a handful of tasks, the
+    // shape that dies first at scale. Instead: (1) bucket prices
+    // (div 65536 cents) and aggregate weight per (flag, bucket) — a
+    // partial-agged shuffle of bucket-cardinality rows; (2) find the
+    // threshold bucket and the cumulative weight strictly below it
+    // with windows over that TINY table; (3) broadcast the 1-row-per-
+    // flag threshold back and sort ONLY the in-bucket sliver
+    // (~1/bucket-count of the data) to locate the exact row. Same
+    // answer bit-for-bit; the full-group sort never happens.
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d).select(
       col("l_returnflag").as("flag"),
       (money(col("l_extendedprice")) * 100).cast(LongType).as("price_cents"),
       (qty(col("l_quantity")) * 10000).cast(LongType).as("w"),
       col("l_orderkey"), col("l_linenumber"))
-    val wCum = Window.partitionBy(col("flag"))
+      .withColumn("bucket", expr("price_cents div 65536"))
+    val b = li.groupBy(col("flag"), col("bucket")).agg(sum(col("w")).as("bw"))
+    val wBCum = Window.partitionBy(col("flag")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBTot = Window.partitionBy(col("flag"))
+    val marked = b.select(col("flag"), col("bucket"), col("bw"),
+      sum(col("bw")).over(wBCum).as("cumbw"), sum(col("bw")).over(wBTot).as("tw"))
+    val thresh = marked.filter(col("cumbw") * 2 >= col("tw"))
+      .groupBy(col("flag"))
+      .agg(min(col("bucket")).as("tb"), min(col("tw")).as("tw"))
+    // cumulative weight strictly below the threshold bucket
+    val below = marked.select(col("flag").as("bf"), col("bucket"),
+        (col("cumbw") - col("bw")).as("cum_below"))
+      .join(broadcast(thresh), col("bf") === thresh("flag") && col("bucket") === col("tb"))
+      .select(col("bf").as("flag"), col("tb"), col("cum_below"), col("tw"))
+    val wIn = Window.partitionBy(col("flag"))
       .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy(col("flag"))
-    li.select(col("flag"), col("price_cents"),
-        sum(col("w")).over(wCum).as("cw"), sum(col("w")).over(wTot).as("tw"))
+    li.join(broadcast(below), Seq("flag"))
+      .filter(col("bucket") === col("tb"))
+      .select(col("flag"), col("price_cents"), col("tw"),
+        (col("cum_below") + sum(col("w")).over(wIn)).as("cw"))
       .filter(col("cw") * 2 >= col("tw"))
       .groupBy(col("flag"))
       .agg(min(col("price_cents")).as("wmedian_cents"),

@@ -39,7 +39,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_regression_explicit" -> 2,
     "agg_rollup" -> 2,
     "agg_stats_explicit" -> 2,
-    "agg_weighted_median" -> 2,
+    // r11c: histogram-bisect formulation — bucket agg + tiny bucket
+    // windows + in-bucket sliver window + sort (PLANS.md)
+    "agg_weighted_median" -> 4,
     "ann_ivf_label" -> 2,
     "anomaly_mad" -> 4,
     "attribution_linear" -> 2,
