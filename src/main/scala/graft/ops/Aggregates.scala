@@ -606,10 +606,73 @@ object Aggregates {
     p.select(col("user_id") +: cols: _*).orderBy(col("user_id"))
   }
 
+  /** Skewness + excess kurtosis (r11c) — the 3rd/4th-moment
+    * distribution-shape profile extending `agg_stats_explicit`'s
+    * mean/stddev: raw power sums S1..S4 accumulate as EXACT
+    * DECIMAL(38,0) over integer dollars (d⁴ ≈ 1.5e20 overflows
+    * int64; the decimal partials stay exact and order-independent,
+    * and both engines keep (38,0)×int multiplication exact — scale
+    * never truncates), then ONE float finish evaluates the
+    * IDENTICAL expression tree in both engines on identical double
+    * inputs, so results are bit-equal (the `agg_regression_explicit`
+    * protocol). Population moments; single partial+final hash agg —
+    * partials are 4 decimals + a count per group at any row count. */
+  val aggSkewKurtosis: QDef = q(
+    "agg_skew_kurtosis",
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS dol
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |    SUM(CAST(dol AS DECIMAL(38,0))) AS s1,
+      |    SUM(CAST(dol AS DECIMAL(38,0)) * dol) AS s2,
+      |    SUM(CAST(dol AS DECIMAL(38,0)) * dol * dol) AS s3,
+      |    SUM(CAST(dol AS DECIMAL(38,0)) * dol * dol * dol) AS s4
+      |  FROM li GROUP BY flag),
+      |t AS (
+      |  SELECT flag, n, CAST(s1 AS DOUBLE) / n AS m, CAST(s2 AS DOUBLE) / n AS q2,
+      |    CAST(s3 AS DOUBLE) / n AS q3, CAST(s4 AS DOUBLE) / n AS q4
+      |  FROM s),
+      |u AS (SELECT flag, n, m, q2, q3, q4, q2 - m * m AS v FROM t)
+      |SELECT flag, n, m AS mean_dol, sqrt(v) AS sd_dol,
+      |  (q3 - 3 * m * q2 + 2 * m * m * m) / (sqrt(v) * sqrt(v) * sqrt(v)) AS skewness,
+      |  (q4 - 4 * m * q3 + 6 * m * m * q2 - 3 * m * m * m * m) / (v * v) - 3
+      |    AS excess_kurtosis
+      |FROM u ORDER BY flag""") { (s, d) =>
+    val dec = col("dol").cast(DecimalType(38, 0))
+    val sums = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100")
+          .as("dol"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(dec).as("s1"),
+        sum(dec * col("dol")).as("s2"),
+        sum(dec * col("dol") * col("dol")).as("s3"),
+        sum(dec * col("dol") * col("dol") * col("dol")).as("s4"))
+    val t = sums.select(col("flag"), col("n"),
+      (col("s1").cast(DoubleType) / col("n")).as("m"),
+      (col("s2").cast(DoubleType) / col("n")).as("q2"),
+      (col("s3").cast(DoubleType) / col("n")).as("q3"),
+      (col("s4").cast(DoubleType) / col("n")).as("q4"))
+    val u = t.withColumn("v", col("q2") - col("m") * col("m"))
+    u.select(col("flag"), col("n"), col("m").as("mean_dol"),
+        sqrt(col("v")).as("sd_dol"),
+        ((col("q3") - lit(3) * col("m") * col("q2")
+          + lit(2) * col("m") * col("m") * col("m"))
+          / (sqrt(col("v")) * sqrt(col("v")) * sqrt(col("v")))).as("skewness"),
+        ((col("q4") - lit(4) * col("m") * col("q3")
+          + lit(6) * col("m") * col("m") * col("q2")
+          - lit(3) * col("m") * col("m") * col("m") * col("m"))
+          / (col("v") * col("v")) - 3).as("excess_kurtosis"))
+      .orderBy(col("flag"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
-    aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg)
+    aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
+    aggSkewKurtosis)
 }

@@ -217,6 +217,73 @@ object EvolutionQueries {
       .orderBy(col("prio"))
   }
 
+  /** Point-in-time dimension join (r11c) — the query an SCD2 table
+    * exists FOR: each purchase joined to the state interval in force
+    * just before it (`valid_from < e ≤ valid_to`, open interval at
+    * the current state). The oracle spells it as the range join a
+    * warehouse user would write; the Spark side uses the as-of UNION
+    * trick instead — state starts and probes merge into ONE per-user
+    * window ordered by (position, probe-first), and three
+    * IGNORE-NULLS lasts over the preceding frame carry the matched
+    * run's (type, from, to). No range-join materialization, no
+    * per-probe interval scan: one user exchange at any scale, the
+    * same plan family as `join_asof_event`. A user's first event has
+    * no prior state → NULLs (left-join semantics by construction). */
+  val joinScd2Pointintime: QDef = q(
+    "join_scd2_pointintime",
+    """WITH ch AS (
+      |  SELECT user_id, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM events),
+      |keep AS (
+      |  SELECT user_id, event_id, event_type FROM ch
+      |  WHERE prev IS NULL OR event_type <> prev),
+      |scd AS (
+      |  SELECT user_id, event_type, event_id AS valid_from,
+      |    LEAD(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+      |  FROM keep),
+      |p AS (SELECT user_id, event_id FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |  s.event_type AS prior_state, s.valid_from AS state_since,
+      |  s.valid_to AS state_until
+      |FROM p LEFT JOIN scd s
+      |  ON p.user_id = s.user_id AND s.valid_from < p.event_id
+      |  AND (p.event_id <= s.valid_to OR s.valid_to IS NULL)
+      |ORDER BY p.event_id""") { (s, d) =>
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    val scd = Evolution.scd2(events, "user_id", "event_id")
+      .select(col("user_id"), col("valid_from").as("pos"), lit(1).as("kind"),
+        col("event_type").as("st_type"), col("valid_from").as("st_from"),
+        col("valid_to").as("st_to"))
+    val probes = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pos"), lit(0).as("kind"),
+        lit(null).cast(StringType).as("st_type"),
+        lit(null).cast(LongType).as("st_from"),
+        lit(null).cast(LongType).as("st_to"))
+    // probes sort BEFORE the state start at the same position (kind
+    // 0 < 1), so the preceding frame sees exactly the runs with
+    // valid_from strictly below the probe — the `<` of the oracle's
+    // range predicate, for free
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("pos"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scd.union(probes)
+      .select(col("user_id"), col("pos"), col("kind"),
+        last(col("st_type"), ignoreNulls = true).over(w).as("prior_state"),
+        last(col("st_from"), ignoreNulls = true).over(w).as("state_since"),
+        when(last(col("st_from"), ignoreNulls = true).over(w).isNotNull,
+          last(when(col("kind") === 1, coalesce(col("st_to"), lit(Long.MaxValue))),
+            ignoreNulls = true).over(w)).as("state_until_raw"))
+      .filter(col("kind") === 0)
+      .select(col("pos").as("event_id"), col("user_id"), col("prior_state"),
+        col("state_since"),
+        when(col("state_until_raw") === Long.MaxValue, lit(null).cast(LongType))
+          .otherwise(col("state_until_raw")).as("state_until"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QDef] = Seq(
-    mergeUpsertCustomers, snapshotDiffOrders, scd2EventState, cdcApplyOrders)
+    mergeUpsertCustomers, snapshotDiffOrders, scd2EventState, cdcApplyOrders,
+    joinScd2Pointintime)
 }

@@ -713,8 +713,34 @@ object LlmExtras {
       .orderBy(col("label"), col("assigned"))
   }
 
+  /** Language-ID confusion matrix (r11c) — the EVALUATION step a
+    * pipeline runs over its own classifier: `text_langid`'s
+    * predictions against the labeled lang, aggregated to (actual,
+    * predicted) cells. Reuses the graded langid query wholesale
+    * (Spark side calls its run; the oracle embeds its SQL as a CTE —
+    * the `graph_degree_stats` composition pattern), so the matrix is
+    * certified against the SAME predictions the per-doc key grades.
+    * One tiny agg over the per-doc output; cells are bounded by
+    * |langs|². */
+  val evalLangidConfusion: QDef = q(
+    "eval_langid_confusion",
+    s"""WITH pred AS (
+       |${textLangid.oracle.get}
+       |)
+       |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM pred
+       |GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""") { (s, d) =>
+    textLangid.run(s, d)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("correct").cast(LongType)).as("n_correct"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
-    annIvfLabel, simLshBucketed, kmeansAssign)
+    annIvfLabel, simLshBucketed, kmeansAssign, evalLangidConfusion)
 }

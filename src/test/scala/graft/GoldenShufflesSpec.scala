@@ -38,6 +38,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_quantiles_exact" -> 2,
     "agg_regression_explicit" -> 2,
     "agg_rollup" -> 2,
+    "agg_skew_kurtosis" -> 2,
     "agg_stats_explicit" -> 2,
     // r11c: histogram-bisect formulation — bucket agg + tiny bucket
     // windows + in-bucket sliver window + sort (PLANS.md)
@@ -66,6 +67,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "dedup_simhash" -> 4,
     "embed_quantize_int8" -> 2,
     "entity_match_fuzzy" -> 3,
+    "eval_langid_confusion" -> 8,
     "filter_above_group_avg" -> 2,
     "filter_compound" -> 1,
     "fn_array" -> 1,
@@ -103,6 +105,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "join_interval_overlap" -> 3,
     "join_left_outer" -> 1,
     "join_nullsafe_eq" -> 1,
+    "join_scd2_pointintime" -> 3,
     "join_semi" -> 1,
     "join_skew_salted" -> 4,
     "join_star_3way" -> 2,

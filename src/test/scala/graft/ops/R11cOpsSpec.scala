@@ -17,7 +17,8 @@ class R11cOpsSpec extends SparkSpec {
     "win_running_distinct", "win_rolling_median", "pattern_consecutive",
     "attribution_linear", "graph_pagerank",
     "join_asof_nearest", "agg_weighted_median", "pivot_multi_agg",
-    "win_ratio_to_report", "dedup_prefix_cluster", "mix_temperature_resample")
+    "win_ratio_to_report", "dedup_prefix_cluster", "mix_temperature_resample",
+    "join_scd2_pointintime", "agg_skew_kurtosis", "eval_langid_confusion")
 
   test("every r11c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -328,5 +329,70 @@ class R11cOpsSpec extends SparkSpec {
     val rarest = counts.minBy(_._2)._1
     assert(rows.count(_._2 == rarest).toLong == counts(rarest),
       "the rarest class is kept in full")
+  }
+
+  test("join_scd2_pointintime: interval scan in the JVM finds the same state") {
+    val out = EvolutionQueries.joinScd2Pointintime.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    events.groupBy(_._1).foreach { case (_, es) =>
+      val ordered = es.sortBy(_._2).toSeq
+      // state runs by event_id: (type, start)
+      val runs = ordered.foldLeft(Vector.empty[(String, Long)]) { (acc, e) =>
+        if (acc.nonEmpty && acc.last._1 == e._3) acc else acc :+ (e._3, e._2)
+      }
+      ordered.filter(_._3 == "purchase").foreach { case (_, id, _) =>
+        // last run starting strictly before this event
+        val prior = runs.takeWhile(_._2 < id).lastOption
+        assert(out(id) == ((prior.map(_._1), prior.map(_._2))),
+          s"purchase $id prior state")
+      }
+    }
+  }
+
+  test("agg_skew_kurtosis: moments recompute from exact BigInt sums") {
+    val out = Aggregates.aggSkewKurtosis.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100"))
+      .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
+    li.groupBy(_._1).foreach { case (flag, rows) =>
+      val (n, mean, sd, skew, kurt) = out(flag)
+      assert(n == rows.length.toLong)
+      val xs = rows.map(_._2)
+      val m = xs.sum.toDouble / n
+      val q2 = xs.map(x => x * x).sum.toDouble / n
+      val v = q2 - m * m
+      assert(mean == m, s"$flag mean exact")
+      assert(sd == math.sqrt(v), s"$flag sd exact")
+      // the shape stats are float finishes — recompute the same tree
+      val q3 = xs.map(x => x * x * x).sum.toDouble / n
+      val q4 = xs.map(x => x * x * x * x).sum.toDouble / n
+      val sk = (q3 - 3 * m * q2 + 2 * m * m * m) /
+        (math.sqrt(v) * math.sqrt(v) * math.sqrt(v))
+      val ku = (q4 - 4 * m * q3 + 6 * m * m * q2 - 3 * m * m * m * m) / (v * v) - 3
+      assert(math.abs(skew - sk) < 1e-12, s"$flag skewness")
+      assert(math.abs(kurt - ku) < 1e-12, s"$flag kurtosis")
+    }
+  }
+
+  test("eval_langid_confusion: cells sum to the per-doc prediction table") {
+    val cells = LlmExtras.evalLangidConfusion.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val perDoc = LlmExtras.textLangid.run(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(cells.map(_._3).sum == perDoc.length.toLong, "total docs conserved")
+    cells.foreach { case (actual, pred, n, nCorrect) =>
+      val members = perDoc.filter(p => p._1 == actual && p._2 == pred)
+      assert(members.length.toLong == n, s"cell ($actual,$pred) count")
+      assert(members.count(_._3).toLong == nCorrect, s"cell ($actual,$pred) correct")
+      assert(if (actual == pred) nCorrect == n else nCorrect == 0L,
+        s"cell ($actual,$pred): correctness is diagonal membership")
+    }
   }
 }
