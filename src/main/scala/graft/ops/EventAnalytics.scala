@@ -430,7 +430,58 @@ object EventAnalytics {
       .orderBy(col("purchase_id"))
   }
 
+  /** Daily OHLC downsampling (r11c) — the time-series compaction
+    * bars every metrics store runs: per (user, day), the first/last/
+    * extreme values plus volume, in exact cents. First/last are
+    * derived via two row_numbers over the SAME (user, day) exchange
+    * (ascending and descending over the µs+event_id total order) and
+    * folded in the group agg — no min_by/max_by tie ambiguity, no
+    * packed-ordinal overflow, and the window and agg share one
+    * shuffle. Compaction ratio at 100 TB is events→(users×days),
+    * the whole point of the operator. */
+  val tsOhlcDaily: QDef = q(
+    "ts_ohlc_daily",
+    """WITH e AS (
+      |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    event_id, CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents,
+      |    epoch_us(ts) AS us
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, day, cents,
+      |    row_number() OVER (PARTITION BY user_id, day ORDER BY us, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY user_id, day ORDER BY us DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT user_id, day,
+      |  CAST(min(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+      |  CAST(max(cents) AS BIGINT) AS high_cents,
+      |  CAST(min(cents) AS BIGINT) AS low_cents,
+      |  CAST(min(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS volume_cents
+      |FROM w GROUP BY user_id, day
+      |ORDER BY user_id, day""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("user_id"),
+      date_trunc("day", col("ts")).cast(DateType).as("day"),
+      col("event_id"),
+      (qty(col("value")) * 100).cast(LongType).as("cents"),
+      unix_micros(col("ts")).as("us"))
+    val wAsc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    val wDesc = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    e.select(col("user_id"), col("day"), col("cents"),
+        row_number().over(wAsc).as("rn_a"), row_number().over(wDesc).as("rn_d"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(when(col("rn_a") === 1, col("cents"))).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        min(when(col("rn_d") === 1, col("cents"))).as("close_cents"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("volume_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
-    patternConsecutive, attributionLinear)
+    patternConsecutive, attributionLinear, tsOhlcDaily)
 }

@@ -226,7 +226,112 @@ object Sampling {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Declarative data-quality rule check (r11c) — the constraint
+    * gate an ingest pipeline publishes per batch: one row per rule
+    * with violation and checked counts. Eight rules cover the rule
+    * taxonomy — null keys, domain membership, value ranges,
+    * distribution caps, and referential integrity (spelled NOT IN in
+    * the oracle, executed as Spark LEFT ANTI joins — key columns are
+    * non-null so the semantics coincide). Predicate rules fold into
+    * ONE aggregate scan per table (count FILTER partials); only the
+    * two FK rules pay joins, with the PK side broadcast while it
+    * fits. Two of the rules fire on this corpus so both outcomes of
+    * the gate are graded, not just the all-green path. */
+  val dqRuleCheck: QDef = q(
+    "dq_rule_check",
+    """WITH o AS (
+      |  SELECT 'orders_null_key' AS rule_id,
+      |    CAST(count(*) FILTER (WHERE o_orderkey IS NULL OR o_custkey IS NULL) AS BIGINT)
+      |      AS n_violations,
+      |    CAST(count(*) AS BIGINT) AS n_checked
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_nonpositive_total',
+      |    CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+      |    CAST(count(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_status_domain',
+      |    CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) AS BIGINT),
+      |    CAST(count(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_total_gt_400k',
+      |    CAST(count(*) FILTER (WHERE o_totalprice > 400000) AS BIGINT),
+      |    CAST(count(*) AS BIGINT) FROM orders),
+      |l AS (
+      |  SELECT 'lineitem_discount_range' AS rule_id,
+      |    CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+      |      AS n_violations,
+      |    CAST(count(*) AS BIGINT) AS n_checked
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_gt_8pct',
+      |    CAST(count(*) FILTER (WHERE l_discount > 0.08) AS BIGINT),
+      |    CAST(count(*) AS BIGINT) FROM lineitem),
+      |fk1 AS (
+      |  SELECT 'lineitem_orphan_order' AS rule_id,
+      |    CAST(count(*) AS BIGINT) AS n_violations,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |fk2 AS (
+      |  SELECT 'orders_orphan_customer' AS rule_id,
+      |    CAST(count(*) AS BIGINT) AS n_violations,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_checked
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |SELECT * FROM o UNION ALL SELECT * FROM l
+      |UNION ALL SELECT * FROM fk1 UNION ALL SELECT * FROM fk2
+      |ORDER BY rule_id""") { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    def cnt(cond: org.apache.spark.sql.Column) =
+      count(when(cond, lit(1))).as("n_violations")
+    // predicate rules: ONE aggregate scan per table, one count FILTER
+    // partial per rule
+    val oRules = orders.agg(
+      cnt(col("o_orderkey").isNull || col("o_custkey").isNull),
+      count(lit(1)).as("n_checked"),
+      count(when(col("o_totalprice") <= 0, lit(1))).as("v2"),
+      count(when(!col("o_orderstatus").isin("F", "O", "P"), lit(1))).as("v3"),
+      count(when(col("o_totalprice") > 400000, lit(1))).as("v4"))
+    val lRules = lineitem.agg(
+      cnt(col("l_discount") < 0 || col("l_discount") > 1),
+      count(lit(1)).as("n_checked"),
+      count(when(col("l_discount") > 0.08, lit(1))).as("v2"))
+    val oneO = oRules.select(
+      explode(array(
+        struct(lit("orders_null_key").as("rule_id"),
+          col("n_violations"), col("n_checked")),
+        struct(lit("orders_nonpositive_total").as("rule_id"),
+          col("v2").as("n_violations"), col("n_checked")),
+        struct(lit("orders_status_domain").as("rule_id"),
+          col("v3").as("n_violations"), col("n_checked")),
+        struct(lit("orders_total_gt_400k").as("rule_id"),
+          col("v4").as("n_violations"), col("n_checked")))).as("r"))
+      .select(col("r.rule_id"), col("r.n_violations"), col("r.n_checked"))
+    val oneL = lRules.select(
+      explode(array(
+        struct(lit("lineitem_discount_range").as("rule_id"),
+          col("n_violations"), col("n_checked")),
+        struct(lit("lineitem_discount_gt_8pct").as("rule_id"),
+          col("v2").as("n_violations"), col("n_checked")))).as("r"))
+      .select(col("r.rule_id"), col("r.n_violations"), col("r.n_checked"))
+    // FK rules: LEFT ANTI against the broadcastable PK side
+    val fk1 = lineitem.join(broadcast(orders.select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(lineitem.agg(count(lit(1)).as("n_checked")))
+      .select(lit("lineitem_orphan_order").as("rule_id"),
+        col("n_violations"), col("n_checked"))
+    val fk2 = orders.join(
+        broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(orders.agg(count(lit(1)).as("n_checked")))
+      .select(lit("orders_orphan_customer").as("rule_id"),
+        col("n_violations"), col("n_checked"))
+    oneO.union(oneL).union(fk1).union(fk2).orderBy(col("rule_id"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
-    sampleClassBalance)
+    sampleClassBalance, dqRuleCheck)
 }

@@ -65,6 +65,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "dedup_near_jaccard" -> 2,
     "dedup_prefix_cluster" -> 2,
     "dedup_simhash" -> 4,
+    "dq_rule_check" -> 6,
     "embed_quantize_int8" -> 2,
     "entity_match_fuzzy" -> 3,
     "eval_langid_confusion" -> 8,
@@ -180,6 +181,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "timeseries_gapfill" -> 3,
     "topk_global" -> 0,
     "topk_per_group" -> 2,
+    "ts_ohlc_daily" -> 2,
     "udaf_weighted_avg" -> 2,
     "udf_slugify" -> 1,
     "udtf_bigrams" -> 2,

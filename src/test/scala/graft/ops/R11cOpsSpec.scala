@@ -18,7 +18,8 @@ class R11cOpsSpec extends SparkSpec {
     "attribution_linear", "graph_pagerank",
     "join_asof_nearest", "agg_weighted_median", "pivot_multi_agg",
     "win_ratio_to_report", "dedup_prefix_cluster", "mix_temperature_resample",
-    "join_scd2_pointintime", "agg_skew_kurtosis", "eval_langid_confusion")
+    "join_scd2_pointintime", "agg_skew_kurtosis", "eval_langid_confusion",
+    "ts_ohlc_daily", "dq_rule_check")
 
   test("every r11c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -394,5 +395,55 @@ class R11cOpsSpec extends SparkSpec {
       assert(if (actual == pred) nCorrect == n else nCorrect == 0L,
         s"cell ($actual,$pred): correctness is diagonal membership")
     }
+  }
+
+  test("ts_ohlc_daily: bars recompute from a JVM scan per (user, day)") {
+    val out = EventAnalytics.tsOhlcDaily.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(12,4)") * 100).cast("long").as("c"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(2).toInstant
+        (r.getLong(0), r.getLong(1),
+          t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)
+            .toLocalDate.toString, r.getLong(3))
+      }
+    val truth = events.groupBy(e => (e._1, e._4)).map { case (k, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      k -> (ordered.head._5, es.map(_._5).max, es.map(_._5).min,
+        ordered.last._5, es.length.toLong, es.map(_._5).sum)
+    }
+    assert(out.size == truth.size)
+    truth.foreach { case (k, bar) => assert(out(k) == bar, s"bar $k") }
+  }
+
+  test("dq_rule_check: every rule recomputes and the firing rules really fire") {
+    val rules = Sampling.dqRuleCheck.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rules.size == 8)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_totalprice"), col("o_orderstatus")).collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    assert(rules("orders_null_key") == ((0L, orders.length.toLong)))
+    assert(rules("orders_nonpositive_total")._1 == 0L)
+    assert(rules("orders_status_domain")._1 ==
+      orders.count(o => !Set("F", "O", "P")(o._2)).toLong)
+    assert(rules("orders_total_gt_400k")._1 ==
+      orders.count(_._1 > 400000).toLong)
+    val disc = Tables.lineitem(spark, sf).select(col("l_discount")).collect()
+      .map(_.getDouble(0))
+    assert(rules("lineitem_discount_gt_8pct") ==
+      ((disc.count(_ > 0.08).toLong, disc.length.toLong)))
+    // the clean fixture has intact FKs — and the firing rules must fire
+    assert(rules("lineitem_orphan_order")._1 == 0L)
+    assert(rules("orders_orphan_customer")._1 == 0L)
+    assert(rules("lineitem_discount_gt_8pct")._1 > 0L,
+      "a rule designed to fire on this corpus must fire")
+    assert(rules("orders_total_gt_400k")._1 > 0L)
   }
 }
