@@ -299,34 +299,37 @@ object ClusterOps {
     // count beyond broadcast range, drop the hints and both joins
     // degrade to SMJ on src — the standard distributed-PageRank
     // shuffle — with no semantic change.
+    // persist (not localCheckpoint, not unpersisted here): the plan
+    // stays fully declarative with its recompute lineage intact —
+    // losing a cached block recomputes it instead of failing the
+    // query — and the harness drivers (Bench/Verify) clearCache()
+    // between queries, the same cache-lifecycle contract
+    // `dedup_cluster_cc` relies on. The returned plan's exchanges
+    // stay visible to the golden shuffle audit.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ew = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val r0 = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
-      // each node's out-SHARE (rank*85 div (100*deg)) is computed on
-      // the tiny node-sized side BEFORE touching edges, so the
-      // broadcast payload and the per-edge probe carry one precomputed
-      // long — the edge table itself is two longs per row and is
-      // never shuffled or widened
-      def step(r: org.apache.spark.sql.DataFrame) = {
-        val shares = r.join(deg, r("id") === deg("src"))
-          .select(r("id"), expr("(rank * 85) div (100 * deg)").as("share"))
-        ew.join(broadcast(shares), ew("src") === shares("id"))
-          .groupBy(col("dst"))
-          .agg((lit(150000L) + sum(col("share"))).as("rank"))
-          .select(col("dst").as("id"), col("rank"))
-      }
-      val r3 = step(step(step(r0)))
-      r3.select(
-          when(col("id") % 2 === 0, "customer").otherwise("supplier")
-            .as("node_kind"),
-          expr("id div 2").as("node_key"),
-          col("rank").cast("bigint").as("rank_micro"))
-        .orderBy(col("node_kind"), col("node_key"))
-        // materialize before unpersisting the shared edge table
-        .localCheckpoint(eager = true)
-    } finally { ew.unpersist(); deg.unpersist() }
+    val r0 = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+    // each node's out-SHARE (rank*85 div (100*deg)) is computed on
+    // the tiny node-sized side BEFORE touching edges, so the
+    // broadcast payload and the per-edge probe carry one precomputed
+    // long — the edge table itself is two longs per row and is
+    // never shuffled or widened
+    def step(r: org.apache.spark.sql.DataFrame) = {
+      val shares = r.join(deg, r("id") === deg("src"))
+        .select(r("id"), expr("(rank * 85) div (100 * deg)").as("share"))
+      ew.join(broadcast(shares), ew("src") === shares("id"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) + sum(col("share"))).as("rank"))
+        .select(col("dst").as("id"), col("rank"))
+    }
+    val r3 = step(step(step(r0)))
+    r3.select(
+        when(col("id") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_kind"),
+        expr("id div 2").as("node_key"),
+        col("rank").cast("bigint").as("rank_micro"))
+      .orderBy(col("node_kind"), col("node_key"))
   }
 
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank)

@@ -83,11 +83,10 @@ class GoldenShufflesSpec extends SparkSpec {
     "fn_struct" -> 1,
     "funnel_steps" -> 4,
     "graph_degree_stats" -> 7,
-    // r11c: the rank loop materializes eagerly inside run() (same
-    // contract as dedup_cluster_cc); the RETURNED plan is the
-    // checkpointed final table, so its static plan carries no
-    // exchanges — the loop's own shuffles are audited in PLANS.md
-    "graph_pagerank" -> 0,
+    // r11c: fully declarative loop — distinct pairs (1), deg agg (1),
+    // each iteration is broadcast-join (no exchange) + dst agg whose
+    // exchange reuses across iterations, plus the presentation sort
+    "graph_pagerank" -> 4,
     "harmonize_cube" -> 2,
     "harmonize_provenance" -> 3,
     "harmonize_unmappable" -> 2,
