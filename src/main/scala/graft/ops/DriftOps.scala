@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import graft.Protocol._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distribution-drift monitors (r11c) — the checks a production
+  * training-data pipeline runs between ingest batches: has the value
+  * distribution moved, have the embeddings moved? Both are graded
+  * with exact integer statistics (counts, floor-ppm shares, milli-
+  * quantized component sums), so the monitors hash-match the oracle
+  * bit-for-bit; no KL/PSI logarithms appear because libm `ln` is not
+  * correctly-rounded across engines — the per-bin deltas carry the
+  * same signal.
+  */
+object DriftOps {
+
+  /** Value-histogram drift: events bucketed into 10 fixed-width
+    * cents bins, first half-month (ref) vs second (cur), per-bin
+    * counts + floor-ppm shares + delta. Two aggregate passes over
+    * the fact (cohort is a row-local projection, never a join); the
+    * bin scaffold is a literal 10-row range so empty bins surface as
+    * zeros instead of vanishing. At 100 TB: shuffles carry
+    * 2×10 partial rows per map task — nothing scales with data. */
+  val driftValueHistogram: QDef = q(
+    "drift_value_histogram",
+    """WITH e AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN CAST(date_part('day', CAST(ts AS TIMESTAMP)) AS INT) <= 15
+      |      THEN 'ref' ELSE 'cur' END AS cohort
+      |  FROM events),
+      |b AS (
+      |  SELECT cohort, LEAST(9, cents // 5000) AS bin, CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY cohort, LEAST(9, cents // 5000)),
+      |t AS (SELECT cohort, CAST(sum(n) AS BIGINT) AS tot FROM b GROUP BY cohort),
+      |bins AS (SELECT unnest(range(0, 10)) AS bin)
+      |SELECT bins.bin,
+      |  COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur,
+      |  COALESCE((r.n * 1000000) // rt.tot, 0) AS ref_ppm,
+      |  COALESCE((c.n * 1000000) // ct.tot, 0) AS cur_ppm,
+      |  COALESCE((c.n * 1000000) // ct.tot, 0)
+      |    - COALESCE((r.n * 1000000) // rt.tot, 0) AS delta_ppm
+      |FROM bins
+      |LEFT JOIN b r ON r.cohort = 'ref' AND r.bin = bins.bin
+      |LEFT JOIN b c ON c.cohort = 'cur' AND c.bin = bins.bin
+      |LEFT JOIN t rt ON rt.cohort = 'ref'
+      |LEFT JOIN t ct ON ct.cohort = 'cur'
+      |ORDER BY bins.bin""") { (s, d) =>
+    val e = Tables.events(s, d).select(
+      (qty(col("value")) * 100).cast(LongType).as("cents"),
+      when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur").as("cohort"))
+    val b = e.groupBy(col("cohort"),
+        least(lit(9L), expr("cents div 5000")).as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val t = b.groupBy(col("cohort")).agg(sum(col("n")).as("tot"))
+    val bins = s.range(0, 10).select(col("id").as("bin"))
+    val r = b.filter(col("cohort") === "ref").select(col("bin").as("rb"), col("n").as("rn"))
+    val c = b.filter(col("cohort") === "cur").select(col("bin").as("cb"), col("n").as("cn"))
+    val rt = t.filter(col("cohort") === "ref").select(col("tot").as("rtot"))
+    val ct = t.filter(col("cohort") === "cur").select(col("tot").as("ctot"))
+    bins.join(broadcast(r), col("bin") === col("rb"), "left")
+      .join(broadcast(c), col("bin") === col("cb"), "left")
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .select(col("bin"),
+        coalesce(col("rn"), lit(0L)).as("n_ref"),
+        coalesce(col("cn"), lit(0L)).as("n_cur"),
+        coalesce(expr("(rn * 1000000) div rtot"), lit(0L)).as("ref_ppm"),
+        coalesce(expr("(cn * 1000000) div ctot"), lit(0L)).as("cur_ppm"),
+        (coalesce(expr("(cn * 1000000) div ctot"), lit(0L))
+          - coalesce(expr("(rn * 1000000) div rtot"), lit(0L))).as("delta_ppm"))
+      .orderBy(col("bin"))
+  }
+
+  /** Embedding-centroid drift: per label, the cosine between the
+    * even-id and odd-id cohorts' centroid directions. Components are
+    * milli-quantized (floor(x·1000 + 0.5) — the same portable
+    * half-up `embed_quantize_int8` uses), summed per (label, cohort,
+    * position) as exact longs, and the cosine is ONE identical float
+    * expression tree over those exact sums — bit-equal across
+    * engines. Scale-aware: the dimension explode shuffles
+    * labels×cohorts×dims partial rows (map-side combined), never
+    * vectors; the cohort pairing joins tables of that same bounded
+    * size. Positions are engine-local (0- vs 1-based) — they only
+    * pair sums within an engine and never reach the output. */
+  val driftEmbeddingCentroid: QDef = q(
+    "drift_embedding_centroid",
+    """WITH q AS (
+      |  SELECT vec_id, label, vec_id % 2 AS cohort, t.pos AS pos,
+      |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS milli
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)),
+      |c AS (
+      |  SELECT label, cohort, pos, CAST(sum(milli) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM q GROUP BY label, cohort, pos),
+      |pairs AS (
+      |  SELECT a.label, a.pos, a.s AS se, b.s AS so, a.n AS ne, b.n AS no_
+      |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+      |  WHERE a.cohort = 0 AND b.cohort = 1),
+      |dots AS (
+      |  SELECT label, CAST(min(ne) AS BIGINT) AS n_even, CAST(min(no_) AS BIGINT) AS n_odd,
+      |    CAST(sum(se * so) AS DOUBLE) AS dot,
+      |    CAST(sum(se * se) AS DOUBLE) AS ee, CAST(sum(so * so) AS DOUBLE) AS oo
+      |  FROM pairs GROUP BY label)
+      |SELECT label, n_even, n_odd, dot / (sqrt(ee) * sqrt(oo)) AS centroid_cosine
+      |FROM dots ORDER BY label""") { (s, d) =>
+    val qv = Tables.embeddings(s, d).repartition(32)
+      .select(col("vec_id"), col("label"), (col("vec_id") % 2).as("cohort"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("cohort"), col("pos"),
+        floor(col("x").cast(DoubleType) * 1000 + 0.5).cast(LongType).as("milli"))
+    val c = qv.groupBy(col("label"), col("cohort"), col("pos"))
+      .agg(sum(col("milli")).as("s"), count(lit(1)).as("n"))
+    val even = c.filter(col("cohort") === 0)
+      .select(col("label"), col("pos"), col("s").as("se"), col("n").as("ne"))
+    val odd = c.filter(col("cohort") === 1)
+      .select(col("label").as("l2"), col("pos").as("p2"),
+        col("s").as("so"), col("n").as("no_"))
+    even.join(odd, col("label") === col("l2") && col("pos") === col("p2"))
+      .groupBy(col("label"))
+      .agg(min(col("ne")).as("n_even"), min(col("no_")).as("n_odd"),
+        sum(col("se") * col("so")).as("dotl"),
+        sum(col("se") * col("se")).as("eel"),
+        sum(col("so") * col("so")).as("ool"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        (col("dotl").cast(DoubleType)
+          / (sqrt(col("eel").cast(DoubleType)) * sqrt(col("ool").cast(DoubleType))))
+          .as("centroid_cosine"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid)
+}

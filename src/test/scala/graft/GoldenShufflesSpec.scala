@@ -66,6 +66,8 @@ class GoldenShufflesSpec extends SparkSpec {
     "dedup_prefix_cluster" -> 2,
     "dedup_simhash" -> 4,
     "dq_rule_check" -> 6,
+    "drift_embedding_centroid" -> 6,
+    "drift_value_histogram" -> 4,
     "embed_quantize_int8" -> 2,
     "entity_match_fuzzy" -> 3,
     "eval_langid_confusion" -> 8,

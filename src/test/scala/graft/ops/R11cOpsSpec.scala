@@ -19,7 +19,8 @@ class R11cOpsSpec extends SparkSpec {
     "join_asof_nearest", "agg_weighted_median", "pivot_multi_agg",
     "win_ratio_to_report", "dedup_prefix_cluster", "mix_temperature_resample",
     "join_scd2_pointintime", "agg_skew_kurtosis", "eval_langid_confusion",
-    "ts_ohlc_daily", "dq_rule_check")
+    "ts_ohlc_daily", "dq_rule_check",
+    "drift_value_histogram", "drift_embedding_centroid")
 
   test("every r11c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -445,5 +446,48 @@ class R11cOpsSpec extends SparkSpec {
     assert(rules("lineitem_discount_gt_8pct")._1 > 0L,
       "a rule designed to fire on this corpus must fire")
     assert(rules("orders_total_gt_400k")._1 > 0L)
+  }
+
+  test("drift_value_histogram: bins conserve mass and shares floor-divide exactly") {
+    val rows = DriftOps.driftValueHistogram.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (0L until 10L), "all 10 bins present")
+    val events = Tables.events(spark, sf)
+      .select((col("value").cast("decimal(12,4)") * 100).cast("long").as("c"),
+        dayofmonth(col("ts")).as("dom"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val ref = events.filter(_._2 <= 15); val cur = events.filter(_._2 > 15)
+    assert(rows.map(_._2).sum == ref.length.toLong, "ref mass conserved")
+    assert(rows.map(_._3).sum == cur.length.toLong, "cur mass conserved")
+    rows.foreach { case (bin, nr, nc, rppm, cppm, delta) =>
+      assert(nr == ref.count(e => math.min(9L, e._1 / 5000) == bin).toLong)
+      assert(nc == cur.count(e => math.min(9L, e._1 / 5000) == bin).toLong)
+      assert(rppm == (if (nr == 0) 0L else nr * 1000000L / ref.length))
+      assert(cppm == (if (nc == 0) 0L else nc * 1000000L / cur.length))
+      assert(delta == cppm - rppm)
+    }
+  }
+
+  test("drift_embedding_centroid: cosine recomputes from exact milli sums") {
+    val out = DriftOps.driftEmbeddingCentroid.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    vecs.groupBy(_._2).foreach { case (label, vs) =>
+      val even = vs.filter(_._1 % 2 == 0); val odd = vs.filter(_._1 % 2 == 1)
+      val dim = vs.head._3.length
+      def centroid(cs: Array[(Long, Int, Seq[Float])]) =
+        (0 until dim).map(i => cs.map(v =>
+          math.floor(v._3(i).toDouble * 1000 + 0.5).toLong).sum)
+      val (se, so) = (centroid(even), centroid(odd))
+      val dot = se.zip(so).map { case (a, b) => a * b }.sum.toDouble
+      val ee = se.map(a => a * a).sum.toDouble
+      val oo = so.map(a => a * a).sum.toDouble
+      val (ne, no, cos) = out(label)
+      assert(ne == even.length.toLong && no == odd.length.toLong)
+      assert(cos == dot / (math.sqrt(ee) * math.sqrt(oo)), s"label $label cosine")
+    }
   }
 }
