@@ -623,8 +623,42 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Gini impurity of each source's language mix (r11c) — the
+    * corpus-balance diversity metric that needs NO logarithm (unlike
+    * entropy, whose libm `ln` is not correctly-rounded across
+    * engines): gini = 1 − Σ pᵢ², computed entirely in integers as
+    * 1e6 − (Σ nᵢ²·1e6) div tot². Two tiny aggs over
+    * (source, lang)-cardinality tables — the corpus pays one count
+    * shuffle; everything after is O(|sources|·|langs|). */
+  val aggGiniImpurity: QDef = q(
+    "agg_gini_impurity",
+    """WITH c AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source, lang),
+      |t AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+      |    CAST(count(*) AS BIGINT) AS n_langs
+      |  FROM c GROUP BY source)
+      |SELECT c.source, min(t.n_langs) AS n_langs, min(t.tot) AS n_docs,
+      |  1000000 - (CAST(sum(c.n * c.n) AS BIGINT) * 1000000)
+      |    // (min(t.tot) * min(t.tot)) AS gini_ppm
+      |FROM c JOIN t ON c.source = t.source
+      |GROUP BY c.source ORDER BY c.source""") { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("source"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_langs"))
+    c.join(t.select(col("source").as("s2"), col("tot"), col("n_langs")),
+        col("source") === col("s2"))
+      .groupBy(col("source"))
+      .agg(min(col("n_langs")).as("n_langs"), min(col("tot")).as("n_docs"),
+        (lit(1000000L) -
+          expr("(sum(n * n) * 1000000) div (min(tot) * min(tot))")).as("gini_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
-    textNgramNovelty, textReadability)
+    textNgramNovelty, textReadability, aggGiniImpurity)
 }

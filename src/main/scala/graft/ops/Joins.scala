@@ -452,10 +452,49 @@ object Joins {
       .orderBy(col("event_id"))
   }
 
+  /** 5-way snowflake rollup (r11c) — the deepest dimension chain the
+    * star schema offers: region → nation → customer → orders →
+    * lineitem, revenue per (region, nation) in exact decimals.
+    * Extends `join_star_3way` with a CHAINED dimension hierarchy:
+    * the three dim levels (region 5 rows, nation 25, customer) all
+    * broadcast into the fact scan, so the only real shuffle is the
+    * final (region, nation) aggregate — at 100 TB the fact joins
+    * stay map-side while the customer level fits broadcast, and the
+    * planner's CBO reorder (CboStatsSpec) picks the dim×dim-first
+    * build order when statistics exist. */
+  val joinSnowflake5way: QDef = q(
+    "join_snowflake_5way",
+    """SELECT r.r_name AS region, n.n_name AS nation,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY region, nation""") { (s, d) =>
+    val dims = broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .as("rev"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_items"), outDouble(sum(col("rev"))).as("revenue"))
+      .orderBy(col("region"), col("nation"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
     joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders,
     joinSkewSalted, joinIntervalOverlap, joinAsofTolerance,
-    joinAsofNearest)
+    joinAsofNearest, joinSnowflake5way)
 }

@@ -32,6 +32,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_collect_sorted" -> 2,
     "agg_count_distinct" -> 3,
     "agg_cube" -> 2,
+    "agg_gini_impurity" -> 3,
     "agg_grouping_sets" -> 2,
     "agg_histogram_bucketed" -> 3,
     "agg_mode_deterministic" -> 3,
@@ -110,6 +111,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "join_scd2_pointintime" -> 3,
     "join_semi" -> 1,
     "join_skew_salted" -> 4,
+    "join_snowflake_5way" -> 2,
     "join_star_3way" -> 2,
     "join_theta_range" -> 1,
     "kmeans_assign" -> 5,

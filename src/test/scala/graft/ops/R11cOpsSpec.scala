@@ -20,7 +20,8 @@ class R11cOpsSpec extends SparkSpec {
     "win_ratio_to_report", "dedup_prefix_cluster", "mix_temperature_resample",
     "join_scd2_pointintime", "agg_skew_kurtosis", "eval_langid_confusion",
     "ts_ohlc_daily", "dq_rule_check",
-    "drift_value_histogram", "drift_embedding_centroid")
+    "drift_value_histogram", "drift_embedding_centroid",
+    "agg_gini_impurity", "join_snowflake_5way")
 
   test("every r11c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -488,6 +489,38 @@ class R11cOpsSpec extends SparkSpec {
       val (ne, no, cos) = out(label)
       assert(ne == even.length.toLong && no == odd.length.toLong)
       assert(cos == dot / (math.sqrt(ee) * math.sqrt(oo)), s"label $label cosine")
+    }
+  }
+
+  test("agg_gini_impurity: integer Gini recomputes and bounds hold") {
+    val out = CorpusOps.aggGiniImpurity.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val byLang = ds.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val tot = ds.length.toLong
+      val gini = 1000000L - byLang.values.map(n => n * n).sum * 1000000L / (tot * tot)
+      val (nl, nd, g) = out(src)
+      assert(nl == byLang.size.toLong && nd == tot && g == gini, s"source $src")
+      // 0 for a single-lang source; < 1e6 always
+      assert(g >= 0L && g < 1000000L)
+    }
+  }
+
+  test("join_snowflake_5way: the chain reconciles against independent per-level counts") {
+    val rows = Joins.joinSnowflake5way.run(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    // total item count across all (region, nation) cells must equal
+    // the full lineitem⋈orders⋈customer chain cardinality (every
+    // order has a customer, every customer a nation, every nation a
+    // region — FK integrity certified by dq_rule_check)
+    val nItems = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._2._1).sum == nItems, "every line item lands in one cell")
+    assert(rows.map(_._1).distinct.length == rows.length, "cells are unique")
+    rows.foreach { case (cell, (n, rev)) =>
+      assert(n > 0 && rev > 0, s"cell $cell non-degenerate")
     }
   }
 }
