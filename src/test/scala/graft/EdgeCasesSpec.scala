@@ -107,4 +107,46 @@ class EdgeCasesSpec extends SparkSpec {
       groupCols = Seq("g"), orderBy = Seq(("x", true)), k = 10)
     assert(out.count() == 3, "k > |group| must not drop or duplicate rows")
   }
+
+  test("weighted-median bisect survives hostile bucket boundaries (micro fixtures)") {
+    // The histogram bisect (agg_weighted_median) picks a threshold
+    // bucket, then locates the exact row inside it. The dangerous
+    // edges: (a) the half-weight line crossed EXACTLY at a bucket's
+    // end (tb must be that bucket, median its last row), (b) a group
+    // living in one bucket, (c) the crossing row being a bucket's
+    // first row. Each case is written as a real lineitem parquet
+    // micro-fixture and run through the GRADED query, refereed by a
+    // naive JVM scan.
+    import spark.implicits._
+    // (flag, price_dollars, quantity) — quantities are the weights
+    val cases: Seq[(String, Seq[(Double, Double)])] = Seq(
+      // (a) exact boundary: w=2 @ $1, w=2 @ $700 (bucket 1), w=2 @ $1400
+      "A" -> Seq((1.0, 2.0), (700.0, 2.0), (1400.0, 2.0)),
+      // (b) single bucket, uneven weights
+      "B" -> Seq((10.0, 1.0), (20.0, 5.0), (30.0, 1.0)),
+      // (c) heavy first row dominates: median is the very first row
+      "C" -> Seq((5.0, 10.0), (800.0, 1.0), (1500.0, 1.0)),
+      // (d) all weight on the last row of a later bucket
+      "D" -> Seq((5.0, 1.0), (2000.0, 9.0)))
+    val rows = cases.flatMap { case (flag, ps) =>
+      ps.zipWithIndex.map { case ((price, qty), i) =>
+        (i.toLong + 1, flag, price, qty, i + 1)
+      }
+    }
+    val dir = TempDirs.create("graft-wm-edge")
+    rows.toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = ops.Aggregates.aggWeightedMedian.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.foreach { case (flag, ps) =>
+      val withKeys = ps.zipWithIndex.map { case ((p, q), i) =>
+        (math.round(p * 100), math.round(q * 10000), i.toLong + 1) }
+      val tw = withKeys.map(_._2).sum
+      val sorted = withKeys.sortBy(t => (t._1, t._3))
+      val med = sorted.scanLeft(0L)(_ + _._2).tail.zip(sorted)
+        .find { case (cw, _) => 2 * cw >= tw }.get._2._1
+      assert(out(flag) == ((med, tw)), s"flag $flag: bisect vs naive scan")
+    }
+  }
 }
