@@ -316,7 +316,35 @@ object Functions {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Error-safe function family (r11c) — the `try_*` surface that
+    * turns runtime errors into NULLs: `try_divide` (÷0 → NULL, the
+    * oracle's CASE guard), `try_cast` on un-parseable strings and
+    * dates, and the COALESCE fallback idiom built on them. Row-local
+    * projection; the division pairs double operands so the one float
+    * op is identical in both engines. */
+  val fnTrySafe: QDef = q(
+    "fn_try_safe",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_custkey % 10 = 0 THEN NULL
+      |    ELSE CAST(o_orderkey AS DOUBLE) / (o_custkey % 10) END AS safe_div,
+      |  TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+      |  TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS good_int,
+      |  TRY_CAST('2024-13-45' AS DATE) AS bad_date,
+      |  COALESCE(TRY_CAST(o_orderstatus AS INTEGER), -1) AS fallback
+      |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        try_divide(col("o_orderkey").cast(DoubleType), col("o_custkey") % 10)
+          .as("safe_div"),
+        expr("try_cast(o_orderstatus as int)").as("bad_int"),
+        expr("try_cast(cast(o_orderkey as string) as int)").as("good_int"),
+        expr("try_cast('2024-13-45' as date)").as("bad_date"),
+        coalesce(expr("try_cast(o_orderstatus as int)"), lit(-1)).as("fallback"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     fnString, fnStringDistance, fnDate, fnMath, fnArray,
-    fnMapJson, fnConditional, fnHigherOrder, fnBitwise, fnStruct)
+    fnMapJson, fnConditional, fnHigherOrder, fnBitwise, fnStruct,
+    fnTrySafe)
 }

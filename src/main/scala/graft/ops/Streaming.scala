@@ -163,7 +163,47 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** Windowed top-k (r11c) — the trending-now query: top-3 event
+    * types per 6-hour tumbling window, ranked by count with the
+    * alphabetic tie-break. Batch twin uses the REAL streaming
+    * `window()` bucketing (epoch-aligned, identical to the oracle's
+    * hour-truncation arithmetic since 6 divides 24); the streaming
+    * execution re-ranks each micro-batch in `foreachBatch` (rank
+    * over append-mode windowed counts — StreamOpsSpec). The rank
+    * window partitions by win_start, so its exchange carries
+    * windows×types rows, never events. */
+  val streamTopkWindowed: QDef = q(
+    "stream_topk_windowed",
+    """WITH b AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |    - INTERVAL (CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) % 6) HOUR
+      |    AS win_start,
+      |    event_type
+      |  FROM events),
+      |c AS (SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM b GROUP BY win_start, event_type),
+      |r AS (
+      |  SELECT win_start, event_type, n,
+      |    row_number() OVER (PARTITION BY win_start ORDER BY n DESC, event_type) AS rk
+      |  FROM c)
+      |SELECT win_start, CAST(rk AS INTEGER) AS rk, event_type, n
+      |FROM r WHERE rk <= 3
+      |ORDER BY win_start, rk""") { (s, d) =>
+    val c = Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val w = Window.partitionBy(col("win_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    c.select(col("win_start"), col("event_type"), col("n"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .select(col("win_start"), col("rk"), col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("rk"))
+  }
+
   val all: Seq[QDef] = Seq(
     streamTumblingCounts, streamSlidingWindows,
-    streamSessionWindows, streamDedupKeyed, streamIntervalJoin)
+    streamSessionWindows, streamDedupKeyed, streamIntervalJoin,
+    streamTopkWindowed)
 }

@@ -481,9 +481,45 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Running-max drawdown (r11c) — the running-EXTREMA window the
+    * registry lacked (running sum/avg/distinct exist): per user's
+    * purchase stream, the peak value so far and the deepest
+    * peak-to-current drop. One user window (running max over the
+    * µs+event_id total order) folded into a per-user aggregate on
+    * the same exchange; exact cents throughout. */
+  val winMaxDrawdown: QDef = q(
+    "win_max_drawdown",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents,
+      |    epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, cents,
+      |    max(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS run_max
+      |  FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(max(run_max) AS BIGINT) AS peak_cents,
+      |  CAST(max(run_max - cents) AS BIGINT) AS max_drawdown_cents
+      |FROM w GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("cents"), max(col("cents")).over(w).as("run_max"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        max(col("run_max")).as("peak_cents"),
+        max(col("run_max") - col("cents")).as("max_drawdown_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
     winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian,
-    winRatioToReport)
+    winRatioToReport, winMaxDrawdown)
 }

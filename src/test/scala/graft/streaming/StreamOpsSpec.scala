@@ -265,4 +265,33 @@ class StreamOpsSpec extends SparkSpec {
       .orderBy("w_start", "event_type").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("windowed top-k: foreachBatch re-rank over closed windows matches a batch rank") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    // hour-0 window: click x3, view x2, error x1, signup x1 → top-3
+    // is click, error?... rank by (n desc, type asc): click(3),
+    // view(2), then error/signup tie at 1 → error wins rank 3
+    val rows = Seq.fill(3)(Ev(ts(10), 1, "click", 1.0)) ++
+      Seq.fill(2)(Ev(ts(20), 2, "view", 1.0)) ++
+      Seq(Ev(ts(30), 3, "error", 1.0), Ev(ts(40), 4, "signup", 1.0))
+    val ranked = scala.collection.mutable.ArrayBuffer[(Timestamp, String, Long, Int)]()
+    val q = StreamOps.windowedTypeCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (epoch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        StreamOps.rankTopK(epoch, 3).collect().foreach { r =>
+          ranked += ((r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        }
+        ()
+      }
+      .start()
+    mem.addData(rows); q.processAllAvailable()
+    mem.addData(Seq(Ev(ts(500), 9, "flush", 0.0))); q.processAllAvailable()
+    q.stop()
+    val hour0 = ranked.filter(_._1 == ts(0)).sortBy(_._4).toSeq
+    assert(hour0.map(t => (t._2, t._3, t._4)) ==
+      Seq(("click", 3L, 1), ("view", 2L, 2), ("error", 1L, 3)),
+      s"per-epoch rank over the closed hour-0 window: $hour0")
+  }
 }
