@@ -517,9 +517,47 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Period-over-period change (r11c) — each order's exact signed
+    * ppm change vs the customer's previous order. The division is
+    * SIGN-DECOMPOSED (positive operands inside the floor division,
+    * sign applied after): integer division of a negative numerator
+    * is the one place the engines could disagree (floor vs
+    * truncate), so no graded expression ever divides a negative.
+    * One lag over the (date, orderkey) total order; first order per
+    * customer yields NULLs. */
+  val winPctChange: QDef = q(
+    "win_pct_change",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |l AS (
+      |  SELECT o_custkey, o_orderkey, cents,
+      |    lag(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM o)
+      |SELECT o_custkey, o_orderkey, cents, prev,
+      |  CASE WHEN prev IS NULL THEN NULL
+      |    WHEN cents >= prev THEN ((cents - prev) * 1000000) // prev
+      |    ELSE -(((prev - cents) * 1000000) // prev) END AS chg_ppm
+      |FROM l ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"), col("prev"),
+        when(col("prev").isNull, lit(null).cast(LongType))
+          .when(col("cents") >= col("prev"),
+            expr("((cents - prev) * 1000000) div prev"))
+          .otherwise(-expr("((prev - cents) * 1000000) div prev"))
+          .as("chg_ppm"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
     winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian,
-    winRatioToReport, winMaxDrawdown)
+    winRatioToReport, winMaxDrawdown, winPctChange)
 }

@@ -197,6 +197,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "win_first_last" -> 2,
     "win_lag_lead" -> 2,
     "win_max_drawdown" -> 2,
+    "win_pct_change" -> 2,
     "win_range_numeric" -> 2,
     "win_rank_dense_row" -> 2,
     "win_ratio_to_report" -> 2,

@@ -22,7 +22,8 @@ class R11cOpsSpec extends SparkSpec {
     "ts_ohlc_daily", "dq_rule_check",
     "drift_value_histogram", "drift_embedding_centroid",
     "agg_gini_impurity", "join_snowflake_5way",
-    "stream_topk_windowed", "win_max_drawdown", "fn_try_safe")
+    "stream_topk_windowed", "win_max_drawdown", "fn_try_safe",
+    "win_pct_change")
 
   test("every r11c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
