@@ -443,8 +443,8 @@ object Aggregates {
       |SELECT pri,
       |  arg_max(o_orderkey, ordkey) AS max_order,
       |  arg_min(o_orderkey, ordkey) AS min_order,
-      |  max(tp) AS max_price,
-      |  min(tp) AS min_price,
+      |  CAST(max(tp) * 100 AS BIGINT) AS max_price_cents,
+      |  CAST(min(tp) * 100 AS BIGINT) AS min_price_cents,
       |  COUNT(*) AS n
       |FROM o GROUP BY pri
       |ORDER BY pri""") { (s, d) =>
@@ -456,8 +456,9 @@ object Aggregates {
       .groupBy(col("pri"))
       .agg(max_by(col("o_orderkey"), col("ordkey")).as("max_order"),
         min_by(col("o_orderkey"), col("ordkey")).as("min_order"),
-        max(col("tp")).as("max_price"),
-        min(col("tp")).as("min_price"),
+        // D2/D12: never ship a raw DECIMAL — exact cents as BIGINT.
+        (max(col("tp")) * 100).cast(LongType).as("max_price_cents"),
+        (min(col("tp")) * 100).cast(LongType).as("min_price_cents"),
         count(lit(1)).as("n"))
       .orderBy(col("pri"))
   }

@@ -555,7 +555,8 @@ object CorpusOps {
       |  FROM toks),
       |firstseen AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
       |SELECT sh.doc_id, COUNT(*) AS n_shingles,
-      |  SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+      |  CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel
       |FROM sh JOIN firstseen f USING (g)
       |GROUP BY sh.doc_id
       |ORDER BY sh.doc_id""") { (s, d) =>

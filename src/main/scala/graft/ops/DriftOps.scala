@@ -32,8 +32,9 @@ object DriftOps {
       |      THEN 'ref' ELSE 'cur' END AS cohort
       |  FROM events),
       |b AS (
-      |  SELECT cohort, LEAST(9, cents // 5000) AS bin, CAST(count(*) AS BIGINT) AS n
-      |  FROM e GROUP BY cohort, LEAST(9, cents // 5000)),
+      |  SELECT cohort, LEAST(9, GREATEST(0, cents // 5000)) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM e GROUP BY cohort, LEAST(9, GREATEST(0, cents // 5000))),
       |t AS (SELECT cohort, CAST(sum(n) AS BIGINT) AS tot FROM b GROUP BY cohort),
       |bins AS (SELECT unnest(range(0, 10)) AS bin)
       |SELECT bins.bin,
@@ -51,8 +52,12 @@ object DriftOps {
     val e = Tables.events(s, d).select(
       (qty(col("value")) * 100).cast(LongType).as("cents"),
       when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur").as("cohort"))
+    // GREATEST(0, ·) clamp (ADVICE r11): `div` truncates while `//`
+    // floors, so a negative cent value would bin differently across
+    // engines — the clamp makes the sub-zero bin impossible on both
+    // sides instead of relying on a non-negative-value data contract.
     val b = e.groupBy(col("cohort"),
-        least(lit(9L), expr("cents div 5000")).as("bin"))
+        least(lit(9L), greatest(lit(0L), expr("cents div 5000"))).as("bin"))
       .agg(count(lit(1)).as("n"))
     val t = b.groupBy(col("cohort")).agg(sum(col("n")).as("tot"))
     val bins = s.range(0, 10).select(col("id").as("bin"))
@@ -60,9 +65,16 @@ object DriftOps {
     val c = b.filter(col("cohort") === "cur").select(col("bin").as("cb"), col("n").as("cn"))
     val rt = t.filter(col("cohort") === "ref").select(col("tot").as("rtot"))
     val ct = t.filter(col("cohort") === "cur").select(col("tot").as("ctot"))
+    // LEFT joins on lit(true), not crossJoin (ADVICE r11): if a cohort
+    // is empty (all timestamps in one half-month), a crossJoin with
+    // its empty one-row total table would annihilate all 10 scaffold
+    // bins, while the oracle's LEFT JOIN keeps them with COALESCE'd
+    // zeros. The left join preserves the scaffold; the NULL total
+    // makes each ppm NULL → coalesced 0, matching the oracle.
     bins.join(broadcast(r), col("bin") === col("rb"), "left")
       .join(broadcast(c), col("bin") === col("cb"), "left")
-      .crossJoin(broadcast(rt)).crossJoin(broadcast(ct))
+      .join(broadcast(rt), lit(true), "left")
+      .join(broadcast(ct), lit(true), "left")
       .select(col("bin"),
         coalesce(col("rn"), lit(0L)).as("n_ref"),
         coalesce(col("cn"), lit(0L)).as("n_cur"),
@@ -105,7 +117,10 @@ object DriftOps {
       |  FROM pairs GROUP BY label)
       |SELECT label, n_even, n_odd, dot / (sqrt(ee) * sqrt(oo)) AS centroid_cosine
       |FROM dots ORDER BY label""") { (s, d) =>
-    val qv = Tables.embeddings(s, d).repartition(32)
+    // defaultParallelism, not a hardcoded 32 (ADVICE r11): the
+    // pre-explode spread should track the session's actual
+    // parallelism, not bake a magic width into the plan.
+    val qv = Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"), (col("vec_id") % 2).as("cohort"),
         posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("label"), col("cohort"), col("pos"),
@@ -117,12 +132,18 @@ object DriftOps {
     val odd = c.filter(col("cohort") === 1)
       .select(col("label").as("l2"), col("pos").as("p2"),
         col("s").as("so"), col("n").as("no_"))
+    // DECIMAL(38,0) partials (ADVICE r11): se·so products of two
+    // BIGINT component sums could wrap 64 bits silently in non-ANSI
+    // mode at large cohort sizes, while DuckDB accumulates through a
+    // 128-bit intermediate — the agg_skew_kurtosis pattern keeps both
+    // engines exact until the one final DOUBLE cast.
+    val dec = DecimalType(38, 0)
     even.join(odd, col("label") === col("l2") && col("pos") === col("p2"))
       .groupBy(col("label"))
       .agg(min(col("ne")).as("n_even"), min(col("no_")).as("n_odd"),
-        sum(col("se") * col("so")).as("dotl"),
-        sum(col("se") * col("se")).as("eel"),
-        sum(col("so") * col("so")).as("ool"))
+        sum(col("se").cast(dec) * col("so").cast(dec)).as("dotl"),
+        sum(col("se").cast(dec) * col("se").cast(dec)).as("eel"),
+        sum(col("so").cast(dec) * col("so").cast(dec)).as("ool"))
       .select(col("label"), col("n_even"), col("n_odd"),
         (col("dotl").cast(DoubleType)
           / (sqrt(col("eel").cast(DoubleType)) * sqrt(col("ool").cast(DoubleType))))

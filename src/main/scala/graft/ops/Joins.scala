@@ -313,7 +313,8 @@ object Joins {
       |  FROM iv a JOIN iv b
       |    ON a.day = b.day AND a.user_id < b.user_id
       |  WHERE a.s <= b.e AND b.s <= a.e)
-      |SELECT day, COUNT(*) AS n_pairs, SUM(overlap_us) AS total_overlap_us
+      |SELECT day, COUNT(*) AS n_pairs,
+      |  CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
       |FROM pr GROUP BY day
       |ORDER BY day""") { (s, d) =>
     val iv = Tables.events(s, d)

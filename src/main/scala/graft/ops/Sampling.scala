@@ -164,8 +164,8 @@ object Sampling {
       |  (COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000 // COUNT(*) AS dup_frac_micro,
       |  COUNT(DISTINCT lang) AS n_langs,
       |  COUNT(DISTINCT source) AS n_sources,
-      |  SUM(n_chars) AS total_chars,
-      |  SUM(n_chars) * 1000000 // COUNT(*) AS avg_chars_micro,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_chars) * 1000000 // COUNT(*) AS BIGINT) AS avg_chars_micro,
       |  min(doc_id) AS min_doc,
       |  max(doc_id) AS max_doc
       |FROM documents""") { (s, d) =>
@@ -314,8 +314,13 @@ object Sampling {
         struct(lit("lineitem_discount_gt_8pct").as("rule_id"),
           col("v2").as("n_violations"), col("n_checked")))).as("r"))
       .select(col("r.rule_id"), col("r.n_violations"), col("r.n_checked"))
-    // FK rules: LEFT ANTI against the broadcastable PK side
-    val fk1 = lineitem.join(broadcast(orders.select(col("o_orderkey"))),
+    // FK rules: LEFT ANTI joins. Only the CUSTOMER PK side is forced
+    // broadcast — it is the genuinely small dimension. The orders PK
+    // side is fact-adjacent (grows with the corpus), so it carries no
+    // hint (ADVICE r11): AQE broadcasts it while it fits and falls
+    // back to a shuffled anti join beyond that, instead of a forced
+    // broadcast OOMing at scale.
+    val fk1 = lineitem.join(orders.select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .crossJoin(lineitem.agg(count(lit(1)).as("n_checked")))

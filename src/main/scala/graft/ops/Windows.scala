@@ -266,7 +266,10 @@ object Windows {
     * window over the observation DAY yields staleness (days since
     * last observation). Per-user work is bounded by that user's span
     * at any corpus size. Both engines fill from identical frames
-    * because the window order (user, day) is unique. */
+    * because the window order (user, day) is unique. Outputs are
+    * exact CENTS as BIGINT (D2/D12: no raw DECIMAL ever leaves a
+    * graded query — the dtype seam the driver's pandas hash trips
+    * on), same convention as `win_interpolate_linear`. */
   val winFillLocf: QDef = q(
     "win_fill_locf",
     """WITH e AS (
@@ -275,7 +278,7 @@ object Windows {
       |  FROM events),
       |daily AS (
       |  SELECT user_id, day,
-      |    SUM(CASE WHEN event_type = 'purchase' THEN v END) AS pv
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN v END) * 100 AS BIGINT) AS pv
       |  FROM e GROUP BY 1, 2),
       |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
       |cal AS (
@@ -283,8 +286,8 @@ object Windows {
       |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
       |  FROM spans),
       |g AS (SELECT c.user_id, c.day, d.pv FROM cal c LEFT JOIN daily d USING (user_id, day))
-      |SELECT user_id, day, pv AS raw_total,
-      |  last_value(pv IGNORE NULLS) OVER w AS filled_total,
+      |SELECT user_id, day, pv AS raw_cents,
+      |  last_value(pv IGNORE NULLS) OVER w AS filled_cents,
       |  CAST(day - last_value(CASE WHEN pv IS NOT NULL THEN day END IGNORE NULLS)
       |    OVER w AS INTEGER) AS staleness_days
       |FROM g
@@ -294,10 +297,14 @@ object Windows {
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     purchaseCalendar(s, d)
-      .select(col("user_id"), col("day"), col("pv").as("raw_total"),
-        last(col("pv"), ignoreNulls = true).over(w).as("filled_total"),
+      // cents at the calendar grain: (pv*100) of a NULL stays NULL,
+      // so this equals the oracle's daily-level CAST(SUM(..)*100).
+      .select(col("user_id"), col("day"),
+        (col("pv") * 100).cast(LongType).as("c"))
+      .select(col("user_id"), col("day"), col("c").as("raw_cents"),
+        last(col("c"), ignoreNulls = true).over(w).as("filled_cents"),
         datediff(col("day"),
-          last(when(col("pv").isNotNull, col("day")), ignoreNulls = true).over(w))
+          last(when(col("c").isNotNull, col("day")), ignoreNulls = true).over(w))
           .as("staleness_days"))
       .orderBy(col("user_id"), col("day"))
   }
@@ -468,7 +475,8 @@ object Windows {
       |  FROM orders)
       |SELECT o_custkey, o_orderkey, cents,
       |  CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT) AS cust_total_cents,
-      |  (cents * 1000000) // SUM(cents) OVER (PARTITION BY o_custkey) AS share_ppm
+      |  CAST((cents * 1000000) // SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT)
+      |    AS share_ppm
       |FROM o ORDER BY o_custkey, o_orderkey""") { (s, d) =>
     val w = Window.partitionBy(col("o_custkey"))
     Tables.orders(s, d)

@@ -77,8 +77,10 @@ class R11OpsSpec extends SparkSpec {
           java.util.Comparator.naturalOrder[java.math.BigDecimal]()), Ordering.Long)
       assert(maxOrder == grp.maxBy(key)._2)
       assert(minOrder == grp.minBy(key)._2)
-      assert(r.getDecimal(3).compareTo(grp.map(_._3).max(
-        Ordering.comparatorToOrdering(java.util.Comparator.naturalOrder()))) == 0)
+      // extrema now leave as exact cents BIGINT (D2/D12, r12)
+      assert(r.getLong(3) == grp.map(_._3).max(
+        Ordering.comparatorToOrdering(java.util.Comparator.naturalOrder[java.math.BigDecimal]()))
+        .movePointRight(2).longValueExact())
       assert(r.getLong(5) == grp.length)
     }
   }
@@ -88,14 +90,15 @@ class R11OpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val seq = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay)
-      var lastObs: java.math.BigDecimal = null
+      // cents BIGINT since r12 (D2/D12 — no raw DECIMAL in output)
+      var lastObs: java.lang.Long = null
       var lastObsDay: Long = -1
       seq.foreach { r =>
-        val raw = if (r.isNullAt(2)) null else r.getDecimal(2)
-        val filled = if (r.isNullAt(3)) null else r.getDecimal(3)
+        val raw: java.lang.Long = if (r.isNullAt(2)) null else r.getLong(2)
+        val filled: java.lang.Long = if (r.isNullAt(3)) null else r.getLong(3)
         if (raw != null) { lastObs = raw; lastObsDay = r.getDate(1).toLocalDate.toEpochDay }
         if (lastObs == null) assert(filled == null, "no fill before first observation")
-        else assert(filled.compareTo(lastObs) == 0, "LOCF carries the last observation")
+        else assert(filled == lastObs, "LOCF carries the last observation")
         if (lastObs != null) {
           val staleness = r.getDate(1).toLocalDate.toEpochDay - lastObsDay
           assert(!r.isNullAt(4) && r.getInt(4).toLong == staleness)
