@@ -669,11 +669,102 @@ object Aggregates {
       .orderBy(col("flag"))
   }
 
+  /** Boolean/conditional aggregate family (r12) — BOOL_AND / BOOL_OR
+    * (SQL EVERY/ANY) plus the COUNT_IF / conditional-count surface,
+    * per order priority. COUNT_IF is spelled SUM(CASE WHEN..) on the
+    * oracle side (portable ANSI; Spark's count_if is the same
+    * aggregate) and the booleans are genuine BooleanType outputs
+    * (hash-safe per the D12 lint). One partial+final hash agg —
+    * boolean partials are single bytes, conditional counts are
+    * longs; nothing scales with row count past the map side. */
+  val aggBoolCountif: QDef = q(
+    "agg_bool_countif",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  bool_and(o_totalprice < 495000) AS all_below_cap,
+      |  bool_or(o_totalprice > 450000) AS any_high_value,
+      |  bool_and(o_orderstatus IN ('F', 'O', 'P')) AS all_known_status,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_finished,
+      |  CAST(SUM(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_high_value
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        bool_and(col("o_totalprice") < 495000).as("all_below_cap"),
+        bool_or(col("o_totalprice") > 450000).as("any_high_value"),
+        bool_and(col("o_orderstatus").isin("F", "O", "P")).as("all_known_status"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"),
+        count_if(col("o_totalprice") > 450000).as("n_high_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Pearson correlation per group (r12) — corr(quantity, price)
+    * per return flag via EXPLICIT exact power sums, never the native
+    * corr() (whose streaming-update float accumulation is engine-
+    * and partition-order-dependent). Inputs quantize to their
+    * natural integer units (deci-quantity, cents), the five cross
+    * sums accumulate as DECIMAL(38,0) partials (exact ⇒ partition-
+    * count invariant), and corr + population covariance are ONE
+    * identical float expression tree over identical doubles — the
+    * agg_skew_kurtosis protocol applied to a second column. */
+  val aggCorrExplicit: QDef = q(
+    "agg_corr_explicit",
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |  FROM li GROUP BY flag),
+      |t AS (
+      |  SELECT flag, n, CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+      |    CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy,
+      |    CAST(sxy AS DOUBLE) AS dxy
+      |  FROM s)
+      |SELECT flag, n,
+      |  (n * dxy - dx * dy) / (sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy))
+      |    AS corr_xy,
+      |  (n * dxy - dx * dy) / (CAST(n AS DOUBLE) * n) AS cov_pop
+      |FROM t ORDER BY flag""") { (s, d) =>
+    val decX = col("x").cast(DecimalType(38, 0))
+    val decY = col("y").cast(DecimalType(38, 0))
+    val sums = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        (qty(col("l_quantity")) * 10).cast(LongType).as("x"),
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(decX).as("sx"), sum(decY).as("sy"),
+        sum(decX * col("x")).as("sxx"), sum(decY * col("y")).as("syy"),
+        sum(decX * col("y")).as("sxy"))
+    val t = sums.select(col("flag"), col("n"),
+      col("sx").cast(DoubleType).as("dx"), col("sy").cast(DoubleType).as("dy"),
+      col("sxx").cast(DoubleType).as("dxx"), col("syy").cast(DoubleType).as("dyy"),
+      col("sxy").cast(DoubleType).as("dxy"))
+    t.select(col("flag"), col("n"),
+        ((col("n") * col("dxy") - col("dx") * col("dy"))
+          / (sqrt(col("n") * col("dxx") - col("dx") * col("dx"))
+            * sqrt(col("n") * col("dyy") - col("dy") * col("dy")))).as("corr_xy"),
+        ((col("n") * col("dxy") - col("dx") * col("dy"))
+          / (col("n").cast(DoubleType) * col("n"))).as("cov_pop"))
+      .orderBy(col("flag"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
-    aggSkewKurtosis)
+    aggSkewKurtosis, aggBoolCountif, aggCorrExplicit)
 }

@@ -658,8 +658,56 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Tokenizer-vocabulary coverage (r12) — per-doc out-of-vocabulary
+    * rate against a DATA-DERIVED top-k vocabulary (the dry run every
+    * tokenizer build does before committing a vocab: what fraction of
+    * the corpus would fall to <unk>?). The per-doc (term, tf) table
+    * builds ROW-LOCALLY via the compiled `graft_term_counts` pass (one
+    * row per DISTINCT term per doc — never an occurrence-stream
+    * shuffle); corpus totals shuffle vocabulary cardinality only; the
+    * top-8 cut is a TakeOrdered with the term string as tie-break and
+    * broadcasts into the per-doc probe. OOV permille is an integer
+    * floor division of non-negative counts (engine-identical). */
+  val vocabOovRate: QDef = q(
+    "vocab_oov_rate",
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |c AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+      |v AS (SELECT term FROM c ORDER BY c DESC, term LIMIT 8)
+      |SELECT tf.doc_id,
+      |  CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) AS n_oov,
+      |  (CAST(SUM(CASE WHEN v.term IS NULL THEN tf.tf ELSE 0 END) AS BIGINT) * 1000)
+      |    // CAST(SUM(tf.tf) AS BIGINT) AS oov_permille
+      |FROM tf LEFT JOIN v ON tf.term = v.term
+      |GROUP BY tf.doc_id
+      |ORDER BY tf.doc_id""") { (s, d) =>
+    // Persisted: tf feeds both the corpus-count aggregate (vocab
+    // build side) and the per-doc probe — without the persist the
+    // term-count pass runs twice (the text_tfidf_topterms rule).
+    val tf = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.termCounts(
+          split(col("text"), " "))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast(LongType).as("tf"))
+      .persist()
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(8)
+      .select(col("term").as("v_term"))
+    tf.join(broadcast(vocab), col("term") === col("v_term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("v_term").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000) div n_tokens").as("oov_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
-    textNgramNovelty, textReadability, aggGiniImpurity)
+    textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate)
 }

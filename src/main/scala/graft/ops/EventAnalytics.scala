@@ -481,7 +481,81 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** User-journey path mining (r12) — the top-20 most common 3-step
+    * event-type sequences across all user streams (the "what do
+    * users do next" clickstream report; `pattern_consecutive` tests
+    * ONE fixed pattern, this ranks ALL of them). Two LEADs over one
+    * (user, ts, event_id) window make the trigram row-local — path
+    * extension costs leads, never self-joins — and the count shuffle
+    * is bounded by |event_type|³ (≤125 here) regardless of stream
+    * length. Global top-20 plans as TakeOrderedAndProject with the
+    * path string as tie-break. */
+  val pathTrigramTop: QDef = q(
+    "path_trigram_top",
+    """WITH s AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e1,
+      |    lead(event_type, 2) OVER w AS e2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e1 || '>' || e2 AS path,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM s WHERE e2 IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY n DESC, path
+      |LIMIT 20""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        lead(col("event_type"), 1).over(w).as("e1"),
+        lead(col("event_type"), 2).over(w).as("e2"))
+      .filter(col("e2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e1"), col("e2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** First-order Markov transition matrix (r12) — P(next event type |
+    * current) across all user streams, probabilities as exact floor-
+    * ppm of the per-from row total. `path_trigram_top` ranks raw
+    * sequences; this is the normalized chain model (the input to
+    * next-event prediction and to detecting broken funnels by
+    * transition-probability drift). One LEAD over the user window
+    * makes transitions row-local; the count shuffle is ≤ |types|²
+    * (25 here); the per-from marginal joins back as a broadcast. */
+  val eventTransitionMatrix: QDef = q(
+    "event_transition_matrix",
+    """WITH s AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |m AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.n, m.tot,
+      |  (c.n * 1000000) // m.tot AS p_ppm
+      |FROM c JOIN m ON c.from_type = m.from_type
+      |ORDER BY c.from_type, c.to_type""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val c = Tables.events(s, d)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val m = c.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      .withColumnRenamed("from_type", "m_from")
+    c.join(broadcast(m), col("from_type") === col("m_from"))
+      .select(col("from_type"), col("to_type"), col("n"), col("tot"),
+        expr("(n * 1000000) div tot").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
-    patternConsecutive, attributionLinear, tsOhlcDaily)
+    patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
+    eventTransitionMatrix)
 }

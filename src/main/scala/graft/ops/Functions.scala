@@ -343,8 +343,47 @@ object Functions {
       .orderBy(col("o_orderkey"))
   }
 
+  /** URL parsing family (r12) — the web-log/crawl-metadata surface:
+    * HOST / PATH / QUERY / REF extraction plus a named query
+    * parameter, over URLs CONSTRUCTED from customer fields (the
+    * fixtures carry no URL column; construction makes every URL
+    * well-formed, so Spark's java.net.URI-backed `parse_url` and the
+    * oracle's anchored regexes agree by construction — malformed-URL
+    * edge semantics are engine-specific and deliberately out of
+    * scope). Row-local projection; one scan, no shuffle but the
+    * presentation sort. */
+  val fnUrlParse: QDef = q(
+    "fn_url_parse",
+    """WITH u AS (
+      |  SELECT c_custkey,
+      |    'https://www.shop-' || (c_custkey % 7) || '.example.com/seg/'
+      |      || lower(c_mktsegment) || '?k=' || c_custkey || '&page='
+      |      || (c_custkey % 10) || '#frag' || (c_custkey % 3) AS url
+      |  FROM customer)
+      |SELECT c_custkey, url,
+      |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query,
+      |  regexp_extract(url, '[?&]k=([^&#]*)', 1) AS k_param,
+      |  regexp_extract(url, '#(.*)$', 1) AS fragment
+      |FROM u ORDER BY c_custkey""") { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        concat(lit("https://www.shop-"), col("c_custkey") % 7,
+          lit(".example.com/seg/"), lower(col("c_mktsegment")),
+          lit("?k="), col("c_custkey"), lit("&page="), col("c_custkey") % 10,
+          lit("#frag"), col("c_custkey") % 3).as("url"))
+      .select(col("c_custkey"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("k")).as("k_param"),
+        parse_url(col("url"), lit("REF")).as("fragment"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     fnString, fnStringDistance, fnDate, fnMath, fnArray,
     fnMapJson, fnConditional, fnHigherOrder, fnBitwise, fnStruct,
-    fnTrySafe)
+    fnTrySafe, fnUrlParse)
 }

@@ -147,6 +147,60 @@ object HarmonizeQueries {
       .orderBy(col("nationkey"))
   }
 
+  /** Chained two-hop crosswalk (r12) — the multi-stage codebook
+    * harmonization the single-hop cube doesn't exercise: nation →
+    * zone (hop 1, partial coverage), zone → market tier (hop 2,
+    * partial again), with explicit FALLTHROUGH labels at each hop so
+    * no observation is silently dropped (the same audit discipline
+    * as `harmonize_unmappable`, composed). Both crosswalks are
+    * rules-as-data declared identically on both sides; both are
+    * broadcast — at any fact scale the chain costs two broadcast
+    * hash joins and a ≤(zones+2)-group aggregate. */
+  val harmonizeCrosswalk: QDef = q(
+    "harmonize_crosswalk",
+    s"""WITH xw1(n_name, zone) AS (
+      |  SELECT * FROM (VALUES
+      |    ${(0 to 14).map(k => s"('NATION_$k', 'Z${k % 5}')").mkString(", ")})),
+      |xw2(zone, market) AS (
+      |  SELECT * FROM (VALUES
+      |    ('Z0', 'CORE'), ('Z1', 'CORE'), ('Z2', 'GROWTH'), ('Z3', 'GROWTH'))),
+      |obs AS (
+      |  SELECT c_custkey, c_acctbal, n_name
+      |  FROM customer JOIN nation ON n_nationkey = c_nationkey),
+      |coded AS (
+      |  SELECT c_custkey, c_acctbal, obs.n_name,
+      |    CASE WHEN xw1.zone IS NULL THEN 'UNMAPPED'
+      |         WHEN xw2.market IS NULL THEN xw1.zone || '-UNMAPPED'
+      |         ELSE xw2.market END AS final_code
+      |  FROM obs
+      |  LEFT JOIN xw1 ON obs.n_name = xw1.n_name
+      |  LEFT JOIN xw2 ON xw1.zone = xw2.zone)
+      |SELECT final_code,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      |FROM coded
+      |GROUP BY final_code
+      |ORDER BY final_code""") { (s, d) =>
+    import s.implicits._
+    val xw1 = (0 to 14).map(k => (s"NATION_$k", s"Z${k % 5}")).toDF("x_name", "zone")
+    val xw2 = Seq("Z0" -> "CORE", "Z1" -> "CORE", "Z2" -> "GROWTH", "Z3" -> "GROWTH")
+      .toDF("x_zone", "market")
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(xw1), col("n_name") === col("x_name"), "left")
+      .join(broadcast(xw2), col("zone") === col("x_zone"), "left")
+      .select(col("c_acctbal"), col("n_name"),
+        when(col("zone").isNull, "UNMAPPED")
+          .when(col("market").isNull, concat(col("zone"), lit("-UNMAPPED")))
+          .otherwise(col("market")).as("final_code"))
+      .groupBy(col("final_code"))
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("n_name")).as("n_nations"),
+        graft.Protocol.sumMoney(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("final_code"))
+  }
+
   val all: Seq[QDef] = Seq(harmonizeCube, harmonizeUnmappable, harmonizeProvenance,
-    entityMatchFuzzy)
+    entityMatchFuzzy, harmonizeCrosswalk)
 }

@@ -5,7 +5,7 @@ import graft.QDef.q
 import graft.Protocol._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, LongType, TimestampType}
 
 /** SURVEY.md §2.3 — join family.
   *
@@ -492,10 +492,133 @@ object Joins {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** TPC-H Q3 shape (r12) — the shipping-priority benchmark query:
+    * segment-filtered customer dim (broadcast) ⋈ date-filtered orders
+    * ⋈ shipdate-filtered lineitem, revenue per un-shipped order,
+    * global top-10. Both date filters push to the parquet scans; the
+    * agg shuffles group-key cardinality only and the final
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition
+    * heaps, O(k) result — never a global sort). Revenue follows the
+    * exact-decimal protocol: money×(1−rate) summed as decimal, ONE
+    * double cast at the end (D2/D3). Deterministic top-10: revenue
+    * ties broken by l_orderkey. */
+  val q3ShippingPriority: QDef = q(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""") { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-07-01 00:00:00").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-07-01 00:00:00").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(outDouble(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast(DateType).as("order_date"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q18 shape (r12) — large-volume customers: aggregate the
+    * fact FIRST (sum of quantity per order), HAVING-filter to the
+    * rare heavy orders, then join the tiny survivor set back to
+    * orders and the customer dim. The agg-then-filter ordering is
+    * the scale lesson: the 60k-row (at 100 TB, multi-billion-row)
+    * lineitem collapses to order-key cardinality before any join,
+    * and the surviving ~0.2% broadcast into orders — never the other
+    * way around. Exact-decimal quantity sums (D2). */
+  val q18LargeVolume: QDef = q(
+    "q18_large_volume",
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,4))) > 250)
+      |SELECT c_name, o_custkey, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice, sum_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey""") { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(qty(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > 250)
+      .select(col("l_orderkey"), outDouble(col("sq")).as("sum_qty"))
+    Tables.orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("order_date"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  /** Existence-flag (mark) join (r12) — the EXISTS / NOT EXISTS
+    * surface graded through per-nation customer counts: has ≥1
+    * high-value order, has ≥1 order at all, has none. Implemented as
+    * left joins against DISTINCT custkey sets (a distinct set joined
+    * left is exactly a mark join — no row duplication possible), so
+    * the probe stays one pass over customer; both distinct builds
+    * collapse to customer-key cardinality before broadcasting. The
+    * oracle spells the same thing as EXISTS subqueries. */
+  val joinExistsFlag: QDef = q(
+    "join_exists_flag",
+    """SELECT n_name,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_high,
+      |  CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_any,
+      |  CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_without_any
+      |FROM customer c JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    val anyOrd = o.select(col("o_custkey").as("any_k")).distinct()
+    val highOrd = o.filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("high_k")).distinct()
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .join(broadcast(anyOrd), col("any_k") === col("c_custkey"), "left")
+      .join(broadcast(highOrd), col("high_k") === col("c_custkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        count_if(col("high_k").isNotNull).as("n_with_high"),
+        count_if(col("any_k").isNotNull).as("n_with_any"),
+        count_if(col("any_k").isNull).as("n_without_any"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
     joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders,
     joinSkewSalted, joinIntervalOverlap, joinAsofTolerance,
-    joinAsofNearest, joinSnowflake5way)
+    joinAsofNearest, joinSnowflake5way, q3ShippingPriority,
+    q18LargeVolume, joinExistsFlag)
 }

@@ -739,8 +739,68 @@ object LlmExtras {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** k-NN holdout classification eval (r12) — the recall/quality
+    * check a similarity index ships with: hold out every 50th vector
+    * (deterministic id rule), classify each by the majority label of
+    * its 5 nearest non-holdout neighbors (fused-cosine similarity,
+    * vec_id tie-break; vote ties to the smaller label), and grade
+    * the (actual, predicted) confusion matrix. The holdout side is
+    * tiny and BROADCAST — candidates stream past it, so the
+    * similarity pass is one scan × |holdout| fused cosines with no
+    * shuffle; the top-5 window and the vote aggregate both operate
+    * on |holdout|×k rows. At 100 TB the brute-force pass swaps for
+    * the IVF/LSH routing (`ann_ivf_label`, `sim_lsh_bucketed`)
+    * feeding the SAME vote; this exact form is the recall baseline
+    * those variants are measured against. */
+  val knnHoldoutEval: QDef = q(
+    "knn_holdout_eval",
+    s"""WITH q AS (
+      |  SELECT vec_id AS q_id, label AS actual, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |cand AS (SELECT vec_id, label, embedding FROM embeddings
+      |         WHERE vec_id % 50 <> 0),
+      |top AS (
+      |  SELECT q_id, actual, cand.label AS c_label
+      |  FROM q, cand
+      |  QUALIFY row_number() OVER (PARTITION BY q_id
+      |    ORDER BY ${sqlCosine("cand.embedding", "q_emb")} DESC, cand.vec_id) <= 5),
+      |votes AS (
+      |  SELECT q_id, actual, c_label, count(*) AS v
+      |  FROM top GROUP BY q_id, actual, c_label),
+      |pred AS (
+      |  SELECT q_id, actual, c_label AS predicted
+      |  FROM votes
+      |  QUALIFY row_number() OVER (PARTITION BY q_id
+      |    ORDER BY v DESC, c_label) = 1)
+      |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+      |FROM pred GROUP BY actual, predicted
+      |ORDER BY actual, predicted""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("actual"),
+        col("embedding").as("q_emb"))
+    val cand = e.filter(col("vec_id") % 50 =!= 0).repartition(32)
+    val simW = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val top = cand.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("actual"), col("label").as("c_label"),
+        col("vec_id"), fcosine(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("rn", row_number().over(simW))
+      .filter(col("rn") <= 5)
+    val voteW = Window.partitionBy(col("q_id"))
+      .orderBy(col("v").desc, col("c_label"))
+    top.groupBy(col("q_id"), col("actual"), col("c_label"))
+      .agg(count(lit(1)).as("v"))
+      .withColumn("vr", row_number().over(voteW))
+      .filter(col("vr") === 1)
+      .groupBy(col("actual"), col("c_label").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("predicted"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
-    annIvfLabel, simLshBucketed, kmeansAssign, evalLangidConfusion)
+    annIvfLabel, simLshBucketed, kmeansAssign, evalLangidConfusion,
+    knnHoldoutEval)
 }

@@ -407,8 +407,72 @@ object LlmPipeline {
       .orderBy(col("doc_id"), col("sample_no"))
   }
 
+  /** Token-set containment dedup (r12) — the asymmetric twin of
+    * `dedup_near_jaccard`: a truncated/excerpted document has LOW
+    * Jaccard against its source (|A∩B|/|A∪B| shrinks with the size
+    * gap) but FULL containment (A ⊆ B), so symmetric near-dup passes
+    * miss exactly the crawl artifacts this catches. Pairs where the
+    * smaller doc's distinct-token set is entirely contained in the
+    * larger's, lang-blocked + salted (the jaccard key's layout, no
+    * size-ratio prefilter — small⊂large is the point), verified by
+    * the same codegen'd sorted-hash merge walk; graded as a
+    * per-container report (container doc, how many docs it absorbs,
+    * id range) so output stays doc-bounded while the oracle still
+    * certifies every pair. At 100 TB the candidate step is
+    * MinHash-LSH banding on the SMALLER side's shingles; the
+    * verify-walk is unchanged. */
+  val dedupContainment: QDef = q(
+    "dedup_containment",
+    """WITH d AS (SELECT doc_id, lang,
+      |             list_distinct(string_split(text, ' ')) AS ts
+      |           FROM documents),
+      |pairs AS (
+      |  SELECT
+      |    CASE WHEN len(a.ts) >= len(b.ts) THEN a.doc_id ELSE b.doc_id END AS container,
+      |    CASE WHEN len(a.ts) >= len(b.ts) THEN b.doc_id ELSE a.doc_id END AS contained
+      |  FROM d a JOIN d b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.ts, b.ts)) = least(len(a.ts), len(b.ts))
+      |    AND len(a.ts) <> len(b.ts))
+      |SELECT container, CAST(count(*) AS BIGINT) AS n_contained,
+      |  CAST(min(contained) AS BIGINT) AS min_contained,
+      |  CAST(max(contained) AS BIGINT) AS max_contained
+      |FROM pairs GROUP BY container
+      |ORDER BY container""") { (s, d) =>
+    val nSalts = 16
+    val dd = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.VectorFunctions.shingleHashes(
+          split(col("text"), " "), 1).as("ts"))
+      .withColumn("sz", size(col("ts")))
+    val a = dd.select(col("doc_id").as("doc_a"), col("lang"),
+      col("ts").as("ts_a"), col("sz").as("sz_a"),
+      pmod(col("doc_id"), lit(nSalts)).as("salt"))
+    val b = dd.repartition(32).crossJoin(s.range(nSalts).toDF("salt_b"))
+      .select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("ts").as("ts_b"), col("sz").as("sz_b"), col("salt_b"))
+    val inter = graft.functions.VectorFunctions.sortedIntersectLong(col("ts_a"), col("ts_b"))
+    // Equal-size pairs are excluded: with distinct-token sets,
+    // sz_a = sz_b ∧ full containment ⇒ identical sets — that's
+    // `dedup_exact_docs`' (or near-jaccard's) territory, and keeping
+    // them would make container/contained direction arbitrary.
+    a.join(b, col("salt") === col("salt_b") && col("lang") === col("lang_b")
+        && col("doc_a") < col("doc_b") && col("sz_a") =!= col("sz_b")
+        && inter === least(col("sz_a"), col("sz_b")))
+      .select(
+        when(col("sz_a") >= col("sz_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("container"),
+        when(col("sz_a") >= col("sz_b"), col("doc_b")).otherwise(col("doc_a"))
+          .as("contained"))
+      .groupBy(col("container"))
+      .agg(count(lit(1)).as("n_contained"),
+        min(col("contained")).as("min_contained"),
+        max(col("contained")).as("max_contained"))
+      .orderBy(col("container"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupExactDocs, dedupNearJaccard, simSearchTopk, knnPerLabel,
     textTokenTf, textTfidfTopterms, textLangProfile, multimodalEnrich,
-    multimodalBinaryMeta, multimodalFrameSample)
+    multimodalBinaryMeta, multimodalFrameSample, dedupContainment)
 }

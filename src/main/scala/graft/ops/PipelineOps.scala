@@ -424,8 +424,86 @@ object PipelineOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Epoch upsampling (r12) — the other half of training-mix control:
+    * `mix_temperature_resample` DOWN-weights abundant classes by
+    * dropping docs; this UP-weights rare ones by repeating them whole
+    * epochs (the standard practice for under-represented languages —
+    * repeat factor = majority count div class count, capped at 4 so
+    * no class over-repeats). Factors are DATA-DERIVED: one per-lang
+    * count aggregate + a broadcast one-row max, then the repeat is a
+    * row-local `explode(sequence(1, rep))` — output volume is
+    * Σ rep(lang)·n(lang), known before the explode runs, and nothing
+    * shuffles except the final lang×epoch report (≤ 5×4 groups). */
+  val mixUpsampleEpochs: QDef = q(
+    "mix_upsample_epochs",
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+      |           FROM documents GROUP BY lang),
+      |m AS (SELECT max(cnt) AS mx FROM c),
+      |f AS (SELECT lang, LEAST(4, mx // cnt) AS rep FROM c, m),
+      |e AS (
+      |  SELECT d.lang, t.epoch, d.n_chars
+      |  FROM documents d
+      |  JOIN f ON d.lang = f.lang,
+      |  UNNEST(range(1, f.rep + 1)) AS t(epoch))
+      |SELECT lang, CAST(epoch AS BIGINT) AS epoch,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM e GROUP BY lang, epoch
+      |ORDER BY lang, epoch""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val m = c.agg(max(col("cnt")).as("mx"))
+    val f = c.join(broadcast(m), lit(true), "left")
+      .select(col("lang"), least(lit(4L), expr("mx div cnt")).as("rep"))
+    docs.join(broadcast(f), Seq("lang"))
+      .select(col("lang"), col("n_chars"),
+        explode(sequence(lit(1L), col("rep"))).as("epoch"))
+      .groupBy(col("lang"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("epoch"))
+  }
+
+  /** Embedding-norm audit (r12) — the pre-ingest sanity check every
+    * vector pipeline runs: are the embeddings unit-normalized, and
+    * which labels drifted? Norms are computed as EXACT integers —
+    * components milli-quantize (floor(x·1000 + 0.5), the
+    * `embed_quantize_int8` convention) and norm² sums row-locally as
+    * Σ milli² (a unit vector ⇒ ≈ 10⁶) — so min/max/counts hash-match
+    * bit-for-bit with no sqrt anywhere. The per-vector pass is a
+    * row-local fold (never a dimension explode + shuffle); the label
+    * report aggregates |labels| rows. */
+  val embedNormAudit: QDef = q(
+    "embed_norm_audit",
+    """WITH v AS (
+      |  SELECT label,
+      |    CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |         * CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+      |      AS BIGINT) AS norm2
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(min(norm2) AS BIGINT) AS min_norm2,
+      |  CAST(max(norm2) AS BIGINT) AS max_norm2,
+      |  CAST(SUM(norm2) AS DOUBLE) / count(*) AS avg_norm2,
+      |  CAST(SUM(CASE WHEN abs(norm2 - 1000000) > 100000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_unnormalized
+      |FROM v GROUP BY label ORDER BY label""") { (s, d) =>
+    val milli = "cast(floor(cast(x as double) * 1000 + 0.5) as bigint)"
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        expr(s"aggregate(embedding, 0L, (acc, x) -> acc + $milli * $milli)")
+          .as("norm2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"),
+        (sum(col("norm2")).cast(DoubleType) / count(lit(1))).as("avg_norm2"),
+        count_if(abs(col("norm2") - 1000000) > 100000).as("n_unnormalized"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QDef] = Seq(
     contaminationNgram, packSequences, mixDomainWeighted, textRepetition,
     textPiiScrub, embedQuantizeInt8, curationFunnel, dedupPrefixCluster,
-    mixTemperatureResample)
+    mixTemperatureResample, mixUpsampleEpochs, embedNormAudit)
 }

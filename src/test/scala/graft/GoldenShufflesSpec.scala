@@ -29,6 +29,8 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_approx_distinct" -> 2,
     "agg_argminmax" -> 2,
     "agg_bitmap_distinct" -> 3,
+    "agg_bool_countif" -> 2,
+    "agg_corr_explicit" -> 2,
     "agg_collect_sorted" -> 2,
     "agg_count_distinct" -> 3,
     "agg_cube" -> 2,
@@ -60,6 +62,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "corpus_zipf" -> 1,
     "curation_funnel" -> 5,
     "dedup_cluster_cc" -> 2,
+    "dedup_containment" -> 3,
     "dedup_exact_docs" -> 2,
     "dedup_minhash_lsh" -> 2,
     "dedup_near_embedding" -> 2,
@@ -69,8 +72,10 @@ class GoldenShufflesSpec extends SparkSpec {
     "dq_rule_check" -> 6,
     "drift_embedding_centroid" -> 6,
     "drift_value_histogram" -> 4,
+    "embed_norm_audit" -> 2,
     "embed_quantize_int8" -> 2,
     "entity_match_fuzzy" -> 3,
+    "event_transition_matrix" -> 4,
     "eval_langid_confusion" -> 8,
     "filter_above_group_avg" -> 2,
     "filter_compound" -> 1,
@@ -85,6 +90,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "fn_string_distance" -> 1,
     "fn_struct" -> 1,
     "fn_try_safe" -> 1,
+    "fn_url_parse" -> 1,
     "funnel_steps" -> 4,
     "graph_degree_stats" -> 7,
     // r11c: fully declarative loop — distinct pairs (1), deg agg (1),
@@ -93,6 +99,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "graph_pagerank" -> 4,
     "harmonize_cube" -> 2,
     "harmonize_provenance" -> 3,
+    "harmonize_crosswalk" -> 3,
     "harmonize_unmappable" -> 2,
     "join_anti" -> 1,
     "join_asof_event" -> 2,
@@ -105,6 +112,7 @@ class GoldenShufflesSpec extends SparkSpec {
     // subquery reuse it, so pruning adds no exchange (PLANS.md r8)
     "join_dpp_partitioned" -> 2,
     "join_full_outer" -> 3,
+    "join_exists_flag" -> 4,
     "join_inner_equi" -> 1,
     "join_interval_overlap" -> 3,
     "join_left_outer" -> 1,
@@ -116,22 +124,27 @@ class GoldenShufflesSpec extends SparkSpec {
     "join_star_3way" -> 2,
     "join_theta_range" -> 1,
     "kmeans_assign" -> 5,
+    "knn_holdout_eval" -> 4,
     "knn_per_label" -> 3,
     "lateral_topn_orders" -> 2,
     "merge_upsert_customers" -> 4,
     "minhash_est_audit" -> 2,
     "mix_domain_weighted" -> 1,
     "mix_temperature_resample" -> 4,
+    "mix_upsample_epochs" -> 5,
     "multimodal_binary_meta" -> 1,
     "multimodal_enrich" -> 2,
     "multimodal_frame_sample" -> 1,
     "pack_sequences" -> 2,
     "pattern_consecutive" -> 2,
+    "path_trigram_top" -> 2,
     "pivot_event_types" -> 3,
     "pivot_multi_agg" -> 3,
     "profile_documents" -> 2,
     "profile_orders" -> 2,
     "project_arithmetic" -> 1,
+    "q18_large_volume" -> 2,
+    "q3_shipping_priority" -> 1,
     "q1_pricing_summary" -> 2,
     "reconcile_orders_items" -> 4,
     "retention_cohorts" -> 3,
@@ -143,6 +156,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "sample_hash_docs" -> 1,
     "sample_stratified_docs" -> 2,
     "sample_token_budget" -> 2,
+    "sample_systematic" -> 2,
     "scan_parquet_project" -> 1,
     "scd2_event_state" -> 2,
     "sessionize_events" -> 2,
@@ -166,6 +180,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "split_train_holdout" -> 2,
     "stream_dedup_keyed" -> 2,
     "stream_interval_join" -> 2,
+    "stream_rate_alert" -> 3,
     "stream_session_windows" -> 2,
     "stream_sliding_windows" -> 2,
     "stream_topk_windowed" -> 3,
@@ -191,7 +206,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "udf_slugify" -> 1,
     "udtf_bigrams" -> 2,
     "unpivot_melt" -> 1,
+    "vocab_oov_rate" -> 3,
     "win_distribution" -> 2,
+    "win_ewma_dyadic" -> 2,
     "win_fill_locf" -> 3,
     "win_interpolate_linear" -> 3,
     "win_first_last" -> 2,

@@ -294,4 +294,43 @@ class StreamOpsSpec extends SparkSpec {
       Seq(("click", 3L, 1), ("view", 2L, 2), ("error", 1L, 3)),
       s"per-epoch rank over the closed hour-0 window: $hour0")
   }
+
+  test("rate alerts: foreachBatch re-evaluation over closed windows matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    // hour-0: 2 clicks; hour-1: 5 clicks (alert: 5 > 2*2);
+    // hour-2: 4 clicks (no alert: 4 <= 2*5... and chg negative)
+    val rows = Seq.fill(2)(Ev(ts(10), 1, "click", 1.0)) ++
+      Seq.fill(5)(Ev(ts(70), 1, "click", 1.0)) ++
+      Seq.fill(4)(Ev(ts(130), 1, "click", 1.0))
+    // the monitoring pattern: append-mode closed windows accumulate in
+    // a sink table (the durable counts store); the alert evaluation
+    // runs over the ACCUMULATED table after each epoch — a lag needs
+    // the type's previous window, which a single epoch may not carry
+    val sunk = scala.collection.mutable.ArrayBuffer[(Timestamp, String, Long)]()
+    val q = StreamOps.windowedTypeCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (epoch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        epoch.collect().foreach { r =>
+          sunk += ((r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    mem.addData(rows); q.processAllAvailable()
+    mem.addData(Seq(Ev(ts(500), 9, "flush", 0.0))); q.processAllAvailable()
+    q.stop()
+    val countsDf = spark.createDataFrame(sunk.toSeq)
+      .toDF("win_start", "event_type", "n")
+    val clicks = StreamOps.rateAlerts(countsDf).collect()
+      .filter(_.getString(1) == "click")
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getBoolean(4), r.get(5)))
+      .sortBy(_._1.getTime).toSeq
+    assert(clicks == Seq(
+      (ts(0), 2L, false, null),
+      (ts(60), 5L, true, 1500000L),
+      (ts(120), 4L, false, -200000L)),
+      s"rate alerts over the accumulated counts store: $clicks")
+  }
 }
