@@ -703,6 +703,37 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** GROUPING()/grouping-id surface (r12) — the disambiguator the
+    * cube/rollup keys lack: with nullable grouping columns, an output
+    * NULL is ambiguous between "NULL in the data" and "aggregated
+    * away"; grouping_id() (standard bitmask, leftmost column = MSB)
+    * and the per-column GROUPING() flags resolve it. Rollup over
+    * (lang, source) with the id in the sort key, so the level
+    * structure itself is graded. */
+  val aggGroupingId: QDef = q(
+    "agg_grouping_id",
+    """SELECT lang, source,
+      |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+      |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY ROLLUP (lang, source)
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""") { (s, d) =>
+    Tables.documents(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        grouping(col("lang")).cast(LongType).as("g_lang"),
+        grouping(col("source")).cast(LongType).as("g_source"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("lang"), col("source"), col("gid"), col("g_lang"),
+        col("g_source"), col("n_docs"), col("total_chars"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first)
+  }
+
   /** Pearson correlation per group (r12) — corr(quantity, price)
     * per return flag via EXPLICIT exact power sums, never the native
     * corr() (whose streaming-update float accumulation is engine-
@@ -766,5 +797,5 @@ object Aggregates {
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
-    aggSkewKurtosis, aggBoolCountif, aggCorrExplicit)
+    aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId)
 }

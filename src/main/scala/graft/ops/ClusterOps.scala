@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QDef, Tables}
 import graft.QDef.q
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster assignment: the step a real dedup pipeline runs
@@ -332,5 +333,71 @@ object ClusterOps {
       .orderBy(col("node_kind"), col("node_key"))
   }
 
-  val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank)
+  /** Triangle count + global clustering coefficient (r12) — the
+    * third classic graph kernel next to CC and PageRank, over the
+    * part co-purchase graph (parts appearing on the same order,
+    * 1996 shipments — the date filter pushes to the scan and bounds
+    * the graph). Exact integer statistics: wedge count from the
+    * degree table, triangle count via the oriented 3-way edge
+    * self-join (a<b<c orientation counts each triangle exactly once
+    * — the standard distributed formulation; at scale the e1⋈e2 path
+    * join is bounded by Σ deg²(b), which degree-orienting edges
+    * low→high keeps near m^1.5), clustering = 3·triangles/wedges in
+    * floor ppm. The edge table is built once and persisted: it feeds
+    * the degree aggregate and all three join legs (exchange reuse
+    * covers the self-joins). */
+  val graphTriangleCount: QDef = q(
+    "graph_triangle_count",
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS dg
+      |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+      |  CAST((SELECT SUM(dg * (dg - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+      |  n_triangles,
+      |  (n_triangles * 3000000)
+      |    // CAST((SELECT SUM(dg * (dg - 1) // 2) FROM deg) AS BIGINT)
+      |    AS clustering_ppm
+      |FROM tri""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val wedgeRow = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+    val edgeRow = e.agg(count(lit(1)).as("n_edges"))
+    val triRow = e.select(col("a").as("a1"), col("b").as("b1"))
+      .join(e.select(col("a").as("a2"), col("b").as("b2")), col("b1") === col("a2"))
+      .join(e.select(col("a").as("a3"), col("b").as("b3")),
+        col("a3") === col("a1") && col("b3") === col("b2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    triRow.join(broadcast(wedgeRow), lit(true), "left")
+      .join(broadcast(edgeRow), lit(true), "left")
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("(n_triangles * 3000000) div n_wedges").as("clustering_ppm"))
+  }
+
+  val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
+    graphTriangleCount)
 }

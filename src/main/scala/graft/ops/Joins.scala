@@ -492,6 +492,46 @@ object Joins {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** Forward as-of join (r12) — pandas merge_asof(direction=
+    * 'forward'): each purchase pairs with the user's NEXT click at or
+    * after it (the "what did they do next" direction; backward /
+    * tolerance / nearest are the other three keys of the family).
+    * Same single-window plan as the rest of the family: one user-key
+    * exchange carries the forward IGNORE-NULLS first over the
+    * following frame; gaps are exact µs integers. */
+  val joinAsofForward: QDef = q(
+    "join_asof_forward",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |w AS (
+      |  SELECT event_id, user_id, event_type, us, t,
+      |    first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_us
+      |  FROM e)
+      |SELECT event_id, user_id, t AS purchase_t, fwd_us AS next_click_us,
+      |  fwd_us - us AS gap_us
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY event_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), tsSec(col("ts")).as("t"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("fwd_us",
+        first(when(col("event_type") === "click", col("us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("t").as("purchase_t"),
+        col("fwd_us").as("next_click_us"),
+        (col("fwd_us") - col("us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** TPC-H Q3 shape (r12) — the shipping-priority benchmark query:
     * segment-filtered customer dim (broadcast) ⋈ date-filtered orders
     * ⋈ shipdate-filtered lineitem, revenue per un-shipped order,
@@ -620,5 +660,5 @@ object Joins {
     joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders,
     joinSkewSalted, joinIntervalOverlap, joinAsofTolerance,
     joinAsofNearest, joinSnowflake5way, q3ShippingPriority,
-    q18LargeVolume, joinExistsFlag)
+    q18LargeVolume, joinExistsFlag, joinAsofForward)
 }

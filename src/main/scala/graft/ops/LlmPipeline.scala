@@ -407,6 +407,45 @@ object LlmPipeline {
       .orderBy(col("doc_id"), col("sample_no"))
   }
 
+  /** Audio segmentation index pass (r12) — the audio twin of
+    * `multimodal_frame_sample`: 30-second windows with a 25-second
+    * stride (5 s overlap, the standard ASR chunking shape) over
+    * synthesized per-doc audio metadata (duration from n_chars,
+    * 16 kHz mono) — all pure integer arithmetic computed BEFORE any
+    * codec touches bytes, so the decode stage (the honest
+    * environmental stub in graft.multimodal) receives exact
+    * (start, end, n_samples) slices. Row-local explode; output
+    * volume is Σ ceil(duration/stride), known from metadata alone. */
+  val multimodalChunkAudio: QDef = q(
+    "multimodal_chunk_audio",
+    """WITH meta AS (
+      |  SELECT doc_id, n_chars * 25 AS duration_ms FROM documents),
+      |m2 AS (
+      |  SELECT doc_id, duration_ms,
+      |    (duration_ms + 24999) // 25000 AS n_segs
+      |  FROM meta),
+      |segs AS (
+      |  SELECT doc_id, duration_ms, i AS seg_no, i * 25000 AS seg_start_ms
+      |  FROM m2 CROSS JOIN range(0, 1000) r(i) WHERE i < n_segs)
+      |SELECT doc_id, seg_no, seg_start_ms,
+      |  least(seg_start_ms + 30000, duration_ms) AS seg_end_ms,
+      |  (least(seg_start_ms + 30000, duration_ms) - seg_start_ms) * 16000 // 1000
+      |    AS n_samples
+      |FROM segs
+      |ORDER BY doc_id, seg_no""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("n_chars") * 25).as("duration_ms"))
+      .withColumn("n_segs", expr("(duration_ms + 24999) div 25000"))
+      .select(col("doc_id"), col("duration_ms"),
+        explode(expr("sequence(0L, n_segs - 1)")).as("seg_no"))
+      .withColumn("seg_start_ms", col("seg_no") * 25000)
+      .withColumn("seg_end_ms",
+        least(col("seg_start_ms") + 30000, col("duration_ms")))
+      .select(col("doc_id"), col("seg_no"), col("seg_start_ms"), col("seg_end_ms"),
+        expr("(seg_end_ms - seg_start_ms) * 16000 div 1000").as("n_samples"))
+      .orderBy(col("doc_id"), col("seg_no"))
+  }
+
   /** Token-set containment dedup (r12) — the asymmetric twin of
     * `dedup_near_jaccard`: a truncated/excerpted document has LOW
     * Jaccard against its source (|A∩B|/|A∪B| shrinks with the size
@@ -474,5 +513,6 @@ object LlmPipeline {
   val all: Seq[QDef] = Seq(
     dedupExactDocs, dedupNearJaccard, simSearchTopk, knnPerLabel,
     textTokenTf, textTfidfTopterms, textLangProfile, multimodalEnrich,
-    multimodalBinaryMeta, multimodalFrameSample, dedupContainment)
+    multimodalBinaryMeta, multimodalFrameSample, dedupContainment,
+    multimodalChunkAudio)
 }

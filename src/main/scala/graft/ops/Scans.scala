@@ -342,8 +342,46 @@ object Scans {
       .orderBy(col("y"))
   }
 
+  /** CSV quoting/escaping round trip (r12) — `source_csv_roundtrip`
+    * proves the happy path; this one proves the HOSTILE path: fields
+    * containing the delimiter, the quote character, and an embedded
+    * newline (constructed deterministically from fixture columns)
+    * survive a write+read cycle byte-for-byte. Written with explicit
+    * quoteAll + doubled-quote escaping (the RFC-4180 convention; the
+    * default backslash escape is NOT RFC and trips other readers),
+    * read back with multiLine (embedded newlines span physical
+    * lines — at scale multiLine files are not arbitrarily splittable,
+    * WHICH IS THE POINT of grading it: the cost is visible, the
+    * correctness is certified). The oracle recomputes the same
+    * construction from parquet — it never touches the CSV, so the
+    * grade certifies Spark's sink+source losslessness. */
+  val sourceCsvQuoted: QDef = q(
+    "source_csv_quoted",
+    """SELECT doc_id,
+      |  source || ',' || chr(10) || '"' || lang || '"-end' AS hostile,
+      |  length(source || ',' || chr(10) || '"' || lang || '"-end') AS len
+      |FROM documents
+      |ORDER BY doc_id""") { (s, d) =>
+    val out = graft.TempDirs.create("graft_csvq")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("source"), lit(",\n\""), col("lang"), lit("\"-end"))
+          .as("hostile"))
+      .write.mode("overwrite").option("header", "true")
+      .option("quoteAll", "true").option("escape", "\"")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("hostile", StringType)))
+    s.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").schema(schema).csv(out)
+      .select(col("doc_id"), col("hostile"),
+        length(col("hostile")).cast(LongType).as("len"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
     sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo,
     sourceSortedRanges, sourceSchemaMerge, sourceOrcRoundtrip,
-    sourceJsonRoundtrip, joinDppPartitioned)
+    sourceJsonRoundtrip, joinDppPartitioned, sourceCsvQuoted)
 }

@@ -35,6 +35,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_count_distinct" -> 3,
     "agg_cube" -> 2,
     "agg_gini_impurity" -> 3,
+    "agg_grouping_id" -> 2,
     "agg_grouping_sets" -> 2,
     "agg_histogram_bucketed" -> 3,
     "agg_mode_deterministic" -> 3,
@@ -97,12 +98,14 @@ class GoldenShufflesSpec extends SparkSpec {
     // each iteration is broadcast-join (no exchange) + dst agg whose
     // exchange reuses across iterations, plus the presentation sort
     "graph_pagerank" -> 4,
+    "graph_triangle_count" -> 7,
     "harmonize_cube" -> 2,
     "harmonize_provenance" -> 3,
     "harmonize_crosswalk" -> 3,
     "harmonize_unmappable" -> 2,
     "join_anti" -> 1,
     "join_asof_event" -> 2,
+    "join_asof_forward" -> 2,
     "join_asof_nearest" -> 2,
     "join_asof_tolerance" -> 2,
     "join_broadcast_dim" -> 1,
@@ -133,6 +136,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "mix_temperature_resample" -> 4,
     "mix_upsample_epochs" -> 5,
     "multimodal_binary_meta" -> 1,
+    "multimodal_chunk_audio" -> 1,
     "multimodal_enrich" -> 2,
     "multimodal_frame_sample" -> 1,
     "pack_sequences" -> 2,
@@ -171,6 +175,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "snapshot_diff_orders" -> 3,
     "sort_multikey" -> 1,
     "source_csv_roundtrip" -> 1,
+    "source_csv_quoted" -> 1,
     "source_json_props" -> 1,
     "source_json_roundtrip" -> 2,
     "source_orc_roundtrip" -> 2,
@@ -233,6 +238,12 @@ class GoldenShufflesSpec extends SparkSpec {
 
   test("no graded query plans more shuffle exchanges than its audited count") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // The audited counts are COLD-cache plans (the harness drivers
+    // clearCache between queries); a suite that ran a persisting key
+    // earlier in this shared session would otherwise leave an
+    // InMemoryRelation that substitutes into the counted plan and
+    // changes its exchange count (suite-order-dependent flakiness).
+    spark.catalog.clearCache()
     try {
       val drifted = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val n = fn(spark, sf).queryExecution.executedPlan.collect {

@@ -18,7 +18,9 @@ class R12OpsSpec extends SparkSpec {
     "mix_upsample_epochs", "vocab_oov_rate", "sample_systematic",
     "harmonize_crosswalk", "dedup_containment",
     "agg_corr_explicit", "event_transition_matrix", "fn_url_parse",
-    "knn_holdout_eval", "embed_norm_audit", "stream_rate_alert")
+    "knn_holdout_eval", "embed_norm_audit", "stream_rate_alert",
+    "join_asof_forward", "graph_triangle_count", "multimodal_chunk_audio",
+    "agg_grouping_id", "source_csv_quoted")
 
   test("every r12 key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -288,6 +290,83 @@ class R12OpsSpec extends SparkSpec {
           assert(cur._5 == (cur._3 > 2 * prev._3))
         case _ =>
       }
+    }
+  }
+
+  test("graph_triangle_count: kernel recomputes from a JVM adjacency walk") {
+    val r = ClusterOps.graphTriangleCount.run(spark, sf).collect().head
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    // oriented a<b<c: every triangle is counted exactly once, at its
+    // lowest edge (a,b), as |fwd(a) ∩ fwd(b)|
+    val fwd = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tri = edges.toSeq.map { case (a, b) =>
+      val nb = fwd.getOrElse(b, Set.empty[Long])
+      fwd.getOrElse(a, Set.empty[Long]).count(nb.contains)
+    }.sum
+    assert(r.getLong(0) == deg.size && r.getLong(1) == edges.size)
+    assert(r.getLong(2) == wedges, "wedge count")
+    assert(r.getLong(3) == tri.toLong, "triangle count")
+    assert(r.getLong(4) == r.getLong(3) * 3000000L / wedges)
+    assert(r.getLong(3) > 0, "fixture graph must contain triangles to certify")
+  }
+
+  test("agg_grouping_id: levels reconcile — each rollup level re-aggregates the base") {
+    val rows = Aggregates.aggGroupingId.run(spark, sf).collect()
+    val base = rows.filter(_.getLong(2) == 0)
+    val langLevel = rows.filter(_.getLong(2) == 1)
+    val total = rows.filter(_.getLong(2) == 3)
+    assert(total.length == 1 && langLevel.nonEmpty && base.nonEmpty)
+    assert(base.map(_.getLong(5)).sum == total.head.getLong(5))
+    langLevel.foreach { lr =>
+      val kids = base.filter(_.getString(0) == lr.getString(0))
+      assert(lr.getLong(5) == kids.map(_.getLong(5)).sum)
+      assert(lr.getLong(6) == kids.map(_.getLong(6)).sum)
+      assert(lr.isNullAt(1) && lr.getLong(3) == 0 && lr.getLong(4) == 1)
+    }
+  }
+
+  test("multimodal_chunk_audio: segments tile each doc's duration with 5s overlap") {
+    val rows = LlmPipeline.multimodalChunkAudio.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    val durs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1) * 25).toMap
+    assert(rows.keySet == durs.keySet.filter(durs(_) > 0))
+    rows.foreach { case (id, segs) =>
+      val dur = durs(id)
+      val sorted = segs.sortBy(_._2)
+      assert(sorted.length == (dur + 24999) / 25000)
+      sorted.foreach { case (_, no, st, en, ns) =>
+        assert(st == no * 25000 && en == math.min(st + 30000, dur))
+        assert(ns == (en - st) * 16000 / 1000)
+        assert(st < dur, "no segment starts past the end")
+      }
+      assert(sorted.last._4 == dur, "segments must cover to the exact end")
+    }
+  }
+
+  test("source_csv_quoted: hostile fields survive the sink+source cycle byte-for-byte") {
+    val rows = Scans.sourceCsvQuoted.run(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (src, lang) = docs(r.getLong(0))
+      val expected = s"""$src,\n"$lang"-end"""
+      assert(r.getString(1) == expected,
+        s"doc ${r.getLong(0)}: ${r.getString(1)} != $expected")
     }
   }
 
