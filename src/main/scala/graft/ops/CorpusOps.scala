@@ -706,8 +706,61 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Segment-level dedup (r12) — the C4/RefinedWeb "line-level"
+    * cleaning pass adapted to the fixture's unpunctuated text: docs
+    * split into consecutive 8-token segments (row-locally — a
+    * transform over a sequence of slice offsets, one row per segment
+    * AFTER the per-doc build, never a token-occurrence shuffle), a
+    * segment is duplicated if its text occurs in ≥2 DISTINCT docs,
+    * and each doc reports its duplicated-segment fraction. The
+    * corpus-wide duplicate test groups md5 digests (16-byte shuffle
+    * payloads, never segment bodies — the `dedup_exact_docs`
+    * discipline at sub-document granularity). */
+  val dedupSegmentLevel: QDef = q(
+    "dedup_segment_level",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |segs AS (
+      |  SELECT doc_id, i AS seg_no,
+      |    md5(array_to_string(list_slice(ts, i * 8 + 1, i * 8 + 8), ' ')) AS seg_h
+      |  FROM toks CROSS JOIN range(0, 1000) r(i)
+      |  WHERE i * 8 < len(ts)),
+      |dup AS (
+      |  SELECT seg_h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM segs GROUP BY seg_h)
+      |SELECT s.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_segs,
+      |  CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+      |  (CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+      |    // CAST(count(*) AS BIGINT) AS dup_permille
+      |FROM segs s JOIN dup d ON s.seg_h = d.seg_h
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""") { (s, d) =>
+    // Row-local segment build: one interpreted transform over
+    // ceil(n_tokens/8) slice offsets per doc (bounded, cold path),
+    // exploded at one row per SEGMENT. The duplicate test then
+    // shuffles only (digest, doc) pairs.
+    val segs = Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, (size(ts) + 7) div 8 - 1), " +
+          "i -> md5(array_join(slice(ts, i * 8 + 1, 8), ' ')))")))
+      .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg_h"))
+      .persist()
+    val dup = segs.groupBy(col("seg_h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs.join(dup, Seq("seg_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        count_if(col("n_docs") >= 2).as("n_dup_segs"))
+      .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+        expr("(n_dup_segs * 1000) div n_segs").as("dup_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
-    textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate)
+    textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
+    dedupSegmentLevel)
 }

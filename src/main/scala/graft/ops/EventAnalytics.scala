@@ -554,8 +554,62 @@ object EventAnalytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** A/B experiment readout (r12) — users deterministically split
+    * into arms by user_id parity (the hash-bucket assignment every
+    * experimentation system uses), per-event-type per-arm counts and
+    * exact cents totals, per-event average value in micro-cents, and
+    * the B-vs-A lift in SIGN-DECOMPOSED floor ppm (negative lifts
+    * never divide a negative numerator — the win_pct_change rule).
+    * One conditional aggregate over the fact: arm membership is a
+    * row-local projection, the shuffle carries |event_types| rows. */
+  val abTestMetrics: QDef = q(
+    "ab_test_metrics",
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS arm,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_a,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS cents_b
+      |  FROM e GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n_a, n_b, cents_a, cents_b,
+      |    (cents_a * 1000) // n_a AS avg_a_milli,
+      |    (cents_b * 1000) // n_b AS avg_b_milli
+      |  FROM s)
+      |SELECT event_type, n_a, n_b, cents_a, cents_b, avg_a_milli, avg_b_milli,
+      |  CASE WHEN avg_b_milli >= avg_a_milli
+      |    THEN ((avg_b_milli - avg_a_milli) * 1000000) // avg_a_milli
+      |    ELSE -(((avg_a_milli - avg_b_milli) * 1000000) // avg_a_milli) END
+      |    AS lift_ppm
+      |FROM m ORDER BY event_type""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), (col("user_id") % 2).as("arm"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("arm") === 0).as("n_a"),
+        count_if(col("arm") === 1).as("n_b"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("cents_a"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("cents_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("cents_a"), col("cents_b"),
+        expr("(cents_a * 1000) div n_a").as("avg_a_milli"),
+        expr("(cents_b * 1000) div n_b").as("avg_b_milli"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("cents_a"),
+        col("cents_b"), col("avg_a_milli"), col("avg_b_milli"),
+        when(col("avg_b_milli") >= col("avg_a_milli"),
+          expr("((avg_b_milli - avg_a_milli) * 1000000) div avg_a_milli"))
+          .otherwise(-expr("((avg_a_milli - avg_b_milli) * 1000000) div avg_a_milli"))
+          .as("lift_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
-    eventTransitionMatrix)
+    eventTransitionMatrix, abTestMetrics)
 }

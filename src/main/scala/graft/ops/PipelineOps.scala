@@ -502,8 +502,51 @@ object PipelineOps {
       .orderBy(col("label"))
   }
 
+  /** Priority-ordered canonical selection (r12) — when a duplicate
+    * cluster spans SOURCES, production dedup keeps the copy from the
+    * most trusted source, not an arbitrary or min-id one
+    * (`dedup_prefix_cluster` is the id-rule baseline over the same
+    * truncation-dup clusters; the RULE is what this key adds).
+    * Priority is the numeric source suffix (src0 most trusted); the
+    * survivor is the argmin of (priority, doc_id) encoded as ONE
+    * composite BIGINT (priority·10¹² + doc_id) so a plain MIN
+    * aggregate — exact, partition-count invariant, no min_by tie
+    * ambiguity — picks it, then integer decomposition recovers id
+    * and priority. Clusters key on md5 of the 64-char prefix;
+    * bodies never shuffle. Only multi-copy clusters are reported
+    * (the dedup decision log). */
+  val dedupSourcePriority: QDef = q(
+    "dedup_source_priority",
+    """WITH d AS (
+      |  SELECT doc_id, md5(substr(text, 1, 64)) AS h,
+      |    CAST(substr(source, 4) AS BIGINT) * 1000000000000 + doc_id AS pk
+      |  FROM documents),
+      |g AS (
+      |  SELECT h, CAST(count(*) AS BIGINT) AS n_copies,
+      |    CAST(min(pk) AS BIGINT) AS min_pk
+      |  FROM d GROUP BY h
+      |  HAVING count(*) >= 2)
+      |SELECT h, n_copies,
+      |  min_pk % 1000000000000 AS survivor_id,
+      |  min_pk // 1000000000000 AS survivor_priority
+      |FROM g
+      |ORDER BY h""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("h"),
+        (substring(col("source"), 4, 10).cast(LongType) * 1000000000000L
+          + col("doc_id")).as("pk"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("pk")).as("min_pk"))
+      .filter(col("n_copies") >= 2)
+      .select(col("h"), col("n_copies"),
+        expr("min_pk % 1000000000000").as("survivor_id"),
+        expr("min_pk div 1000000000000").as("survivor_priority"))
+      .orderBy(col("h"))
+  }
+
   val all: Seq[QDef] = Seq(
     contaminationNgram, packSequences, mixDomainWeighted, textRepetition,
     textPiiScrub, embedQuantizeInt8, curationFunnel, dedupPrefixCluster,
-    mixTemperatureResample, mixUpsampleEpochs, embedNormAudit)
+    mixTemperatureResample, mixUpsampleEpochs, embedNormAudit,
+    dedupSourcePriority)
 }

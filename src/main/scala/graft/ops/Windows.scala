@@ -608,9 +608,106 @@ object Windows {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** RFM customer segmentation (r12) — the classic BI composite:
+    * per customer recency (days from last order to the fixed
+    * 2001-09-01 anchor), frequency (order count), monetary (exact
+    * cents total), each cut into quartiles by ntile(4) over a UNIQUE
+    * total order (metric, custkey — D1: ntile ties are engine-
+    * arbitrary without it), composed into an 'R#F#M#' segment code
+    * and graded as per-segment counts + money. Recency quartile 1 =
+    * most recent, F/M quartile 4 = highest (DESC cuts). One customer
+    * aggregate + three whole-table ntiles over customer-count rows
+    * (the window exchanges carry 1 row per customer, not orders). */
+  val orderRfmSegments: QDef = q(
+    "order_rfm_segments",
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-09-01')
+      |      AS rec_days,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (
+      |  SELECT o_custkey, rec_days, freq, cents,
+      |    ntile(4) OVER (ORDER BY rec_days ASC,  o_custkey) AS rq,
+      |    ntile(4) OVER (ORDER BY freq  DESC, o_custkey) AS fq,
+      |    ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS mq
+      |  FROM c)
+      |SELECT 'R' || rq || 'F' || fq || 'M' || mq AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS segment_cents
+      |FROM t
+      |GROUP BY segment
+      |ORDER BY segment""") { (s, d) =>
+    val c = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit("2001-09-01").cast(DateType),
+          max(col("o_orderdate")).cast(DateType)).cast(LongType).as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum((money(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A native ntile(4) OVER (ORDER BY …) would plan the banned
+    // single-partition window (PlanInvariantsSpec). Each quartile cut
+    // instead uses the distributed global-rank machinery
+    // (win_distribution's shape): range-partition on the cut key,
+    // rank locally, add per-partition offsets — then the exact
+    // ntile(4) closed form on (rank, n). Three cuts = three passes
+    // over the |customers|-row AGGREGATE (never the fact table).
+    val t = Seq(
+      ("rq", Seq(col("rec_days").asc, col("o_custkey").asc)),
+      ("fq", Seq(col("freq").desc, col("o_custkey").asc)),
+      ("mq", Seq(col("cents").desc, col("o_custkey").asc)))
+      .foldLeft(c.select(col("o_custkey"), col("rec_days"), col("freq"), col("cents"))) {
+        case (df, (qcol, keys)) => withQuartile(df, keys, qcol)
+      }
+    t.select(concat(lit("R"), col("rq"), lit("F"), col("fq"),
+        lit("M"), col("mq")).as("segment"), col("cents"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("segment_cents"))
+      .orderBy(col("segment"))
+  }
+
+  /** Distributed exact ntile(4): global rank via range partitioning +
+    * per-partition offsets (no single-partition WindowExec — the
+    * win_distribution machinery, factored for reuse), then the
+    * first-(n%4)-buckets-get-the-extra-row closed form. */
+  private def withQuartile(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[org.apache.spark.sql.Column],
+      qcol: String): org.apache.spark.sql.DataFrame = {
+    val withPid = df.repartitionByRange(32, keys: _*)
+      .withColumn("gr_pid", spark_partition_id())
+    val wpid = Window.partitionBy(col("gr_pid"))
+    // persist pins ONE materialized pid assignment for every consumer
+    // (a re-executed range exchange re-samples boundaries)
+    val local = withPid
+      .withColumn("gr_lrn", row_number().over(wpid.orderBy(keys: _*)))
+      .withColumn("gr_cnt", count(lit(1)).over(wpid))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = local.select(col("gr_pid"), col("gr_cnt")).distinct()
+    val offsets = counts
+      .join(counts.select(col("gr_pid").as("gr_pid2"), col("gr_cnt").as("gr_cnt2")),
+        col("gr_pid2") < col("gr_pid"), "left")
+      .groupBy(col("gr_pid"))
+      .agg(coalesce(sum(col("gr_cnt2")), lit(0L)).as("gr_off"))
+    val nRow = counts.agg(sum(col("gr_cnt")).as("gr_n"))
+    local.join(broadcast(offsets), "gr_pid")
+      .crossJoin(broadcast(nRow))
+      .withColumn("gr_r", col("gr_off") + col("gr_lrn"))
+      .withColumn(qcol, expr(
+        """CAST(CASE WHEN gr_r <= (gr_n % 4) * (gr_n div 4 + 1)
+          |     THEN (gr_r - 1) div (gr_n div 4 + 1) + 1
+          |     ELSE gr_n % 4 + (gr_r - 1 - (gr_n % 4) * (gr_n div 4 + 1))
+          |          div (gr_n div 4) + 1
+          |     END AS INT)""".stripMargin))
+      .drop("gr_pid", "gr_lrn", "gr_cnt", "gr_off", "gr_n", "gr_r")
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
     winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian,
-    winRatioToReport, winMaxDrawdown, winPctChange, winEwmaDyadic)
+    winRatioToReport, winMaxDrawdown, winPctChange, winEwmaDyadic,
+    orderRfmSegments)
 }

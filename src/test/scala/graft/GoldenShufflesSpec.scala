@@ -26,6 +26,7 @@ class GoldenShufflesSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private val golden: Map[String, Int] = Map(
+    "ab_test_metrics" -> 2,
     "agg_approx_distinct" -> 2,
     "agg_argminmax" -> 2,
     "agg_bitmap_distinct" -> 3,
@@ -69,7 +70,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "dedup_near_embedding" -> 2,
     "dedup_near_jaccard" -> 2,
     "dedup_prefix_cluster" -> 2,
+    "dedup_segment_level" -> 4,
     "dedup_simhash" -> 4,
+    "dedup_source_priority" -> 2,
     "dq_rule_check" -> 6,
     "drift_embedding_centroid" -> 6,
     "drift_value_histogram" -> 4,
@@ -135,6 +138,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "mix_domain_weighted" -> 1,
     "mix_temperature_resample" -> 4,
     "mix_upsample_epochs" -> 5,
+    "order_rfm_segments" -> 3,
     "multimodal_binary_meta" -> 1,
     "multimodal_chunk_audio" -> 1,
     "multimodal_enrich" -> 2,

@@ -20,7 +20,9 @@ class R12OpsSpec extends SparkSpec {
     "agg_corr_explicit", "event_transition_matrix", "fn_url_parse",
     "knn_holdout_eval", "embed_norm_audit", "stream_rate_alert",
     "join_asof_forward", "graph_triangle_count", "multimodal_chunk_audio",
-    "agg_grouping_id", "source_csv_quoted")
+    "agg_grouping_id", "source_csv_quoted",
+    "dedup_segment_level", "ab_test_metrics", "order_rfm_segments",
+    "dedup_source_priority")
 
   test("every r12 key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -367,6 +369,90 @@ class R12OpsSpec extends SparkSpec {
       val expected = s"""$src,\n"$lang"-end"""
       assert(r.getString(1) == expected,
         s"doc ${r.getLong(0)}: ${r.getString(1)} != $expected")
+    }
+  }
+
+  test("dedup_segment_level: duplicate-segment fractions recompute from raw text") {
+    val rows = CorpusOps.dedupSegmentLevel.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val segs = docs.flatMap { case (id, ts) =>
+      ts.grouped(8).map(g => (id, g.mkString(" ")))
+    }
+    val docsPerSeg = segs.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    docs.foreach { case (id, ts) =>
+      val mySegs = ts.grouped(8).map(_.mkString(" ")).toSeq
+      val nDup = mySegs.count(sg => docsPerSeg(sg) >= 2).toLong
+      val n = mySegs.size.toLong
+      assert(rows(id) == ((n, nDup, nDup * 1000 / n)), s"doc $id")
+    }
+  }
+
+  test("ab_test_metrics: arm splits and lift recompute from raw events") {
+    val rows = EventAnalytics.abTestMetrics.run(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        expr("cast(cast(value as decimal(12,4)) * 100 as bigint)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1) % 2, r.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val a = ev.filter(e => e._1 == t && e._2 == 0)
+      val b = ev.filter(e => e._1 == t && e._2 == 1)
+      assert(r.getLong(1) == a.length && r.getLong(2) == b.length)
+      assert(r.getLong(3) == a.map(_._3).sum && r.getLong(4) == b.map(_._3).sum)
+      val avgA = a.map(_._3).sum * 1000 / a.length
+      val avgB = b.map(_._3).sum * 1000 / b.length
+      assert(r.getLong(5) == avgA && r.getLong(6) == avgB)
+      val lift = if (avgB >= avgA) (avgB - avgA) * 1000000 / avgA
+        else -((avgA - avgB) * 1000000 / avgA)
+      assert(r.getLong(7) == lift)
+    }
+  }
+
+  test("order_rfm_segments: quartile cuts are exact ntile(4) over unique orders") {
+    val rows = Windows.orderRfmSegments.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val custs = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1).map { case (ck, os) =>
+        val rec = java.time.temporal.ChronoUnit.DAYS.between(
+          os.map(_._2).max.toLocalDate, java.time.LocalDate.of(2001, 9, 1))
+        (ck, rec, os.length.toLong, os.map(_._3).sum)
+      }.toSeq
+    def ntile4(sorted: Seq[Long]): Map[Long, Int] = {
+      val n = sorted.length; val base = n / 4; val extra = n % 4
+      sorted.zipWithIndex.map { case (ck, i) =>
+        val q = if (i < extra * (base + 1)) i / (base + 1) + 1
+          else extra + (i - extra * (base + 1)) / base + 1
+        ck -> q
+      }.toMap
+    }
+    val rq = ntile4(custs.sortBy(c => (c._2, c._1)).map(_._1))
+    val fq = ntile4(custs.sortBy(c => (-c._3, c._1)).map(_._1))
+    val mq = ntile4(custs.sortBy(c => (-c._4, c._1)).map(_._1))
+    val expected = custs.groupBy(c => s"R${rq(c._1)}F${fq(c._1)}M${mq(c._1)}")
+      .map { case (seg, cs) => (seg, cs.size.toLong, cs.map(_._4).sum) }
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == expected)
+  }
+
+  test("dedup_source_priority: survivors are the (priority, id)-argmin of each cluster") {
+    val rows = PipelineOps.dedupSourcePriority.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), substring(col("text"), 1, 64).as("p"))
+      .collect().map(r => (r.getLong(0), r.getString(1).drop(3).toLong, r.getString(2)))
+    val clusters = docs.groupBy(_._3).filter(_._2.length >= 2)
+    assert(rows.size == clusters.size)
+    assert(rows.nonEmpty, "fixture must contain prefix clusters to certify")
+    clusters.foreach { case (_, members) =>
+      val surv = members.minBy(m => (m._2, m._1))
+      val hit = rows.values.find(v => v._2 == surv._1)
+      assert(hit.isDefined && hit.get._1 == members.length.toLong &&
+        hit.get._3 == surv._2)
     }
   }
 
