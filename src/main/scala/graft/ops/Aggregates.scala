@@ -791,11 +791,45 @@ object Aggregates {
       .orderBy(col("flag"))
   }
 
+  /** Ordered string aggregation (r12) — LISTAGG/STRING_AGG, the
+    * report-building aggregate: per order priority, the DISTINCT
+    * statuses joined in sorted order, plus the same over the year
+    * suffixes of order dates. Emitted as a deterministic '|'-joined
+    * STRING (the `agg_collect_sorted` array twin, one dialect over:
+    * DuckDB spells it string_agg(DISTINCT … ORDER BY …), Spark
+    * composes sort_array(collect_set(…)) + array_join — identical
+    * results because the join order is a total order on distinct
+    * values). Set sizes are bounded by the domain, so partials stay
+    * tiny at any row count. */
+  val aggStringConcat: QDef = q(
+    "agg_string_concat",
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+      |    AS statuses,
+      |  string_agg(DISTINCT CAST(year(o_orderdate) AS VARCHAR), '|'
+      |    ORDER BY CAST(year(o_orderdate) AS VARCHAR)) AS years,
+      |  CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast(StringType).as("yr"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderstatus"))), "|")
+          .as("statuses"),
+        array_join(sort_array(collect_set(col("yr"))), "|").as("years"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
     pivotEventTypes, unpivotMelt, aggQuantilesExact, filterAboveGroupAvg,
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
-    aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId)
+    aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
+    aggStringConcat)
 }

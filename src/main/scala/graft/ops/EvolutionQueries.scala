@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QDef, Tables}
 import graft.QDef.q
 import graft.pipeline.Evolution
+import graft.Protocol._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -283,7 +284,53 @@ object EvolutionQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Deletion-cascade audit (r12) — the GDPR/right-to-be-forgotten
+    * pass every production store needs: a deletion list (users with
+    * user_id % 97 = 0 — in production, the request table) anti-joins
+    * the fact, and the AUDIT — per event type: surviving rows/users,
+    * deleted rows/users, surviving exact cents — is the graded
+    * artifact, because a deletion you can't prove is a compliance
+    * failure. The deletion list is distinct-key and broadcast; the
+    * cascade is one anti-join pass over the fact at any scale. */
+  val evolutionDeleteCascade: QDef = q(
+    "evolution_delete_cascade",
+    """WITH del AS (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0),
+      |tagged AS (
+      |  SELECT e.event_type,
+      |    CAST(CAST(e.value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents,
+      |    e.user_id, (del.user_id IS NOT NULL) AS doomed
+      |  FROM events e LEFT JOIN del ON e.user_id = del.user_id)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN doomed THEN 0 ELSE 1 END) AS BIGINT) AS n_surviving,
+      |  CAST(SUM(CASE WHEN doomed THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+      |  CAST(count(DISTINCT CASE WHEN NOT doomed THEN user_id END) AS BIGINT)
+      |    AS users_surviving,
+      |  CAST(count(DISTINCT CASE WHEN doomed THEN user_id END) AS BIGINT)
+      |    AS users_deleted,
+      |  CAST(SUM(CASE WHEN doomed THEN 0 ELSE cents END) AS BIGINT)
+      |    AS surviving_cents
+      |FROM tagged
+      |GROUP BY event_type
+      |ORDER BY event_type""") { (s, d) =>
+    val e = Tables.events(s, d)
+    val del = e.filter(col("user_id") % 97 === 0)
+      .select(col("user_id").as("del_id")).distinct()
+    e.join(broadcast(del), col("user_id") === col("del_id"), "left")
+      .select(col("event_type"), col("user_id"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"),
+        col("del_id").isNotNull.as("doomed"))
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(!col("doomed")).as("n_surviving"),
+        count_if(col("doomed")).as("n_deleted"),
+        countDistinct(when(!col("doomed"), col("user_id"))).as("users_surviving"),
+        countDistinct(when(col("doomed"), col("user_id"))).as("users_deleted"),
+        sum(when(col("doomed"), 0L).otherwise(col("cents"))).as("surviving_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     mergeUpsertCustomers, snapshotDiffOrders, scd2EventState, cdcApplyOrders,
-    joinScd2Pointintime)
+    joinScd2Pointintime, evolutionDeleteCascade)
 }

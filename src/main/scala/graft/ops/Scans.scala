@@ -380,8 +380,72 @@ object Scans {
       .orderBy(col("doc_id"))
   }
 
+  /** Plain-text sink + source round trip (r12) — the last built-in
+    * format the sink/source matrix lacked: one delimited record per
+    * line via `write.text`, parsed back with `read.text` + split.
+    * Line-oriented text is the lowest-common-denominator exchange
+    * format (and the shape of most raw crawl/WET inputs at 100 TB:
+    * splittable, schema-on-read). The payload carries doc_id, lang
+    * and the text's md5, so a lost or reordered byte anywhere flips
+    * the grade; the oracle recomputes from parquet and never sees
+    * the text files. */
+  val sourceTextLines: QDef = q(
+    "source_text_lines",
+    """SELECT doc_id, lang, md5(text) AS text_md5
+      |FROM documents
+      |ORDER BY doc_id""") { (s, d) =>
+    val out = graft.TempDirs.create("graft_text")
+    Tables.documents(s, d)
+      .select(concat_ws("|", col("doc_id"), col("lang"), md5(col("text")))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(split(col("value"), "\\|").as("f"))
+      .select(col("f").getItem(0).cast(LongType).as("doc_id"),
+        col("f").getItem(1).as("lang"),
+        col("f").getItem(2).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** binaryFile ingest (r12) — the multimodal-lake entry surface:
+    * opaque files on disk become (path, length, bytes) rows. Per-lang
+    * payloads (each doc's text-md5 concatenated in doc_id order) are
+    * laid out as one file per lang via a partitionBy text write, then
+    * re-ingested with `format("binaryFile")`; the grade is (lang,
+    * byte length, md5 of the raw bytes) — any byte drift in either
+    * direction flips it. The oracle rebuilds the same payload from
+    * parquet with an ordered string_agg. At 100 TB this is exactly
+    * how image/audio corpora enter Spark (binaryFile scan per file,
+    * metadata columns pruned before bytes are touched). */
+  val sourceBinaryFiles: QDef = q(
+    "source_binary_files",
+    """WITH payload AS (
+      |  SELECT lang,
+      |    string_agg(md5(text), '' ORDER BY doc_id) || chr(10) AS body
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, CAST(length(body) AS BIGINT) AS n_bytes,
+      |  md5(body) AS content_md5
+      |FROM payload
+      |ORDER BY lang""") { (s, d) =>
+    val out = graft.TempDirs.create("graft_bin")
+    // one row per lang -> partitionBy writes exactly one text file per
+    // lang directory whose bytes are payload + '\n'
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("lang"))
+      .agg(concat_ws("", array_sort(collect_list(struct(col("doc_id"), col("h"))))
+        .getField("h")).as("value"))
+      .select(col("lang"), col("value"))
+      .write.mode("overwrite").partitionBy("lang").text(out)
+    s.read.format("binaryFile").load(s"$out/lang=*")
+      .select(regexp_extract(col("path"), "lang=([^/]+)", 1).as("lang"),
+        col("length").as("n_bytes"), md5(col("content")).as("content_md5"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
     sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo,
     sourceSortedRanges, sourceSchemaMerge, sourceOrcRoundtrip,
-    sourceJsonRoundtrip, joinDppPartitioned, sourceCsvQuoted)
+    sourceJsonRoundtrip, joinDppPartitioned, sourceCsvQuoted,
+    sourceTextLines, sourceBinaryFiles)
 }

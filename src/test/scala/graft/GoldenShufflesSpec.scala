@@ -45,6 +45,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_rollup" -> 2,
     "agg_skew_kurtosis" -> 2,
     "agg_stats_explicit" -> 2,
+    "agg_string_concat" -> 2,
     // r11c: histogram-bisect formulation — bucket agg + tiny bucket
     // windows + in-bucket sliver window + sort (PLANS.md)
     "agg_weighted_median" -> 4,
@@ -81,6 +82,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "entity_match_fuzzy" -> 3,
     "event_transition_matrix" -> 4,
     "eval_langid_confusion" -> 8,
+    "evolution_delete_cascade" -> 4,
     "filter_above_group_avg" -> 2,
     "filter_compound" -> 1,
     "fn_array" -> 1,
@@ -178,6 +180,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "sim_search_topk" -> 0,
     "snapshot_diff_orders" -> 3,
     "sort_multikey" -> 1,
+    "source_binary_files" -> 1,
     "source_csv_roundtrip" -> 1,
     "source_csv_quoted" -> 1,
     "source_json_props" -> 1,
@@ -186,6 +189,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "source_partitioned_prune" -> 2,
     "source_schema_merge" -> 2,
     "source_sorted_ranges" -> 2,
+    "source_text_lines" -> 1,
     "split_train_holdout" -> 2,
     "stream_dedup_keyed" -> 2,
     "stream_interval_join" -> 2,

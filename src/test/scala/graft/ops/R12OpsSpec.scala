@@ -22,7 +22,9 @@ class R12OpsSpec extends SparkSpec {
     "join_asof_forward", "graph_triangle_count", "multimodal_chunk_audio",
     "agg_grouping_id", "source_csv_quoted",
     "dedup_segment_level", "ab_test_metrics", "order_rfm_segments",
-    "dedup_source_priority")
+    "dedup_source_priority",
+    "evolution_delete_cascade", "source_text_lines", "source_binary_files",
+    "agg_string_concat")
 
   test("every r12 key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -453,6 +455,58 @@ class R12OpsSpec extends SparkSpec {
       val hit = rows.values.find(v => v._2 == surv._1)
       assert(hit.isDefined && hit.get._1 == members.length.toLong &&
         hit.get._3 == surv._2)
+    }
+  }
+
+  test("evolution_delete_cascade: splits reconcile and deletion is total per user") {
+    val rows = EvolutionQueries.evolutionDeleteCascade.run(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val all = ev.filter(_._1 == t)
+      val doomed = all.filter(_._2 % 97 == 0)
+      assert(r.getLong(1) == all.length - doomed.length)
+      assert(r.getLong(2) == doomed.length)
+      assert(r.getLong(3) == all.filter(_._2 % 97 != 0).map(_._2).distinct.length)
+      assert(r.getLong(4) == doomed.map(_._2).distinct.length)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "deletion list must be non-empty to certify")
+  }
+
+  test("source_text_lines and source_binary_files: byte-exact against direct recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val lines = Scans.sourceTextLines.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(lines.toSeq == docs.sortBy(_._1).toSeq)
+    val bins = Scans.sourceBinaryFiles.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val expected = docs.groupBy(_._2).view.mapValues { ds =>
+      val body = ds.sortBy(_._1).map(_._3).mkString + "\n"
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (body.length.toLong, dig)
+    }.toMap
+    assert(bins.map(_._1).toSet == expected.keySet)
+    bins.foreach { case (lang, n, dig) =>
+      assert((n, dig) == expected(lang), s"$lang: binaryFile payload drifted")
+    }
+  }
+
+  test("agg_string_concat: joined strings decompose back to the distinct sets") {
+    val rows = Aggregates.aggStringConcat.run(spark, sf).collect()
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        year(col("o_orderdate")).cast("string").as("yr")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    rows.foreach { r =>
+      val os = orders.filter(_._1 == r.getString(0))
+      assert(r.getString(1).split("\\|").toSeq == os.map(_._2).distinct.sorted.toSeq)
+      assert(r.getString(2).split("\\|").toSeq == os.map(_._3).distinct.sorted.toSeq)
+      assert(r.getLong(3) == os.length)
     }
   }
 
