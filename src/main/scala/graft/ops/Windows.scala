@@ -676,7 +676,14 @@ object Windows {
   private def withQuartile(df: org.apache.spark.sql.DataFrame,
       keys: Seq[org.apache.spark.sql.Column],
       qcol: String): org.apache.spark.sql.DataFrame = {
-    val withPid = df.repartitionByRange(32, keys: _*)
+    // 8-wide range partitioning: the input is the CUSTOMER aggregate
+    // (|customers| rows), where 32-wide task overhead only hurts
+    // (measured solo at sf0.1: 2.00 s @ 32 vs 1.83 s @ 8; the
+    // remaining bulk is C2 jit of the three passes' generated code,
+    // jit_ms ≈ 4.4 s in-region — see PLANS.md). At real scale this
+    // width is a parameter sized to the aggregate's row count, not
+    // the session's core count.
+    val withPid = df.repartitionByRange(8, keys: _*)
       .withColumn("gr_pid", spark_partition_id())
     val wpid = Window.partitionBy(col("gr_pid"))
     // persist pins ONE materialized pid assignment for every consumer
