@@ -824,6 +824,60 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Parametric z-score outliers (r12) — `anomaly_mad`'s Gaussian
+    * twin: per order priority, population mean/σ from exact decimal
+    * sums, each order's z computed by ONE identical float tree on
+    * identical doubles (bit-equal both engines, so even the |z| > 1.5
+    * boundary filter agrees bit-for-bit; the fixture totalprice is
+    * near-uniform, whose |z| tops out at sqrt(3) < 2), outliers reported with
+    * their z. One group-stats aggregate broadcast back into the
+    * scan; the fact never shuffles. */
+  val aggZscoreOutliers: QDef = q(
+    "agg_zscore_outliers",
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS dol
+      |  FROM orders),
+      |st AS (
+      |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(dol AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(dol AS DECIMAL(38,0)) * dol) AS DOUBLE) AS s2
+      |  FROM o GROUP BY o_orderpriority),
+      |m AS (
+      |  SELECT o_orderpriority, s1 / n AS mu,
+      |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma
+      |  FROM st)
+      |SELECT o.o_orderkey, o.o_orderpriority, o.dol,
+      |  (o.dol - m.mu) / m.sigma AS z
+      |FROM o JOIN m ON o.o_orderpriority = m.o_orderpriority
+      |WHERE abs((o.dol - m.mu) / m.sigma) > 1.5
+      |ORDER BY o.o_orderkey""") { (s, d) =>
+    // Dollar units, not cents: keeps every power sum below 2^53, where
+    // BOTH engines' decimal->double casts are exact. Above ~2^63
+    // DuckDB's int128->double conversion is NOT correctly rounded
+    // (measured at sf0.1: CAST(25220379160838261152 AS DOUBLE) lands
+    // one ulp low), so "identical float tree over identical doubles"
+    // requires the inputs to stay in the exactly-convertible range.
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 100")
+          .as("dol"))
+    val dec = col("dol").cast(DecimalType(38, 0))
+    val st = o.groupBy(col("o_orderpriority").as("pr"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast(DoubleType).as("s1"),
+        sum(dec * col("dol")).cast(DoubleType).as("s2"))
+    val m = st.select(col("pr"),
+      (col("s1") / col("n")).as("mu"),
+      sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+        .as("sigma"))
+    o.join(broadcast(m), col("o_orderpriority") === col("pr"))
+      .filter(abs((col("dol") - col("mu")) / col("sigma")) > 1.5)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("dol"),
+        ((col("dol") - col("mu")) / col("sigma")).as("z"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -831,5 +885,5 @@ object Aggregates {
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
     aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
-    aggStringConcat)
+    aggStringConcat, aggZscoreOutliers)
 }

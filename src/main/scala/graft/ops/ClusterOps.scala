@@ -398,6 +398,68 @@ object ClusterOps {
         expr("(n_triangles * 3000000) div n_wedges").as("clustering_ppm"))
   }
 
+  /** Market-basket association rules (r12) — support / confidence /
+    * lift over the same 1996 co-purchase universe the triangle
+    * kernel uses, graded as the top-20 item pairs by support. All
+    * three metrics are exact floor-ppm integers: support =
+    * pair-baskets / baskets, confidence(a→b) = pair / baskets(a),
+    * lift = pair·baskets·10⁶ div (baskets(a)·baskets(b)). Pair
+    * counts key on DISTINCT (order, a, b) — a part appearing on two
+    * lines of one order never double-counts; item marginals
+    * broadcast into the pair table; top-20 is TakeOrdered. At scale
+    * the pair-generation step is the standard frequent-itemset
+    * candidate join bounded by per-basket item counts. */
+  val basketAssocRules: QDef = q(
+    "basket_assoc_rules",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM li),
+      |item AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_n
+      |  FROM li GROUP BY l_partkey),
+      |pair AS (
+      |  SELECT x.l_partkey AS a, y.l_partkey AS b, CAST(count(*) AS BIGINT) AS pair_n
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY x.l_partkey, y.l_partkey)
+      |SELECT a, b, pair_n,
+      |  (pair_n * 1000000) // n_baskets AS support_ppm,
+      |  (pair_n * 1000000) // ia.item_n AS conf_a_to_b_ppm,
+      |  (pair_n * n_baskets * 1000000) // (ia.item_n * ib.item_n) AS lift_ppm
+      |FROM pair
+      |JOIN item ia ON ia.l_partkey = a
+      |JOIN item ib ON ib.l_partkey = b
+      |CROSS JOIN n
+      |ORDER BY pair_n DESC, a, b
+      |LIMIT 20""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = li.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    val item = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("item_n"))
+    val pair = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("pair_n"))
+    pair
+      .join(broadcast(item.select(col("l_partkey").as("ka"), col("item_n").as("ia"))),
+        col("a") === col("ka"))
+      .join(broadcast(item.select(col("l_partkey").as("kb"), col("item_n").as("ib"))),
+        col("b") === col("kb"))
+      .join(broadcast(n), lit(true), "left")
+      .select(col("a"), col("b"), col("pair_n"),
+        expr("(pair_n * 1000000) div n_baskets").as("support_ppm"),
+        expr("(pair_n * 1000000) div ia").as("conf_a_to_b_ppm"),
+        expr("(pair_n * n_baskets * 1000000) div (ia * ib)").as("lift_ppm"))
+      .orderBy(col("pair_n").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
-    graphTriangleCount)
+    graphTriangleCount, basketAssocRules)
 }

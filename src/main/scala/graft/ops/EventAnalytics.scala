@@ -608,8 +608,67 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Session-scoped conversion (r12) — `funnel_steps` measures the
+    * whole-user funnel; this scopes it to the 30-minute session (the
+    * unit marketing actually optimizes): per session, presence flags
+    * for view/click/purchase, conversion = view AND purchase in the
+    * SAME session, exact purchase cents. Same gaps-and-islands
+    * session ids as `sessionize_events` (both windows share the one
+    * user exchange); the report aggregate groups (user, session). */
+  val sessionConversion: QDef = q(
+    "session_conversion",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |              date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, event_type, sec, cents,
+      |    CASE WHEN lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |s AS (
+      |  SELECT user_id, event_type, cents,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM m)
+      |SELECT user_id, sess_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  bool_or(event_type = 'view') AS saw_view,
+      |  bool_or(event_type = 'click') AS saw_click,
+      |  bool_or(event_type = 'purchase') AS purchased,
+      |  (bool_or(event_type = 'view') AND bool_or(event_type = 'purchase'))
+      |    AS converted,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)
+      |    AS BIGINT) AS purchase_cents
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsSec(col("ts")).cast(LongType).as("sec"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"))
+    val flagged = e.withColumn("new_s",
+      when(lag(col("sec"), 1).over(w).isNull ||
+        col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0))
+    flagged
+      .withColumn("sess_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        bool_or(col("event_type") === "view").as("saw_view"),
+        bool_or(col("event_type") === "click").as("saw_click"),
+        bool_or(col("event_type") === "purchase").as("purchased"),
+        (bool_or(col("event_type") === "view") &&
+          bool_or(col("event_type") === "purchase")).as("converted"),
+        sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L))
+          .as("purchase_cents"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
-    eventTransitionMatrix, abTestMetrics)
+    eventTransitionMatrix, abTestMetrics, sessionConversion)
 }

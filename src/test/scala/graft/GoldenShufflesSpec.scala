@@ -49,9 +49,11 @@ class GoldenShufflesSpec extends SparkSpec {
     // r11c: histogram-bisect formulation — bucket agg + tiny bucket
     // windows + in-bucket sliver window + sort (PLANS.md)
     "agg_weighted_median" -> 4,
+    "agg_zscore_outliers" -> 2,
     "ann_ivf_label" -> 2,
     "anomaly_mad" -> 4,
     "attribution_linear" -> 2,
+    "basket_assoc_rules" -> 4,
     "bm25_topdocs" -> 1,
     // r7: row-local distinct gram build removed the corpus-pair
     // .distinct() exchange (PLANS.md r7)
@@ -169,6 +171,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "sample_systematic" -> 2,
     "scan_parquet_project" -> 1,
     "scd2_event_state" -> 2,
+    "session_conversion" -> 2,
     "sessionize_events" -> 2,
     "set_except" -> 2,
     "set_except_all" -> 2,

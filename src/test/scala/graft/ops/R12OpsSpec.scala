@@ -24,7 +24,8 @@ class R12OpsSpec extends SparkSpec {
     "dedup_segment_level", "ab_test_metrics", "order_rfm_segments",
     "dedup_source_priority",
     "evolution_delete_cascade", "source_text_lines", "source_binary_files",
-    "agg_string_concat")
+    "agg_string_concat",
+    "session_conversion", "basket_assoc_rules", "agg_zscore_outliers")
 
   test("every r12 key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -507,6 +508,79 @@ class R12OpsSpec extends SparkSpec {
       assert(r.getString(1).split("\\|").toSeq == os.map(_._2).distinct.sorted.toSeq)
       assert(r.getString(2).split("\\|").toSeq == os.map(_._3).distinct.sorted.toSeq)
       assert(r.getLong(3) == os.length)
+    }
+  }
+
+  test("session_conversion: flags recompute from a JVM sessionization") {
+    val rows = EventAnalytics.sessionConversion.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getBoolean(5), r.getBoolean(6))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Protocol.tsSec(col("ts")).cast("long").as("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val tagged: Seq[(Long, Long, String)] =
+      ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.sortBy(e => (e._4, e._2)).toSeq
+        var sess = 0L; var prev = Long.MinValue
+        sorted.map { e =>
+          if (prev == Long.MinValue || e._4 - prev > 1800) sess += 1
+          prev = e._4
+          (uid, sess, e._3)
+        }
+      }
+    val expected = tagged.groupBy(t => (t._1, t._2)).map { case (k, ts) =>
+      val types = ts.map(_._3).toSet
+      k -> ((ts.size.toLong, types("view"), types("purchase"),
+        types("view") && types("purchase")))
+    }
+    assert(rows == expected)
+  }
+
+  test("basket_assoc_rules: metrics recompute from raw 1996 baskets") {
+    val rows = ClusterOps.basketAssocRules.run(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = li.map(_._1).distinct.length.toLong
+    val itemN = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length == math.min(20, pairN.size))
+    val expectedTop = pairN.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    rows.zip(expectedTop).foreach { case (r, ((a, b), n)) =>
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((a, b, n)))
+      assert(r.getLong(3) == n * 1000000L / nBaskets)
+      assert(r.getLong(4) == n * 1000000L / itemN(a))
+      assert(r.getLong(5) == n * nBaskets * 1000000L / (itemN(a) * itemN(b)))
+    }
+  }
+
+  test("agg_zscore_outliers: every emitted row exceeds the cut; none are missed") {
+    val rows = Aggregates.aggZscoreOutliers.run(spark, sf).collect()
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 100")
+          .as("dol")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val stats = o.groupBy(_._2).view.mapValues { os =>
+      val n = os.length.toDouble
+      val mu = os.map(_._3).sum.toDouble / n
+      val s2 = os.map(d => d._3.toDouble * d._3).sum / n
+      (mu, math.sqrt(s2 - mu * mu))
+    }.toMap
+    val expected = o.filter { case (_, p, d) =>
+      val (mu, sg) = stats(p); math.abs((d - mu) / sg) > 1.5
+    }.map(_._1).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mu, sg) = stats(r.getString(1))
+      assert(math.abs(r.getDouble(3) - (r.getLong(2) - mu) / sg) < 1e-9)
     }
   }
 
