@@ -577,6 +577,41 @@ object Joins {
       .limit(10)
   }
 
+  /** TPC-H Q4 shape (r12) — order-priority checking: orders in one
+    * quarter having ≥1 late line (commit semantics proxied on the
+    * fixture's shipdate: shipped after the order date + 60 days),
+    * counted per priority. The EXISTS is a LEFT SEMI join — the fact
+    * side collapses to matching order keys before the count, nothing
+    * materializes the match multiplicity. Date filters push to both
+    * scans. */
+  val q4OrderPriority: QDef = q(
+    "q4_order_priority",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > CAST(o_orderdate AS DATE) + 60)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > date_add(col("o_orderdate").cast(DateType), 60)
+            .cast(TimestampType),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q18 shape (r12) — large-volume customers: aggregate the
     * fact FIRST (sum of quantity per order), HAVING-filter to the
     * rare heavy orders, then join the tiny survivor set back to
@@ -660,5 +695,5 @@ object Joins {
     joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders,
     joinSkewSalted, joinIntervalOverlap, joinAsofTolerance,
     joinAsofNearest, joinSnowflake5way, q3ShippingPriority,
-    q18LargeVolume, joinExistsFlag, joinAsofForward)
+    q18LargeVolume, joinExistsFlag, joinAsofForward, q4OrderPriority)
 }

@@ -157,6 +157,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "project_arithmetic" -> 1,
     "q18_large_volume" -> 2,
     "q3_shipping_priority" -> 1,
+    "q4_order_priority" -> 2,
     "q1_pricing_summary" -> 2,
     "reconcile_orders_items" -> 4,
     "retention_cohorts" -> 3,

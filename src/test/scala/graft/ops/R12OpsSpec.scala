@@ -25,7 +25,8 @@ class R12OpsSpec extends SparkSpec {
     "dedup_source_priority",
     "evolution_delete_cascade", "source_text_lines", "source_binary_files",
     "agg_string_concat",
-    "session_conversion", "basket_assoc_rules", "agg_zscore_outliers")
+    "session_conversion", "basket_assoc_rules", "agg_zscore_outliers",
+    "q4_order_priority")
 
   test("every r12 key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -582,6 +583,25 @@ class R12OpsSpec extends SparkSpec {
       val (mu, sg) = stats(r.getString(1))
       assert(math.abs(r.getDouble(3) - (r.getLong(2) - mu) / sg) < 1e-9)
     }
+  }
+
+  test("q4_order_priority: counts recompute from an existence scan") {
+    val rows = Joins.q4OrderPriority.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getString(2)))
+    val expected = o.filter { case (ok, od, _) =>
+      od.getYear == 1997 && od.getMonthValue <= 3 &&
+        li.getOrElse(ok, Array.empty[java.time.LocalDateTime])
+          .exists(_.isAfter(od.toLocalDate.plusDays(60).atStartOfDay))
+    }.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    assert(rows == expected && rows.values.sum > 0)
   }
 
   test("dedup_containment: containment pairs recompute from raw token sets") {
