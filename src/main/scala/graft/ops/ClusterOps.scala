@@ -460,6 +460,46 @@ object ClusterOps {
       .limit(20)
   }
 
+  /** Alternating-star connected components (r12) — grades the
+    * `graft.pipeline.ConnectedComponents` large-star/small-star loop
+    * (Kiveris et al., the O(log n)-rounds-on-ANY-shape alternative
+    * to the min-label loop `dedup_cluster_cc` grades) through the
+    * oracle: component structure is unique, and both algorithms
+    * converge to cluster_id = component min, so the recursive-CTE
+    * oracle is shared logic with the min-label key — two independent
+    * distributed algorithms certified against one ground truth. The
+    * graded view aggregates per cluster (size + id range), keeping
+    * output cluster-bounded. */
+  val dedupClusterStar: QDef = q(
+    "dedup_cluster_star",
+    s"""WITH RECURSIVE pairs AS (
+       |${graft.ops.LlmExtras.dedupMinhashLsh.oracle.get}
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(id, root) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+       |cc AS (SELECT id, MIN(root) AS cluster_id FROM reach GROUP BY id)
+       |SELECT cluster_id,
+       |  CAST(count(*) AS BIGINT) AS cluster_size,
+       |  CAST(min(id) AS BIGINT) AS min_member,
+       |  CAST(max(id) AS BIGINT) AS max_member
+       |FROM cc
+       |GROUP BY cluster_id
+       |ORDER BY cluster_id""") { (s, d) =>
+    val labels = graft.pipeline.ConnectedComponents.largeStarSmallStar(
+      s, graft.ops.LlmExtras.minhashPairs(s, d))
+    labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("id")).as("min_member"),
+        max(col("id")).as("max_member"))
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
-    graphTriangleCount, basketAssocRules)
+    graphTriangleCount, basketAssocRules, dedupClusterStar)
 }

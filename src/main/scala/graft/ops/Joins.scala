@@ -577,6 +577,38 @@ object Joins {
       .limit(10)
   }
 
+  /** Bloom-prefiltered selective join (r12) — grades the
+    * `graft.pipeline.BloomJoin` shuffle-reduction path through the
+    * oracle instead of spec-only: the build side (high-value orders,
+    * ~1% of the table) builds a broadcast Bloom filter that drops
+    * non-matching fact rows BEFORE the join's shuffle; the exact join
+    * then removes false positives, so the result — and therefore the
+    * oracle — is EXACTLY the plain inner join. At 100 TB the shuffle
+    * moves ~selectivity+fpp of the fact instead of all of it; here
+    * the grade certifies the identity that makes the optimization
+    * safe. */
+  val joinBloomPrefilter: QDef = q(
+    "join_bloom_prefilter",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 480000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""") { (s, d) =>
+    val build = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 480000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val probe = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    graft.pipeline.BloomJoin.prefilteredJoin(probe, build, "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sumMoney(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q4 shape (r12) — order-priority checking: orders in one
     * quarter having ≥1 late line (commit semantics proxied on the
     * fixture's shipdate: shipped after the order date + 60 days),
@@ -695,5 +727,6 @@ object Joins {
     joinAsofEvent, joinStar3way, joinNullsafeEq, lateralTopnOrders,
     joinSkewSalted, joinIntervalOverlap, joinAsofTolerance,
     joinAsofNearest, joinSnowflake5way, q3ShippingPriority,
-    q18LargeVolume, joinExistsFlag, joinAsofForward, q4OrderPriority)
+    q18LargeVolume, joinExistsFlag, joinAsofForward, q4OrderPriority,
+    joinBloomPrefilter)
 }

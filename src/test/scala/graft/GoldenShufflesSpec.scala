@@ -67,6 +67,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "corpus_zipf" -> 1,
     "curation_funnel" -> 5,
     "dedup_cluster_cc" -> 2,
+    "dedup_cluster_star" -> 5,
     "dedup_containment" -> 3,
     "dedup_exact_docs" -> 2,
     "dedup_minhash_lsh" -> 2,
@@ -116,6 +117,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "join_asof_nearest" -> 2,
     "join_asof_tolerance" -> 2,
     "join_broadcast_dim" -> 1,
+    "join_bloom_prefilter" -> 2,
     "join_bucketed_colo" -> 2,
     "join_cross_small" -> 1,
     // r8: group-agg + presentation sort; dim broadcast and the DPP

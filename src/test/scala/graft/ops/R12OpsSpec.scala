@@ -26,7 +26,7 @@ class R12OpsSpec extends SparkSpec {
     "evolution_delete_cascade", "source_text_lines", "source_binary_files",
     "agg_string_concat",
     "session_conversion", "basket_assoc_rules", "agg_zscore_outliers",
-    "q4_order_priority")
+    "q4_order_priority", "join_bloom_prefilter", "dedup_cluster_star")
 
   test("every r12 key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -602,6 +602,34 @@ class R12OpsSpec extends SparkSpec {
           .exists(_.isAfter(od.toLocalDate.plusDays(60).atStartOfDay))
     }.groupBy(_._3).view.mapValues(_.length.toLong).toMap
     assert(rows == expected && rows.values.sum > 0)
+  }
+
+  test("join_bloom_prefilter: result is identical to the plain join (the safety identity)") {
+    val bloomed = Joins.joinBloomPrefilter.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val build = Tables.orders(spark, sf).filter(col("o_totalprice") > 480000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+      .join(build, "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.Protocol.sumMoney(col("l_extendedprice")).as("s"))
+      .orderBy(col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(bloomed == plain && bloomed.nonEmpty)
+  }
+
+  test("dedup_cluster_star: star-loop clusters agree with the graded min-label clusters") {
+    val star = ClusterOps.dedupClusterStar.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the min-label key covers ALL docs (singletons included); the
+    // star key covers edge-endpoint nodes — restrict to multi-member
+    // clusters and the two independent algorithms must agree exactly
+    val minLabel = ClusterOps.dedupClusterCc.run(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).groupBy(_._1)
+      .collect { case (cid, ms) if ms.length >= 2 => cid -> ms.length.toLong }
+    assert(star == minLabel.toMap && star.nonEmpty)
   }
 
   test("dedup_containment: containment pairs recompute from raw token sets") {
