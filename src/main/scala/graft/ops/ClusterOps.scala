@@ -500,6 +500,64 @@ object ClusterOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Neighbor-set Jaccard similarity (r12) — node similarity by
+    * shared neighbors over the supplier→part supply graph, the
+    * entity-resolution / co-engagement primitive ("suppliers with
+    * near-identical catalogs", "users with near-identical follow
+    * sets"). The scalable shape is the WEDGE JOIN: self-join the
+    * distinct (supplier, part) edge list on the part key — cost
+    * follows Σ_part C(deg,2) (wedge count), never supplier² — then
+    * one hash agg to common-neighbor counts and a broadcast of the
+    * (node-sized) degree table for the |A∪B| denominator. At 100 TB
+    * the same plan holds with the standard hub guard: cap or salt
+    * parts above a degree ceiling (a part supplied by everyone
+    * contributes no similarity signal but quadratic wedges — same
+    * mitigation family as `join_skew_salted`). Jaccard ships as exact
+    * integer ppm (floor div is identical in both engines); top-50
+    * presentation is TakeOrderedAndProject. */
+  val graphJaccardNeighbors: QDef = q(
+    "graph_jaccard_neighbors",
+    """WITH sp AS (
+      |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      |deg AS (
+      |  SELECT sk, CAST(count(*) AS BIGINT) AS deg FROM sp GROUP BY sk),
+      |pairs AS (
+      |  SELECT a.sk AS supp_a, b.sk AS supp_b,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk
+      |  GROUP BY a.sk, b.sk)
+      |SELECT supp_a, supp_b, common, da.deg AS deg_a, db.deg AS deg_b,
+      |  common * 1000000 // (da.deg + db.deg - common) AS jaccard_ppm
+      |FROM pairs
+      |JOIN deg da ON da.sk = supp_a
+      |JOIN deg db ON db.sk = supp_b
+      |ORDER BY jaccard_ppm DESC, supp_a, supp_b
+      |LIMIT 50""") { (s, d) =>
+    val sp = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sp.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+    val pairs = sp.select(col("sk").as("sa"), col("pk"))
+      .join(sp.select(col("sk").as("sb"), col("pk")), Seq("pk"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("common"))
+    val out = pairs
+      .join(broadcast(deg.select(col("sk"), col("deg").as("deg_a"))),
+        col("sk") === col("sa"))
+      .drop("sk")
+      .join(broadcast(deg.select(col("sk"), col("deg").as("deg_b"))),
+        col("sk") === col("sb"))
+      .select(col("sa").as("supp_a"), col("sb").as("supp_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        expr("common * 1000000L div (deg_a + deg_b - common)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("supp_a"), col("supp_b"))
+      .limit(50)
+    out
+  }
+
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
-    graphTriangleCount, basketAssocRules, dedupClusterStar)
+    graphTriangleCount, basketAssocRules, dedupClusterStar,
+    graphJaccardNeighbors)
 }

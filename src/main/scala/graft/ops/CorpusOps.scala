@@ -758,9 +758,55 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE pair statistics (r12) — the first merge-step of byte-pair-
+    * encoding tokenizer training: count adjacent character pairs
+    * across the corpus, occurrence-weighted. The shape IS the scale
+    * lesson: real BPE trainers never enumerate pairs over the raw
+    * text — they aggregate to the DISTINCT-WORD frequency table
+    * first (one wordcount shuffle, vocabulary-sized output), then
+    * explode pairs over that tiny table with the word's corpus count
+    * as the weight. At 100 TB the heavy stage therefore shuffles
+    * |vocab| rows, not |corpus| — pair candidates cost vocab-size ×
+    * avg-word-length row-local work, and each subsequent BPE merge
+    * round would rewrite only the vocab table. Top pairs by weighted
+    * count; `n_words` (distinct vocabulary entries containing the
+    * pair) rides along for the merge-impact view. */
+  val tokenizerBpePairs: QDef = q(
+    "tokenizer_bpe_pairs",
+    """WITH wf AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE length(tok) >= 2 GROUP BY tok),
+      |pp AS (
+      |  SELECT substr(tok, CAST(i AS INT), 2) AS pair, tok, wc
+      |  FROM wf, unnest(generate_series(1, length(tok) - 1)) AS t(i))
+      |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n_occurrences,
+      |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_words
+      |FROM pp GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair
+      |LIMIT 40""") { (s, d) =>
+    val wf = Tables.documents(s, d)
+      .repartition(32)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+    // index-explode + per-row substring, NOT explode(transform(...)):
+    // a Generate over a higher-order lambda drops off codegen
+    // (PlanInvariantsSpec bans it registry-wide)
+    wf.select(col("tok"), col("wc"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(col("tok"), col("wc"),
+        expr("substring(tok, i, 2)").as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("n_occurrences"),
+        countDistinct(col("tok")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(40)
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
-    dedupSegmentLevel)
+    dedupSegmentLevel, tokenizerBpePairs)
 }

@@ -151,5 +151,72 @@ object DriftOps {
       .orderBy(col("label"))
   }
 
-  val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid)
+  /** Chi-square independence audit (r12) — is document source
+    * independent of language? The composition monitor a corpus
+    * pipeline alarms on (a source suddenly feeding one language =
+    * scraper drift), and the classic feature-relevance statistic.
+    * Determinism: no logarithms — each cell's contribution is the
+    * rational ((O·N − rt·ct)²) / (N·rt·ct), whose square/division are
+    * single correctly-rounded IEEE ops on exactly-representable
+    * integer operands (products stay far below 2^53 at graded SFs),
+    * then the established per-term DECIMAL(28,18) quantization +
+    * exact sum + milli-unit floor makes the per-lang total order-
+    * independent across engines. EMPTY cells are scaffolded in (a
+    * zero-observation cell still contributes E = rt·ct/N) via the
+    * cross of the two tiny marginal tables — at 100 TB the scaffold
+    * is |langs|×|sources|, nothing scales with the corpus: one
+    * wordcount-shaped shuffle to the contingency table, broadcast
+    * marginals after. */
+  val statsChiSquare: QDef = q(
+    "stats_chi_square",
+    """WITH o AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      |  FROM documents GROUP BY lang, source),
+      |rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS rtot FROM o GROUP BY lang),
+      |ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS ctot FROM o GROUP BY source),
+      |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS ntot FROM o),
+      |cells AS (
+      |  SELECT rt.lang, rt.rtot, ct.source, ct.ctot,
+      |    COALESCE(o.obs, 0) AS obs, n.ntot
+      |  FROM rt CROSS JOIN ct CROSS JOIN n
+      |  LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+      |terms AS (
+      |  SELECT lang, rtot,
+      |    CAST(CAST(obs * ntot - rtot * ctot AS DOUBLE)
+      |      * CAST(obs * ntot - rtot * ctot AS DOUBLE)
+      |      / (CAST(ntot AS DOUBLE) * rtot * ctot)
+      |      AS DECIMAL(28,18)) AS term
+      |  FROM cells)
+      |SELECT lang, rtot AS n_docs,
+      |  CAST(floor(CAST(SUM(term) AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |    AS chi2_part_milli
+      |FROM terms GROUP BY lang, rtot
+      |ORDER BY lang""") { (s, d) =>
+    val o = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = o.groupBy(col("lang")).agg(sum(col("obs")).cast(LongType).as("rtot"))
+    val ct = o.groupBy(col("source")).agg(sum(col("obs")).cast(LongType).as("ctot"))
+    val n = o.agg(sum(col("obs")).cast(LongType).as("ntot"))
+    val cells = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(o.select(col("lang").as("ol"), col("source").as("os"), col("obs")),
+        col("ol") === col("lang") && col("os") === col("source"), "left")
+      .select(col("lang"), col("rtot"),
+        coalesce(col("obs"), lit(0L)).as("obs"), col("ntot"), col("ctot"))
+    cells
+      .withColumn("term", expr(
+        """CAST(CAST(obs * ntot - rtot * ctot AS DOUBLE)
+          |  * CAST(obs * ntot - rtot * ctot AS DOUBLE)
+          |  / (CAST(ntot AS DOUBLE) * rtot * ctot)
+          |  AS DECIMAL(28,18))""".stripMargin))
+      .groupBy(col("lang"), col("rtot"))
+      .agg(sum(col("term")).as("t"))
+      .select(col("lang"), col("rtot").as("n_docs"),
+        floor(col("t").cast(DoubleType) * 1000 + 0.5).cast(LongType)
+          .as("chi2_part_milli"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
+    statsChiSquare)
 }

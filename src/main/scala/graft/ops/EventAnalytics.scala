@@ -667,8 +667,133 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Lag-1 autocorrelation of the daily value series (r12) — the
+    * seasonality/persistence probe a metrics pipeline computes per
+    * series ("is today's volume predicted by yesterday's?"). Two-
+    * stage shape: the fact collapses to (series, day) totals first —
+    * one hash agg, output cardinality = series × days, NEVER the
+    * event count — then lag-pairing is a per-series window over that
+    * tiny table and the Pearson machinery is `agg_corr_explicit`'s
+    * exact-partial discipline (DECIMAL(38,0) sums of integer cents,
+    * doubles only in the final one-shot formula — both engines divide
+    * identical operands). At 100 TB the window runs over series-count
+    * × ~days rows regardless of input size. */
+  val tsAutocorrDaily: QDef = q(
+    "ts_autocorr_daily",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY event_type, day),
+      |p AS (
+      |  SELECT event_type, cents AS x,
+      |    lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS y
+      |  FROM dtot),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |  FROM p WHERE y IS NOT NULL GROUP BY event_type),
+      |t AS (
+      |  SELECT event_type, n, CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+      |    CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy,
+      |    CAST(sxy AS DOUBLE) AS dxy
+      |  FROM s)
+      |SELECT event_type, n,
+      |  (n * dxy - dx * dy)
+      |    / (sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy)) AS autocorr_lag1
+      |FROM t ORDER BY event_type""") { (s, d) =>
+    val dtot = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        (qty(col("value")) * 100).cast(LongType).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val p = dtot
+      .select(col("event_type"), col("cents").as("x"),
+        lag(col("cents"), 1).over(w).as("y"))
+      .filter(col("y").isNotNull)
+    val decX = col("x").cast(DecimalType(38, 0))
+    val decY = col("y").cast(DecimalType(38, 0))
+    val sums = p.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(decX).as("sx"), sum(decY).as("sy"),
+        sum(decX * col("x")).as("sxx"), sum(decY * col("y")).as("syy"),
+        sum(decX * col("y")).as("sxy"))
+    sums.select(col("event_type"), col("n"),
+        col("sx").cast(DoubleType).as("dx"), col("sy").cast(DoubleType).as("dy"),
+        col("sxx").cast(DoubleType).as("dxx"),
+        col("syy").cast(DoubleType).as("dyy"),
+        col("sxy").cast(DoubleType).as("dxy"))
+      .select(col("event_type"), col("n"),
+        ((col("n") * col("dxy") - col("dx") * col("dy"))
+          / (sqrt(col("n") * col("dxx") - col("dx") * col("dx"))
+            * sqrt(col("n") * col("dyy") - col("dy") * col("dy"))))
+          .as("autocorr_lag1"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Gaps-and-islands activity streaks (r12) — per user: total active
+    * days, number of maximal consecutive-day runs, the longest run
+    * and its start date (ties → earliest). The classic
+    * `day − row_number()` island key makes run membership a row-local
+    * computation over the per-user date window: distinct active days
+    * collapse the fact first (output = user × active-day cardinality),
+    * then two per-user windows and a hash agg — nothing scales with
+    * raw event count, and the per-user window key is the same
+    * exchange every other per-user operator rides. */
+  val winStreaksDaily: QDef = q(
+    "win_streaks_daily",
+    """WITH ad AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS INT) AS grp
+      |  FROM ad),
+      |st AS (
+      |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+      |    MIN(day) AS start_day
+      |  FROM g GROUP BY user_id, grp),
+      |m AS (
+      |  SELECT user_id, len, start_day,
+      |    MAX(len) OVER (PARTITION BY user_id) AS ml
+      |  FROM st)
+      |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+      |  MIN(CASE WHEN len = ml THEN start_day END) AS longest_start
+      |FROM m GROUP BY user_id
+      |ORDER BY user_id""") { (s, d) =>
+    val ad = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .distinct()
+    val st = ad
+      .withColumn("grp", expr("date_sub(day, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day))"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    val wMax = Window.partitionBy(col("user_id"))
+    st.withColumn("ml", max(col("len")).over(wMax))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast(LongType).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"),
+        min(when(col("len") === col("ml"), col("start_day")))
+          .as("longest_start"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
-    eventTransitionMatrix, abTestMetrics, sessionConversion)
+    eventTransitionMatrix, abTestMetrics, sessionConversion,
+    tsAutocorrDaily, winStreaksDaily)
 }

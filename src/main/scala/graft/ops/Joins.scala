@@ -721,6 +721,105 @@ object Joins {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q5 shape (r12) — local-supplier volume: the 6-table join
+    * (region→nation→customer→orders→lineitem→supplier) with the
+    * same-nation correlation `c_nationkey = s_nationkey` carried as a
+    * plain equi-condition on the supplier join. Scale posture: all
+    * four dimension sides (region, nation, customer-key set, supplier)
+    * broadcast — the only shuffle is orders⋈lineitem on the order key,
+    * which at 100 TB is the natural co-partitioning of the two facts
+    * (bucket both on the order key and that exchange disappears too).
+    * Exact-decimal revenue (D2). */
+  val q5LocalSupplier: QDef = q(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""") { (s, d) =>
+    val asiaNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(outDouble(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 shape (r12) — returned-item reporting: revenue lost to
+    * returns per customer over one quarter, top 20. The fact is
+    * filtered to the return flag BEFORE the join (filter pushdown cuts
+    * the probe side to the ~25% returned slice at the scan), the
+    * quarter-filtered orders join on the order key, and the customer /
+    * nation dims broadcast onto the aggregated result — at 100 TB the
+    * only big exchange is lineitem⋈orders on the order key. Top-20 is
+    * TakeOrderedAndProject (O(k) per partition), never a full sort. */
+  val q10ReturnedItems: QDef = q(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal
+      |FROM customer
+      |JOIN nation ON n_nationkey = c_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""") { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-07-01 00:00:00").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val returned = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val perCust = returned
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount")))).as("rev"))
+    perCust
+      .join(broadcast(Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        outDouble(col("rev")).as("revenue"), col("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -728,5 +827,5 @@ object Joins {
     joinSkewSalted, joinIntervalOverlap, joinAsofTolerance,
     joinAsofNearest, joinSnowflake5way, q3ShippingPriority,
     q18LargeVolume, joinExistsFlag, joinAsofForward, q4OrderPriority,
-    joinBloomPrefilter)
+    joinBloomPrefilter, q5LocalSupplier, q10ReturnedItems)
 }

@@ -363,7 +363,97 @@ object Sampling {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Weighted PPS sample (r12) — probability-proportional-to-size
+    * selection of n=5 docs per source, weight = n_chars: the sampling
+    * primitive behind "sample training docs proportional to token
+    * count" (long docs must be over-picked or the token distribution
+    * of the sample skews short). Systematic PPS over the deterministic
+    * md5 order: a doc is selected iff the running-weight interval
+    * (cum_before, cum] contains a selection point k·W/n, with
+    * multiplicity = how many points it straddles (a doc heavier than
+    * W/n is legitimately picked more than once). Everything is BIGINT
+    * interval arithmetic — `(cum·n) div W` floors identically in both
+    * engines, no float thresholds, so membership is partition- and
+    * engine-independent. Scale: one per-source window cumsum (keys =
+    * source cardinality), a pure filter after — no global pass, no
+    * collect; the same code PPS-samples a 100 TB corpus stratum by
+    * stratum. */
+  val sampleWeightedPps: QDef = q(
+    "sample_weighted_pps",
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(n_chars) OVER (PARTITION BY source) AS w
+      |  FROM d)
+      |SELECT source, doc_id, n_chars,
+      |  CAST((cum * 5) // w - ((cum - n_chars) * 5) // w AS BIGINT)
+      |    AS multiplicity
+      |FROM c
+      |WHERE (cum * 5) // w > ((cum - n_chars) * 5) // w
+      |ORDER BY source, doc_id""") { (s, d) =>
+    val ord = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("source"))
+    val c = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(ord))
+      .withColumn("w", sum(col("n_chars")).over(tot))
+    c.filter(expr("(cum * 5) div w > ((cum - n_chars) * 5) div w"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        expr("(cum * 5) div w - ((cum - n_chars) * 5) div w")
+          .as("multiplicity"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Token-balanced shard assignment (r12) — the write-planning step
+    * before materializing a training corpus: pack docs (in the
+    * deterministic md5 order) into ~10 000-char shards per language,
+    * and publish the shard manifest (doc count, char total, key
+    * range) that the downstream loader reads. shard_id is pure
+    * integer arithmetic on the running total BEFORE the doc
+    * (`cum_before div target`), so assignment is reproducible on any
+    * engine and any partitioning — the property that lets a 1000-
+    * executor writer produce byte-identical shards to a laptop run.
+    * Scale: one per-lang window cumsum + one hash agg; at 100 TB the
+    * same manifest computes per language partition with no global
+    * coordination, and the manifest itself (shards × stats) is tiny. */
+  val shardTokenBalanced: QDef = q(
+    "shard_token_balanced",
+    """WITH c AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
+      |  FROM documents)
+      |SELECT lang, CAST(cum_before // 10000 AS BIGINT) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM c GROUP BY lang, shard_id
+      |ORDER BY lang, shard_id""") { (s, d) =>
+    val ord = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("cum_before", sum(col("n_chars")).over(ord) - col("n_chars"))
+      .withColumn("shard_id", expr("cum_before div 10000L"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("shard_id"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
-    sampleClassBalance, dqRuleCheck, sampleSystematic)
+    sampleClassBalance, dqRuleCheck, sampleSystematic,
+    sampleWeightedPps, shardTokenBalanced)
 }

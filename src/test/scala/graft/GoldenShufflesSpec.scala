@@ -106,6 +106,7 @@ class GoldenShufflesSpec extends SparkSpec {
     // each iteration is broadcast-join (no exchange) + dst agg whose
     // exchange reuses across iterations, plus the presentation sort
     "graph_pagerank" -> 4,
+    "graph_jaccard_neighbors" -> 2,
     "graph_triangle_count" -> 7,
     "harmonize_cube" -> 2,
     "harmonize_provenance" -> 3,
@@ -157,9 +158,11 @@ class GoldenShufflesSpec extends SparkSpec {
     "profile_documents" -> 2,
     "profile_orders" -> 2,
     "project_arithmetic" -> 1,
+    "q10_returned_items" -> 1,
     "q18_large_volume" -> 2,
     "q3_shipping_priority" -> 1,
     "q4_order_priority" -> 2,
+    "q5_local_supplier" -> 2,
     "q1_pricing_summary" -> 2,
     "reconcile_orders_items" -> 4,
     "retention_cohorts" -> 3,
@@ -171,6 +174,10 @@ class GoldenShufflesSpec extends SparkSpec {
     "sample_hash_docs" -> 1,
     "sample_stratified_docs" -> 2,
     "sample_token_budget" -> 2,
+    "sample_weighted_pps" -> 2,
+    "shard_token_balanced" -> 2,
+    "stats_chi_square" -> 4,
+    "tokenizer_bpe_pairs" -> 3,
     "sample_systematic" -> 2,
     "scan_parquet_project" -> 1,
     "scd2_event_state" -> 2,
@@ -220,6 +227,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "timeseries_gapfill" -> 3,
     "topk_global" -> 0,
     "topk_per_group" -> 2,
+    "ts_autocorr_daily" -> 3,
     "ts_ohlc_daily" -> 2,
     "udaf_weighted_avg" -> 2,
     "udf_slugify" -> 1,
@@ -241,7 +249,8 @@ class GoldenShufflesSpec extends SparkSpec {
     "win_running_distinct" -> 3,
     "win_running_sum" -> 2,
     "win_session_running" -> 2,
-    "win_sliding_avg" -> 2)
+    "win_sliding_avg" -> 2,
+    "win_streaks_daily" -> 3)
 
   test("every graded query is pinned") {
     val keys = SparkEntry.queries.keySet

@@ -1,0 +1,239 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-12 second-batch additions,
+  * checked by driver-side recomputation at sf0.001 — independent of
+  * the DuckDB oracle, so a systematic cross-engine bug can't hide a
+  * wrong formulation (the R5OpsSpec discipline).
+  */
+class R12bOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val keys = Seq(
+    "q5_local_supplier", "q10_returned_items", "graph_jaccard_neighbors",
+    "tokenizer_bpe_pairs", "sample_weighted_pps", "shard_token_balanced",
+    "stats_chi_square", "ts_autocorr_daily", "win_streaks_daily")
+
+  test("every r12b key is partition-count invariant (the 100 TB correctness property)") {
+    val session = spark.conf.get("spark.sql.shuffle.partitions")
+    def results(parts: Int): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try keys.map { k =>
+        k -> graft.SparkEntry.queries(k)(spark, sf).collect()
+          .map(_.toString).toSeq.sorted
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", session)
+    }
+    val a = results(3); val b = results(17)
+    keys.foreach { k =>
+      assert(a(k) == b(k), s"$k: result depends on the shuffle partition count")
+      assert(a(k).nonEmpty, s"$k: empty result cannot certify anything")
+    }
+  }
+
+  test("sample_weighted_pps: multiplicities sum to exactly n=5 per source") {
+    val rows = Sampling.sampleWeightedPps.run(spark, sf).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      val total = rs.map(_.getLong(3)).sum
+      assert(total == 5L, s"$src: systematic PPS must place exactly n points, got $total")
+      assert(rs.forall(_.getLong(3) >= 1L), s"$src: selected doc with multiplicity < 1")
+    }
+    // every source present in the fixture is sampled
+    val allSources = Tables.documents(spark, sf)
+      .select(col("source")).distinct().collect().map(_.getString(0)).toSet
+    assert(bySource.keySet == allSources)
+  }
+
+  test("sample_weighted_pps: docs heavier than W/n are always selected") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val w = docs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val selected = Sampling.sampleWeightedPps.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    docs.filter { case (s0, _, nc) => nc * 5 > w(s0) }.foreach { case (s0, id, _) =>
+      assert(selected.contains((s0, id)),
+        s"doc $id in $s0 outweighs W/n but was not selected")
+    }
+  }
+
+  test("shard_token_balanced: shard stats partition each language exactly") {
+    val rows = Sampling.shardTokenBalanced.run(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val (nDocs, nChars) = docs(lang)
+      assert(rs.map(_.getLong(2)).sum == nDocs, s"$lang: doc count mismatch")
+      assert(rs.map(_.getLong(3)).sum == nChars, s"$lang: char total mismatch")
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1L,
+        s"$lang: shard ids not contiguous from 0: ${ids.mkString(",")}")
+    }
+  }
+
+  test("graph_jaccard_neighbors: top pairs recompute from JVM part sets") {
+    val sp = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parts = sp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rows = ClusterOps.graphJaccardNeighbors.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "pair not canonicalized a < b")
+      val common = (parts(a) & parts(b)).size.toLong
+      val union = (parts(a) | parts(b)).size.toLong
+      assert(r.getLong(2) == common, s"($a,$b): common mismatch")
+      assert(r.getLong(3) == parts(a).size.toLong, s"($a,$b): deg_a mismatch")
+      assert(r.getLong(4) == parts(b).size.toLong, s"($a,$b): deg_b mismatch")
+      assert(r.getLong(5) == common * 1000000L / union, s"($a,$b): ppm mismatch")
+    }
+    // ranking: non-increasing jaccard down the list
+    val ppm = rows.map(_.getLong(5))
+    assert(ppm.zip(ppm.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("tokenizer_bpe_pairs: pair counts recompute from raw text in JVM") {
+    val texts = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0))
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.split(" ", -1).filter(_.length >= 2)
+      .foreach(t => wc(t) = wc.getOrElse(t, 0L) + 1L))
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    val words = scala.collection.mutable.Map.empty[String, Set[String]]
+    wc.foreach { case (t, c) =>
+      t.sliding(2).foreach { p =>
+        occ(p) = occ.getOrElse(p, 0L) + c
+        words(p) = words.getOrElse(p, Set.empty) + t
+      }
+    }
+    val expected = occ.toSeq.map { case (p, c) => (p, c, words(p).size.toLong) }
+      .sortBy { case (p, c, _) => (-c, p) }.take(40)
+    val got = CorpusOps.tokenizerBpePairs.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("stats_chi_square: per-lang contributions recompute in JVM doubles") {
+    val obs = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val langs = obs.keys.map(_._1).toSeq.distinct
+    val sources = obs.keys.map(_._2).toSeq.distinct
+    val rt = langs.map(l => l -> obs.collect { case ((l2, _), c) if l2 == l => c }.sum).toMap
+    val ct = sources.map(s0 => s0 -> obs.collect { case ((_, s2), c) if s2 == s0 => c }.sum).toMap
+    val n = obs.values.sum
+    val rows = DriftOps.statsChiSquare.run(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == langs.sorted)
+    rows.foreach { r =>
+      val l = r.getString(0)
+      assert(r.getLong(1) == rt(l))
+      val chi = sources.map { s0 =>
+        val o = obs.getOrElse((l, s0), 0L)
+        val diff = (o * n - rt(l) * ct(s0)).toDouble
+        diff * diff / (n.toDouble * rt(l) * ct(s0))
+      }.sum
+      assert(math.abs(r.getLong(2) - chi * 1000) <= 1.0,
+        s"$l: chi2 milli ${r.getLong(2)} vs JVM ${chi * 1000}")
+    }
+  }
+
+  test("ts_autocorr_daily: coefficients bounded and match a JVM Pearson") {
+    val rows = EventAnalytics.tsAutocorrDaily.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        (col("value").cast("decimal(12,4)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val series = daily.filter(_._1 == et).sortBy(_._2.getTime).map(_._3)
+      val pairs = series.zip(series.tail).map { case (prev, cur) => (cur, prev) }
+      val n = pairs.length.toDouble
+      assert(r.getLong(1) == pairs.length.toLong)
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val sxx = pairs.map(p => p._1.toDouble * p._1).sum
+      val syy = pairs.map(p => p._2.toDouble * p._2).sum
+      val sxy = pairs.map(p => p._1.toDouble * p._2).sum
+      val jvm = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val got = r.getDouble(2)
+      assert(got >= -1.0001 && got <= 1.0001, s"$et: out of range $got")
+      assert(math.abs(got - jvm) < 1e-9, s"$et: $got vs JVM $jvm")
+    }
+  }
+
+  test("win_streaks_daily: streak decomposition recomputes in JVM") {
+    val active = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val rows = EventAnalytics.winStreaksDaily.run(spark, sf).collect()
+    val byUser = active.groupBy(_._1)
+    assert(rows.map(_.getLong(0)).toSet == byUser.keySet)
+    rows.foreach { r =>
+      val days = byUser(r.getLong(0)).map(_._2).sortBy(_.toEpochDay)
+      // decompose into maximal consecutive runs
+      val runs = days.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc, d) => acc match {
+          case (h :: t) :: rest if h.plusDays(1) == d => (d :: h :: t) :: rest
+          case _ => List(d) :: acc
+        }
+      }.map(_.reverse).reverse
+      assert(r.getLong(1) == days.length.toLong, "n_active_days")
+      assert(r.getLong(2) == runs.length.toLong, "n_streaks")
+      val longest = runs.map(_.length).max
+      assert(r.getLong(3) == longest.toLong, "longest_streak")
+      val earliestLongest = runs.filter(_.length == longest).map(_.head)
+        .minBy(_.toEpochDay)
+      assert(r.getDate(4).toLocalDate == earliestLongest, "longest_start")
+    }
+  }
+
+  test("q5/q10: revenue recomputes from a JVM join at sf0.001") {
+    import java.math.{BigDecimal => JBD}
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), col("l_returnflag")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        new JBD(r.getDouble(2)).setScale(2, java.math.RoundingMode.HALF_UP),
+        new JBD(r.getDouble(3)).setScale(2, java.math.RoundingMode.HALF_UP),
+        r.getString(4)))
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString))
+    // Q10 check: top row's revenue recomputes exactly
+    val q10 = Joins.q10ReturnedItems.run(spark, sf).collect()
+    assert(q10.nonEmpty && q10.length <= 20)
+    val custOf = ord.map(o => o._1 -> o._2).toMap
+    val inQ = ord.filter(o => o._3 >= "1997-01-01" && o._3 < "1997-07-01")
+      .map(_._1).toSet
+    val topCust = q10.head.getLong(0)
+    val expected = li.filter(l => l._5 == "R" && inQ.contains(l._1) &&
+        custOf(l._1) == topCust)
+      .map(l => l._3.multiply(JBD.ONE.subtract(l._4)))
+      .foldLeft(JBD.ZERO)(_ add _)
+    assert(math.abs(q10.head.getDouble(3) - expected.doubleValue) < 1e-9)
+    // revenues non-increasing
+    val revs = q10.map(_.getDouble(3))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // Q5 check: every row's nation is in ASIA and revenue positive
+    val q5 = Joins.q5LocalSupplier.run(spark, sf).collect()
+    assert(q5.nonEmpty)
+    val asia = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name")).collect().map(_.getString(0)).toSet
+    q5.foreach { r =>
+      assert(asia.contains(r.getString(0)))
+      assert(r.getDouble(1) > 0)
+    }
+  }
+}
