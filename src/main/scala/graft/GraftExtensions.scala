@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct, LshBucket, MinhashPrep, ShingleHashes, SimhashSig, TermCounts, WordBigrams, WordNgrams}
+import graft.functions.{CharBigrams, FloatCosine, FloatDotProduct, LongDotProduct, LshBucket, MinhashPrep, OrderedLongPairs, ShingleHashes, SimhashSig, TermCounts, WordBigrams, WordNgrams}
 
 /** SQL-surface registration for the engine's custom expressions
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => FloatDotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => LongDotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ordered_pairs"),
+      new ExpressionInfo(classOf[OrderedLongPairs].getName, "graft_ordered_pairs"),
+      (children: Seq[Expression]) => OrderedLongPairs(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[FloatCosine].getName, "graft_cosine"),

@@ -346,6 +346,126 @@ object CharBigramsUtil {
   }
 }
 
+/** Codegen'd EXACT integer dot product over two array<bigint>
+  * columns — the fixed-point twin of [[FloatDotProduct]] for
+  * operators whose determinism contract forbids float accumulation
+  * entirely (power iteration, quantized similarity). Accumulates in
+  * a primitive long; callers are responsible for the magnitude
+  * audit (documented per call site) that keeps the products and the
+  * running sum inside 64 bits — the expression itself adds no
+  * rounding and no overflow path, exactly like `BIGINT SUM(a*b)`
+  * after DuckDB's HUGEINT is capped back by the caller's CAST. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_long"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot_long expects two array<bigint> args, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object OrderedPairsUtil {
+  /** All i<j element pairs of a (sorted, distinct) long array as
+    * struct rows — the row-local wedge enumerator: a part with d
+    * suppliers yields its C(d,2) co-supply pairs with no self-join.
+    * Callers own the hub guard (a degree cap before this call) —
+    * output is quadratic in the input length by definition. */
+  def pairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, arr.getLong(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd ordered-pair (wedge) enumeration over a sorted long
+  * array: array<bigint> -> array<struct<a,b>> with a < b by input
+  * order. Replaces the edge-list SELF-JOIN in neighbor-overlap
+  * operators: grouping the edge list once per container and
+  * exploding this expression emits each unordered pair exactly once
+  * — no d² join-condition probes, no second shuffle of the edge
+  * list. */
+case class OrderedLongPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_ordered_pairs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_ordered_pairs expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    OrderedPairsUtil.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.OrderedPairsUtil.pairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedLongPairs =
+    copy(child = newChild)
+}
+
 case class CharBigrams(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -409,6 +529,15 @@ object VectorFunctions {
   def floatDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the codegen'd ordered-pair (wedge) enumeration. */
+  def orderedPairs(arr: Column): Column =
+    ColumnBridge.column(OrderedLongPairs(ColumnBridge.expression(arr)))
+
+  /** Column API for the codegen'd exact dot product over long arrays. */
+  def longDot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Column API for the one-pass unrounded cosine over float32 arrays. */
   def floatCosine(a: Column, b: Column): Column =

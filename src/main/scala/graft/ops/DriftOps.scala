@@ -217,6 +217,86 @@ object DriftOps {
       .orderBy(col("lang"))
   }
 
+  /** Dominant principal component of the embedding cloud (r12b) —
+    * two fixed rounds of power iteration on the (uncentered) Gram
+    * matrix, the monitoring twin of drift_embedding_centroid: a
+    * shifting top component is the first symptom of an embedding
+    * regime change. The Spark plan is MATRIX-FREE — the Gram matrix
+    * is never materialized: each round computes the per-row scalar
+    * s_r = ⟨m_r, v⟩ with the codegen'd `graft_dot_long` against the
+    * broadcast dim-sized v (row-local, zero shuffle), then one
+    * dim-keyed hash agg for u_i = Σ_r m_ri·s_r — shuffle carries
+    * |dims| partials per map task regardless of corpus size. That is
+    * the standard distributed power-iteration/PCA shape at 100 TB.
+    * Determinism: embeddings quantize to milli ints, every product
+    * and sum stays in BIGINT (magnitude audit: |m|≤578 quantized,
+    * s ≤ 64·578·1000 ≈ 3.7e7, u ≤ rows·578·s ≈ 4.3e13 at sf0.1 —
+    * far inside 2^63), and the per-round renormalization is the
+    * sign-safe floor division used by win_pct_change (Spark `div`
+    * truncates, DuckDB `//` floors — they agree only after the
+    * CASE-decomposition on sign). The oracle spells the same
+    * iteration as explicit join-aggregates over the exploded
+    * (vec_id, pos, m) table — two independent formulations, one
+    * exact-integer answer. */
+  val embedTopComponent: QDef = q(
+    "embed_top_component",
+    """WITH e AS (
+      |  SELECT vec_id, t.pos AS pos,
+      |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS m
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)),
+      |s1 AS (
+      |  SELECT vec_id, CAST(SUM(m * 1000) AS BIGINT) AS s FROM e GROUP BY vec_id),
+      |u1 AS (
+      |  SELECT e.pos, CAST(SUM(e.m * s1.s) AS BIGINT) AS u
+      |  FROM e JOIN s1 USING (vec_id) GROUP BY e.pos),
+      |m1 AS (SELECT GREATEST(CAST(MAX(abs(u)) AS BIGINT), 1) AS mx FROM u1),
+      |v1 AS (
+      |  SELECT pos,
+      |    CASE WHEN u < 0 THEN -((-u * 1000) // mx) ELSE (u * 1000) // mx END AS v
+      |  FROM u1, m1),
+      |s2 AS (
+      |  SELECT e.vec_id, CAST(SUM(e.m * v1.v) AS BIGINT) AS s
+      |  FROM e JOIN v1 USING (pos) GROUP BY e.vec_id),
+      |u2 AS (
+      |  SELECT e.pos, CAST(SUM(e.m * s2.s) AS BIGINT) AS u
+      |  FROM e JOIN s2 USING (vec_id) GROUP BY e.pos),
+      |m2 AS (SELECT GREATEST(CAST(MAX(abs(u)) AS BIGINT), 1) AS mx FROM u2)
+      |SELECT CAST(pos AS BIGINT) AS pos,
+      |  CAST(CASE WHEN u < 0 THEN -((-u * 1000) // mx) ELSE (u * 1000) // mx END
+      |    AS BIGINT) AS v_milli
+      |FROM u2, m2
+      |ORDER BY pos""") { (s, d) =>
+    import graft.functions.VectorFunctions.longDot
+    val base = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("marr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // v0 = all-ones (milli): constant array, length taken from any row
+    val v0 = base.limit(1)
+      .select(expr("transform(marr, x -> 1000L)").as("varr"))
+    // one round: u_i = Σ_r m_ri · ⟨m_r, v⟩, then sign-safe renorm to milli
+    def round(vTbl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val u = base.crossJoin(broadcast(vTbl))
+        .select(col("marr"), longDot(col("marr"), col("varr")).as("s"))
+        .select(posexplode(col("marr")).as(Seq("pos0", "m")), col("s"))
+        .groupBy(col("pos0")).agg(sum(col("m") * col("s")).as("u"))
+      val mx = u.agg(greatest(max(abs(col("u"))), lit(1L)).as("mx"))
+      u.crossJoin(broadcast(mx))
+        .select(col("pos0"), expr(
+          "CASE WHEN u < 0 THEN -((-u * 1000L) div mx) ELSE (u * 1000L) div mx END")
+          .as("v"))
+    }
+    def pack(vRows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      vRows.agg(expr("sort_array(collect_list(struct(pos0, v)))").as("sv"))
+        .select(expr("transform(sv, e -> e.v)").as("varr"))
+    val v2 = round(pack(round(v0)))
+    v2.select((col("pos0") + 1).cast(LongType).as("pos"),
+        col("v").cast(LongType).as("v_milli"))
+      .orderBy(col("pos"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
-    statsChiSquare)
+    statsChiSquare, embedTopComponent)
 }

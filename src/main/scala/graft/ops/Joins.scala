@@ -820,6 +820,90 @@ object Joins {
       .limit(20)
   }
 
+  /** TPC-H Q14 shape (r12b) — promo revenue share per ship-month: a
+    * conditional-aggregate ratio over the fact⋈dim join. Part is
+    * broadcast (the codebook pattern), the ship-year filter is pushed
+    * to the fact scan, and the single shuffle is the month-keyed agg
+    * (12 groups — partial agg collapses map-side). Ratio discipline:
+    * both revenue sums stay exact DECIMAL through the agg, convert
+    * once to DOUBLE (unscaled < 2^53 ⇒ correctly rounded identically
+    * in both engines), and the ppm share is one identically-spelled
+    * float expression on those operands. */
+  val q14PromoRevenue: QDef = q(
+    "q14_promo_revenue",
+    """WITH j AS (
+      |  SELECT CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS DATE)
+      |      AS month,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(6,2))) AS rev,
+      |    p_type
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |a AS (
+      |  SELECT month,
+      |    SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS pr,
+      |    SUM(rev) AS tr
+      |  FROM j GROUP BY month)
+      |SELECT month, CAST(pr AS DOUBLE) AS promo_revenue,
+      |  CAST(tr AS DOUBLE) AS total_revenue,
+      |  CAST(floor(CAST(pr AS DOUBLE) * 1000000 / CAST(tr AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS promo_ppm
+      |FROM a ORDER BY month""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).cast(DateType).as("month"),
+        (money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .as("rev"))
+    val a = li
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("month"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0)))
+        .as("pr"), sum(col("rev")).as("tr"))
+    a.select(col("month"),
+        outDouble(col("pr")).as("promo_revenue"),
+        outDouble(col("tr")).as("total_revenue"),
+        floor(outDouble(col("pr")) * 1000000 / outDouble(col("tr")) + 0.5)
+          .cast(LongType).as("promo_ppm"))
+      .orderBy(col("month"))
+  }
+
+  /** TPC-H Q16 shape (r12b) — supplier variety per (brand, size)
+    * excluding flagged suppliers: the NOT-IN + COUNT(DISTINCT)
+    * combination. NOT IN compiles to a broadcast LEFT ANTI join
+    * against the (tiny, known-null-free) exclusion key set — at any
+    * fact size the exclusion costs zero shuffles — and the distinct
+    * count shuffles (brand, size, suppkey) triples that partial-
+    * deduplicate map-side. Top-30 presentation is
+    * TakeOrderedAndProject. */
+  val q16SupplierVariety: QDef = q(
+    "q16_supplier_variety",
+    """SELECT p_brand, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_type <> 'PROMO'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size
+      |LIMIT 30""") { (s, d) =>
+    val excl = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excl), col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_type") =!= "PROMO")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(30)
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -827,5 +911,6 @@ object Joins {
     joinSkewSalted, joinIntervalOverlap, joinAsofTolerance,
     joinAsofNearest, joinSnowflake5way, q3ShippingPriority,
     q18LargeVolume, joinExistsFlag, joinAsofForward, q4OrderPriority,
-    joinBloomPrefilter, q5LocalSupplier, q10ReturnedItems)
+    joinBloomPrefilter, q5LocalSupplier, q10ReturnedItems,
+    q14PromoRevenue, q16SupplierVariety)
 }

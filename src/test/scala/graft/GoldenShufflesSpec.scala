@@ -106,6 +106,7 @@ class GoldenShufflesSpec extends SparkSpec {
     // each iteration is broadcast-join (no exchange) + dst agg whose
     // exchange reuses across iterations, plus the presentation sort
     "graph_pagerank" -> 4,
+    "embed_top_component" -> 7,
     "graph_jaccard_neighbors" -> 2,
     "graph_triangle_count" -> 7,
     "harmonize_cube" -> 2,
@@ -159,6 +160,8 @@ class GoldenShufflesSpec extends SparkSpec {
     "profile_orders" -> 2,
     "project_arithmetic" -> 1,
     "q10_returned_items" -> 1,
+    "q14_promo_revenue" -> 2,
+    "q16_supplier_variety" -> 2,
     "q18_large_volume" -> 2,
     "q3_shipping_priority" -> 1,
     "q4_order_priority" -> 2,

@@ -32,7 +32,10 @@ class InterpretedParitySpec extends SparkSpec {
   private val keys = Seq(
     "text_langid", "text_ngram_logprob", "dedup_near_jaccard",
     "dedup_minhash_lsh", "dedup_simhash", "sim_lsh_bucketed",
-    "sim_search_topk", "dedup_near_embedding", "text_fingerprint")
+    "sim_search_topk", "dedup_near_embedding", "text_fingerprint",
+    // LongDotProduct → embed_top_component; OrderedLongPairs →
+    // graph_jaccard_neighbors (r12b)
+    "embed_top_component", "graph_jaccard_neighbors")
 
   private def rows(key: String): Seq[String] = {
     val df = SparkEntry.queries(key)(spark, sf)

@@ -188,4 +188,44 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq
     assert(cjk.head == "日本" && cjk.length == 9)
   }
+
+  // --- exact-integer dot + ordered-pair enumeration (r12b) ---------
+
+  test("longDot equals a driver-side exact integer fold") {
+    import spark.implicits._
+    val r = new scala.util.Random(99)
+    val data = (0 until 40).map(i => (i.toLong,
+      Array.fill(64)((r.nextInt(2001) - 1000).toLong),
+      Array.fill(64)((r.nextInt(2001) - 1000).toLong)))
+    val df = data.toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      VectorFunctions.longDot(nn(col("a")), nn(col("b"))).as("d")).collect()
+    val ref = data.map(t => t._1 -> t._2.zip(t._3).map { case (x, y) => x * y }.sum).toMap
+    rows.foreach(r0 => assert(r0.getLong(1) == ref(r0.getLong(0))))
+  }
+
+  test("orderedPairs enumerates exactly the i<j pairs of a sorted array") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(2L, 5L, 9L, 11L)), (2L, Seq(7L)), (3L, Seq.empty[Long]))
+      .toDF("id", "arr")
+    val got = df.select(col("id"),
+        explode(VectorFunctions.orderedPairs(nn(col("arr")))).as("p"))
+      .select(col("id"), col("p.a"), col("p.b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set((1L, 2L, 5L), (1L, 2L, 9L), (1L, 2L, 11L),
+      (1L, 5L, 9L), (1L, 5L, 11L), (1L, 9L, 11L))
+    assert(got == want) // ids 2 and 3 emit nothing
+  }
+
+  test("graft_dot_long and graft_ordered_pairs are callable from SQL") {
+    import spark.implicits._
+    Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+      .select(nn(col("a")).as("a"), nn(col("b")).as("b"))
+      .createOrReplaceTempView("vexp_long_test")
+    assert(spark.sql("SELECT graft_dot_long(a, b) FROM vexp_long_test")
+      .head().getLong(0) == 11L)
+    assert(spark.sql(
+      "SELECT size(graft_ordered_pairs(a)) FROM vexp_long_test")
+      .head().getInt(0) == 1)
+  }
 }

@@ -15,7 +15,8 @@ class R12bOpsSpec extends SparkSpec {
   private val keys = Seq(
     "q5_local_supplier", "q10_returned_items", "graph_jaccard_neighbors",
     "tokenizer_bpe_pairs", "sample_weighted_pps", "shard_token_balanced",
-    "stats_chi_square", "ts_autocorr_daily", "win_streaks_daily")
+    "stats_chi_square", "ts_autocorr_daily", "win_streaks_daily",
+    "q14_promo_revenue", "q16_supplier_variety", "embed_top_component")
 
   test("every r12b key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -195,6 +196,87 @@ class R12bOpsSpec extends SparkSpec {
         .minBy(_.toEpochDay)
       assert(r.getDate(4).toLocalDate == earliestLongest, "longest_start")
     }
+  }
+
+  test("q14_promo_revenue: ratio recomputes from JVM BigDecimal sums") {
+    import java.math.{BigDecimal => JBD}
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_shipdate"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .filter(r => { val d = r.get(1).toString; d >= "1997-01-01" && d < "1998-01-01" })
+    val byMonth = li.groupBy(_.get(1).toString.substring(0, 7))
+    val rows = Joins.q14PromoRevenue.run(spark, sf).collect()
+      .map(r => r.getDate(0).toString.substring(0, 7) -> r).toMap
+    assert(rows.keySet == byMonth.keySet)
+    byMonth.foreach { case (m, rs) =>
+      def rev(f: org.apache.spark.sql.Row => Boolean) = rs.filter(f)
+        .map(r => new JBD(r.getDouble(2)).setScale(2, java.math.RoundingMode.HALF_UP)
+          .multiply(JBD.ONE.subtract(
+            new JBD(r.getDouble(3)).setScale(2, java.math.RoundingMode.HALF_UP))))
+        .foldLeft(JBD.ZERO)(_ add _)
+      val pr = rev(r => parts(r.getLong(0)) == "PROMO")
+      val tr = rev(_ => true)
+      val row = rows(m)
+      assert(math.abs(row.getDouble(1) - pr.doubleValue) < 1e-9, s"$m promo")
+      assert(math.abs(row.getDouble(2) - tr.doubleValue) < 1e-9, s"$m total")
+      val ppm = math.floor(pr.doubleValue * 1000000 / tr.doubleValue + 0.5).toLong
+      assert(row.getLong(3) == ppm, s"$m ppm")
+    }
+  }
+
+  test("q16_supplier_variety: distinct counts exclude flagged suppliers") {
+    val excluded = Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") < 0).collect().map(_.getLong(0)).toSet
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3))).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byGroup = li
+      .filter { case (pk, sk) => parts(pk)._3 != "PROMO" && !excluded.contains(sk) }
+      .groupBy { case (pk, _) => (parts(pk)._1, parts(pk)._2) }
+      .view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val rows = Joins.q16SupplierVariety.run(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getInt(1))
+      assert(byGroup(k) == r.getLong(2), s"$k count")
+    }
+    // descending by count, and top row is the global max
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(cnts.head == byGroup.values.max)
+  }
+
+  test("embed_top_component: the fixed-point power iteration replays in JVM BigInt") {
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val m = embs.map(_.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+    val dims = m.head.length
+    def iterate(v: Array[Long]): Array[Long] = {
+      val u = new Array[Long](dims)
+      m.foreach { row =>
+        var s = 0L
+        var j = 0
+        while (j < dims) { s += row(j) * v(j); j += 1 }
+        var i = 0
+        while (i < dims) { u(i) += row(i) * s; i += 1 }
+      }
+      val mx = math.max(u.map(math.abs).max, 1L)
+      u.map(x => if (x < 0) -((-x * 1000L) / mx) else (x * 1000L) / mx)
+    }
+    val expected = iterate(iterate(Array.fill(dims)(1000L)))
+    val rows = DriftOps.embedTopComponent.run(spark, sf).collect()
+    assert(rows.length == dims)
+    rows.foreach(r => assert(r.getLong(1) == expected(r.getLong(0).toInt - 1),
+      s"dim ${r.getLong(0)}"))
+    // normalization: some dim carries exactly ±1000 milli
+    assert(rows.map(r => math.abs(r.getLong(1))).max == 1000L)
   }
 
   test("q5/q10: revenue recomputes from a JVM join at sf0.001") {
