@@ -569,7 +569,81 @@ object ClusterOps {
     out
   }
 
+  /** BFS frontier levels (r12b) — breadth-first traversal from a
+    * deterministic seed (the minimum node id) over the customer⇄
+    * supplier trade graph: the missing traversal member of the graph
+    * family (degree/PageRank/CC/triangles/Jaccard). Three unrolled
+    * rounds of frontier expansion: each round is one edge⋈frontier
+    * equi-join + an anti-join against the visited set — the
+    * distributed BFS shape whose per-round cost follows the frontier's
+    * edge incidence, never nodes². The frontier/visited tables are
+    * node-sized (broadcast; beyond broadcast range they degrade to
+    * SMJ on the node key with no semantic change), and the edge table
+    * is built once and persisted across rounds like graph_pagerank's.
+    * Output is the per-level census (count + key range), which is the
+    * reachability audit a graph pipeline publishes per run. */
+  val graphBfsLevels: QDef = q(
+    "graph_bfs_levels",
+    """WITH eb AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
+      |  UNION ALL
+      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+      |l0 AS (SELECT MIN(src) AS id FROM edges),
+      |l1 AS MATERIALIZED (
+      |  SELECT DISTINCT e.dst AS id FROM edges e JOIN l0 ON e.src = l0.id
+      |  WHERE e.dst NOT IN (SELECT id FROM l0)),
+      |l2 AS MATERIALIZED (
+      |  SELECT DISTINCT e.dst AS id FROM edges e JOIN l1 ON e.src = l1.id
+      |  WHERE e.dst NOT IN (SELECT id FROM l0 UNION ALL SELECT id FROM l1)),
+      |l3 AS MATERIALIZED (
+      |  SELECT DISTINCT e.dst AS id FROM edges e JOIN l2 ON e.src = l2.id
+      |  WHERE e.dst NOT IN (SELECT id FROM l0 UNION ALL SELECT id FROM l1
+      |                      UNION ALL SELECT id FROM l2)),
+      |census AS (
+      |  SELECT 0 AS level, id FROM l0
+      |  UNION ALL SELECT 1, id FROM l1
+      |  UNION ALL SELECT 2, id FROM l2
+      |  UNION ALL SELECT 3, id FROM l3)
+      |SELECT CAST(level AS BIGINT) AS level,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  MIN(id) AS min_node, MAX(id) AS max_node
+      |FROM census GROUP BY level
+      |ORDER BY level""") { (s, d) =>
+    val eb = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = eb.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize before the rounds fork the lineage
+    val l0 = edges.agg(min(col("src")).as("id"))
+    def expand(frontier: org.apache.spark.sql.DataFrame,
+        visited: org.apache.spark.sql.DataFrame) =
+      edges.join(broadcast(frontier.select(col("id").as("fid"))),
+          col("src") === col("fid"))
+        .select(col("dst").as("id")).distinct()
+        .join(broadcast(visited.select(col("id").as("vid"))),
+          col("id") === col("vid"), "left_anti")
+    val l1 = expand(l0, l0)
+    val v1 = l0.union(l1)
+    val l2 = expand(l1, v1)
+    val v2 = v1.union(l2)
+    val l3 = expand(l2, v2)
+    val census = l0.select(lit(0L).as("level"), col("id"))
+      .union(l1.select(lit(1L).as("level"), col("id")))
+      .union(l2.select(lit(2L).as("level"), col("id")))
+      .union(l3.select(lit(3L).as("level"), col("id")))
+    census.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("id")).as("min_node"), max(col("id")).as("max_node"))
+      .orderBy(col("level"))
+  }
+
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
     graphTriangleCount, basketAssocRules, dedupClusterStar,
-    graphJaccardNeighbors)
+    graphJaccardNeighbors, graphBfsLevels)
 }

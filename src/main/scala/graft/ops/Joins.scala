@@ -904,6 +904,56 @@ object Joins {
       .limit(30)
   }
 
+  /** TPC-H Q22 shape (r12b) — global sales opportunity: rich
+    * customers (balance above the positive-balance average) who have
+    * never ordered, counted per nation. Three classic pieces in one
+    * plan: a SCALAR subquery (the threshold — one exact-decimal agg
+    * row, cross-broadcast onto the scan; D3 average discipline: exact
+    * sum, one double division), NOT EXISTS as a LEFT ANTI join on the
+    * distinct RECENT-order customer keys (the 1999+ window keeps the
+    * survivor set non-degenerate on this fixture: nearly every
+    * customer has ordered at least once since 1995), and the
+    * broadcast nation dim. At
+    * 100 TB the anti join is the only fact-sized structure and it
+    * shuffles keys, not rows (the distinct collapses order-key
+    * cardinality first); everything else is broadcast. */
+  val q22NoOrderCustomers: QDef = q(
+    "q22_no_order_customers",
+    """WITH ab AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |      AS threshold
+      |  FROM customer WHERE c_acctbal > 0.0),
+      |sel AS (
+      |  SELECT c.c_custkey, c.c_nationkey,
+      |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer c, ab
+      |  WHERE c.c_acctbal > ab.threshold
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'))
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+      |FROM sel JOIN nation ON n_nationkey = c_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""") { (s, d) =>
+    val ab = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0.0)
+      .agg((outDouble(sum(money(col("c_acctbal")))) / count(lit(1)))
+        .as("threshold"))
+    val ordered = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast(TimestampType))
+      .select(col("o_custkey")).distinct()
+    Tables.customer(s, d)
+      .crossJoin(broadcast(ab))
+      .filter(col("c_acctbal") > col("threshold"))
+      .join(ordered, col("o_custkey") === col("c_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        outDouble(sum(money(col("c_acctbal")))).as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -912,5 +962,5 @@ object Joins {
     joinAsofNearest, joinSnowflake5way, q3ShippingPriority,
     q18LargeVolume, joinExistsFlag, joinAsofForward, q4OrderPriority,
     joinBloomPrefilter, q5LocalSupplier, q10ReturnedItems,
-    q14PromoRevenue, q16SupplierVariety)
+    q14PromoRevenue, q16SupplierVariety, q22NoOrderCustomers)
 }

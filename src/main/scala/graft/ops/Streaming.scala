@@ -239,8 +239,58 @@ object Streaming {
       .orderBy(col("event_type"), col("win_start"))
   }
 
+  /** Custom-state sessionization graded (r12b) — the
+    * `flatMapGroupsWithState` path (StreamOps.customSessions,
+    * previously MemoryStream-spec-only) run through its BATCH twin:
+    * the same Dataset API executes in batch mode, where each user's
+    * whole history arrives as one group and the function emits every
+    * session it CLOSES — the still-open trailing session stays in
+    * state, exactly as it would mid-stream. The oracle replicates
+    * that emit-on-close contract: gaps-and-islands sessions per user
+    * minus each user's last island. Scale: one user-keyed exchange
+    * (the same one every stateful-streaming operator pays), state is
+    * one session struct per live user — bounded by key cardinality,
+    * never stream length. */
+  val streamCustomSessions: QDef = q(
+    "stream_custom_sessions",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_sec,
+      |    CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |              IS NULL THEN 1
+      |         WHEN date_diff('second',
+      |              lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id),
+      |              ts_sec) >= 1800 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM e),
+      |ids AS (
+      |  SELECT user_id, ts_sec,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(ts_sec) AS session_start,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM ids GROUP BY user_id, sid),
+      |last AS (SELECT user_id, MAX(sid) AS maxsid FROM sess GROUP BY user_id)
+      |SELECT s.user_id, s.session_start, s.n_events
+      |FROM sess s JOIN last l ON l.user_id = s.user_id AND s.sid < l.maxsid
+      |ORDER BY s.user_id, s.session_start""") { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), tsSec(col("ts")).as("ts"))
+      .as[graft.streaming.StreamOps.SessionEvent]
+    graft.streaming.StreamOps.customSessions(ev).toDF()
+      .select(col("user_id"), col("session_start"),
+        col("n_events").cast(LongType).as("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val all: Seq[QDef] = Seq(
     streamTumblingCounts, streamSlidingWindows,
     streamSessionWindows, streamDedupKeyed, streamIntervalJoin,
-    streamTopkWindowed, streamRateAlert)
+    streamTopkWindowed, streamRateAlert, streamCustomSessions)
 }

@@ -107,6 +107,7 @@ class GoldenShufflesSpec extends SparkSpec {
     // exchange reuses across iterations, plus the presentation sort
     "graph_pagerank" -> 4,
     "embed_top_component" -> 7,
+    "graph_bfs_levels" -> 8,
     "graph_jaccard_neighbors" -> 2,
     "graph_triangle_count" -> 7,
     "harmonize_cube" -> 2,
@@ -164,6 +165,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "q16_supplier_variety" -> 2,
     "q18_large_volume" -> 2,
     "q3_shipping_priority" -> 1,
+    "q22_no_order_customers" -> 4,
     "q4_order_priority" -> 2,
     "q5_local_supplier" -> 2,
     "q1_pricing_summary" -> 2,
@@ -207,6 +209,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "source_sorted_ranges" -> 2,
     "source_text_lines" -> 1,
     "split_train_holdout" -> 2,
+    "stream_custom_sessions" -> 2,
     "stream_dedup_keyed" -> 2,
     "stream_interval_join" -> 2,
     "stream_rate_alert" -> 3,

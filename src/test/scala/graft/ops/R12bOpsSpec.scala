@@ -16,7 +16,8 @@ class R12bOpsSpec extends SparkSpec {
     "q5_local_supplier", "q10_returned_items", "graph_jaccard_neighbors",
     "tokenizer_bpe_pairs", "sample_weighted_pps", "shard_token_balanced",
     "stats_chi_square", "ts_autocorr_daily", "win_streaks_daily",
-    "q14_promo_revenue", "q16_supplier_variety", "embed_top_component")
+    "q14_promo_revenue", "q16_supplier_variety", "embed_top_component",
+    "q22_no_order_customers", "stream_custom_sessions", "graph_bfs_levels")
 
   test("every r12b key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -277,6 +278,75 @@ class R12bOpsSpec extends SparkSpec {
       s"dim ${r.getLong(0)}"))
     // normalization: some dim carries exactly ±1000 milli
     assert(rows.map(r => math.abs(r.getLong(1))).max == 1000L)
+  }
+
+  test("q22_no_order_customers: threshold and exclusion recompute in JVM") {
+    import java.math.{BigDecimal => JBD}
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val pos = custs.filter(_._3 > 0.0)
+    val threshold = pos.map(c => new JBD(c._3).setScale(2, java.math.RoundingMode.HALF_UP))
+      .foldLeft(JBD.ZERO)(_ add _).doubleValue / pos.length
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val nations = Tables.nation(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expected = custs
+      .filter(c => c._3 > threshold && !recent.contains(c._1))
+      .groupBy(c => nations(c._2))
+      .view.mapValues(_.length.toLong).toMap
+    val rows = Joins.q22NoOrderCustomers.run(spark, sf).collect()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+    assert(rows.nonEmpty)
+  }
+
+  test("stream_custom_sessions: batch twin emits all but each user's last session") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000 * 1000))
+    val byUser = events.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[List[Long]]) { (acc, t) =>
+        acc match {
+          case (h :: tl) :: rest if t - h < 1800L * 1000 => (t :: h :: tl) :: rest
+          case _ => List(t) :: acc
+        }
+      }.map(_.reverse).reverse
+      sessions.dropRight(1).map(sess => (u, sess.head, sess.length.toLong))
+    }.toSet
+    val got = Streaming.streamCustomSessions.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("graph_bfs_levels: frontier census recomputes from a JVM BFS") {
+    val eb = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    eb.foreach { case (c, s0) =>
+      adj(c) = adj.getOrElse(c, Set.empty) + s0
+      adj(s0) = adj.getOrElse(s0, Set.empty) + c
+    }
+    val seed = eb.flatMap(e => Seq(e._1, e._2)).min
+    var visited = Set(seed)
+    var frontier = Set(seed)
+    val levels = scala.collection.mutable.ListBuffer((0L, Set(seed)))
+    for (lvl <- 1 to 3) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited
+      visited ++= frontier
+      if (frontier.nonEmpty) levels += ((lvl.toLong, frontier))
+    }
+    val rows = ClusterOps.graphBfsLevels.run(spark, sf).collect()
+    val got = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = levels.map { case (l, s0) =>
+      l -> (s0.size.toLong, s0.min, s0.max) }.toMap
+    assert(got == want)
   }
 
   test("q5/q10: revenue recomputes from a JVM join at sf0.001") {
