@@ -954,6 +954,135 @@ object Joins {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q6 shape (r12b) — the forecast-revenue-change probe: a
+    * pure scan→filter→one-row-aggregate with NO join at all, the
+    * canonical predicate-pushdown benchmark. All three filters
+    * (date range, discount band, quantity cap) push to the parquet
+    * scan; the aggregate is a single exact-decimal sum whose partials
+    * collapse map-side — at 100 TB this query IS the scan, which is
+    * the point. Discount band compared in exact DECIMAL(6,2) so the
+    * boundary rows land identically in both engines. */
+  val q6RevenueDelta: QDef = q(
+    "q6_revenue_delta",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       * CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue_delta,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND CAST(l_discount AS DECIMAL(6,2)) BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampType) &&
+        rate(col("l_discount")).between(BigDecimal("0.05"), BigDecimal("0.07")) &&
+        col("l_quantity") < 24)
+      .agg(outDouble(sum(money(col("l_extendedprice")) * rate(col("l_discount"))))
+        .as("revenue_delta"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q13 shape (r12b) — customer order-count distribution: the
+    * double-aggregation histogram (orders per customer, then
+    * customers per order count) INCLUDING the zero-order mass via the
+    * left outer join. Both aggs shuffle key cardinality only
+    * (customer keys, then distinct counts); the outer join keeps
+    * every customer so the 0-bucket is real, not scaffolded. */
+  val q13CustomerDistribution: QDef = q(
+    "q13_customer_distribution",
+    """WITH co AS (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""") { (s, d) =>
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape (r12b) — top supplier(s) by quarterly revenue:
+    * aggregate-then-argmax where the max is a one-row broadcast and
+    * ties are kept (the reference Q15 semantics), not rank-broken.
+    * The revenue table is supplier-key-sized; the scalar max costs
+    * one extra tiny agg; equality against the broadcast max keeps
+    * every tied supplier. Exact-decimal revenue compared in DECIMAL
+    * (not double) so the tie test is exact. */
+  val q15TopSupplier: QDef = q(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS total
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey),
+      |m AS (SELECT MAX(total) AS mx FROM rev)
+      |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+      |CROSS JOIN m
+      |WHERE total = mx
+      |ORDER BY s_suppkey""") { (s, d) =>
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount")))).as("total"))
+    val m = rev.agg(max(col("total")).as("mx"))
+    rev.crossJoin(broadcast(m))
+      .filter(col("total") === col("mx"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        outDouble(col("total")).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q19 shape (r12b) — disjunctive predicate join: three
+    * brand/size/quantity conjunction arms OR'd together across the
+    * lineitem⋈part join. The planner keeps the equi key and
+    * evaluates the disjunction as a residual; the per-arm part
+    * filters union into one broadcast build. The shape certifies
+    * that OR-of-ANDs predicates neither duplicate rows (each line
+    * matches at most one arm — arms are brand-disjoint) nor block
+    * the broadcast. */
+  val q19DiscountedRevenue: QDef = q(
+    "q19_discounted_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |       * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 5 AND l_quantity <= 30)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 10 AND l_quantity <= 40)""") { (s, d) =>
+    val arm1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity") >= 1 && col("l_quantity") <= 20
+    val arm2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+      col("l_quantity") >= 5 && col("l_quantity") <= 30
+    val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+      col("l_quantity") >= 10 && col("l_quantity") <= 40
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("p_partkey") === col("l_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(outDouble(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -962,5 +1091,7 @@ object Joins {
     joinAsofNearest, joinSnowflake5way, q3ShippingPriority,
     q18LargeVolume, joinExistsFlag, joinAsofForward, q4OrderPriority,
     joinBloomPrefilter, q5LocalSupplier, q10ReturnedItems,
-    q14PromoRevenue, q16SupplierVariety, q22NoOrderCustomers)
+    q14PromoRevenue, q16SupplierVariety, q22NoOrderCustomers,
+    q6RevenueDelta, q13CustomerDistribution, q15TopSupplier,
+    q19DiscountedRevenue)
 }

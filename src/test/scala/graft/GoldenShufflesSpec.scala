@@ -107,7 +107,7 @@ class GoldenShufflesSpec extends SparkSpec {
     // exchange reuses across iterations, plus the presentation sort
     "graph_pagerank" -> 4,
     "embed_top_component" -> 7,
-    "graph_bfs_levels" -> 8,
+    "graph_bfs_levels" -> 3,
     "graph_jaccard_neighbors" -> 2,
     "graph_triangle_count" -> 7,
     "harmonize_cube" -> 2,
@@ -165,7 +165,11 @@ class GoldenShufflesSpec extends SparkSpec {
     "q16_supplier_variety" -> 2,
     "q18_large_volume" -> 2,
     "q3_shipping_priority" -> 1,
+    "q13_customer_distribution" -> 3,
+    "q15_top_supplier" -> 4,
+    "q19_discounted_revenue" -> 1,
     "q22_no_order_customers" -> 4,
+    "q6_revenue_delta" -> 1,
     "q4_order_priority" -> 2,
     "q5_local_supplier" -> 2,
     "q1_pricing_summary" -> 2,

@@ -17,7 +17,9 @@ class R12bOpsSpec extends SparkSpec {
     "tokenizer_bpe_pairs", "sample_weighted_pps", "shard_token_balanced",
     "stats_chi_square", "ts_autocorr_daily", "win_streaks_daily",
     "q14_promo_revenue", "q16_supplier_variety", "embed_top_component",
-    "q22_no_order_customers", "stream_custom_sessions", "graph_bfs_levels")
+    "q22_no_order_customers", "stream_custom_sessions", "graph_bfs_levels",
+    "q6_revenue_delta", "q13_customer_distribution", "q15_top_supplier",
+    "q19_discounted_revenue")
 
   test("every r12b key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -347,6 +349,58 @@ class R12bOpsSpec extends SparkSpec {
     val want = levels.map { case (l, s0) =>
       l -> (s0.size.toLong, s0.min, s0.max) }.toMap
     assert(got == want)
+  }
+
+  test("q6/q13/q15/q19: the second TPC-H batch recomputes in JVM") {
+    import java.math.{BigDecimal => JBD}
+    def dec2(x: Double) = new JBD(x).setScale(2, java.math.RoundingMode.HALF_UP)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString, r.getDouble(3),
+        dec2(r.getDouble(4)), dec2(r.getDouble(5))))
+    // q6: filter + conditional sum
+    val q6rows = li.filter(l => l._3 >= "1997-01-01" && l._3 < "1998-01-01" &&
+      l._6.doubleValue >= 0.05 && l._6.doubleValue <= 0.07 && l._4 < 24)
+    val q6 = Joins.q6RevenueDelta.run(spark, sf).collect().head
+    assert(q6.getLong(1) == q6rows.length.toLong)
+    val q6rev = q6rows.map(l => l._5.multiply(l._6)).foldLeft(JBD.ZERO)(_ add _)
+    assert(math.abs(q6.getDouble(0) - q6rev.doubleValue) < 1e-9)
+    // q13: histogram of per-customer order counts, with a 0 bucket
+    val custs = Tables.customer(spark, sf).select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+    val ordCount = Tables.orders(spark, sf).select(col("o_custkey")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hist = custs.map(c => ordCount.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val q13 = Joins.q13CustomerDistribution.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q13 == hist)
+    // q15: all suppliers achieving the max quarterly revenue (ties kept)
+    val q15rows = li.filter(l => l._3 >= "1997-01-01" && l._3 < "1997-04-01")
+    val bySupp = q15rows.groupBy(_._2).view.mapValues(
+      _.map(l => l._5.multiply(JBD.ONE.subtract(l._6)))
+        .foldLeft(JBD.ZERO)(_ add _)).toMap
+    val mx = bySupp.values.max
+    val winners = bySupp.filter(_._2.compareTo(mx) == 0).keySet
+    val q15 = Joins.q15TopSupplier.run(spark, sf).collect()
+    assert(q15.map(_.getLong(0)).toSet == winners)
+    q15.foreach(r => assert(math.abs(r.getDouble(2) - mx.doubleValue) < 1e-9))
+    // q19: disjunctive arms neither drop nor duplicate
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val arms = li.filter { l =>
+      val (b, sz) = parts(l._1)
+      (b == "Brand#1" && sz >= 1 && sz <= 15 && l._4 >= 1 && l._4 <= 20) ||
+      (b == "Brand#2" && sz >= 1 && sz <= 25 && l._4 >= 5 && l._4 <= 30) ||
+      (b == "Brand#3" && sz >= 1 && sz <= 35 && l._4 >= 10 && l._4 <= 40)
+    }
+    val q19 = Joins.q19DiscountedRevenue.run(spark, sf).collect().head
+    assert(q19.getLong(1) == arms.length.toLong)
+    val q19rev = arms.map(l => l._5.multiply(JBD.ONE.subtract(l._6)))
+      .foldLeft(JBD.ZERO)(_ add _)
+    assert(math.abs(q19.getDouble(0) - q19rev.doubleValue) < 1e-9)
   }
 
   test("q5/q10: revenue recomputes from a JVM join at sf0.001") {
