@@ -297,6 +297,45 @@ object DriftOps {
       .orderBy(col("pos"))
   }
 
+  /** Pairwise-cosine histogram per label (r12b) — the similarity-
+    * distribution monitor a dedup/clustering pipeline watches: a mass
+    * shift toward bucket 9–10 means near-duplicate contamination, a
+    * flattening means the embedding space is collapsing. Pairs are
+    * label-blocked (the dedup_near_embedding discipline — never
+    * all-pairs: per-label C(n,2), which at 100 TB becomes the
+    * LSH-bucketed estimate with the same histogram shape). Cosines
+    * ride the fused codegen expression, protocol-rounded to 6
+    * decimals, then decile-bucketed by floor — both engines bucket
+    * identical doubles identically. */
+  val embedCosineHistogram: QDef = q(
+    "embed_cosine_histogram",
+    s"""WITH p AS (
+      |  SELECT a.label,
+      |    CAST(floor(${graft.ops.VecMath.sqlCosine("a.embedding", "b.embedding")}
+      |      * 10) AS BIGINT) AS bucket
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY label, bucket
+      |ORDER BY label, bucket""") { (s, d) =>
+    import graft.ops.VecMath.fcosine
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("vec_id").as("va"), col("label"),
+      col("embedding").as("ea"))
+    // spread the probe side (one-file scan = one partition) — the
+    // pair join itself is label-blocked
+    val b = e.repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id").as("vb"), col("label").as("lb"),
+        col("embedding").as("eb"))
+    b.join(broadcast(a), col("label") === col("lb") && col("va") < col("vb"))
+      .select(col("label"),
+        floor(fcosine(col("ea"), col("eb")) * 10).cast(LongType).as("bucket"))
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("label"), col("bucket"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
-    statsChiSquare, embedTopComponent)
+    statsChiSquare, embedTopComponent, embedCosineHistogram)
 }

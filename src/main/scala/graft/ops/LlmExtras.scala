@@ -39,7 +39,10 @@ object LlmExtras {
   /** Shared DuckDB CTE chain for every minhash-derived oracle
     * (`dedup_minhash_lsh`, `dedup_cluster_cc`'s pair source,
     * `minhash_est_audit`) — one text, zero drift between them. */
-  private[ops] val lshCtes: String =
+  /** The signature-building prefix (tokens → shingles → minhash →
+    * shingle sets) shared by [[lshCtes]] AND the band-tuning oracle,
+    * which attaches its own banding CTEs to the same signatures. */
+  private[ops] val mhCtes: String =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |  WHERE len(string_split(text, ' ')) >= 3),
@@ -55,6 +58,10 @@ object LlmExtras {
       |    min(substr(md5(shingle), 13, 8)) AS h4, min(substr(md5(shingle), 16, 8)) AS h5,
       |    min(substr(md5(shingle), 19, 8)) AS h6, min(substr(md5(shingle), 22, 8)) AS h7
       |  FROM sh GROUP BY doc_id),
+      |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)""".stripMargin
+
+  private[ops] val lshCtes: String =
+    s"""$mhCtes,
       |bands AS (
       |  SELECT doc_id, unnest(range(0, 4)) AS band,
       |    unnest([h0 || '|' || h1, h2 || '|' || h3, h4 || '|' || h5, h6 || '|' || h7]) AS sig
@@ -62,8 +69,7 @@ object LlmExtras {
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-      |    AND a.doc_id < b.doc_id),
-      |sets AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id)""".stripMargin
+      |    AND a.doc_id < b.doc_id)""".stripMargin
 
   val dedupMinhashLsh: QDef = q(
     "dedup_minhash_lsh",
@@ -798,9 +804,105 @@ object LlmExtras {
       .orderBy(col("actual"), col("predicted"))
   }
 
+  /** LSH band-parameter tuning report (r12b) — the cost/recall sweep
+    * a dedup pipeline runs before committing a banding scheme: the
+    * SAME 8 minhash values banded three ways (2×4, 4×2, 8×1), each
+    * scheme's candidate volume and exact-verify precision measured.
+    * More, narrower bands → recall up, candidates (≙ shuffle + verify
+    * cost) up: at sf0.1 the 8×1 scheme yields ~82 k candidates vs
+    * 4×2's ~2 k for the same corpus — exactly the number an operator
+    * needs before a 100 TB run, where candidates are the dominant
+    * cost. One signature build (the persisted shingleBase) feeds all
+    * three bandings; per scheme one band-bucket equi-join + the
+    * merge-walk verify, counts only — no pair lists shipped. */
+  val dedupBandTuning: QDef = q(
+    "dedup_band_tuning",
+    s"""WITH $mhCtes,
+      |bA AS (
+      |  SELECT doc_id, unnest(range(0, 4)) AS band,
+      |    unnest([h0 || '|' || h1, h2 || '|' || h3, h4 || '|' || h5, h6 || '|' || h7]) AS sig
+      |  FROM mh),
+      |cA AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bA a JOIN bA b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |bB AS (
+      |  SELECT doc_id, unnest(range(0, 2)) AS band,
+      |    unnest([h0 || '|' || h1 || '|' || h2 || '|' || h3,
+      |            h4 || '|' || h5 || '|' || h6 || '|' || h7]) AS sig
+      |  FROM mh),
+      |cB AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bB a JOIN bB b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |bC AS (
+      |  SELECT doc_id, unnest(range(0, 8)) AS band,
+      |    unnest([h0, h1, h2, h3, h4, h5, h6, h7]) AS sig
+      |  FROM mh),
+      |cC AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bC a JOIN bC b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |jA AS (SELECT CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |    / len(list_distinct(x.s || y.s)) AS jacc
+      |  FROM cA JOIN sets x ON x.doc_id = doc_a JOIN sets y ON y.doc_id = doc_b),
+      |jB AS (SELECT CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |    / len(list_distinct(x.s || y.s)) AS jacc
+      |  FROM cB JOIN sets x ON x.doc_id = doc_a JOIN sets y ON y.doc_id = doc_b),
+      |jC AS (SELECT CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |    / len(list_distinct(x.s || y.s)) AS jacc
+      |  FROM cC JOIN sets x ON x.doc_id = doc_a JOIN sets y ON y.doc_id = doc_b),
+      |stats AS (
+      |  SELECT 'b2r4' AS scheme, CAST(2 AS BIGINT) AS n_bands,
+      |    CAST(4 AS BIGINT) AS rows_per_band,
+      |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |    CAST(COALESCE(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS n_verified FROM jB
+      |  UNION ALL
+      |  SELECT 'b4r2', 4, 2, CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    FROM jA
+      |  UNION ALL
+      |  SELECT 'b8r1', 8, 1, CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    FROM jC)
+      |SELECT scheme, n_bands, rows_per_band, n_candidates, n_verified,
+      |  CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(n_verified * 1000000 // n_candidates AS BIGINT) END
+      |    AS precision_ppm
+      |FROM stats ORDER BY scheme""") { (s, d) =>
+    val base = shingleBase(s, d)
+    base.count() // materialize before the three banding branches fork
+    def cands(sigs: Seq[Column]): DataFrame = {
+      val bands = base.select(col("doc_id"),
+        posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+      val b = bands.select(col("doc_id").as("doc_b"),
+        col("band").as("band_b"), col("sig").as("sig_b"))
+      a.join(b, col("band") === col("band_b") && col("sig") === col("sig_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+    }
+    def stats(name: String, nb: Int, rpb: Int, cand: DataFrame): DataFrame =
+      exactJaccard(cand, base)
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("jacc") >= 0.5, 1L).otherwise(0L)), lit(0L))
+            .as("n_verified"))
+        .select(lit(name).as("scheme"), lit(nb.toLong).as("n_bands"),
+          lit(rpb.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_verified"),
+          when(col("n_candidates") === 0, 0L)
+            .otherwise(expr("n_verified * 1000000L div n_candidates"))
+            .as("precision_ppm"))
+    val sA = Seq(concat_ws("|", col("h0"), col("h1")),
+      concat_ws("|", col("h2"), col("h3")), concat_ws("|", col("h4"), col("h5")),
+      concat_ws("|", col("h6"), col("h7")))
+    val sB = Seq(concat_ws("|", col("h0"), col("h1"), col("h2"), col("h3")),
+      concat_ws("|", col("h4"), col("h5"), col("h6"), col("h7")))
+    val sC = (0 until 8).map(i => col(s"h$i"))
+    stats("b2r4", 2, 4, cands(sB))
+      .union(stats("b4r2", 4, 2, cands(sA)))
+      .union(stats("b8r1", 8, 1, cands(sC)))
+      .orderBy(col("scheme"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
     annIvfLabel, simLshBucketed, kmeansAssign, evalLangidConfusion,
-    knnHoldoutEval)
+    knnHoldoutEval, dedupBandTuning)
 }

@@ -66,6 +66,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "cooccur_pmi" -> 3,
     "corpus_zipf" -> 1,
     "curation_funnel" -> 5,
+    "dedup_band_tuning" -> 6,
     "dedup_cluster_cc" -> 2,
     "dedup_cluster_star" -> 5,
     "dedup_containment" -> 3,
@@ -80,6 +81,7 @@ class GoldenShufflesSpec extends SparkSpec {
     "dq_rule_check" -> 6,
     "drift_embedding_centroid" -> 6,
     "drift_value_histogram" -> 4,
+    "embed_cosine_histogram" -> 3,
     "embed_norm_audit" -> 2,
     "embed_quantize_int8" -> 2,
     "entity_match_fuzzy" -> 3,

@@ -19,7 +19,7 @@ class R12bOpsSpec extends SparkSpec {
     "q14_promo_revenue", "q16_supplier_variety", "embed_top_component",
     "q22_no_order_customers", "stream_custom_sessions", "graph_bfs_levels",
     "q6_revenue_delta", "q13_customer_distribution", "q15_top_supplier",
-    "q19_discounted_revenue")
+    "q19_discounted_revenue", "dedup_band_tuning", "embed_cosine_histogram")
 
   test("every r12b key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -401,6 +401,42 @@ class R12bOpsSpec extends SparkSpec {
     val q19rev = arms.map(l => l._5.multiply(JBD.ONE.subtract(l._6)))
       .foldLeft(JBD.ZERO)(_ add _)
     assert(math.abs(q19.getDouble(0) - q19rev.doubleValue) < 1e-9)
+  }
+
+  test("dedup_band_tuning: schemes nest (b2r4 ⊆ b4r2 ⊆ b8r1) and b4r2 matches production") {
+    val rows = LlmExtras.dedupBandTuning.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set("b2r4", "b4r2", "b8r1"))
+    // a 4-row band match implies its 2-row halves match, which imply
+    // the single-row bands match: candidate sets are nested
+    assert(rows("b2r4")._1 <= rows("b4r2")._1)
+    assert(rows("b4r2")._1 <= rows("b8r1")._1)
+    assert(rows("b2r4")._2 <= rows("b4r2")._2)
+    assert(rows("b4r2")._2 <= rows("b8r1")._2)
+    // the 4×2 scheme IS the production banding — its verified count
+    // equals the graded dedup_minhash_lsh pair list
+    val production = LlmExtras.dedupMinhashLsh.run(spark, sf).count()
+    assert(rows("b4r2")._2 == production)
+    // ppm consistency
+    rows.values.foreach { case (c, v, ppm) =>
+      assert(ppm == (if (c == 0) 0L else v * 1000000L / c))
+      assert(v <= c)
+    }
+  }
+
+  test("embed_cosine_histogram: per-label masses sum to C(n,2), buckets bounded") {
+    val perLabel = Tables.embeddings(spark, sf)
+      .groupBy(col("label")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = DriftOps.embedCosineHistogram.run(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= -10L && r.getLong(1) <= 10L, "bucket out of range")
+    }
+    val sums = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    perLabel.foreach { case (l, n) =>
+      assert(sums.getOrElse(l, 0L) == n * (n - 1) / 2, s"label $l pair mass")
+    }
   }
 
   test("q5/q10: revenue recomputes from a JVM join at sf0.001") {
