@@ -1083,6 +1083,56 @@ object Joins {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Join-cardinality probe (r12c) — the EXACT output-size forecast
+    * for a many-to-many join, computed WITHOUT running the join:
+    * per-side key histograms, then Σ cnt_a·cnt_b over the matched
+    * keys (plus per-side distinct keys, matched keys, and the worst
+    * single-key fanout — the salting trigger). This is the planner
+    * pre-flight a 100 TB fact-fact join deserves: its cost is two
+    * key-cardinality hash aggs + one key-sized join, i.e. orders of
+    * magnitude below the join it predicts, and `est_rows` vs input
+    * sizes decides broadcast / SMJ / salt up front. The spec asserts
+    * the invariant that makes it trustworthy: est_rows equals the
+    * materialized join's actual count. */
+  val joinCardinalityProbe: QDef = q(
+    "join_cardinality_probe",
+    """WITH a AS (
+      |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ca
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM orders GROUP BY o_custkey),
+      |j AS (SELECT ca, cb FROM a FULL JOIN b USING (k))
+      |SELECT
+      |  CAST(SUM(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd_left,
+      |  CAST(SUM(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd_right,
+      |  CAST(SUM(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nd_matched,
+      |  CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS est_rows,
+      |  CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_fanout
+      |FROM j""") { (s, d) =>
+    val a = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+    val b = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cb"))
+    // one FULL OUTER key-histogram join feeds all five statistics in
+    // a single pass: both sides arrive already hash-partitioned on
+    // the join key from their aggs (no extra exchange), and the
+    // probe's total cost stays two key-cardinality aggs + one
+    // key-sized SMJ — orders of magnitude below the join it predicts
+    val j = a.join(b, col("user_id") === col("o_custkey"), "full_outer")
+      .select(col("ca"), col("cb"))
+    j.agg(
+      sum(when(col("ca").isNotNull, 1).otherwise(0)).cast(LongType)
+        .as("nd_left"),
+      sum(when(col("cb").isNotNull, 1).otherwise(0)).cast(LongType)
+        .as("nd_right"),
+      sum(when(col("ca").isNotNull && col("cb").isNotNull, 1).otherwise(0))
+        .cast(LongType).as("nd_matched"),
+      coalesce(sum(col("ca") * col("cb")), lit(0L)).as("est_rows"),
+      coalesce(max(col("ca") * col("cb")), lit(0L)).as("max_key_fanout"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -1093,5 +1143,5 @@ object Joins {
     joinBloomPrefilter, q5LocalSupplier, q10ReturnedItems,
     q14PromoRevenue, q16SupplierVariety, q22NoOrderCustomers,
     q6RevenueDelta, q13CustomerDistribution, q15TopSupplier,
-    q19DiscountedRevenue)
+    q19DiscountedRevenue, joinCardinalityProbe)
 }

@@ -452,8 +452,42 @@ object Sampling {
       .orderBy(col("lang"), col("shard_id"))
   }
 
+  /** Join-key skew profile (r12c) — the report an operator reads
+    * BEFORE launching a 100 TB fact-fact join: the top-10 heaviest
+    * keys with their absolute counts, corpus share (ppm) and
+    * multiple-of-average (ppm), i.e. exactly the keys a salting
+    * scheme or AQE skew-split would target. Cost at any scale: one
+    * key-cardinality hash agg (map-side partials), a one-row global
+    * roll-up cross-broadcast back, and a top-10
+    * TakeOrderedAndProject — the fact table itself shuffles only
+    * key digests, never rows. Integer ppm arithmetic (both operands
+    * non-negative, so DuckDB `//` floor ≡ Spark `div` truncation). */
+  val profileKeySkew: QDef = q(
+    "profile_key_skew",
+    """WITH k AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (
+      |  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+      |    CAST(COUNT(*) AS BIGINT) AS nd_keys FROM k)
+      |SELECT o_custkey, n_rows,
+      |  CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+      |  CAST(n_rows * nd_keys * 1000000 // total AS BIGINT) AS vs_avg_ppm
+      |FROM k, t
+      |ORDER BY n_rows DESC, o_custkey LIMIT 10""") { (s, d) =>
+    val k = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_rows"))
+    val t = k.agg(sum(col("n_rows")).as("total"),
+      count(lit(1)).as("nd_keys"))
+    k.crossJoin(broadcast(t))
+      .select(col("o_custkey"), col("n_rows"),
+        expr("n_rows * 1000000L div total").as("share_ppm"),
+        expr("n_rows * nd_keys * 1000000L div total").as("vs_avg_ppm"))
+      .orderBy(col("n_rows").desc, col("o_custkey")).limit(10)
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
-    sampleWeightedPps, shardTokenBalanced)
+    sampleWeightedPps, shardTokenBalanced, profileKeySkew)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QDef, Tables}
 import graft.QDef.q
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.6 (sort / limit / top-k) and §2.7 (set operations). */
@@ -116,7 +117,53 @@ object SortSetOps {
     a.exceptAll(b).orderBy(col("sk"))
   }
 
+  /** Per-brand Pareto frontier / skyline (r12c): the parts no other
+    * same-brand part beats on BOTH (cheaper-or-equal price,
+    * bigger-or-equal size, strictly better in one) — multi-objective
+    * selection, the "best tradeoff set" ask the quadratic NOT-EXISTS
+    * formulation (the oracle) answers at O(n²). The distributed plan
+    * is O(n log n) and never compares pairs: (1) per-(brand, price)
+    * max-size hash agg — grouping on the raw parquet DOUBLE is exact,
+    * both engines group identical bit patterns; (2) a running strict
+    * prior-max window over the per-PRICE table (cardinality = distinct
+    * prices per brand, not rows — each window row is one price, so
+    * rows-frame [-∞,-1] IS "all strictly cheaper prices"); (3) the
+    * surviving frontier prices (≤ distinct sizes of them) broadcast
+    * back against the part scan. At 100 TB the agg shuffles
+    * (brand, price) partials, the window table stays
+    * price-cardinality-sized, and step 3 degrades to an SMJ on the
+    * same (brand, price) key the agg already laid out. */
+  val paretoFrontierParts: QDef = q(
+    "pareto_frontier_parts",
+    """SELECT p_brand, p_partkey, p_size, p_retailprice
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q WHERE q.p_brand = p.p_brand
+      |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p_brand, p_retailprice, p_partkey""") { (s, d) =>
+    val p = Tables.part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("p_retailprice"))
+    val g = p.groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("gmax"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = g.withColumn("m_lt", max(col("gmax")).over(w))
+      .filter(col("m_lt").isNull || col("gmax") > col("m_lt"))
+      .select(col("p_brand").as("fb"), col("p_retailprice").as("fp"),
+        col("gmax"))
+    p.join(broadcast(front),
+        col("p_brand") === col("fb") &&
+          col("p_retailprice") === col("fp") &&
+          col("p_size") === col("gmax"))
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("p_retailprice"))
+      .orderBy(col("p_brand"), col("p_retailprice"), col("p_partkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     sortMultikey, topkGlobal, setUnionAll, setUnionDistinct,
-    setIntersect, setExcept, setIntersectAll, setExceptAll)
+    setIntersect, setExcept, setIntersectAll, setExceptAll,
+    paretoFrontierParts)
 }

@@ -64,6 +64,11 @@ class GoldenShufflesSpec extends SparkSpec {
     // r11: persisted marginal table — the second broadcast build
     // reads the cache instead of re-aggregating (PLANS.md r11)
     "cooccur_pmi" -> 3,
+    // r12c: two key-histogram aggs + full-outer SMJ (exchange-free,
+    // both sides pre-partitioned on the join key) + one-row roll-up
+    "join_cardinality_probe" -> 3,
+    "pareto_frontier_parts" -> 3,
+    "profile_key_skew" -> 2,
     "corpus_zipf" -> 1,
     "curation_funnel" -> 5,
     "dedup_band_tuning" -> 6,

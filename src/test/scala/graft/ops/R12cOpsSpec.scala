@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-12 third-batch additions, checked
+  * by driver-side recomputation at sf0.001 — independent of the DuckDB
+  * oracle, so a systematic cross-engine bug can't hide a wrong
+  * formulation (the R5OpsSpec discipline).
+  */
+class R12cOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val keys = Seq(
+    "profile_key_skew", "join_cardinality_probe", "pareto_frontier_parts")
+
+  test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
+    val session = spark.conf.get("spark.sql.shuffle.partitions")
+    def results(parts: Int): Map[String, Seq[String]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try keys.map { k =>
+        k -> graft.SparkEntry.queries(k)(spark, sf).collect()
+          .map(_.toString).toSeq.sorted
+      }.toMap
+      finally spark.conf.set("spark.sql.shuffle.partitions", session)
+    }
+    val a = results(3); val b = results(17)
+    keys.foreach { k =>
+      assert(a(k) == b(k), s"$k: result depends on the shuffle partition count")
+      assert(a(k).nonEmpty, s"$k: empty result cannot certify anything")
+    }
+  }
+
+  test("join_cardinality_probe: est_rows equals the materialized join's count") {
+    val probe = Joins.joinCardinalityProbe.run(spark, sf).collect().head
+    val actual = Tables.events(spark, sf).select(col("user_id"))
+      .join(Tables.orders(spark, sf).select(col("o_custkey")),
+        col("user_id") === col("o_custkey"))
+      .count()
+    assert(probe.getLong(3) == actual,
+      s"forecast ${probe.getLong(3)} != materialized $actual")
+    // side cardinalities recompute
+    val ndL = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    val ndR = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(probe.getLong(0) == ndL && probe.getLong(1) == ndR)
+    assert(probe.getLong(2) <= math.min(ndL, ndR))
+    // the worst key's fanout bounds the mean fanout
+    assert(probe.getLong(4) * probe.getLong(2) >= probe.getLong(3))
+  }
+
+  test("pareto_frontier_parts: matches the brute-force dominance check") {
+    val parts = Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("p_retailprice")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val expected = parts.filter { case (b, _, sz, pr) =>
+      !parts.exists { case (b2, _, sz2, pr2) =>
+        b2 == b && pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.map(t => (t._1, t._2)).toSet
+    val got = SortSetOps.paretoFrontierParts.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("pareto_frontier_parts: frontier is an antichain with one point per size") {
+    val rows = SortSetOps.paretoFrontierParts.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (brand, rs) =>
+      // within a brand, strictly increasing size must pair with
+      // strictly increasing price across DISTINCT (size, price) points
+      val pts = rs.map(t => (t._2, t._3)).distinct.sortBy(_._1)
+      pts.sliding(2).foreach {
+        case Array((s1, p1), (s2, p2)) =>
+          assert(s1 < s2 && p1 < p2,
+            s"$brand: frontier points ($s1,$p1) vs ($s2,$p2) violate tradeoff order")
+        case _ =>
+      }
+      // at most one price per size on the frontier
+      assert(pts.map(_._1).distinct.length == pts.length)
+    }
+  }
+
+  test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
+    val counts = Tables.orders(spark, sf).select(col("o_custkey")).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val nd = counts.size.toLong
+    val expectedTop = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+    val rows = Sampling.profileKeySkew.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    assert(rows.map(t => (t._1, t._2)).toSeq == expectedTop)
+    rows.foreach { case (_, n, share, vsAvg) =>
+      assert(share == n * 1000000L / total)
+      assert(vsAvg == n * nd * 1000000L / total)
+    }
+  }
+}
