@@ -651,7 +651,78 @@ object ClusterOps {
       .orderBy(col("level"))
   }
 
+  /** Synchronous label propagation, 3 fixed rounds (r12c) — the
+    * community-detection kernel next to CC (pure min-label) and
+    * PageRank (weighted mass): each round every node adopts the
+    * PLURALITY label among its neighbors, ties broken to the smallest
+    * label, over the same customer⇄supplier trade graph as
+    * `graph_pagerank`. Plurality needs a (node, label) count table
+    * per round — one edge⋈labels broadcast join + one (src, lbl)
+    * hash agg + one per-src argmax agg; the argmax is
+    * max(struct(cnt, −lbl)) (count first, then smallest label) so no
+    * window and no per-src sort. Label tables are O(nodes) and
+    * broadcast; the edge table is built once, persisted, and never
+    * shuffled — at node counts beyond broadcast range the joins
+    * degrade to SMJ on src, the standard distributed-LPA shape.
+    * Round count is FIXED (no convergence probe): 3 sync rounds is
+    * the published early-stop regime for LPA (oscillation risk grows
+    * after), and fixed rounds keep the answer bit-deterministic.
+    * Output is the community-size histogram. */
+  val graphLabelPropagation: QDef = q(
+    "graph_label_propagation",
+    """WITH eb AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
+      |  UNION ALL
+      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+      |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+      |c1 AS (SELECT e.src, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM edges e JOIN l0 l ON l.id = e.dst GROUP BY e.src, l.lbl),
+      |l1 AS MATERIALIZED (SELECT src AS id, lbl FROM (
+      |  SELECT src, lbl, row_number() OVER (
+      |    PARTITION BY src ORDER BY cnt DESC, lbl ASC) AS rn FROM c1)
+      |  WHERE rn = 1),
+      |c2 AS (SELECT e.src, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM edges e JOIN l1 l ON l.id = e.dst GROUP BY e.src, l.lbl),
+      |l2 AS MATERIALIZED (SELECT src AS id, lbl FROM (
+      |  SELECT src, lbl, row_number() OVER (
+      |    PARTITION BY src ORDER BY cnt DESC, lbl ASC) AS rn FROM c2)
+      |  WHERE rn = 1),
+      |c3 AS (SELECT e.src, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM edges e JOIN l2 l ON l.id = e.dst GROUP BY e.src, l.lbl),
+      |l3 AS (SELECT src AS id, lbl FROM (
+      |  SELECT src, lbl, row_number() OVER (
+      |    PARTITION BY src ORDER BY cnt DESC, lbl ASC) AS rn FROM c3)
+      |  WHERE rn = 1)
+      |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM l3 GROUP BY lbl ORDER BY community""") { (s, d) =>
+    val eb = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = eb
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l0 = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
+    // ids are positive (key*2(+1), keys ≥ 1) so −lbl preserves the
+    // smallest-label tiebreak inside the lexicographic struct max
+    def round(l: org.apache.spark.sql.DataFrame) =
+      edges.join(broadcast(l), edges("dst") === l("id"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("src").as("id"), (-col("m.neg")).as("lbl"))
+    val l3 = round(round(round(l0)))
+    l3.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("community"), col("n_members"))
+      .orderBy(col("community"))
+  }
+
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
     graphTriangleCount, basketAssocRules, dedupClusterStar,
-    graphJaccardNeighbors, graphBfsLevels)
+    graphJaccardNeighbors, graphBfsLevels, graphLabelPropagation)
 }

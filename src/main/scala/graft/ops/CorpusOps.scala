@@ -804,9 +804,54 @@ object CorpusOps {
       .limit(40)
   }
 
+  /** Inverted-index build with capped postings (r12c) — the
+    * search-index construction pass over the corpus: per term its
+    * document frequency, collection frequency, and the FIRST 8
+    * postings (doc_ids ascending) as a bounded array. The cap is the
+    * scale story: a 100 TB common-term posting list is unbounded, so
+    * the rank-then-filter shape (row_number per term by doc_id, keep
+    * rn ≤ 8) bounds both the shuffle payload and the output row
+    * BEFORE the final agg — df/cf still aggregate over ALL postings
+    * via the same exchange (the window's term partitioning is the
+    * agg's grouping, so the cap costs zero extra shuffles). The
+    * (doc, term, tf) table builds row-locally through the codegen'd
+    * `graft_term_counts` (one row per DISTINCT term per doc — the
+    * r7 wordcount discipline; no occurrence-stream shuffle). */
+  val indexInvertedPostings: QDef = q(
+    "index_inverted_postings",
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |r AS (
+      |  SELECT doc_id, term, tf, row_number() OVER (
+      |    PARTITION BY term ORDER BY doc_id) AS rn
+      |  FROM tf)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS cf,
+      |  array_to_string(list(doc_id ORDER BY doc_id)
+      |    FILTER (WHERE rn <= 8), '|') AS postings
+      |FROM r GROUP BY term ORDER BY term""") { (s, d) =>
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.termCounts(
+          split(col("text"), " "))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").cast(LongType).as("tf"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    tc.withColumn("rn", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(sort_array(collect_list(when(col("rn") <= 8, col("doc_id")))),
+          "|").as("postings"))
+      .orderBy(col("term"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
-    dedupSegmentLevel, tokenizerBpePairs)
+    dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings)
 }

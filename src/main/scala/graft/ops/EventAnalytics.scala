@@ -791,9 +791,61 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Seasonal-naive forecast error (r12c) — the baseline every demand
+    * forecaster is graded against: predict each day's total with the
+    * value 7 days earlier and report the error profile per series.
+    * The lag is a DATE-equi self-join (day = day − 7), NOT a 7-row
+    * window lag — gap days would silently shift a row-lag, the date
+    * join stays correct on sparse series. Daily totals collapse the
+    * fact table first (`ts_autocorr_daily`'s discipline), so the
+    * self-join is day-cardinality-sized; at 100 TB both sides reuse
+    * the same (type, day) layout the agg produced. All-integer cents
+    * outputs; the signed bias total is NOT divided (sign-safe rule —
+    * only the non-negative MAE numerator meets floor division). */
+  val tsSeasonalNaiveError: QDef = q(
+    "ts_seasonal_naive_error",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM events GROUP BY event_type, day),
+      |p AS (
+      |  SELECT a.event_type, a.cents AS actual, b.cents AS forecast
+      |  FROM dtot a JOIN dtot b
+      |    ON a.event_type = b.event_type AND b.day = a.day - 7)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS abs_err_cents,
+      |  CAST(SUM(ABS(actual - forecast)) // COUNT(*) AS BIGINT) AS mae_cents,
+      |  CAST(SUM(actual - forecast) AS BIGINT) AS bias_cents
+      |FROM p GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val dtot = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        (qty(col("value")) * 100).cast(LongType).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).cast(LongType).as("cents"))
+    val a = dtot.select(col("event_type"), col("day"),
+      col("cents").as("actual"))
+    val b = dtot.select(col("event_type").as("et_b"),
+      col("day").as("day_b"), col("cents").as("forecast"))
+    a.join(b, col("event_type") === col("et_b") &&
+        col("day_b") === date_sub(col("day"), 7))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("actual") - col("forecast"))).cast(LongType)
+          .as("abs_err_cents"),
+        expr("CAST(sum(abs(actual - forecast)) div count(*) AS BIGINT)")
+          .as("mae_cents"),
+        sum(col("actual") - col("forecast")).cast(LongType)
+          .as("bias_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
     eventTransitionMatrix, abTestMetrics, sessionConversion,
-    tsAutocorrDaily, winStreaksDaily)
+    tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError)
 }

@@ -67,6 +67,11 @@ class GoldenShufflesSpec extends SparkSpec {
     // r12c: two key-histogram aggs + full-outer SMJ (exchange-free,
     // both sides pre-partitioned on the join key) + one-row roll-up
     "join_cardinality_probe" -> 3,
+    // r12c: persisted edge build (3) + 3 LPA rounds x (src,lbl) agg
+    // + per-src argmax agg (broadcast label joins are exchange-free)
+    "graph_label_propagation" -> 9,
+    "index_inverted_postings" -> 2,
+    "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,
     "profile_key_skew" -> 2,
     "corpus_zipf" -> 1,

@@ -13,7 +13,9 @@ class R12cOpsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private val keys = Seq(
-    "profile_key_skew", "join_cardinality_probe", "pareto_frontier_parts")
+    "profile_key_skew", "join_cardinality_probe", "pareto_frontier_parts",
+    "graph_label_propagation", "index_inverted_postings",
+    "ts_seasonal_naive_error")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -80,6 +82,72 @@ class R12cOpsSpec extends SparkSpec {
       // at most one price per size on the frontier
       assert(pts.map(_._1).distinct.length == pts.length)
     }
+  }
+
+  test("graph_label_propagation: matches a JVM-recomputed 3-round sync LPA") {
+    val eb = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = eb.flatMap { case (c, s0) => Seq((c, s0), (s0, c)) }
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var labels: Map[Long, Long] = nbrs.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 3) {
+      labels = nbrs.map { case (node, ns) =>
+        val counts = ns.map(labels).groupBy(identity).view
+          .mapValues(_.size.toLong).toSeq
+        val (best, _) = counts.minBy { case (l, c) => (-c, l) }
+        node -> best
+      }
+    }
+    val expected = labels.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = ClusterOps.graphLabelPropagation.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.sum == nbrs.size.toLong, "histogram must cover every node")
+  }
+
+  test("index_inverted_postings: df/cf/postings recompute from raw tokens") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perTerm = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).groupBy(identity).map { case (t, occ) =>
+        (t, id, occ.length.toLong)
+      }
+    }.groupBy(_._1)
+    val rows = CorpusOps.indexInvertedPostings.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.map(_._1).toSet == perTerm.keySet)
+    rows.foreach { case (term, df, cf, postings) =>
+      val entries = perTerm(term)
+      assert(df == entries.length.toLong, s"$term df")
+      assert(cf == entries.map(_._3).sum, s"$term cf")
+      val expected = entries.map(_._2).sorted.take(8).mkString("|")
+      assert(postings == expected, s"$term postings")
+    }
+  }
+
+  test("ts_seasonal_naive_error: recomputes from daily cent totals") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"),
+        (col("value").cast("decimal(12,4)") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("cents"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate), r.getLong(2)))
+      .toMap
+    val pairs = daily.toSeq.flatMap { case ((et, day), actual) =>
+      daily.get((et, day.minusDays(7))).map(f => (et, actual, f))
+    }
+    val expected = pairs.groupBy(_._1).view.mapValues { ps =>
+      val absErr = ps.map(p => math.abs(p._2 - p._3)).sum
+      (ps.size.toLong, absErr, absErr / ps.size, ps.map(p => p._2 - p._3).sum)
+    }.toMap
+    val got = EventAnalytics.tsSeasonalNaiveError.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
