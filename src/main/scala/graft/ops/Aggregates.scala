@@ -878,6 +878,63 @@ object Aggregates {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Top-N + OTHER rollup (r12c) — the reporting shape every revenue
+    * dashboard ships: per-brand revenue, the top-5 brands kept by
+    * name, the long tail folded into one 'OTHER' row, shares
+    * recomputed over the whole. The brand table is aggregated ONCE
+    * and persisted; top-5 selection is a TakeOrderedAndProject whose
+    * 5-row result broadcasts back as the labeling set, so the fact
+    * table is scanned once and the only full-size shuffle is the
+    * brand agg's partials. Ties at the cut are impossible to
+    * mis-order: exact-decimal revenue with a brand-name tiebreak is
+    * a total order in both engines. share_ppm uses q14's
+    * identically-spelled float round-half-up. */
+  val reportTopnOther: QDef = q(
+    "report_topn_other",
+    """WITH br AS MATERIALIZED (
+      |  SELECT p_brand,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS rev
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY p_brand),
+      |t5 AS (SELECT p_brand FROM br ORDER BY rev DESC, p_brand LIMIT 5),
+      |lab AS (
+      |  SELECT CASE WHEN p_brand IN (SELECT p_brand FROM t5)
+      |    THEN p_brand ELSE 'OTHER' END AS label, rev
+      |  FROM br),
+      |a AS (SELECT label, SUM(rev) AS rev,
+      |  CAST(COUNT(*) AS BIGINT) AS n_brands FROM lab GROUP BY label),
+      |tot AS (SELECT SUM(rev) AS tr FROM br)
+      |SELECT label, CAST(rev AS DOUBLE) AS revenue, n_brands,
+      |  CAST(floor(CAST(rev AS DOUBLE) * 1000000 / CAST(tr AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS share_ppm
+      |FROM a, tot
+      |ORDER BY revenue DESC, label""") { (s, d) =>
+    val br = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount")))).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t5 = br.orderBy(col("rev").desc, col("p_brand")).limit(5)
+      .select(col("p_brand").as("tb"))
+    val lab = br.join(broadcast(t5), col("p_brand") === col("tb"), "left")
+      .select(when(col("tb").isNotNull, col("p_brand")).otherwise("OTHER")
+        .as("label"), col("rev"))
+    val a = lab.groupBy(col("label"))
+      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_brands"))
+    val tot = br.agg(sum(col("rev")).as("tr"))
+    a.crossJoin(broadcast(tot))
+      .select(col("label"), outDouble(col("rev")).as("revenue"),
+        col("n_brands"),
+        floor(outDouble(col("rev")) * 1000000 / outDouble(col("tr")) + 0.5)
+          .cast(LongType).as("share_ppm"))
+      .orderBy(col("revenue").desc, col("label"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -885,5 +942,5 @@ object Aggregates {
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
     aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
-    aggStringConcat, aggZscoreOutliers)
+    aggStringConcat, aggZscoreOutliers, reportTopnOther)
 }

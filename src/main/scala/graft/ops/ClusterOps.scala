@@ -722,7 +722,78 @@ object ClusterOps {
       .orderBy(col("community"))
   }
 
+  /** Iterated 2-core degree pruning, 3 fixed rounds (r12c) — the
+    * k-core peeling kernel: each round drops every node with fewer
+    * than 2 remaining neighbors, then the edges touching it; the
+    * round-by-round (n_nodes, n_edges) decay curve is the density
+    * profile an operator reads to size graph workloads (a curve that
+    * doesn't flatten means the graph is all tendrils). Fixed rounds,
+    * not to-convergence — same bit-determinism rule as LPA/PageRank;
+    * 3 rounds bound the true 2-core from above. Per round: one
+    * degree agg over the surviving edges + two semi-joins against
+    * the broadcast O(nodes) keep-set — the edge table shuffles only
+    * shrinking degree partials; beyond broadcast range the
+    * semi-joins degrade to SMJ on src/dst, the standard distributed
+    * peeling shape. */
+  val graphKCore: QDef = q(
+    "graph_k_core",
+    """WITH eb AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e0 AS MATERIALIZED (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
+      |  UNION ALL
+      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+      |k1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 2),
+      |e1 AS MATERIALIZED (SELECT src, dst FROM e0
+      |  WHERE src IN (SELECT src FROM k1) AND dst IN (SELECT src FROM k1)),
+      |k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 2),
+      |e2 AS MATERIALIZED (SELECT src, dst FROM e1
+      |  WHERE src IN (SELECT src FROM k2) AND dst IN (SELECT src FROM k2)),
+      |k3 AS (SELECT src FROM e2 GROUP BY src HAVING COUNT(*) >= 2),
+      |e3 AS MATERIALIZED (SELECT src, dst FROM e2
+      |  WHERE src IN (SELECT src FROM k3) AND dst IN (SELECT src FROM k3))
+      |SELECT CAST(0 AS BIGINT) AS round,
+      |  (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e0) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges
+      |UNION ALL
+      |SELECT 1, (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e1),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e1)
+      |UNION ALL
+      |SELECT 2, (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e2),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+      |UNION ALL
+      |SELECT 3, (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e3),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+      |ORDER BY round""") { (s, d) =>
+    val eb = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e0 = eb
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def prune(e: org.apache.spark.sql.DataFrame) = {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("src"))
+      e.join(broadcast(keep), Seq("src"), "left_semi")
+        .join(broadcast(keep.withColumnRenamed("src", "dst")),
+          Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val e1 = prune(e0); val e2 = prune(e1); val e3 = prune(e2)
+    def stats(i: Int, e: org.apache.spark.sql.DataFrame) =
+      e.agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_edges"))
+        .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
+    stats(0, e0).union(stats(1, e1)).union(stats(2, e2)).union(stats(3, e3))
+      .orderBy(col("round"))
+  }
+
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
     graphTriangleCount, basketAssocRules, dedupClusterStar,
-    graphJaccardNeighbors, graphBfsLevels, graphLabelPropagation)
+    graphJaccardNeighbors, graphBfsLevels, graphLabelPropagation,
+    graphKCore)
 }

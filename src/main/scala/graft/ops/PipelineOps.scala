@@ -544,9 +544,55 @@ object PipelineOps {
       .orderBy(col("h"))
   }
 
+  /** Hashing-trick collision census (r12c) — the audit run before
+    * committing a feature-hashing width: every corpus term is hashed
+    * into 16 buckets (md5-prefix mod, the house deterministic hash)
+    * and each bucket reports how many DISTINCT terms collided into it
+    * and the occurrence mass they carry — the dispersion/collision
+    * profile that decides whether the width loses signal. All 16
+    * buckets are scaffolded (a LEFT JOIN from the literal bucket
+    * range, the drift_value_histogram discipline) so empty buckets
+    * survive. Scale shape: term-level agg (term-cardinality shuffle,
+    * never occurrences — `graft_term_counts` row-local build), then
+    * a 16-row bucket agg; at any corpus size the shuffles carry
+    * (term, count) partials only. */
+  val hashFeatureCollisions: QDef = q(
+    "hash_feature_collisions",
+    """WITH occ AS (
+      |  SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |b AS (
+      |  SELECT CAST(('0x' || substr(md5(term), 1, 4))::INT % 16 AS BIGINT)
+      |      AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(n) AS BIGINT) AS n_occ
+      |  FROM occ GROUP BY 1)
+      |SELECT g.bucket, CAST(COALESCE(n_terms, 0) AS BIGINT) AS n_terms,
+      |  CAST(COALESCE(n_occ, 0) AS BIGINT) AS n_occ
+      |FROM (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS bucket) g
+      |LEFT JOIN b ON b.bucket = g.bucket
+      |ORDER BY g.bucket""") { (s, d) =>
+    val occ = Tables.documents(s, d)
+      .select(explode(graft.functions.VectorFunctions.termCounts(
+        split(col("text"), " "))).as("tc"))
+      .groupBy(col("tc.term").as("term"))
+      .agg(sum(col("tc.tf").cast(LongType)).as("n"))
+    val b = occ
+      .groupBy((conv(substring(md5(col("term")), 1, 4), 16, 10)
+        .cast(LongType) % 16).as("bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("n")).as("n_occ"))
+    val scaffold = s.range(0, 16).toDF("bucket")
+    scaffold.join(broadcast(b), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QDef] = Seq(
     contaminationNgram, packSequences, mixDomainWeighted, textRepetition,
     textPiiScrub, embedQuantizeInt8, curationFunnel, dedupPrefixCluster,
     mixTemperatureResample, mixUpsampleEpochs, embedNormAudit,
-    dedupSourcePriority)
+    dedupSourcePriority, hashFeatureCollisions)
 }

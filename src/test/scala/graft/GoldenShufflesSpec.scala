@@ -70,6 +70,9 @@ class GoldenShufflesSpec extends SparkSpec {
     // r12c: persisted edge build (3) + 3 LPA rounds x (src,lbl) agg
     // + per-src argmax agg (broadcast label joins are exchange-free)
     "graph_label_propagation" -> 9,
+    "graph_k_core" -> 8,
+    "hash_feature_collisions" -> 2,
+    "report_topn_other" -> 3,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

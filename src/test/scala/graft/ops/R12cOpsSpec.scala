@@ -15,7 +15,8 @@ class R12cOpsSpec extends SparkSpec {
   private val keys = Seq(
     "profile_key_skew", "join_cardinality_probe", "pareto_frontier_parts",
     "graph_label_propagation", "index_inverted_postings",
-    "ts_seasonal_naive_error")
+    "ts_seasonal_naive_error", "graph_k_core", "hash_feature_collisions",
+    "report_topn_other")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -148,6 +149,73 @@ class R12cOpsSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got == expected)
+  }
+
+  test("graph_k_core: matches JVM-recomputed iterated degree pruning") {
+    val eb = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    var edges = eb.flatMap { case (c, s0) => Seq((c, s0), (s0, c)) }.toSeq
+    val expected = scala.collection.mutable.ArrayBuffer(
+      (0L, edges.map(_._1).distinct.size.toLong, edges.size.toLong))
+    for (i <- 1 to 3) {
+      val keep = edges.groupBy(_._1).filter(_._2.size >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      expected += ((i.toLong, edges.map(_._1).distinct.size.toLong,
+        edges.size.toLong))
+    }
+    val got = ClusterOps.graphKCore.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected.toSeq)
+    // the decay curve is monotone
+    got.sliding(2).foreach {
+      case Seq((_, n1, e1), (_, n2, e2)) => assert(n2 <= n1 && e2 <= e1)
+      case _ =>
+    }
+  }
+
+  test("hash_feature_collisions: bucket masses partition the term universe") {
+    val rows = PipelineOps.hashFeatureCollisions.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (0L until 16L))
+    val docs = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0))
+    val terms = docs.flatMap(_.split(" ", -1))
+    assert(rows.map(_._2).sum == terms.distinct.length.toLong,
+      "n_terms must sum to the distinct vocabulary size")
+    assert(rows.map(_._3).sum == terms.length.toLong,
+      "n_occ must sum to total corpus occurrences")
+  }
+
+  test("report_topn_other: shares and the OTHER fold recompute") {
+    def dec(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (r.getLong(0), dec(r.getDouble(1)), dec(r.getDouble(2))))
+    val brandOf = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byBrand = li.groupBy(t => brandOf(t._1)).view.mapValues(
+      _.map(t => t._2 * (BigDecimal(1) - t._3)).sum).toMap
+    val top5 = byBrand.toSeq.sortBy { case (b, r) => (-r, b) }
+      .take(5).map(_._1).toSet
+    val expected = byBrand.toSeq
+      .map { case (b, r) => (if (top5(b)) b else "OTHER") -> r }
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.size.toLong)).toMap
+    val got = Aggregates.reportTopnOther.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    val total = byBrand.values.sum.toDouble
+    expected.foreach { case (label, (rev, nBrands)) =>
+      val (gRev, gN, gPpm) = got(label)
+      assert(math.abs(gRev - rev.toDouble) < 1e-6, s"$label revenue")
+      assert(gN == nBrands, s"$label n_brands")
+      assert(gPpm == math.floor(rev.toDouble * 1000000 / total + 0.5).toLong,
+        s"$label share_ppm")
+    }
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
