@@ -935,6 +935,87 @@ object Aggregates {
       .orderBy(col("revenue").desc, col("label"))
   }
 
+  /** One-pass correlation matrix (r12c) — all three pairwise
+    * correlations of (quantity, price, discount) from a SINGLE scan:
+    * the 10 sufficient statistics (n, 3 sums, 3 squares, 3 cross
+    * products) accumulate as exact DECIMAL(38,0) partials in one
+    * aggregate, so adding a variable costs columns, not passes —
+    * the way a covariance matrix is actually computed at 100 TB.
+    * Formula spelling is `agg_corr_explicit`'s, applied three
+    * times. Price in integer DOLLARS (cents div 100, the
+    * agg_zscore_outliers rule): the price power sum stays below
+    * 2^53 where both engines' decimal→double casts are exactly
+    * rounded — in cents, syy crosses the measured DuckDB int128
+    * misrounding range at sf0.1 (this key FAILED preflight there
+    * before the rescale). */
+  val aggCorrMatrix: QDef = q(
+    "agg_corr_matrix",
+    """WITH li AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS y,
+      |    CAST(CAST(l_discount AS DECIMAL(6,2)) * 100 AS BIGINT) AS z
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(z AS DECIMAL(38,0))) AS sz,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |    SUM(CAST(z AS DECIMAL(38,0)) * z) AS szz,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * z) AS sxz,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * z) AS syz
+      |  FROM li),
+      |t AS (
+      |  SELECT n, CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+      |    CAST(sz AS DOUBLE) AS dz, CAST(sxx AS DOUBLE) AS dxx,
+      |    CAST(syy AS DOUBLE) AS dyy, CAST(szz AS DOUBLE) AS dzz,
+      |    CAST(sxy AS DOUBLE) AS dxy, CAST(sxz AS DOUBLE) AS dxz,
+      |    CAST(syz AS DOUBLE) AS dyz
+      |  FROM s)
+      |SELECT n,
+      |  (n * dxy - dx * dy) / (sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy))
+      |    AS corr_qty_price,
+      |  (n * dxz - dx * dz) / (sqrt(n * dxx - dx * dx) * sqrt(n * dzz - dz * dz))
+      |    AS corr_qty_disc,
+      |  (n * dyz - dy * dz) / (sqrt(n * dyy - dy * dy) * sqrt(n * dzz - dz * dz))
+      |    AS corr_price_disc
+      |FROM t""") { (s, d) =>
+    val decX = col("x").cast(DecimalType(38, 0))
+    val decY = col("y").cast(DecimalType(38, 0))
+    val decZ = col("z").cast(DecimalType(38, 0))
+    val sums = Tables.lineitem(s, d)
+      .select((qty(col("l_quantity")) * 10).cast(LongType).as("x"),
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100")
+          .as("y"),
+        (rate(col("l_discount")) * 100).cast(LongType).as("z"))
+      .agg(count(lit(1)).as("n"),
+        sum(decX).as("sx"), sum(decY).as("sy"), sum(decZ).as("sz"),
+        sum(decX * col("x")).as("sxx"), sum(decY * col("y")).as("syy"),
+        sum(decZ * col("z")).as("szz"), sum(decX * col("y")).as("sxy"),
+        sum(decX * col("z")).as("sxz"), sum(decY * col("z")).as("syz"))
+    val t = sums.select(col("n"),
+      col("sx").cast(DoubleType).as("dx"), col("sy").cast(DoubleType).as("dy"),
+      col("sz").cast(DoubleType).as("dz"),
+      col("sxx").cast(DoubleType).as("dxx"),
+      col("syy").cast(DoubleType).as("dyy"),
+      col("szz").cast(DoubleType).as("dzz"),
+      col("sxy").cast(DoubleType).as("dxy"),
+      col("sxz").cast(DoubleType).as("dxz"),
+      col("syz").cast(DoubleType).as("dyz"))
+    import org.apache.spark.sql.Column
+    def corr(dab: Column, da: Column, db: Column, daa: Column, dbb: Column) =
+      (col("n") * dab - da * db) /
+        (sqrt(col("n") * daa - da * da) * sqrt(col("n") * dbb - db * db))
+    t.select(col("n"),
+      corr(col("dxy"), col("dx"), col("dy"), col("dxx"), col("dyy"))
+        .as("corr_qty_price"),
+      corr(col("dxz"), col("dx"), col("dz"), col("dxx"), col("dzz"))
+        .as("corr_qty_disc"),
+      corr(col("dyz"), col("dy"), col("dz"), col("dyy"), col("dzz"))
+        .as("corr_price_disc"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -942,5 +1023,5 @@ object Aggregates {
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
     aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
-    aggStringConcat, aggZscoreOutliers, reportTopnOther)
+    aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix)
 }

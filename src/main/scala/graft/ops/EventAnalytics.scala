@@ -843,9 +843,50 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Audience-overlap Jaccard matrix (r12c) — for every event-type
+    * pair, how much their user audiences overlap: |A∩B| via a
+    * self-join of the DISTINCT (type, user) table on user, sizes via
+    * the per-type count broadcast, Jaccard from inclusion-exclusion
+    * in integer ppm. The pair join's fanout per user is (#types that
+    * user has)² ≤ 25 — bounded by the TYPE vocabulary, not the data,
+    * which is what makes the audience matrix computable at any user
+    * count (the same reason basket_assoc_rules scales). Pairs with
+    * zero intersection don't appear (inner join — the absent-row
+    * convention a sparse overlap matrix wants). */
+  val audienceOverlapJaccard: QDef = q(
+    "audience_overlap_jaccard",
+    """WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+      |n AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY t),
+      |p AS (
+      |  SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+      |  GROUP BY a.t, b.t)
+      |SELECT type_a, type_b, n_both, na.n AS n_a, nb.n AS n_b,
+      |  CAST(n_both * 1000000 // (na.n + nb.n - n_both) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM p JOIN n na ON na.t = type_a JOIN n nb ON nb.t = type_b
+      |ORDER BY type_a, type_b""") { (s, d) =>
+    val tu = Tables.events(s, d)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val n = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val b = tu.select(col("t").as("tb"), col("u").as("ub"))
+    val p = tu.join(b, col("u") === col("ub") && col("t") < col("tb"))
+      .groupBy(col("t").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    p.join(broadcast(n.select(col("t").as("ta"), col("n").as("n_a"))),
+        col("type_a") === col("ta"))
+      .join(broadcast(n.select(col("t").as("tn"), col("n").as("n_b"))),
+        col("type_b") === col("tn"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        expr("n_both * 1000000L div (n_a + n_b - n_both)").as("jaccard_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
     eventTransitionMatrix, abTestMetrics, sessionConversion,
-    tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError)
+    tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError,
+    audienceOverlapJaccard)
 }

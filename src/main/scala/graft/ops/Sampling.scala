@@ -486,8 +486,49 @@ object Sampling {
       .orderBy(col("n_rows").desc, col("o_custkey")).limit(10)
   }
 
+  /** Freshness / SLA audit per stream (r12c) — the staleness report
+    * an ingest monitor publishes each run: per event type its last
+    * event time, the lag behind the globally freshest event, and the
+    * volume inside the trailing 24 h window. The global max is a
+    * one-row broadcast folded into the fact scan BEFORE the per-type
+    * agg, so the whole audit is one pass + a one-row pre-agg — at
+    * 100 TB the second "scan" for the max reads only the ts column
+    * (and on sorted/partitioned layouts, only footer stats). Lag in
+    * whole seconds via second-boundary diffs (identical to
+    * floor-epoch subtraction in both engines); last_ts
+    * second-truncated per the D4 timestamp rule. */
+  val dqFreshnessSla: QDef = q(
+    "dq_freshness_sla",
+    """WITH mx AS (SELECT max(ts) AS gm FROM events),
+      |e AS (SELECT event_type, ts, gm FROM events, mx)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS last_ts,
+      |  CAST(date_diff('second', max(ts), gm) AS BIGINT) AS lag_seconds,
+      |  CAST(SUM(CASE WHEN ts >= gm - INTERVAL 24 HOUR
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h
+      |FROM e GROUP BY event_type, gm ORDER BY event_type""") { (s, d) =>
+    val mx = Tables.events(s, d).agg(max(col("ts")).as("gm"))
+    Tables.events(s, d).select(col("event_type"), col("ts"))
+      .crossJoin(broadcast(mx))
+      // gm is single-valued; grouping on it too (like the oracle)
+      // avoids an order-dependent first() in the aggregate list
+      .groupBy(col("event_type"), col("gm"))
+      .agg(count(lit(1)).as("n_rows"),
+        date_trunc("second", max(col("ts"))).cast(TimestampType)
+          .as("last_ts"),
+        (unix_timestamp(max(col("gm"))) - unix_timestamp(max(col("ts"))))
+          .as("lag_seconds"),
+        sum(when(col("ts") >= col("gm") - expr("INTERVAL 24 HOURS"), 1)
+          .otherwise(0)).cast(LongType).as("n_last_24h"))
+      .select(col("event_type"), col("n_rows"), col("last_ts"),
+        col("lag_seconds"), col("n_last_24h"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
-    sampleWeightedPps, shardTokenBalanced, profileKeySkew)
+    sampleWeightedPps, shardTokenBalanced, profileKeySkew,
+    dqFreshnessSla)
 }

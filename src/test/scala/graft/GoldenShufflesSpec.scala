@@ -73,6 +73,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "graph_k_core" -> 8,
     "hash_feature_collisions" -> 2,
     "report_topn_other" -> 3,
+    "agg_corr_matrix" -> 1,
+    "audience_overlap_jaccard" -> 5,
+    "dq_freshness_sla" -> 3,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

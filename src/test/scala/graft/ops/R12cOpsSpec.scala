@@ -16,7 +16,8 @@ class R12cOpsSpec extends SparkSpec {
     "profile_key_skew", "join_cardinality_probe", "pareto_frontier_parts",
     "graph_label_propagation", "index_inverted_postings",
     "ts_seasonal_naive_error", "graph_k_core", "hash_feature_collisions",
-    "report_topn_other")
+    "report_topn_other", "audience_overlap_jaccard", "dq_freshness_sla",
+    "agg_corr_matrix")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -216,6 +217,75 @@ class R12cOpsSpec extends SparkSpec {
       assert(gPpm == math.floor(rev.toDouble * 1000000 / total + 0.5).toLong,
         s"$label share_ppm")
     }
+  }
+
+  test("audience_overlap_jaccard: recomputes from distinct user sets") {
+    val tu = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sets = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+    } yield {
+      val union = sets(a).size + sets(b).size - inter
+      (a, b) -> (inter, sets(a).size.toLong, sets(b).size.toLong,
+        inter * 1000000L / union)
+    }).toMap
+    val got = EventAnalytics.audienceOverlapJaccard.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected)
+  }
+
+  test("dq_freshness_sla: lag and trailing-window counts recompute") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val gm = evs.map(_._2).max
+    val got = Sampling.dqFreshnessSla.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getTimestamp(2), r.getLong(3), r.getLong(4))).toMap
+    val byType = evs.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (et, rs) =>
+      val (n, lastTs, lag, n24) = got(et)
+      assert(n == rs.length.toLong)
+      val mx = rs.map(_._2).max
+      assert(lastTs.getTime / 1000 == mx / 1000, s"$et last_ts")
+      // floor-to-second diffs: whole-second boundary crossings
+      assert(lag == math.floorDiv(gm, 1000) - math.floorDiv(mx, 1000), s"$et lag")
+      val cutoff = gm - 24L * 3600 * 1000
+      assert(n24 == rs.count(_._2 >= cutoff).toLong, s"$et n24")
+    }
+  }
+
+  test("agg_corr_matrix: corr(x,y) matches agg_corr_explicit's machinery on doubles") {
+    val r = Aggregates.aggCorrMatrix.run(spark, sf).collect().head
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(x => (
+        math.round(x.getDouble(0) * 10).toDouble,
+        (math.round(x.getDouble(1) * 100) / 100).toDouble, // integer dollars
+        math.round(x.getDouble(2) * 100).toDouble))
+    def corr(xs: Array[Double], ys: Array[Double]): Double = {
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(v => v * v).sum
+      val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val (q, p, di) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(math.abs(r.getDouble(1) - corr(q, p)) < 1e-5)
+    assert(math.abs(r.getDouble(2) - corr(q, di)) < 1e-5)
+    assert(math.abs(r.getDouble(3) - corr(p, di)) < 1e-5)
+    // correlations are bounded
+    Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).foreach(c =>
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
