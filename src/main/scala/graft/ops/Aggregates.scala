@@ -1016,6 +1016,87 @@ object Aggregates {
         .as("corr_price_disc"))
   }
 
+  /** Order-aging buckets (r12c) — the receivables-style aging report:
+    * every order bucketed by its age at the snapshot date (the
+    * fixture's freshest order date, one-row broadcast), counts and
+    * value per (priority, bucket). Bucket edges are integer day
+    * diffs on DATE-cast values — both engines count the same
+    * calendar-day boundary crossings. One fact pass + a one-row
+    * pre-agg, like dq_freshness_sla. */
+  val reportAgingBuckets: QDef = q(
+    "report_aging_buckets",
+    """WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS snap FROM orders),
+      |o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+      |    date_diff('day', CAST(o_orderdate AS DATE), snap) AS age
+      |  FROM orders, mx)
+      |SELECT priority,
+      |  CASE WHEN age <= 30 THEN '00-30' WHEN age <= 90 THEN '31-90'
+      |       WHEN age <= 365 THEN '91-365' ELSE '366+' END AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM o GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val mx = Tables.orders(s, d)
+      .agg(max(col("o_orderdate")).cast(DateType).as("snap"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("priority"),
+        money(col("o_totalprice")).as("v"), col("o_orderdate"))
+      .crossJoin(broadcast(mx))
+      .select(col("priority"), col("v"),
+        datediff(col("snap"), col("o_orderdate").cast(DateType)).as("age"))
+      .groupBy(col("priority"),
+        when(col("age") <= 30, "00-30").when(col("age") <= 90, "31-90")
+          .when(col("age") <= 365, "91-365").otherwise("366+").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        outDouble(sum(col("v"))).as("total_value"))
+      .orderBy(col("priority"), col("bucket"))
+  }
+
+  /** Revenue-concentration report (r12c) — per order status: how much
+    * of the value the 10 biggest orders capture ("whale share"). The
+    * top-10 selection is a per-group rank window (3 statuses at
+    * fixture scale; at 100 TB the same numbers come from the
+    * bounded-heap GroupedTopK path `topk_per_group` documents, plus
+    * the group totals — neither needs this window's per-group sort).
+    * Exact-decimal value with an orderkey tiebreak is a total order
+    * in both engines; share in q14's round-half-up ppm spelling. */
+  val reportConcentration: QDef = q(
+    "report_concentration",
+    """WITH r AS (
+      |  SELECT o_orderstatus AS status,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey)
+      |      AS rn
+      |  FROM orders)
+      |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(v) AS DOUBLE) AS total_value,
+      |  CAST(SUM(CASE WHEN rn <= 10 THEN v ELSE 0 END) AS DOUBLE)
+      |    AS top10_value,
+      |  CAST(floor(CAST(SUM(CASE WHEN rn <= 10 THEN v ELSE 0 END) AS DOUBLE)
+      |    * 1000000 / CAST(SUM(v) AS DOUBLE) + 0.5) AS BIGINT)
+      |    AS top10_share_ppm
+      |FROM r GROUP BY status ORDER BY status""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("status"))
+      .orderBy(col("v").desc, col("o_orderkey"))
+    val r = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"),
+        money(col("o_totalprice")).as("v"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+    r.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        outDouble(sum(col("v"))).as("total_value"),
+        outDouble(sum(when(col("rn") <= 10, col("v"))
+          .otherwise(lit(0).cast(DecimalType(12, 2))))).as("top10_value"))
+      .select(col("status"), col("n_orders"), col("total_value"),
+        col("top10_value"),
+        floor(col("top10_value") * 1000000 / col("total_value") + 0.5)
+          .cast(LongType).as("top10_share_ppm"))
+      .orderBy(col("status"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1023,5 +1104,6 @@ object Aggregates {
     aggRegressionExplicit, aggHistogramBucketed, aggModeDeterministic,
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
     aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
-    aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix)
+    aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix,
+    reportAgingBuckets, reportConcentration)
 }

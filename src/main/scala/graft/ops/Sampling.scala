@@ -526,9 +526,61 @@ object Sampling {
       .orderBy(col("event_type"))
   }
 
+  /** Deterministic Poisson(1) bootstrap (r12c) — three bootstrap
+    * replicates of the corpus for metric confidence intervals, the
+    * resampling a data-quality dashboard runs WITHOUT an RNG stream:
+    * each (doc, replicate) draws its multiplicity from md5(doc:rep)
+    * through the inverse Poisson(1) CDF quantized to 16 bits
+    * (thresholds 24109/48218/60275/64291 = cumulative e⁻¹ series
+    * ×65536) — identical draws on any engine, any partition count,
+    * any cluster. The replicate axis explodes ROW-LOCALLY (×3, no
+    * pre-shuffle), and only per-replicate aggregates ship — the
+    * bootstrap never materializes a resampled corpus, which is what
+    * makes it runnable at 100 TB. */
+  val samplePoissonBootstrap: QDef = q(
+    "sample_poisson_bootstrap",
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |x AS (SELECT doc_id, ntok, unnest([0, 1, 2]) AS rep FROM d),
+      |u AS (
+      |  SELECT rep, ntok,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+      |      || CAST(rep AS VARCHAR)), 1, 4))::INT AS h
+      |  FROM x),
+      |k AS (
+      |  SELECT rep, ntok,
+      |    CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1
+      |         WHEN h < 60275 THEN 2 WHEN h < 64291 THEN 3
+      |         ELSE 4 END AS m
+      |  FROM u)
+      |SELECT CAST(rep AS BIGINT) AS replicate,
+      |  CAST(SUM(CASE WHEN m >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(SUM(m) AS BIGINT) AS total_mult,
+      |  CAST(SUM(m * ntok) AS BIGINT) AS token_mass
+      |FROM k GROUP BY rep ORDER BY replicate""") { (s, d) =>
+    val x = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("ntok"))
+      .select(col("doc_id"), col("ntok"),
+        explode(array(lit(0), lit(1), lit(2))).as("rep"))
+    val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit(":"), col("rep").cast(StringType))), 1, 4), 16, 10)
+      .cast(IntegerType)
+    val k = x.select(col("rep"), col("ntok"),
+      when(h < 24109, 0).when(h < 48218, 1).when(h < 60275, 2)
+        .when(h < 64291, 3).otherwise(4).as("m"))
+    k.groupBy(col("rep").cast(LongType).as("replicate"))
+      .agg(sum(when(col("m") >= 1, 1).otherwise(0)).cast(LongType)
+        .as("n_docs"),
+        sum(col("m")).cast(LongType).as("total_mult"),
+        sum(col("m") * col("ntok")).cast(LongType).as("token_mass"))
+      .orderBy(col("replicate"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
     sampleWeightedPps, shardTokenBalanced, profileKeySkew,
-    dqFreshnessSla)
+    dqFreshnessSla, samplePoissonBootstrap)
 }

@@ -76,6 +76,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_corr_matrix" -> 1,
     "audience_overlap_jaccard" -> 5,
     "dq_freshness_sla" -> 3,
+    "sample_poisson_bootstrap" -> 2,
+    "report_aging_buckets" -> 3,
+    "report_concentration" -> 2,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

@@ -17,7 +17,8 @@ class R12cOpsSpec extends SparkSpec {
     "graph_label_propagation", "index_inverted_postings",
     "ts_seasonal_naive_error", "graph_k_core", "hash_feature_collisions",
     "report_topn_other", "audience_overlap_jaccard", "dq_freshness_sla",
-    "agg_corr_matrix")
+    "agg_corr_matrix", "sample_poisson_bootstrap", "report_aging_buckets",
+    "report_concentration")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -286,6 +287,67 @@ class R12cOpsSpec extends SparkSpec {
     // correlations are bounded
     Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).foreach(c =>
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+  }
+
+  test("sample_poisson_bootstrap: multiplicities recompute from md5 and mass ~ Poisson(1)") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    def mult(docId: Long, rep: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$docId:$rep".getBytes("UTF-8"))
+      val hex = md.take(2).map("%02x".format(_)).mkString
+      val u = java.lang.Integer.parseInt(hex, 16)
+      if (u < 24109) 0L else if (u < 48218) 1L else if (u < 60275) 2L
+      else if (u < 64291) 3L else 4L
+    }
+    val expected = (0 to 2).map { rep =>
+      val ms = docs.map { case (id, ntok) => (mult(id, rep), ntok) }
+      rep.toLong -> (ms.count(_._1 >= 1).toLong, ms.map(_._1).sum,
+        ms.map { case (m, t) => m * t }.sum)
+    }.toMap
+    val got = Sampling.samplePoissonBootstrap.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    // each replicate's total multiplicity is within 3 sigma of n
+    // (Poisson(1) sum over n docs: mean n, var n)
+    val n = docs.length.toDouble
+    got.values.foreach { case (_, tm, _) =>
+      assert(math.abs(tm - n) <= 3 * math.sqrt(n) + 1,
+        s"bootstrap mass $tm too far from n=$n")
+    }
+  }
+
+  test("report_aging_buckets: buckets partition the order book") {
+    val rows = Aggregates.reportAgingBuckets.run(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nOrders)
+    val buckets = Set("00-30", "31-90", "91-365", "366+")
+    rows.foreach(r => assert(buckets(r.getString(1))))
+    // every (priority, bucket) cell is unique
+    val cells = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(cells.distinct.length == cells.length)
+  }
+
+  test("report_concentration: whale share recomputes from sorted order values") {
+    def dec(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), dec(r.getDouble(1)), r.getLong(2)))
+    val got = Aggregates.reportConcentration.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    orders.groupBy(_._1).foreach { case (status, rs) =>
+      val (n, total, top10, ppm) = got(status)
+      assert(n == rs.length.toLong)
+      val sorted = rs.sortBy { case (_, v, k) => (-v, k) }
+      val expTotal = rs.map(_._2).sum
+      val expTop = sorted.take(10).map(_._2).sum
+      assert(math.abs(total - expTotal.toDouble) < 1e-6)
+      assert(math.abs(top10 - expTop.toDouble) < 1e-6)
+      assert(ppm == math.floor(expTop.toDouble * 1000000 / expTotal.toDouble + 0.5).toLong)
+    }
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
