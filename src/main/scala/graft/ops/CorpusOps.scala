@@ -849,9 +849,65 @@ object CorpusOps {
       .orderBy(col("term"))
   }
 
+  /** Per-document unigram entropy (r12c) — the information-density
+    * score next to `text_repetition` (Gopher) and `text_readability`:
+    * H = ln(n) − (Σ tf·ln tf)/n over the doc's term distribution.
+    * Float discipline is `text_ngram_logprob`'s: each term's ln is
+    * rounded to 6 digits THEN quantized to decimal and multiplied by
+    * the integer tf, so the per-doc sum is EXACT decimal — no float
+    * accumulation order to control — and exactly one
+    * identically-spelled float tree runs at the output edge.
+    * Quantization scale is 6, NOT 18: the rounded ln carries only 6
+    * digits, and at scale 18 the sum's int128 mantissa crossed the
+    * >2^53 DuckDB→double misrounding range (measured: 5/5000 docs
+    * off by 1e-6 at sf0.1); at scale 6 every conversion is exact.
+    * Term counts build row-locally (`graft_term_counts`), one
+    * doc-keyed shuffle. */
+  val textTermEntropy: QDef = q(
+    "text_term_entropy",
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |s AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    SUM(CAST(tf AS DECIMAL(6,0))
+      |      * CAST(ROUND(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(28,6)))
+      |      AS slog
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  ROUND(ln(CAST(n_tokens AS DOUBLE)), 6)
+      |    - CAST(slog AS DOUBLE) / n_tokens AS entropy_nats
+      |FROM s ORDER BY doc_id""") { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.termCounts(
+          split(col("text"), " "))).as("tc"))
+      .select(col("doc_id"), col("tc.tf").cast(LongType).as("tf"))
+    val sums = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf").cast(DecimalType(6, 0))
+          * round(log(col("tf").cast(DoubleType)), 6)
+            .cast(DecimalType(28, 6))).as("slog"))
+    // no outer ROUND: the inner tree (rounded lns, exact-decimal sum,
+    // one division, one subtraction) is bit-identical across engines,
+    // while a final ROUND(·,6) straddles .5 boundaries differently
+    // (Spark rounds the exact binary value, DuckDB rounds a ×1e6
+    // scaled double — measured: 4/5000 docs off by 1e-6 at sf0.1)
+    sums.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (round(log(col("n_tokens").cast(DoubleType)), 6)
+          - col("slog").cast(DoubleType) / col("n_tokens"))
+          .as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
-    dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings)
+    dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings,
+    textTermEntropy)
 }

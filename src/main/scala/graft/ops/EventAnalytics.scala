@@ -883,10 +883,104 @@ object EventAnalytics {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** DAU / trailing-7-day WAU stickiness (r12c) — the
+    * product-analytics engagement ratio: for each day, distinct
+    * daily actives over distinct weekly actives (users seen in the
+    * trailing 7 days), integer ppm. The WAU side avoids a 7-day
+    * range JOIN entirely: each (user, day) activity row explodes
+    * ROW-LOCALLY into the 7 target days it contributes to, then one
+    * distinct + count — shuffles carry (user, day) pairs (bounded by
+    * activity, ×7), never a day-range join's replicated probe side.
+    * Same inversion that makes rolling windows shuffle-cheap at
+    * 100 TB. */
+  val eventsDauStickiness: QDef = q(
+    "events_dau_stickiness",
+    """WITH au AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+      |  FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM au GROUP BY day),
+      |x AS (
+      |  SELECT DISTINCT user_id, day + CAST(off AS INTEGER) AS tday
+      |  FROM au, (SELECT unnest(range(0, 7)) AS off) o),
+      |wau AS (SELECT tday AS day, CAST(COUNT(*) AS BIGINT) AS wau
+      |  FROM x GROUP BY tday)
+      |SELECT d.day, d.dau, w.wau,
+      |  CAST(d.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+      |FROM dau d JOIN wau w ON w.day = d.day
+      |ORDER BY d.day""") { (s, d) =>
+    val au = Tables.events(s, d)
+      .select(col("user_id"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .distinct()
+    val dau = au.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val x = au
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("tday"))
+      .distinct()
+    val wau = x.groupBy(col("tday")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("tday") === col("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000L div wau").as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** Cohort revenue / LTV curve (r12c) — `retention_cohorts`' revenue
+    * twin: customers grouped by first-order month, revenue accumulated
+    * by cohort age in months, with the running LTV per cohort. Month
+    * age is integer (year×12+month) arithmetic — no months_between
+    * float. The cumulative sum runs over the (cohort, age) AGGREGATE
+    * table (rows = cohorts × ages, tiny at any scale), partitioned by
+    * cohort — never over raw orders. */
+  val cohortRevenueLtv: QDef = q(
+    "cohort_revenue_ltv",
+    """WITH fo AS (
+      |  SELECT o_custkey,
+      |    MIN(CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE))
+      |      AS cohort
+      |  FROM orders GROUP BY o_custkey),
+      |o AS (
+      |  SELECT f.cohort,
+      |    (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+      |      - (year(f.cohort) * 12 + month(f.cohort)) AS age_m,
+      |    o.o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS v
+      |  FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey),
+      |a AS (
+      |  SELECT cohort, age_m,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+      |    SUM(v) AS rev
+      |  FROM o GROUP BY cohort, age_m)
+      |SELECT cohort, CAST(age_m AS BIGINT) AS age_months, n_active,
+      |  CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age_m
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+      |FROM a ORDER BY cohort, age_months""") { (s, d) =>
+    val fo = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("fk"))
+      .agg(min(date_trunc("month", col("o_orderdate")).cast(DateType))
+        .as("cohort"))
+    val o = Tables.orders(s, d)
+      .join(fo, col("fk") === col("o_custkey"))
+      .select(col("cohort"),
+        ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          - (year(col("cohort")) * 12 + month(col("cohort")))).as("age_m"),
+        col("o_custkey"), money(col("o_totalprice")).as("v"))
+    val a = o.groupBy(col("cohort"), col("age_m"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("v")).as("rev"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.select(col("cohort"), col("age_m").cast(LongType).as("age_months"),
+        col("n_active"), outDouble(col("rev")).as("revenue"),
+        outDouble(sum(col("rev")).over(w)).as("cum_revenue"))
+      .orderBy(col("cohort"), col("age_months"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
     eventTransitionMatrix, abTestMetrics, sessionConversion,
     tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError,
-    audienceOverlapJaccard)
+    audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv)
 }

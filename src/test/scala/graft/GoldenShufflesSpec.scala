@@ -79,6 +79,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "sample_poisson_bootstrap" -> 2,
     "report_aging_buckets" -> 3,
     "report_concentration" -> 2,
+    "cohort_revenue_ltv" -> 5,
+    "events_dau_stickiness" -> 6,
+    "text_term_entropy" -> 2,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

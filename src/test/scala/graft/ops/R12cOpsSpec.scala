@@ -18,7 +18,8 @@ class R12cOpsSpec extends SparkSpec {
     "ts_seasonal_naive_error", "graph_k_core", "hash_feature_collisions",
     "report_topn_other", "audience_overlap_jaccard", "dq_freshness_sla",
     "agg_corr_matrix", "sample_poisson_bootstrap", "report_aging_buckets",
-    "report_concentration")
+    "report_concentration", "events_dau_stickiness", "cohort_revenue_ltv",
+    "text_term_entropy")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -347,6 +348,77 @@ class R12cOpsSpec extends SparkSpec {
       assert(math.abs(total - expTotal.toDouble) < 1e-6)
       assert(math.abs(top10 - expTop.toDouble) < 1e-6)
       assert(ppm == math.floor(expTop.toDouble * 1000000 / expTotal.toDouble + 0.5).toLong)
+    }
+  }
+
+  test("events_dau_stickiness: DAU/WAU recompute from raw activity days") {
+    val au = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = au.map(_._2).distinct
+    val got = EventAnalytics.eventsDauStickiness.run(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == days.toSet)
+    days.foreach { day =>
+      val dau = au.count(_._2 == day).toLong
+      val wau = au.filter { case (_, d0) =>
+        !d0.isAfter(day) && !d0.isBefore(day.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      val (gD, gW, gP) = got(day)
+      assert(gD == dau, s"$day dau")
+      assert(gW == wau, s"$day wau")
+      assert(gP == dau * 1000000L / wau, s"$day ppm")
+      assert(gD <= gW)
+    }
+  }
+
+  test("cohort_revenue_ltv: cumulative curve is monotone and covers all orders") {
+    def dec(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val rows = EventAnalytics.cohortRevenueLtv.run(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // per cohort: cum is the running sum of revenue in age order
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var acc = 0.0
+      sorted.foreach { case (_, _, _, rev, cum) =>
+        acc += rev
+        assert(math.abs(cum - acc) < 1e-4, s"$cohort cum drift")
+      }
+      // age 0 always exists (the first order defines the cohort)
+      assert(sorted.head._2 == 0L, s"$cohort missing age-0 row")
+    }
+    // total revenue reconciles against the raw order book
+    val total = Tables.orders(spark, sf).select(col("o_totalprice")).collect()
+      .map(r => dec(r.getDouble(0))).sum
+    assert(math.abs(rows.map(_._4).sum - total.toDouble) < 1e-4)
+  }
+
+  test("text_term_entropy: matches a JVM recompute with the same rounding") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def round6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = CorpusOps.textTermEntropy.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val tfs = text.split(" ", -1).groupBy(identity).values.map(_.length)
+      val n = tfs.sum
+      val slog = tfs.map(tf =>
+        BigDecimal(tf) * BigDecimal(round6(math.log(tf.toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val h = round6(math.log(n.toDouble)) - slog.toDouble / n
+      val (gn, gd, ge) = got(id)
+      assert(gn == n.toLong, s"doc $id n_tokens")
+      assert(gd == tfs.size.toLong, s"doc $id n_distinct")
+      assert(math.abs(ge - h) < 1e-9, s"doc $id entropy")
+      // upper bound allows the 5e-7 slack of the rounded ln(n) term
+      assert(ge >= -1e-9 && ge <= math.log(n.toDouble) + 1e-6)
     }
   }
 
