@@ -1097,6 +1097,76 @@ object Aggregates {
       .orderBy(col("status"))
   }
 
+  /** ABC inventory classification (r12c) — the 70/90 cumulative-share
+    * cut purchasing teams run per category: within each brand, parts
+    * ranked by exact-decimal revenue; class A while the running share
+    * is ≤70% of the brand total, B to 90%, C beyond. The cut compares
+    * cum*10 ≤ total*7 in EXACT decimal (never a float share), so the
+    * boundary part lands identically in both engines; (revenue DESC,
+    * partkey) is a total order so ranks can't be engine-arbitrary.
+    * Windows are partitioned by brand over the PART-level aggregate —
+    * per-key window width follows parts-per-brand, never lineitems;
+    * at catalog scales beyond that, the cut swaps to the
+    * order_rfm_segments two-pass global-rank machinery per brand.
+    * share_ppm uses q14's identically-spelled float round-half-up. */
+  val reportAbcClass: QDef = q(
+    "report_abc_class",
+    """WITH pr AS (
+      |  SELECT p_brand, l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS rev
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY p_brand, l_partkey),
+      |c AS (
+      |  SELECT p_brand, rev,
+      |    SUM(rev) OVER (PARTITION BY p_brand ORDER BY rev DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(rev) OVER (PARTITION BY p_brand) AS tot
+      |  FROM pr),
+      |lab AS (
+      |  SELECT p_brand,
+      |    CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+      |         WHEN cum * 10 <= tot * 9 THEN 'B'
+      |         ELSE 'C' END AS abc_class,
+      |    rev, tot
+      |  FROM c)
+      |SELECT p_brand, abc_class,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(rev) AS DOUBLE) AS class_revenue,
+      |  CAST(floor(CAST(SUM(rev) AS DOUBLE) * 1000000
+      |    / CAST(MAX(tot) AS DOUBLE) + 0.5) AS BIGINT) AS share_ppm
+      |FROM lab GROUP BY p_brand, abc_class
+      |ORDER BY p_brand, abc_class""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pr = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount")))).as("rev"))
+    val wCum = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("p_brand"))
+    val lab = pr
+      .select(col("p_brand"), col("rev"),
+        sum(col("rev")).over(wCum).as("cum"),
+        sum(col("rev")).over(wTot).as("tot"))
+      .select(col("p_brand"), col("rev"), col("tot"),
+        when(col("cum") * 10 <= col("tot") * 7, "A")
+          .when(col("cum") * 10 <= col("tot") * 9, "B")
+          .otherwise("C").as("abc_class"))
+    lab.groupBy(col("p_brand"), col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        outDouble(sum(col("rev"))).as("class_revenue"),
+        floor(outDouble(sum(col("rev"))) * 1000000
+          / outDouble(max(col("tot"))) + 0.5)
+          .cast(LongType).as("share_ppm"))
+      .orderBy(col("p_brand"), col("abc_class"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1105,5 +1175,5 @@ object Aggregates {
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
     aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
     aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix,
-    reportAgingBuckets, reportConcentration)
+    reportAgingBuckets, reportConcentration, reportAbcClass)
 }

@@ -977,10 +977,144 @@ object EventAnalytics {
       .orderBy(col("cohort"), col("age_months"))
   }
 
+  /** Burst detection (r12c) — the rate-limit / bot heuristic: per
+    * user, the busiest minute's event count plus activity totals and
+    * a burst flag (≥5 events in one minute). Two chained hash aggs —
+    * (user, minute) then user — shuffling only per-minute partials;
+    * the per-user state is O(active minutes), never raw events
+    * twice. */
+  val eventsBurstDetection: QDef = q(
+    "events_burst_detection",
+    """WITH m AS (
+      |  SELECT user_id,
+      |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id, minute)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+      |  CAST(SUM(c) AS BIGINT) AS n_events,
+      |  CAST(MAX(c) AS BIGINT) AS max_per_minute,
+      |  CAST(CASE WHEN MAX(c) >= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+      |FROM m GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val m = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("c"))
+    m.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_active_minutes"),
+        sum(col("c")).cast(LongType).as("n_events"),
+        max(col("c")).as("max_per_minute"),
+        when(max(col("c")) >= 5, 1L).otherwise(0L).as("is_burst"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Inter-arrival gap statistics (r12c) — per event type, the
+    * distribution of time since the same user's PREVIOUS event (any
+    * type): one lag window per user (the sessionize exchange), gaps
+    * attributed to the later event's type, integer-µs stats. The
+    * min-gap column is the latency floor an event-dedup or
+    * rate-limit design reads. */
+  val eventsInterarrivalStats: QDef = q(
+    "events_interarrival_stats",
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      AS gap
+      |  FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+      |  CAST(SUM(gap) // COUNT(*) AS BIGINT) AS avg_gap_us
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val g = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+      .select(col("event_type"), (col("t") - lag(col("t"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        expr("CAST(sum(gap) div count(*) AS BIGINT)").as("avg_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Growth accounting (r12c) — the canonical DAU decomposition every
+    * growth team ships: per calendar day, active users split into new
+    * (first-ever day), retained (also active yesterday) and
+    * resurrected (active before, but not yesterday), plus churned
+    * (active yesterday, silent today — attributed to the day the
+    * silence starts). One distinct (user, day) agg, ONE per-user
+    * window delivering both lag and lead, then two day-level
+    * aggregates joined on the day key — every shuffle carries user-day
+    * rows or day-level partials, never raw events twice. Churn days
+    * that fall outside the observed activity-day domain (the day
+    * after the corpus ends) drop out by the inner day join, so the
+    * output domain is exactly the observed active days on both
+    * engines. */
+  val eventsGrowthAccounting: QDef = q(
+    "events_growth_accounting",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, day,
+      |    lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM d),
+      |act AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |    CAST(SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM c GROUP BY day),
+      |ch AS (
+      |  SELECT day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_churned
+      |  FROM c WHERE next_day IS NULL OR next_day > day + 1
+      |  GROUP BY day + 1)
+      |SELECT act.day, n_active, n_new, n_retained, n_resurrected,
+      |  CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned
+      |FROM act LEFT JOIN ch ON act.day = ch.day
+      |ORDER BY act.day""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val c = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .select(col("user_id"), col("day"),
+        lag(col("day"), 1).over(w).as("prev_day"),
+        lead(col("day"), 1).over(w).as("next_day"))
+    val act = c.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("prev_day").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev_day") === date_sub(col("day"), 1), 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev_day").isNotNull &&
+            col("prev_day") < date_sub(col("day"), 1), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val ch = c
+      .filter(col("next_day").isNull ||
+        col("next_day") > date_add(col("day"), 1))
+      .groupBy(date_add(col("day"), 1).as("day"))
+      .agg(count(lit(1)).as("ch_n"))
+    act.join(ch, Seq("day"), "left")
+      .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        coalesce(col("ch_n"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
     eventTransitionMatrix, abTestMetrics, sessionConversion,
     tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError,
-    audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv)
+    audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
+    eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting)
 }

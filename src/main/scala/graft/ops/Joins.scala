@@ -1133,6 +1133,111 @@ object Joins {
       coalesce(max(col("ca") * col("cb")), lit(0L)).as("max_key_fanout"))
   }
 
+  /** Bucket-blocked time-band self-join (r12c) — "pairs of same-user
+    * events within 10 minutes", the band join that CANNOT run as a
+    * naive theta join at scale. The left side explodes ROW-LOCALLY
+    * into its two candidate 600-second buckets (b, b+1); the join is
+    * then a pure EQUI join on (user, bucket) with the band predicate
+    * as a residual — every qualifying pair matches in exactly one
+    * bucket (the follower's own), so no distinct is needed. This is
+    * the standard banding rewrite: shuffle cost follows bucket
+    * occupancy instead of per-user n², and the oracle runs the
+    * honest quadratic form to prove the rewrite exact. Pair order is
+    * total ((ts, event_id) lexicographic), so each unordered pair
+    * counts once. */
+  val joinTimeBandBucketed: QDef = q(
+    "join_time_band_bucketed",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    b.t - a.t AS gap_us
+      |  FROM e a JOIN e b ON a.user_id = b.user_id
+      |    AND (b.t > a.t OR (b.t = a.t AND b.event_id > a.event_id))
+      |    AND b.t - a.t <= 600000000)
+      |SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+      |  CAST(SUM(gap_us) // COUNT(*) // 1000 AS BIGINT) AS avg_gap_ms
+      |FROM p GROUP BY type_a, type_b ORDER BY type_a, type_b""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val a = e.select(col("user_id").as("ua"), col("event_id").as("ia"),
+        col("event_type").as("type_a"), col("t").as("ta"),
+        explode(array(expr("t div 600000000"), expr("t div 600000000 + 1")))
+          .as("bucket"))
+    val b = e.select(col("user_id").as("ub"), col("event_id").as("ib"),
+      col("event_type").as("type_b"), col("t").as("tb"),
+      expr("t div 600000000").as("bb"))
+    a.join(b, col("ua") === col("ub") && col("bucket") === col("bb") &&
+        (col("tb") > col("ta") ||
+          (col("tb") === col("ta") && col("ib") > col("ia"))) &&
+        col("tb") - col("ta") <= 600000000L)
+      .select(col("type_a"), col("type_b"),
+        (col("tb") - col("ta")).as("gap_us"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("gap_us")).cast(LongType).as("total_gap_us"),
+        expr("CAST(sum(gap_us) div count(*) div 1000 AS BIGINT)")
+          .as("avg_gap_ms"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Null-aware IN semantics (r12c) — the three-valued-logic seam a
+    * null-blind anti join gets WRONG: `x IN (list)` is TRUE on match,
+    * UNKNOWN (never FALSE) on no-match when the list contains a NULL,
+    * FALSE only against a null-free list. Per order status, the
+    * in-list is that status's custkeys with NULLs injected into the
+    * non-'P' lists (custkey % 50 = 7 masked), and every customer ×
+    * status cell is graded into its 3VL verdict — the decomposition
+    * Spark's own null-aware anti join (NOT IN) performs physically.
+    * Plan: one distinct on the in-list (null rows dropped — they can
+    * never equi-match), a ≤|status| broadcast has-null table, the
+    * customer table exploded row-locally across statuses, one equi
+    * left join for membership. The null handling costs one tiny
+    * broadcast, never a nested-loop. */
+  val joinNullAwareIn: QDef = q(
+    "join_null_aware_in",
+    """WITH inl AS (
+      |  SELECT o_orderstatus AS st,
+      |    CASE WHEN o_orderstatus <> 'P' AND o_custkey % 50 = 7
+      |      THEN NULL ELSE o_custkey END AS k
+      |  FROM orders),
+      |m AS (SELECT DISTINCT st, k FROM inl WHERE k IS NOT NULL),
+      |hn AS (
+      |  SELECT st, MAX(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS has_null
+      |  FROM inl GROUP BY st),
+      |cs AS (SELECT c_custkey, st, has_null FROM customer CROSS JOIN hn)
+      |SELECT cs.st AS o_orderstatus,
+      |  CASE WHEN m.k IS NOT NULL THEN 'in'
+      |       WHEN cs.has_null = 1 THEN 'unknown'
+      |       ELSE 'not_in' END AS verdict,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM cs LEFT JOIN m ON cs.st = m.st AND cs.c_custkey = m.k
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val inl = Tables.orders(s, d)
+      .select(col("o_orderstatus").as("st"),
+        when(col("o_orderstatus") =!= "P" && col("o_custkey") % 50 === 7,
+          lit(null).cast(LongType)).otherwise(col("o_custkey")).as("k"))
+    val m = inl.filter(col("k").isNotNull).distinct()
+      .select(col("st").as("mst"), col("k"))
+    val hn = inl.groupBy(col("st"))
+      .agg(max(when(col("k").isNull, 1).otherwise(0)).as("has_null"))
+    val cs = Tables.customer(s, d).select(col("c_custkey"))
+      .crossJoin(broadcast(hn))
+    cs.join(m, col("st") === col("mst") && col("c_custkey") === col("k"),
+        "left")
+      .select(col("st").as("o_orderstatus"),
+        when(col("k").isNotNull, "in")
+          .when(col("has_null") === 1, "unknown")
+          .otherwise("not_in").as("verdict"))
+      .groupBy(col("o_orderstatus"), col("verdict"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("o_orderstatus"), col("verdict"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -1143,5 +1248,6 @@ object Joins {
     joinBloomPrefilter, q5LocalSupplier, q10ReturnedItems,
     q14PromoRevenue, q16SupplierVariety, q22NoOrderCustomers,
     q6RevenueDelta, q13CustomerDistribution, q15TopSupplier,
-    q19DiscountedRevenue, joinCardinalityProbe)
+    q19DiscountedRevenue, joinCardinalityProbe, joinTimeBandBucketed,
+    joinNullAwareIn)
 }

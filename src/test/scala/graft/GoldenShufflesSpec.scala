@@ -82,6 +82,12 @@ class GoldenShufflesSpec extends SparkSpec {
     "cohort_revenue_ltv" -> 5,
     "events_dau_stickiness" -> 6,
     "text_term_entropy" -> 2,
+    "join_time_band_bucketed" -> 2,
+    "events_burst_detection" -> 3,
+    "events_interarrival_stats" -> 3,
+    "events_growth_accounting" -> 5,
+    "join_null_aware_in" -> 4,
+    "report_abc_class" -> 3,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

@@ -19,7 +19,9 @@ class R12cOpsSpec extends SparkSpec {
     "report_topn_other", "audience_overlap_jaccard", "dq_freshness_sla",
     "agg_corr_matrix", "sample_poisson_bootstrap", "report_aging_buckets",
     "report_concentration", "events_dau_stickiness", "cohort_revenue_ltv",
-    "text_term_entropy")
+    "text_term_entropy", "join_time_band_bucketed", "events_burst_detection",
+    "events_interarrival_stats", "events_growth_accounting",
+    "join_null_aware_in", "report_abc_class")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -419,6 +421,165 @@ class R12cOpsSpec extends SparkSpec {
       assert(math.abs(ge - h) < 1e-9, s"doc $id entropy")
       // upper bound allows the 5e-7 slack of the rounded ln(n) term
       assert(ge >= -1e-9 && ge <= math.log(n.toDouble) + 1e-6)
+    }
+  }
+
+  test("join_time_band_bucketed: the banding rewrite matches the quadratic pair set") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pairs = for {
+      a <- evs; b <- evs
+      if a._2 == b._2 &&
+        (b._4 > a._4 || (b._4 == a._4 && b._1 > a._1)) &&
+        b._4 - a._4 <= 600000000L
+    } yield ((a._3, b._3), b._4 - a._4)
+    val expected = pairs.groupBy(_._1).view.mapValues { ps =>
+      val total = ps.map(_._2).sum
+      (ps.length.toLong, total, total / ps.length / 1000)
+    }.toMap
+    val got = Joins.joinTimeBandBucketed.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("events_burst_detection: busiest minute recomputes per user") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_trunc("minute", col("ts")).cast("long").as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = EventAnalytics.eventsBurstDetection.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byUser = evs.groupBy(_._1)
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, rs) =>
+      val perMin = rs.groupBy(_._2).view.mapValues(_.length.toLong)
+      val (nm, ne, mx, burst) = got(u)
+      assert(nm == perMin.size.toLong)
+      assert(ne == rs.length.toLong)
+      assert(mx == perMin.values.max)
+      assert(burst == (if (perMin.values.max >= 5) 1L else 0L))
+    }
+  }
+
+  test("events_interarrival_stats: gaps recompute from per-user orderings") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gaps = evs.groupBy(_._1).values.flatMap { rs =>
+      rs.sortBy(e => (e._4, e._3)).sliding(2).collect {
+        case Array(prev, cur) => (cur._2, cur._4 - prev._4)
+      }
+    }.toSeq
+    val expected = gaps.groupBy(_._1).view.mapValues { gs =>
+      val v = gs.map(_._2)
+      (v.length.toLong, v.min, v.max, v.sum / v.length)
+    }.toMap
+    val got = EventAnalytics.eventsInterarrivalStats.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
+  test("events_growth_accounting: the DAU decomposition recomputes and sums") {
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val byUser = days.groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(_.toEpochDay).toSeq).toMap
+    val active = days.groupBy(_._2)
+    var nw = Map.empty[java.time.LocalDate, Long].withDefaultValue(0L)
+    var rt = nw; var rs = nw; var ch = nw
+    byUser.values.foreach { ds =>
+      nw = nw.updated(ds.head, nw(ds.head) + 1)
+      ds.sliding(2).foreach {
+        case Seq(p, c) =>
+          if (p.plusDays(1) == c) rt = rt.updated(c, rt(c) + 1)
+          else {
+            rs = rs.updated(c, rs(c) + 1)
+            ch = ch.updated(p.plusDays(1), ch(p.plusDays(1)) + 1)
+          }
+        case _ => ()
+      }
+      ch = ch.updated(ds.last.plusDays(1), ch(ds.last.plusDays(1)) + 1)
+    }
+    val got = EventAnalytics.eventsGrowthAccounting.run(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == active.keySet)
+    got.foreach { case (d, (na, n, r2, rr, c)) =>
+      assert(na == active(d).length.toLong, s"$d n_active")
+      assert(n == nw(d), s"$d n_new"); assert(r2 == rt(d), s"$d n_retained")
+      assert(rr == rs(d), s"$d n_resurrected"); assert(c == ch(d), s"$d n_churned")
+      assert(na == n + r2 + rr, s"$d decomposition must sum to DAU")
+    }
+  }
+
+  test("join_null_aware_in: verdict buckets agree with Spark's own IN / NOT IN 3VL") {
+    Tables.orders(spark, sf).createOrReplaceTempView("naa_orders")
+    Tables.customer(spark, sf).createOrReplaceTempView("naa_customer")
+    val got = Joins.joinNullAwareIn.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val statuses = spark.sql("SELECT DISTINCT o_orderstatus FROM naa_orders")
+      .collect().map(_.getString(0))
+    val nCust = Tables.customer(spark, sf).count()
+    statuses.foreach { st =>
+      val sub = s"""SELECT CASE WHEN o_orderstatus <> 'P' AND o_custkey % 50 = 7
+        THEN NULL ELSE o_custkey END FROM naa_orders WHERE o_orderstatus = '$st'"""
+      val nIn = spark.sql(
+        s"SELECT count(*) FROM naa_customer WHERE c_custkey IN ($sub)")
+        .collect().head.getLong(0)
+      val nNotIn = spark.sql(
+        s"SELECT count(*) FROM naa_customer WHERE c_custkey NOT IN ($sub)")
+        .collect().head.getLong(0)
+      assert(got.getOrElse((st, "in"), 0L) == nIn, s"$st IN bucket")
+      assert(got.getOrElse((st, "not_in"), 0L) == nNotIn, s"$st NOT IN bucket")
+      assert(got.getOrElse((st, "unknown"), 0L) == nCust - nIn - nNotIn,
+        s"$st unknown bucket is the 3VL remainder")
+    }
+    assert(statuses.exists(st => got.contains((st, "unknown"))),
+      "at least one status list must carry a NULL for the test to bite")
+  }
+
+  test("report_abc_class: classes recompute from exact part revenues") {
+    val pr = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg(sum(expr("CAST(l_extendedprice AS DECIMAL(12,2)) " +
+        "* (1 - CAST(l_discount AS DECIMAL(6,2)))")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val expected = pr.groupBy(_._1).flatMap { case (brand, parts) =>
+      val sorted = parts.sortBy(p => (-scala.math.BigDecimal(p._3), p._2))
+      val tot = sorted.map(_._3).reduce(_ add _)
+      var cum = java.math.BigDecimal.ZERO
+      val classed = sorted.map { p =>
+        cum = cum.add(p._3)
+        val cls =
+          if (cum.multiply(java.math.BigDecimal.TEN)
+            .compareTo(tot.multiply(new java.math.BigDecimal(7))) <= 0) "A"
+          else if (cum.multiply(java.math.BigDecimal.TEN)
+            .compareTo(tot.multiply(new java.math.BigDecimal(9))) <= 0) "B"
+          else "C"
+        (cls, p._3)
+      }
+      classed.groupBy(_._1).map { case (cls, ps) =>
+        (brand, cls) -> (ps.length.toLong, ps.map(_._2).reduce(_ add _))
+      }
+    }
+    val got = Aggregates.reportAbcClass.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (n, rev)) =>
+      assert(got(k)._1 == n, s"$k n_parts")
+      assert(got(k)._2 == rev.doubleValue, s"$k class_revenue")
     }
   }
 
