@@ -336,6 +336,69 @@ object DriftOps {
       .orderBy(col("label"), col("bucket"))
   }
 
+  /** One-sided CUSUM drift alarm (r12c) — the sequential change
+    * detector the histogram monitors can't replace (it accumulates
+    * small persistent shifts that never trip a per-day threshold).
+    * Per event type over daily cents totals: C_t = max(0, C_{t-1} +
+    * (x_t − μ)) via its windowed closed form C_t = S_t − min(0,
+    * min_{k≤t} S_k) — two frames over the same per-type day order, no
+    * recursion, all integer. μ is the per-type floor mean (totals
+    * positive ⇒ truncate = floor on both engines); the alarm
+    * threshold is one mean day's volume. Windows partition by type
+    * over the DAY-level aggregate — width follows days, never raw
+    * events. */
+  val tsCusumAlarm: QDef = q(
+    "ts_cusum_alarm",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mu,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM daily GROUP BY event_type),
+      |s AS (
+      |  SELECT daily.event_type, day, mu, n_days,
+      |    SUM(cents - mu) OVER (PARTITION BY daily.event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM daily JOIN m ON daily.event_type = m.event_type),
+      |c AS (
+      |  SELECT event_type, mu, n_days,
+      |    run - LEAST(0, MIN(run) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      |  FROM s)
+      |SELECT event_type,
+      |  CAST(MAX(n_days) AS BIGINT) AS n_days,
+      |  CAST(MAX(mu) AS BIGINT) AS mu_cents,
+      |  CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+      |  CAST(SUM(CASE WHEN cusum > mu THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_alarm_days
+      |FROM c GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(expr("CAST(sum(cents) div count(*) AS BIGINT)").as("mu"),
+        count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cus = daily.join(broadcast(m), "event_type")
+      .select(col("event_type"), col("day"), col("mu"), col("n_days"),
+        sum(col("cents") - col("mu")).over(w).as("run"))
+      .select(col("event_type"), col("mu"), col("n_days"),
+        (col("run") - least(lit(0L), min(col("run")).over(w))).as("cusum"))
+    cus.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("mu")).as("mu_cents"),
+        max(col("cusum")).as("max_cusum"),
+        sum(when(col("cusum") > col("mu"), 1L).otherwise(0L))
+          .as("n_alarm_days"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
-    statsChiSquare, embedTopComponent, embedCosineHistogram)
+    statsChiSquare, embedTopComponent, embedCosineHistogram, tsCusumAlarm)
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Probabilistic-structure audits (r12c) — Count-Min and Bloom built
+  * HERE as exact, deterministic dataflow (md5-derived hash positions,
+  * integer cells) so both engines materialize the identical sketch and
+  * the driver hash-grades the real estimate/collision behavior, not a
+  * mocked one. That is the point at 100 TB: a sketch's cells table is
+  * FIXED-SIZE regardless of corpus (d×w counters, m bits), so the
+  * shuffle carries map-side partials of a few hundred rows per task
+  * while the raw key space never co-locates — these two keys certify
+  * the estimate algebra that makes that trade safe to rely on.
+  */
+object SketchOps {
+
+  /** md5-derived bucket in [0, m): the sample_hash_docs idiom with a
+    * row-index salt, identical in both engines. */
+  private def bucket(salt: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column, m: Int) =
+    (conv(substring(md5(concat(salt.cast(StringType), lit("|"),
+      key.cast(StringType))), 1, 4), 16, 10).cast(IntegerType) % m)
+
+  private def bucketSql(salt: String, key: String, m: Int) =
+    s"('0x' || substr(md5(CAST($salt AS VARCHAR) || '|' || CAST($key AS VARCHAR)), 1, 4))::INT % $m"
+
+  /** Count-Min sketch frequency audit: a depth-4 × width-1024 CMS over
+    * customer order counts, probed at the top-10 true-heaviest keys —
+    * per key the true count, the CMS estimate (min over the 4 rows)
+    * and the collision overestimate. The cells table is 4096 rows no
+    * matter the corpus (the ×4 row explode is ROW-LOCAL, the cell agg
+    * has map-side partials), and the probe side is a 10-row
+    * TakeOrdered result joined against the broadcast cells — the
+    * exact shape a heavy-hitter monitor runs per ingest batch. */
+  val sketchCountminFreq: QDef = q(
+    "sketch_countmin_freq",
+    s"""WITH base AS (SELECT o_custkey AS k FROM orders),
+      |t AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY k),
+      |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cells AS (
+      |  SELECT r, ${bucketSql("r", "k", 1024)} AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM base CROSS JOIN rws GROUP BY 1, 2),
+      |top10 AS (SELECT k, cnt FROM t ORDER BY cnt DESC, k LIMIT 10),
+      |probe AS (
+      |  SELECT k, cnt, r, ${bucketSql("r", "k", 1024)} AS b
+      |  FROM top10 CROSS JOIN rws)
+      |SELECT p.k AS o_custkey,
+      |  CAST(MAX(p.cnt) AS BIGINT) AS true_cnt,
+      |  CAST(MIN(c.c) AS BIGINT) AS est_cnt,
+      |  CAST(MIN(c.c) - MAX(p.cnt) AS BIGINT) AS over_cnt
+      |FROM probe p JOIN cells c ON c.r = p.r AND c.b = p.b
+      |GROUP BY p.k
+      |ORDER BY true_cnt DESC, o_custkey""") { (s, d) =>
+    val rows4 = array((0 to 3).map(lit): _*)
+    val base = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val t = base.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+    val cells = base
+      .select(col("k"), explode(rows4).as("r"))
+      .groupBy(col("r"), bucket(col("r"), col("k"), 1024).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top10 = t.orderBy(col("cnt").desc, col("k")).limit(10)
+    val probe = top10.select(col("k"), col("cnt"), explode(rows4).as("pr"))
+      .select(col("k"), col("cnt"), col("pr"),
+        bucket(col("pr"), col("k"), 1024).as("pb"))
+    probe.join(broadcast(cells),
+        col("pr") === col("r") && col("pb") === col("b"))
+      .groupBy(col("k"))
+      .agg(max(col("cnt")).as("true_cnt"), min(col("c")).as("est_cnt"),
+        (min(col("c")) - max(col("cnt"))).as("over_cnt"))
+      .select(col("k").as("o_custkey"), col("true_cnt"), col("est_cnt"),
+        col("over_cnt"))
+      .orderBy(col("true_cnt").desc, col("o_custkey"))
+  }
+
+  /** Bloom-filter false-positive audit: a 65536-bit, 3-hash Bloom
+    * built over the customers who ordered in 1995, probed with every
+    * customer — members recalled perfectly (the spec pins zero false
+    * negatives), non-members measured for the actual FPR the filter
+    * would pay as a join pre-filter (the BloomJoin design read). The
+    * bit set is ≤3·|members| rows (broadcast); the probe explodes ×3
+    * row-locally and re-aggregates per key, so cost is 3 rows per
+    * probe key, never |probe|×|members|. */
+  val sketchBloomFpr: QDef = q(
+    "sketch_bloom_fpr",
+    s"""WITH members AS (
+      |  SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_orderdate >= DATE '1995-01-01'
+      |    AND o_orderdate < DATE '1996-01-01'),
+      |rws AS (SELECT unnest([0, 1, 2]) AS r),
+      |bits AS (
+      |  SELECT DISTINCT ${bucketSql("r", "k", 65536)} AS pos
+      |  FROM members CROSS JOIN rws),
+      |probe AS (
+      |  SELECT c_custkey AS k,
+      |    MAX(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END) AS is_member,
+      |    MIN(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS claimed
+      |  FROM customer
+      |  CROSS JOIN rws
+      |  LEFT JOIN members m ON m.k = c_custkey
+      |  LEFT JOIN bits ON bits.pos = ${bucketSql("r", "c_custkey", 65536)}
+      |  GROUP BY c_custkey)
+      |SELECT
+      |  CAST(SUM(is_member) AS BIGINT) AS n_members,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+      |  CAST(SUM(1 - is_member) AS BIGINT) AS n_nonmembers,
+      |  CAST(SUM(CASE WHEN is_member = 0 AND claimed = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_pos,
+      |  CAST(SUM(CASE WHEN is_member = 1 AND claimed = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_false_neg,
+      |  CAST(floor(CAST(SUM(CASE WHEN is_member = 0 AND claimed = 1
+      |      THEN 1 ELSE 0 END) AS DOUBLE) * 1000000
+      |    / CAST(SUM(1 - is_member) AS DOUBLE) + 0.5) AS BIGINT) AS fpr_ppm
+      |FROM probe""") { (s, d) =>
+    val rows3 = array((0 to 2).map(lit): _*)
+    val members = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(DateType) &&
+        col("o_orderdate") < lit("1996-01-01").cast(DateType))
+      .select(col("o_custkey").as("k")).distinct()
+    val bits = members.select(explode(rows3).as("r"), col("k"))
+      .select(bucket(col("r"), col("k"), 65536).as("pos")).distinct()
+    val probe = Tables.customer(s, d).select(col("c_custkey"))
+      .select(col("c_custkey"), explode(rows3).as("r"))
+      .join(broadcast(members), col("k") === col("c_custkey"), "left")
+      .join(broadcast(bits),
+        col("pos") === bucket(col("r"), col("c_custkey"), 65536), "left")
+      .groupBy(col("c_custkey"))
+      .agg(max(when(col("k").isNotNull, 1).otherwise(0)).as("is_member"),
+        min(when(col("pos").isNotNull, 1).otherwise(0)).as("claimed"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    probe.agg(
+        sum(col("is_member")).cast(LongType).as("n_members"),
+        sum(lit(1) - col("is_member")).cast(LongType).as("n_nonmembers"),
+        sum(when(col("is_member") === 0 && col("claimed") === 1, 1)
+          .otherwise(0)).cast(LongType).as("n_false_pos"),
+        sum(when(col("is_member") === 1 && col("claimed") === 0, 1)
+          .otherwise(0)).cast(LongType).as("n_false_neg"))
+      .crossJoin(broadcast(nBits))
+      .select(col("n_members"), col("n_bits_set"), col("n_nonmembers"),
+        col("n_false_pos"), col("n_false_neg"),
+        floor(col("n_false_pos").cast(DoubleType) * 1000000
+          / col("n_nonmembers").cast(DoubleType) + 0.5)
+          .cast(LongType).as("fpr_ppm"))
+  }
+
+  val all: Seq[QDef] = Seq(sketchCountminFreq, sketchBloomFpr)
+}

@@ -88,6 +88,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "events_growth_accounting" -> 5,
     "join_null_aware_in" -> 4,
     "report_abc_class" -> 3,
+    "sketch_countmin_freq" -> 2,
+    "sketch_bloom_fpr" -> 7,
+    "ts_cusum_alarm" -> 4,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

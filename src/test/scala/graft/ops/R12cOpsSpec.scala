@@ -21,7 +21,8 @@ class R12cOpsSpec extends SparkSpec {
     "report_concentration", "events_dau_stickiness", "cohort_revenue_ltv",
     "text_term_entropy", "join_time_band_bucketed", "events_burst_detection",
     "events_interarrival_stats", "events_growth_accounting",
-    "join_null_aware_in", "report_abc_class")
+    "join_null_aware_in", "report_abc_class", "sketch_countmin_freq",
+    "sketch_bloom_fpr", "ts_cusum_alarm")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -580,6 +581,76 @@ class R12cOpsSpec extends SparkSpec {
     expected.foreach { case (k, (n, rev)) =>
       assert(got(k)._1 == n, s"$k n_parts")
       assert(got(k)._2 == rev.doubleValue, s"$k class_revenue")
+    }
+  }
+
+  private def md5bucket(salt: Int, key: Long, m: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt|$key".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(4)
+    Integer.parseInt(hex, 16) % m
+  }
+
+  test("sketch_countmin_freq: estimates recompute and never underestimate") {
+    val keys = Tables.orders(spark, sf).select(col("o_custkey")).collect()
+      .map(_.getLong(0))
+    val truth = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cells = keys.flatMap(k => (0 to 3).map(r => (r, md5bucket(r, k, 1024))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = SketchOps.sketchCountminFreq.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    val expTop = truth.toSeq.sortBy { case (k, c) => (-c, k) }.take(10).toMap
+    got.foreach { case (k, tc, est, over) =>
+      assert(expTop(k) == tc, s"$k true count")
+      val expEst = (0 to 3).map(r => cells((r, md5bucket(r, k, 1024)))).min
+      assert(est == expEst, s"$k estimate")
+      assert(est >= tc, s"$k CMS must never underestimate")
+      assert(over == est - tc)
+    }
+  }
+
+  test("sketch_bloom_fpr: zero false negatives and an exactly-recomputed bit set") {
+    val members = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-01-01").cast("date"))
+      .select(col("o_custkey")).distinct().collect().map(_.getLong(0)).toSet
+    val bits = members.flatMap(k => (0 to 2).map(r => md5bucket(r, k, 65536)))
+    val probes = Tables.customer(spark, sf).select(col("c_custkey")).collect()
+      .map(_.getLong(0))
+    val fp = probes.count(k => !members(k) &&
+      (0 to 2).forall(r => bits(md5bucket(r, k, 65536))))
+    val r = SketchOps.sketchBloomFpr.run(spark, sf).collect().head
+    assert(r.getLong(0) == members.size.toLong)
+    assert(r.getLong(1) == bits.size.toLong)
+    assert(r.getLong(2) == probes.length - members.size.toLong)
+    assert(r.getLong(3) == fp.toLong)
+    assert(r.getLong(4) == 0L, "a Bloom filter can never false-negative")
+  }
+
+  test("ts_cusum_alarm: the windowed closed form equals the max(0, .) recursion") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("c")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = DriftOps.tsCusumAlarm.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val xs = rows.sortBy(_._2.toEpochDay).map(_._3)
+      val mu = xs.sum / xs.length
+      var c = 0L; var mx = 0L; var alarms = 0L
+      xs.foreach { x =>
+        c = math.max(0L, c + (x - mu))
+        mx = math.max(mx, c)
+        if (c > mu) alarms += 1
+      }
+      val (nd, muc, maxc, na) = got(t)
+      assert(nd == xs.length.toLong, s"$t n_days")
+      assert(muc == mu, s"$t mu")
+      assert(maxc == mx, s"$t max_cusum (closed form vs recursion)")
+      assert(na == alarms, s"$t n_alarm_days")
     }
   }
 
