@@ -1238,6 +1238,60 @@ object Joins {
       .orderBy(col("o_orderstatus"), col("verdict"))
   }
 
+  /** TPC-H Q17 shape (r12c) — small-quantity revenue: lineitems whose
+    * quantity is below 20% of their part's average quantity (the
+    * correlated-average threshold, here per brand so no fixture brand
+    * literal is baked in). The threshold test 5·q·n < Σq is EXACT
+    * integer arithmetic on deci-quantities (l_quantity carries ≤1
+    * fractional digit — the agg_corr_matrix quantization), so the
+    * boundary line lands identically in both engines; the per-part
+    * (Σq, n) table re-joins the fact by part key — the
+    * aggregate-then-rejoin decomposition of Q17's correlated
+    * subquery, one part-keyed shuffle each side instead of a
+    * per-row subquery. avg_yearly is Q17's sum/7.0 — one float
+    * division on identical operands. */
+  val q17SmallQtyRevenue: QDef = q(
+    "q17_small_qty_revenue",
+    """WITH li AS (
+      |  SELECT l_partkey, l_extendedprice,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT) AS q10
+      |  FROM lineitem),
+      |pa AS (
+      |  SELECT l_partkey AS pk, CAST(SUM(q10) AS BIGINT) AS sq,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM li GROUP BY l_partkey),
+      |sm AS (
+      |  SELECT p_brand, l_extendedprice
+      |  FROM li JOIN pa ON pk = l_partkey
+      |          JOIN part ON p_partkey = l_partkey
+      |  WHERE 5 * q10 * n < sq)
+      |SELECT p_brand,
+      |  CAST(COUNT(*) AS BIGINT) AS n_small_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS small_revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly
+      |FROM sm GROUP BY p_brand
+      |ORDER BY p_brand""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"),
+        (qty(col("l_quantity")) * 10).cast(LongType).as("q10"))
+    val pa = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q10")).cast(LongType).as("sq"),
+        count(lit(1)).as("n"))
+    val sm = li.join(pa, col("pk") === col("l_partkey"))
+      .filter(lit(5) * col("q10") * col("n") < col("sq"))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+    sm.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small_items"),
+        outDouble(sum(money(col("l_extendedprice")))).as("small_revenue"),
+        (outDouble(sum(money(col("l_extendedprice")))) / 7.0)
+          .as("avg_yearly"))
+      .orderBy(col("p_brand"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -1249,5 +1303,5 @@ object Joins {
     q14PromoRevenue, q16SupplierVariety, q22NoOrderCustomers,
     q6RevenueDelta, q13CustomerDistribution, q15TopSupplier,
     q19DiscountedRevenue, joinCardinalityProbe, joinTimeBandBucketed,
-    joinNullAwareIn)
+    joinNullAwareIn, q17SmallQtyRevenue)
 }

@@ -681,14 +681,30 @@ object LlmExtras {
       |GROUP BY label, cl
       |ORDER BY label, assigned""") { (s, d) =>
     val labels = 0 to 9
-    val ex = Tables.embeddings(s, d)
+    kmeansAssignments(s, d)
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
+  /** The milli-quantized (vec_id, label, i, qc) component explode the
+    * k-means family shares. Not persisted: every consumer re-runs the
+    * posexplode, a pure codegen map over a 2k-row scan — cheaper than
+    * writing a 128k-row columnar cache (measured both ways). */
+  private def kmeansEx(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("label"), col("i"),
         floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("qc"))
-    // not persisted: both consumers re-run the posexplode, but that is
-    // a pure codegen map over a 2k-row scan — cheaper than writing a
-    // 128k-row columnar cache (measured both ways).
+
+  /** Nearest-centroid assignment over label-seeded centroids — the
+    * body of `kmeans_assign`, factored so `kmeans_update_round` runs
+    * the IDENTICAL assignment before its Lloyd update step. Returns
+    * one row per vector: (vec_id, label, assigned). */
+  private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
+    val labels = 0 to 9
+    val ex = kmeansEx(s, d)
     val cent = ex.groupBy(col("label"), col("i"))
       .agg(floor(sum(col("qc")).cast(DoubleType) / count(lit(1)))
         .cast(LongType).as("c"))
@@ -713,10 +729,57 @@ object LlmExtras {
       when(labels.filter(_ > l).map(m => col(s"d_$l") <= col(s"d_$m")).reduce(_ && _),
         l).otherwise(rest)
     }
-    dists.select(col("label"), argmin.as("assigned"))
-      .groupBy(col("label"), col("assigned"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("label"), col("assigned"))
+    dists.select(col("vec_id"), col("label"), argmin.as("assigned"))
+  }
+
+  /** One full Lloyd update (r12c) — `kmeans_assign` gives the
+    * re-assignment; this key grades the step that FOLLOWS it: the new
+    * centroid table recomputed from the assigned members (per-cluster
+    * per-dimension floor mean over the milli-quantized components)
+    * plus the member count. Together the two keys certify a complete
+    * distributed k-means iteration. Same exact-integer geometry as
+    * the assignment: |per-cluster component sums| ≤ 2e6, so the one
+    * float division is exact-input on both engines. The update is a
+    * single (cluster, dim)-keyed agg over the component explode —
+    * shuffle rows bounded by k×dims partials per map task. */
+  val kmeansUpdateRound: QDef = q(
+    "kmeans_update_round",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |qv AS (
+      |  SELECT vec_id, label, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qc
+      |  FROM embeddings CROSS JOIN dims),
+      |cent AS (
+      |  SELECT label AS cl, i,
+      |    CAST(floor(CAST(SUM(qc) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      |  FROM qv GROUP BY label, i),
+      |dist AS (
+      |  SELECT qv.vec_id, cent.cl,
+      |    SUM((qv.qc - cent.c) * (qv.qc - cent.c)) AS d2
+      |  FROM qv JOIN cent USING (i)
+      |  GROUP BY qv.vec_id, cent.cl),
+      |asg AS (
+      |  SELECT vec_id, cl,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+      |  FROM dist),
+      |members AS (SELECT vec_id, cl FROM asg WHERE rn = 1)
+      |SELECT CAST(m.cl AS INT) AS cluster, qv.i,
+      |  CAST(floor(CAST(SUM(qv.qc) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c_new,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM members m JOIN qv ON qv.vec_id = m.vec_id
+      |GROUP BY m.cl, qv.i
+      |ORDER BY cluster, i""") { (s, d) =>
+    val asg = kmeansAssignments(s, d).select(col("vec_id"), col("assigned"))
+    kmeansEx(s, d).join(asg, "vec_id")
+      .groupBy(col("assigned").as("cluster"), col("i"))
+      .agg(floor(sum(col("qc")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("c_new"),
+        count(lit(1)).as("n_members"))
+      // posexplode is 0-based, the oracle's range(1,65) subscripts are
+      // 1-based — emit the 1-based dimension index.
+      .select(col("cluster"), (col("i") + 1).cast(IntegerType).as("i"),
+        col("c_new"), col("n_members"))
+      .orderBy(col("cluster"), col("i"))
   }
 
   /** Language-ID confusion matrix (r11c) — the EVALUATION step a
@@ -904,5 +967,5 @@ object LlmExtras {
     dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
     annIvfLabel, simLshBucketed, kmeansAssign, evalLangidConfusion,
-    knnHoldoutEval, dedupBandTuning)
+    knnHoldoutEval, dedupBandTuning, kmeansUpdateRound)
 }

@@ -510,9 +510,46 @@ object LlmPipeline {
       .orderBy(col("container"))
   }
 
+  /** Hard-negative mining (r12c) — the contrastive-training feed: for
+    * every probe vector (deterministic every-250th id), the top-3 most
+    * similar vectors carrying a DIFFERENT label. Cross-label by
+    * construction, so label blocking cannot apply — instead the probe
+    * set is the small side (corpus/250 rows), broadcast against one
+    * full scan with the fused codegen cosine, and the top-3 cut is a
+    * per-probe window over probe-keyed partitions. At 100 TB the
+    * probe batch stays driver-bounded by the sampling rate and the
+    * scan parallelizes with input splits — the standard mining shape
+    * (one pass per probe batch, never vectors²). */
+  val simHardNegatives: QDef = q(
+    "sim_hard_negatives",
+    s"""WITH probes AS (
+      |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id % 250 = 0)
+      |SELECT q_id, q_label, vec_id AS neg_id, label AS neg_label,
+      |       ${sqlCosine("embedding", "q_emb")} AS sim
+      |FROM embeddings JOIN probes ON label <> q_label
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY q_id
+      |  ORDER BY ${sqlCosine("embedding", "q_emb")} DESC, vec_id) <= 3
+      |ORDER BY q_id, sim DESC, neg_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    e.join(broadcast(probes), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        fcosine(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("neg_id"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("q_id"), col("sim").desc, col("neg_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupExactDocs, dedupNearJaccard, simSearchTopk, knnPerLabel,
     textTokenTf, textTfidfTopterms, textLangProfile, multimodalEnrich,
     multimodalBinaryMeta, multimodalFrameSample, dedupContainment,
-    multimodalChunkAudio)
+    multimodalChunkAudio, simHardNegatives)
 }

@@ -91,6 +91,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "sketch_countmin_freq" -> 2,
     "sketch_bloom_fpr" -> 7,
     "ts_cusum_alarm" -> 4,
+    "kmeans_update_round" -> 5,
+    "sim_hard_negatives" -> 2,
+    "q17_small_qty_revenue" -> 3,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

@@ -22,7 +22,8 @@ class R12cOpsSpec extends SparkSpec {
     "text_term_entropy", "join_time_band_bucketed", "events_burst_detection",
     "events_interarrival_stats", "events_growth_accounting",
     "join_null_aware_in", "report_abc_class", "sketch_countmin_freq",
-    "sketch_bloom_fpr", "ts_cusum_alarm")
+    "sketch_bloom_fpr", "ts_cusum_alarm", "kmeans_update_round",
+    "sim_hard_negatives", "q17_small_qty_revenue")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -581,6 +582,97 @@ class R12cOpsSpec extends SparkSpec {
     expected.foreach { case (k, (n, rev)) =>
       assert(got(k)._1 == n, s"$k n_parts")
       assert(got(k)._2 == rev.doubleValue, s"$k class_revenue")
+    }
+  }
+
+  test("kmeans_update_round: a full JVM Lloyd step reproduces the new centroids") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v => math.floor(v.toDouble * 1000).toLong).toArray))
+    val cents = vecs.groupBy(_._2).view.mapValues { vs =>
+      val dims = vs.head._3.length
+      Array.tabulate(dims)(i =>
+        math.floor(vs.map(_._3(i)).sum.toDouble / vs.length).toLong)
+    }.toMap
+    val assigned = vecs.map { case (id, _, qc) =>
+      val best = cents.toSeq.map { case (cl, c) =>
+        (qc.indices.map(i => (qc(i) - c(i)) * (qc(i) - c(i))).sum, cl)
+      }.minBy(identity)
+      id -> best._2
+    }.toMap
+    val byId = vecs.map(v => v._1 -> v._3).toMap
+    val expected = assigned.groupBy(_._2).flatMap { case (cl, m) =>
+      val members = m.keys.toSeq
+      val dims = byId(members.head).length
+      (0 until dims).map { i =>
+        val s = members.map(id => byId(id)(i)).sum
+        (cl, i + 1) -> (math.floor(s.toDouble / members.size).toLong,
+          members.size.toLong)
+      }
+    }
+    val got = LlmExtras.kmeansUpdateRound.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) == v, s"cell $k") }
+  }
+
+  test("sim_hard_negatives: brute-force cross-label top-3 recomputes") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i).toDouble * b(i).toDouble
+        daa += a(i).toDouble * a(i).toDouble
+        dbb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val probes = vecs.filter(_._1 % 250 == 0)
+    assert(probes.nonEmpty)
+    val expected = probes.flatMap { case (qid, qlab, qemb) =>
+      vecs.filter(_._2 != qlab)
+        .map(v => (qid, v._1, cos(v._3, qemb)))
+        .sortBy { case (_, id, sim) => (-sim, id) }
+        .take(3)
+    }.map { case (q, n, s2) => (q, n) -> s2 }.toMap
+    val got = LlmPipeline.simHardNegatives.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(4)).toMap
+    assert(got == expected)
+  }
+
+  test("q17_small_qty_revenue: the integer threshold matches the rational form") {
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("p_partkey") === col("l_partkey"))
+      .select(col("p_brand"), col("l_partkey"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT)").as("q10"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perPart = li.groupBy(_._2).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.length.toLong)).toMap
+    val small = li.filter { case (_, pk, q10, _) =>
+      val (sq, n) = perPart(pk)
+      5 * q10 * n < sq  // q < 0.2 * avg, cleared of the division
+    }
+    val expected = small.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._4).sum)
+    }.toMap
+    val got = Joins.q17SmallQtyRevenue.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (b, (n, cents)) =>
+      assert(got(b)._1 == n, s"$b n_small_items")
+      assert(got(b)._2 == cents.toDouble / 100.0 ||
+        math.abs(got(b)._2 - cents.toDouble / 100.0) < 1e-6, s"$b revenue")
+      assert(got(b)._3 == got(b)._2 / 7.0, s"$b avg_yearly spelling")
     }
   }
 
