@@ -1110,11 +1110,51 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Funnel time-to-convert (r12c) — the latency histogram behind
+    * every conversion funnel: per user, first signup and first
+    * purchase strictly after it (funnel_steps' step semantics), the
+    * gap floor-bucketed into hours, reported as a distribution. Gaps
+    * are exact integer µs on second-truncated time (D4) and strictly
+    * positive, so floor = truncate on both engines. Two user-keyed
+    * aggs + one tiny bucket agg — the fact shuffles once per step on
+    * user_id, the histogram rows are bounded by the time span. */
+  val funnelTimeToConvert: QDef = q(
+    "funnel_time_to_convert",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(date_trunc('second', CAST(ts AS TIMESTAMP))) AS t
+      |  FROM events),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s4 AS (SELECT e.user_id, min(t) AS t4
+      |       FROM e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE event_type = 'purchase' AND t > t1 GROUP BY e.user_id)
+      |SELECT CAST((t4 - t1) // 3600000000 AS BIGINT) AS gap_hours,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM s1 JOIN s4 ON s1.user_id = s4.user_id
+      |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(tsSec(col("ts"))).as("t"))
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+    val s4 = e.filter(col("event_type") === "purchase")
+      .join(s1, "user_id").filter(col("t") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("t")).as("t4"))
+    s1.join(s4, "user_id")
+      // gaps strictly positive ⇒ div (truncate) = // (floor)
+      .select(expr("(t4 - t1) div 3600000000L").cast(LongType)
+        .as("gap_hours"))
+      .groupBy(col("gap_hours")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("gap_hours"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
     eventTransitionMatrix, abTestMetrics, sessionConversion,
     tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError,
     audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
-    eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting)
+    eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
+    funnelTimeToConvert)
 }

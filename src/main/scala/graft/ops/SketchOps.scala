@@ -146,5 +146,40 @@ object SketchOps {
           .cast(LongType).as("fpr_ppm"))
   }
 
-  val all: Seq[QDef] = Seq(sketchCountminFreq, sketchBloomFpr)
+  /** Linear-counting cardinality audit: the occupancy-based distinct
+    * estimator (the small-cardinality regime HyperLogLog falls back
+    * to): hash every key into m=4096 buckets, estimate n̂ = m·ln(m/V)
+    * from the V empty buckets, grade estimate against the exact
+    * count. The one transcendental is rounded to 6 digits before the
+    * integer finish (the tf-idf D6 discipline); the occupancy table
+    * is ≤m rows regardless of corpus and the distinct-bucket agg has
+    * map-side partials — the fixed-size-state trade this family
+    * certifies. */
+  val sketchHllLinear: QDef = q(
+    "sketch_hll_linear",
+    s"""WITH base AS (SELECT o_custkey AS k FROM orders),
+      |occ AS (
+      |  SELECT DISTINCT ${bucketSql("0", "k", 4096)} AS b FROM base),
+      |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_occupied FROM occ),
+      |t AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_true FROM base)
+      |SELECT CAST(4096 AS BIGINT) AS m, n_true, n_occupied,
+      |  CAST(4096 - n_occupied AS BIGINT) AS n_empty,
+      |  CAST(floor(4096 * round(ln(4096.0
+      |      / CAST(4096 - n_occupied AS DOUBLE)), 6) + 0.5) AS BIGINT)
+      |    AS est_distinct
+      |FROM t, v""") { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val occ = base.select(bucket(lit(0), col("k"), 4096).as("b")).distinct()
+    val v = occ.agg(count(lit(1)).as("n_occupied"))
+    val t = base.agg(countDistinct(col("k")).as("n_true"))
+    t.crossJoin(broadcast(v))
+      .select(lit(4096L).as("m"), col("n_true"), col("n_occupied"),
+        (lit(4096L) - col("n_occupied")).as("n_empty"),
+        floor(lit(4096) * round(log(lit(4096.0)
+            / (lit(4096L) - col("n_occupied")).cast(DoubleType)), 6) + 0.5)
+          .cast(LongType).as("est_distinct"))
+  }
+
+  val all: Seq[QDef] = Seq(sketchCountminFreq, sketchBloomFpr,
+    sketchHllLinear)
 }

@@ -289,8 +289,67 @@ object Streaming {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Late-data drop audit (r12c) — the question every watermark
+    * setting must answer BEFORE it silently drops events: with a
+    * 10-minute delay, how many events per type would arrive behind
+    * the watermark? The fixture is generated in perfect time order
+    * (zero lateness — verified), so arrival time is event time plus a
+    * DETERMINISTIC ±30-minute md5 jitter standing in for network
+    * delay; the watermark is the running max event time over the
+    * (arrival, event_id) order, and an event is dropped when its time
+    * lags that max by more than the delay. Batch-only by nature:
+    * streaming discards these rows invisibly, so the audit runs
+    * offline over the same µs timestamps to SIZE the delay (the
+    * number you tune `withWatermark` with in StreamOps). The running
+    * max partitions by type over arrival order; in a real deployment
+    * this audit runs per source partition (where watermarks actually
+    * advance) — the type key here stands in for that partition key
+    * at fixture scale. */
+  val streamLateDropAudit: QDef = q(
+    "stream_late_drop_audit",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::INT
+      |         % 3601 - 1800) * 1000000 AS arr
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, t,
+      |    MAX(t) OVER (PARTITION BY event_type ORDER BY arr, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+      |  FROM e)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN t < wm - 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_late_dropped,
+      |  CAST(floor(CAST(SUM(CASE WHEN t < wm - 600000000 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) * 1000000 / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)
+      |    AS late_ppm
+      |FROM w GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("arr", col("t") +
+        (conv(substring(md5(col("event_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(IntegerType) % 3601 - 1800).cast(LongType) * 1000000L)
+      .select(col("event_type"), col("t"), max(col("t")).over(w).as("wm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("t") < col("wm") - 600000000L, 1L).otherwise(0L))
+          .as("n_late_dropped"))
+      .select(col("event_type"), col("n_events"), col("n_late_dropped"),
+        floor(col("n_late_dropped").cast(DoubleType) * 1000000
+          / col("n_events").cast(DoubleType) + 0.5)
+          .cast(LongType).as("late_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     streamTumblingCounts, streamSlidingWindows,
     streamSessionWindows, streamDedupKeyed, streamIntervalJoin,
-    streamTopkWindowed, streamRateAlert, streamCustomSessions)
+    streamTopkWindowed, streamRateAlert, streamCustomSessions,
+    streamLateDropAudit)
 }

@@ -94,6 +94,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "kmeans_update_round" -> 5,
     "sim_hard_negatives" -> 2,
     "q17_small_qty_revenue" -> 3,
+    "sketch_hll_linear" -> 4,
+    "funnel_time_to_convert" -> 4,
+    "stream_late_drop_audit" -> 2,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

@@ -23,7 +23,8 @@ class R12cOpsSpec extends SparkSpec {
     "events_interarrival_stats", "events_growth_accounting",
     "join_null_aware_in", "report_abc_class", "sketch_countmin_freq",
     "sketch_bloom_fpr", "ts_cusum_alarm", "kmeans_update_round",
-    "sim_hard_negatives", "q17_small_qty_revenue")
+    "sim_hard_negatives", "q17_small_qty_revenue", "sketch_hll_linear",
+    "funnel_time_to_convert", "stream_late_drop_audit")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -744,6 +745,69 @@ class R12cOpsSpec extends SparkSpec {
       assert(maxc == mx, s"$t max_cusum (closed form vs recursion)")
       assert(na == alarms, s"$t n_alarm_days")
     }
+  }
+
+  test("sketch_hll_linear: occupancy recomputes and the estimate tracks truth") {
+    val keys = Tables.orders(spark, sf).select(col("o_custkey")).collect()
+      .map(_.getLong(0))
+    val nTrue = keys.distinct.length.toLong
+    val occ = keys.map(k => md5bucket(0, k, 4096)).distinct.length.toLong
+    val r = SketchOps.sketchHllLinear.run(spark, sf).collect().head
+    assert(r.getLong(0) == 4096L)
+    assert(r.getLong(1) == nTrue)
+    assert(r.getLong(2) == occ)
+    assert(r.getLong(3) == 4096L - occ)
+    val est = math.floor(4096 * BigDecimal(math.log(4096.0 / (4096 - occ)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.5).toLong
+    assert(r.getLong(4) == est, "estimate spelling")
+    assert(math.abs(est - nTrue).toDouble / nTrue < 0.10,
+      "linear counting should be within 10% at this occupancy")
+  }
+
+  test("funnel_time_to_convert: the gap histogram recomputes from raw events") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(expr("date_trunc('second', ts)")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).values.flatMap { rs =>
+      val signups = rs.filter(_._2 == "signup").map(_._3)
+      if (signups.isEmpty) None
+      else {
+        val t1 = signups.min
+        val purch = rs.filter(e => e._2 == "purchase" && e._3 > t1).map(_._3)
+        if (purch.isEmpty) None else Some((purch.min - t1) / 3600000000L)
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = EventAnalytics.funnelTimeToConvert.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("stream_late_drop_audit: lateness recomputes under the md5 arrival jitter") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).view.mapValues { rs =>
+      val arr = rs.map { case (_, id, t) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(4)
+        val jit = Integer.parseInt(hex, 16) % 3601 - 1800
+        (t + jit.toLong * 1000000L, id, t)
+      }.sortBy(e => (e._1, e._2))
+      var wm = Long.MinValue; var late = 0L
+      arr.foreach { case (_, _, t) =>
+        wm = math.max(wm, t)
+        if (t < wm - 600000000L) late += 1
+      }
+      (rs.length.toLong, late)
+    }.toMap
+    val got = Streaming.streamLateDropAudit.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "the jitter must actually produce lateness")
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
