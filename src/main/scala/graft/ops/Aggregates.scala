@@ -1167,6 +1167,36 @@ object Aggregates {
       .orderBy(col("p_brand"), col("abc_class"))
   }
 
+  /** Calendar YTD running revenue (r12c) — the fiscal-reporting shape
+    * every BI layer ships: exact-decimal order revenue per (year,
+    * month), with the year-to-date cumulative restarting at each
+    * January. The window runs over the ≤12-rows-per-year MONTH
+    * aggregate (partitioned by year), never the fact table; both
+    * decimal sums convert to DOUBLE once at the output edge (D2). */
+  val reportYtdRunning: QDef = q(
+    "report_ytd_running",
+    """WITH m AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |    CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+      |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT yr, mon, CAST(rev AS DOUBLE) AS month_revenue,
+      |  CAST(SUM(rev) OVER (PARTITION BY yr ORDER BY mon
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS ytd_revenue
+      |FROM m ORDER BY yr, mon""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val m = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mon"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy(col("yr")).orderBy(col("mon"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.select(col("yr"), col("mon"), outDouble(col("rev")).as("month_revenue"),
+        outDouble(sum(col("rev")).over(w)).as("ytd_revenue"))
+      .orderBy(col("yr"), col("mon"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1175,5 +1205,6 @@ object Aggregates {
     aggArgminmax, aggBitmapDistinct, aggWeightedMedian, pivotMultiAgg,
     aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
     aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix,
-    reportAgingBuckets, reportConcentration, reportAbcClass)
+    reportAgingBuckets, reportConcentration, reportAbcClass,
+    reportYtdRunning)
 }

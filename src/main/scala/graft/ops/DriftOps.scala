@@ -399,6 +399,96 @@ object DriftOps {
       .orderBy(col("event_type"))
   }
 
+  /** Jensen–Shannon divergence between cohort unigram distributions
+    * (r12c) — the symmetric, bounded corpus-drift number PSI/KL
+    * dashboards quote; cohorts are even/odd doc_id halves. Float
+    * discipline is text_term_entropy's: each term's ln is rounded to
+    * 6 digits then quantized to DECIMAL(28,6) and multiplied by the
+    * INTEGER term count, so both cohort sums are exact decimal (no
+    * float accumulation order), and the output edge is one
+    * identically-spelled float tree. The ln argument 2p/(p+q) is
+    * cleared of its inner divisions: with a = cp·Nq and b = cq·Np
+    * (exact BIGINTs < 2⁵³) it is 2a/(a+b) — one exact-input double
+    * division per term per side. Terms absent from one cohort
+    * contribute only to the other (0·ln 0 = 0), scaffolded by a full
+    * outer term join. Shuffles carry (cohort, term) partials —
+    * vocabulary-sized, never the token stream. */
+  val driftUnigramJsd: QDef = q(
+    "drift_unigram_jsd",
+    """WITH tok AS (
+      |  SELECT doc_id % 2 AS coh, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT coh, term, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY coh, term),
+      |n AS (SELECT coh, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY coh),
+      |p AS (SELECT term, c AS cp FROM tf WHERE coh = 0),
+      |qq AS (SELECT term AS tq, c AS cq FROM tf WHERE coh = 1),
+      |j AS (
+      |  SELECT COALESCE(cp, 0) AS cp, COALESCE(cq, 0) AS cq
+      |  FROM p FULL OUTER JOIN qq ON p.term = qq.tq),
+      |np AS (SELECT n AS np FROM n WHERE coh = 0),
+      |nq AS (SELECT n AS nq FROM n WHERE coh = 1),
+      |t AS (
+      |  SELECT cp, cq, cp * nq AS a, cq * np AS b FROM j, np, nq),
+      |s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_terms_ref,
+      |    CAST(SUM(CASE WHEN cq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_terms_cur,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms_union,
+      |    SUM(CASE WHEN cp > 0 THEN CAST(cp AS DECIMAL(12,0))
+      |      * CAST(ROUND(ln(2.0 * a / (a + b)), 6) AS DECIMAL(28,6)) END)
+      |      AS sp,
+      |    SUM(CASE WHEN cq > 0 THEN CAST(cq AS DECIMAL(12,0))
+      |      * CAST(ROUND(ln(2.0 * b / (a + b)), 6) AS DECIMAL(28,6)) END)
+      |      AS sq
+      |  FROM t)
+      |SELECT n_terms_ref, n_terms_cur, n_terms_union,
+      |  (SELECT np FROM np) AS n_tokens_ref,
+      |  (SELECT nq FROM nq) AS n_tokens_cur,
+      |  0.5 * (CAST(sp AS DOUBLE) / (SELECT np FROM np)
+      |       + CAST(sq AS DOUBLE) / (SELECT nq FROM nq)) AS jsd_nats
+      |FROM s""") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select((col("doc_id") % 2).as("coh"),
+        explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("coh"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = tf.groupBy(col("coh")).agg(sum(col("c")).cast(LongType).as("n"))
+    val p = tf.filter(col("coh") === 0).select(col("term"), col("c").as("cp"))
+    val qd = tf.filter(col("coh") === 1)
+      .select(col("term").as("tq"), col("c").as("cq"))
+    val j = p.join(qd, col("term") === col("tq"), "full")
+      .select(coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val np = n.filter(col("coh") === 0).select(col("n").as("np"))
+    val nq = n.filter(col("coh") === 1).select(col("n").as("nq"))
+    val t = j.crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .select(col("cp"), col("cq"), col("np"), col("nq"),
+        (col("cp") * col("nq")).as("a"), (col("cq") * col("np")).as("b"))
+    def lnTerm(num: org.apache.spark.sql.Column) =
+      round(log(lit(2.0) * num / (col("a") + col("b"))), 6)
+        .cast(DecimalType(28, 6))
+    t.agg(
+        sum(when(col("cp") > 0, 1L).otherwise(0L)).as("n_terms_ref"),
+        sum(when(col("cq") > 0, 1L).otherwise(0L)).as("n_terms_cur"),
+        count(lit(1)).as("n_terms_union"),
+        max(col("np")).as("n_tokens_ref"),
+        max(col("nq")).as("n_tokens_cur"),
+        sum(when(col("cp") > 0,
+          col("cp").cast(DecimalType(12, 0)) * lnTerm(col("a")))).as("sp"),
+        sum(when(col("cq") > 0,
+          col("cq").cast(DecimalType(12, 0)) * lnTerm(col("b")))).as("sq"))
+      .select(col("n_terms_ref"), col("n_terms_cur"), col("n_terms_union"),
+        col("n_tokens_ref"), col("n_tokens_cur"),
+        (lit(0.5) * (col("sp").cast(DoubleType) / col("n_tokens_ref")
+          + col("sq").cast(DoubleType) / col("n_tokens_cur")))
+          .as("jsd_nats"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
-    statsChiSquare, embedTopComponent, embedCosineHistogram, tsCusumAlarm)
+    statsChiSquare, embedTopComponent, embedCosineHistogram, tsCusumAlarm,
+    driftUnigramJsd)
 }

@@ -590,9 +590,66 @@ object PipelineOps {
       .orderBy(col("bucket"))
   }
 
+  /** URL-canonicalization dedup (r12c) — the crawl-frontier collapse
+    * every web corpus runs before fetching or near-dup: raw URLs
+    * (constructed deterministically with the messes real crawls
+    * carry: host case, trailing slash, utm tracking params) normalize
+    * to lower(host) + slash-stripped path + the one identifying query
+    * param, then group. Grades per-canonical-URL raw-variant and doc
+    * counts plus the deterministic min-doc survivor. Canonicalization
+    * is ROW-LOCAL string work (parse_url / regexes); the only shuffle
+    * groups 16-char-bounded canonical keys — never bodies. */
+  val dedupUrlCanonical: QDef = q(
+    "dedup_url_canonical",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.'
+      |          ELSE 'https://www.' END)
+      |    || 'example.com/docs/' || (doc_id // 8)
+      |    || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+      |    || '?' || (CASE WHEN doc_id % 3 = 0 THEN 'utm_source=feed&'
+      |               ELSE '' END)
+      |    || 'id=' || (doc_id // 8) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1))
+      |    || regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1),
+      |         '/$', '')
+      |    || '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1)
+      |      AS canonical_url
+      |  FROM u)
+      |SELECT canonical_url,
+      |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_urls,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS keep_id
+      |FROM c GROUP BY canonical_url
+      |ORDER BY canonical_url""") { (s, d) =>
+    val u = Tables.documents(s, d)
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, "https://WWW.")
+          .otherwise("https://www."),
+        lit("example.com/docs/"),
+        expr("doc_id div 8"),
+        when(col("doc_id") % 4 === 1, "/").otherwise(""),
+        lit("?"),
+        when(col("doc_id") % 3 === 0, "utm_source=feed&").otherwise(""),
+        lit("id="), expr("doc_id div 8")).as("url"))
+    val c = u.select(col("doc_id"), col("url"), concat(
+        lower(parse_url(col("url"), lit("HOST"))),
+        regexp_replace(parse_url(col("url"), lit("PATH")), "/$", ""),
+        lit("?id="), parse_url(col("url"), lit("QUERY"), lit("id")))
+      .as("canonical_url"))
+    c.groupBy(col("canonical_url"))
+      .agg(countDistinct(col("url")).as("n_raw_urls"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keep_id"))
+      .orderBy(col("canonical_url"))
+  }
+
   val all: Seq[QDef] = Seq(
     contaminationNgram, packSequences, mixDomainWeighted, textRepetition,
     textPiiScrub, embedQuantizeInt8, curationFunnel, dedupPrefixCluster,
     mixTemperatureResample, mixUpsampleEpochs, embedNormAudit,
-    dedupSourcePriority, hashFeatureCollisions)
+    dedupSourcePriority, hashFeatureCollisions, dedupUrlCanonical)
 }

@@ -97,6 +97,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "sketch_hll_linear" -> 4,
     "funnel_time_to_convert" -> 4,
     "stream_late_drop_audit" -> 2,
+    "drift_unigram_jsd" -> 5,
+    "dedup_url_canonical" -> 3,
+    "report_ytd_running" -> 3,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

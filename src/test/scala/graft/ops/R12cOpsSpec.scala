@@ -24,7 +24,8 @@ class R12cOpsSpec extends SparkSpec {
     "join_null_aware_in", "report_abc_class", "sketch_countmin_freq",
     "sketch_bloom_fpr", "ts_cusum_alarm", "kmeans_update_round",
     "sim_hard_negatives", "q17_small_qty_revenue", "sketch_hll_linear",
-    "funnel_time_to_convert", "stream_late_drop_audit")
+    "funnel_time_to_convert", "stream_late_drop_audit", "drift_unigram_jsd",
+    "dedup_url_canonical", "report_ytd_running")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -808,6 +809,77 @@ class R12cOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
     assert(got.values.exists(_._2 > 0), "the jitter must actually produce lateness")
+  }
+
+  test("drift_unigram_jsd: a JVM recompute with the same rounding agrees, and 0 <= JSD <= ln 2") {
+    val toks = Tables.documents(spark, sf)
+      .select((col("doc_id") % 2).as("coh"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(t => (r.getLong(0), t)))
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val np = tf.collect { case ((0L, _), c) => c }.sum
+    val nq = tf.collect { case ((1L, _), c) => c }.sum
+    val terms = tf.keys.map(_._2).toSet
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    var sp = BigDecimal(0); var sq = BigDecimal(0)
+    terms.foreach { t =>
+      val cp = tf.getOrElse((0L, t), 0L); val cq = tf.getOrElse((1L, t), 0L)
+      val a = cp * nq; val b = cq * np
+      if (cp > 0) sp += BigDecimal(cp) * r6(math.log(2.0 * a / (a + b)))
+      if (cq > 0) sq += BigDecimal(cq) * r6(math.log(2.0 * b / (a + b)))
+    }
+    val expected = 0.5 * (sp.toDouble / np + sq.toDouble / nq)
+    val r = DriftOps.driftUnigramJsd.run(spark, sf).collect().head
+    assert(r.getLong(3) == np && r.getLong(4) == nq)
+    assert(r.getLong(2) == terms.size.toLong)
+    assert(r.getDouble(5) == expected, "JSD value (same rounding)")
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= math.log(2.0) + 1e-6,
+      "JSD is bounded by ln 2")
+  }
+
+  test("dedup_url_canonical: groups collapse exactly to doc_id div 8") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = docs.groupBy(_ / 8)
+      .map { case (g, ds) =>
+        s"www.example.com/docs/$g?id=$g" ->
+          (ds.distinct.length.toLong, ds.length.toLong, ds.min)
+      }
+    val got = PipelineOps.dedupUrlCanonical.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, (_, nd, keep)) =>
+      assert(got(k)._2 == nd, s"$k n_docs")
+      assert(got(k)._3 == keep, s"$k survivor")
+      assert(got(k)._1 >= 1 && got(k)._1 <= got(k)._2, s"$k raw-variant bound")
+    }
+    assert(got.values.map(_._2).sum == docs.length.toLong,
+      "every doc lands in exactly one canonical group")
+    assert(got.values.exists(v => v._1 > 1 && v._1 < v._2),
+      "the mess must produce raw variants AND some raw URLs must repeat")
+  }
+
+  test("report_ytd_running: YTD restarts each January and ends at the year total") {
+    val rows = Aggregates.reportYtdRunning.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val byYear = rows.groupBy(_._1)
+    val orders = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("y"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy(col("y")).agg(sum(col("cents")).as("c")).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    byYear.foreach { case (y, ms) =>
+      val sorted = ms.sortBy(_._2)
+      assert(sorted.head._3 == sorted.head._4, s"$y first month YTD = month")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 > a._4, s"$y YTD strictly increases")
+        case _ => ()
+      }
+      assert(sorted.last._4 == orders(y).toDouble / 100.0, s"$y year total")
+    }
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
