@@ -1197,6 +1197,69 @@ object Aggregates {
       .orderBy(col("yr"), col("mon"))
   }
 
+  /** Customer value-migration matrix (r12c) — the year-over-year
+    * segment-transition report retention teams read: customers banded
+    * by 1995 vs 1996 order value (low: below half the year's floor
+    * mean, mid: to 2× it, high: above — exact integer comparisons
+    * against the year's own mean, no quantile machinery needed),
+    * plus 'none' for absence, counted per (band_prev, band_cur)
+    * cell. Two year-filtered customer aggs, a full outer key join,
+    * two broadcast one-row year stats — the ≤16-cell matrix is the
+    * only output. */
+  val reportValueMigration: QDef = q(
+    "report_value_migration",
+    """WITH y94 AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      |  GROUP BY o_custkey),
+      |y95 AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+      |  GROUP BY o_custkey),
+      |s94 AS (SELECT CAST(SUM(c) // COUNT(*) AS BIGINT) AS avgc FROM y94),
+      |s95 AS (SELECT CAST(SUM(c) // COUNT(*) AS BIGINT) AS avgc FROM y95),
+      |m AS (
+      |  SELECT
+      |    CASE WHEN y94.c IS NULL THEN 'none'
+      |         WHEN y94.c * 2 < s94.avgc THEN 'low'
+      |         WHEN y94.c <= s94.avgc * 2 THEN 'mid'
+      |         ELSE 'high' END AS band_prev,
+      |    CASE WHEN y95.c IS NULL THEN 'none'
+      |         WHEN y95.c * 2 < s95.avgc THEN 'low'
+      |         WHEN y95.c <= s95.avgc * 2 THEN 'mid'
+      |         ELSE 'high' END AS band_cur
+      |  FROM y94 FULL OUTER JOIN y95 ON y94.o_custkey = y95.o_custkey,
+      |       s94, s95)
+      |SELECT band_prev, band_cur, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM m GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    def yearAgg(y: Int) = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === y)
+      .groupBy(col("o_custkey"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast(LongType)).as("c"))
+    def stat(df: org.apache.spark.sql.DataFrame) =
+      df.agg(expr("CAST(sum(c) div count(*) AS BIGINT)").as("avgc"))
+    val y94 = yearAgg(1995)
+    val y95 = yearAgg(1996)
+      .select(col("o_custkey").as("k2"), col("c").as("c2"))
+    def band(c: org.apache.spark.sql.Column, avg: org.apache.spark.sql.Column) =
+      when(c.isNull, "none")
+        .when(c * 2 < avg, "low")
+        .when(c <= avg * 2, "mid")
+        .otherwise("high")
+    y94.join(y95, col("o_custkey") === col("k2"), "full")
+      .crossJoin(broadcast(stat(y94).select(col("avgc").as("a94"))))
+      .crossJoin(broadcast(stat(yearAgg(1996)).select(col("avgc").as("a95"))))
+      .select(band(col("c"), col("a94")).as("band_prev"),
+        band(col("c2"), col("a95")).as("band_cur"))
+      .groupBy(col("band_prev"), col("band_cur"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("band_prev"), col("band_cur"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1206,5 +1269,5 @@ object Aggregates {
     aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
     aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix,
     reportAgingBuckets, reportConcentration, reportAbcClass,
-    reportYtdRunning)
+    reportYtdRunning, reportValueMigration)
 }

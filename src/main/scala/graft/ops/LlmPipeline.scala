@@ -547,9 +547,57 @@ object LlmPipeline {
       .orderBy(col("q_id"), col("sim").desc, col("neg_id"))
   }
 
+  /** Image tiling index pass (r12c) — the vision twin of
+    * `multimodal_frame_sample` / `multimodal_chunk_audio`, completing
+    * the three-modality pre-decode index family: a 512×512 tile grid
+    * (stride 512, partial edge tiles clamped, the ViT-style patch
+    * layout) over synthesized per-item dimensions — pure integer
+    * arithmetic computed BEFORE any codec touches bytes, so the
+    * decode stub receives exact pixel rectangles. Row-local double
+    * explode; output volume = Σ ceil(w/512)·ceil(h/512), known from
+    * metadata alone. */
+  val multimodalImageTiles: QDef = q(
+    "multimodal_image_tiles",
+    """WITH meta AS (
+      |  SELECT doc_id, 640 + (doc_id % 5) * 160 AS w,
+      |    480 + (doc_id % 7) * 120 AS h
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT doc_id, w, h, (w + 511) // 512 AS n_tx, (h + 511) // 512 AS n_ty
+      |  FROM meta),
+      |tiles AS (
+      |  SELECT doc_id, w, h, tx.i AS tile_x, ty.i AS tile_y
+      |  FROM m2 CROSS JOIN range(0, 8) tx(i) CROSS JOIN range(0, 8) ty(i)
+      |  WHERE tx.i < n_tx AND ty.i < n_ty)
+      |SELECT doc_id, tile_x, tile_y,
+      |  tile_x * 512 AS x0, tile_y * 512 AS y0,
+      |  least(tile_x * 512 + 512, w) AS x1,
+      |  least(tile_y * 512 + 512, h) AS y1,
+      |  (least(tile_x * 512 + 512, w) - tile_x * 512)
+      |    * (least(tile_y * 512 + 512, h) - tile_y * 512) AS n_px
+      |FROM tiles
+      |ORDER BY doc_id, tile_y, tile_x""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(640) + (col("doc_id") % 5) * 160).as("w"),
+        (lit(480) + (col("doc_id") % 7) * 120).as("h"))
+      .withColumn("n_tx", expr("(w + 511) div 512"))
+      .withColumn("n_ty", expr("(h + 511) div 512"))
+      .select(col("doc_id"), col("w"), col("h"), col("n_ty"),
+        explode(expr("sequence(0L, n_tx - 1)")).as("tile_x"))
+      .select(col("doc_id"), col("w"), col("h"), col("tile_x"),
+        explode(expr("sequence(0L, n_ty - 1)")).as("tile_y"))
+      .select(col("doc_id"), col("tile_x"), col("tile_y"),
+        (col("tile_x") * 512).as("x0"), (col("tile_y") * 512).as("y0"),
+        least(col("tile_x") * 512 + 512, col("w")).as("x1"),
+        least(col("tile_y") * 512 + 512, col("h")).as("y1"))
+      .withColumn("n_px", (col("x1") - col("x0")) * (col("y1") - col("y0")))
+      .orderBy(col("doc_id"), col("tile_y"), col("tile_x"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupExactDocs, dedupNearJaccard, simSearchTopk, knnPerLabel,
     textTokenTf, textTfidfTopterms, textLangProfile, multimodalEnrich,
     multimodalBinaryMeta, multimodalFrameSample, dedupContainment,
-    multimodalChunkAudio, simHardNegatives)
+    multimodalChunkAudio, simHardNegatives, multimodalImageTiles)
 }

@@ -180,6 +180,68 @@ object SketchOps {
           .cast(LongType).as("est_distinct"))
   }
 
+  /** CMS join-size forecast: the inner product of two Count-Min
+    * sketches upper-bounds the equi-join output size — the optimizer
+    * read `join_cardinality_probe` computes exactly, here from two
+    * fixed-size (4×16384) sketches instead of two full key histograms,
+    * which is what a planner can actually afford to keep per column
+    * at 100 TB. est = min over rows of Σ_b cmsA[r][b]·cmsB[r][b];
+    * graded against the exact Σ cntA·cntB with the signed floor-ppm
+    * overestimate (provably ≥ 0). Both sketch builds are row-local
+    * ×4 explodes into cell aggs with map-side partials. */
+  val sketchCmsJoinForecast: QDef = q(
+    "sketch_cms_join_forecast",
+    s"""WITH a AS (SELECT user_id AS k FROM events),
+      |b AS (SELECT o_custkey AS k FROM orders),
+      |rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |ca AS (
+      |  SELECT r, ${bucketSql("r", "k", 16384)} AS bk,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM a CROSS JOIN rws GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT r, ${bucketSql("r", "k", 16384)} AS bk,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM b CROSS JOIN rws GROUP BY 1, 2),
+      |er AS (
+      |  SELECT ca.r, CAST(SUM(ca.c * cb.c) AS BIGINT) AS est
+      |  FROM ca JOIN cb ON ca.r = cb.r AND ca.bk = cb.bk GROUP BY ca.r),
+      |tr AS (
+      |  SELECT CAST(SUM(x.c * y.c) AS BIGINT) AS true_rows
+      |  FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY k) x
+      |  JOIN (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY k) y
+      |    ON x.k = y.k)
+      |SELECT CAST(4 AS BIGINT) AS depth, CAST(16384 AS BIGINT) AS width,
+      |  true_rows, CAST(MIN(est) AS BIGINT) AS est_rows,
+      |  CAST(floor(CAST(MIN(est) - true_rows AS DOUBLE) * 1000000
+      |    / CAST(true_rows AS DOUBLE) + 0.5) AS BIGINT) AS over_ppm
+      |FROM er, tr GROUP BY true_rows""") { (s, d) =>
+    val rows4 = array((0 to 3).map(lit): _*)
+    def cells(side: org.apache.spark.sql.DataFrame) = side
+      .select(col("k"), explode(rows4).as("r"))
+      .groupBy(col("r"), bucket(col("r"), col("k"), 16384).as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val a = Tables.events(s, d).select(col("user_id").as("k"))
+    val b = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val ca = cells(a)
+    val cb = cells(b).select(col("r").as("r2"), col("bk").as("bk2"),
+      col("c").as("c2"))
+    val er = ca.join(broadcast(cb),
+        col("r") === col("r2") && col("bk") === col("bk2"))
+      .groupBy(col("r"))
+      .agg(sum(col("c") * col("c2")).cast(LongType).as("est"))
+    val tr = a.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("c2"))
+        .select(col("k").as("k2"), col("c2")), col("k") === col("k2"))
+      .agg(sum(col("c") * col("c2")).cast(LongType).as("true_rows"))
+    er.agg(min(col("est")).as("est_rows"))
+      .crossJoin(broadcast(tr))
+      .select(lit(4L).as("depth"), lit(16384L).as("width"),
+        col("true_rows"), col("est_rows"),
+        floor((col("est_rows") - col("true_rows")).cast(DoubleType) * 1000000
+          / col("true_rows").cast(DoubleType) + 0.5)
+          .cast(LongType).as("over_ppm"))
+  }
+
   val all: Seq[QDef] = Seq(sketchCountminFreq, sketchBloomFpr,
-    sketchHllLinear)
+    sketchHllLinear, sketchCmsJoinForecast)
 }

@@ -100,6 +100,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "drift_unigram_jsd" -> 5,
     "dedup_url_canonical" -> 3,
     "report_ytd_running" -> 3,
+    "multimodal_image_tiles" -> 1,
+    "sketch_cms_join_forecast" -> 7,
+    "report_value_migration" -> 6,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

@@ -25,7 +25,8 @@ class R12cOpsSpec extends SparkSpec {
     "sketch_bloom_fpr", "ts_cusum_alarm", "kmeans_update_round",
     "sim_hard_negatives", "q17_small_qty_revenue", "sketch_hll_linear",
     "funnel_time_to_convert", "stream_late_drop_audit", "drift_unigram_jsd",
-    "dedup_url_canonical", "report_ytd_running")
+    "dedup_url_canonical", "report_ytd_running", "multimodal_image_tiles",
+    "sketch_cms_join_forecast", "report_value_migration")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -880,6 +881,71 @@ class R12cOpsSpec extends SparkSpec {
       }
       assert(sorted.last._4 == orders(y).toDouble / 100.0, s"$y year total")
     }
+  }
+
+  test("multimodal_image_tiles: tiles exactly partition every synthesized image") {
+    val got = LlmPipeline.multimodalImageTiles.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val byDoc = got.groupBy(_._1)
+    Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0)).foreach { id =>
+        val w = 640 + (id % 5) * 160; val h = 480 + (id % 7) * 120
+        val tiles = byDoc(id)
+        assert(tiles.length == ((w + 511) / 512) * ((h + 511) / 512),
+          s"$id tile count")
+        assert(tiles.map(_._8).sum == w * h, s"$id pixels partition the image")
+        tiles.foreach { t =>
+          assert(t._6 > t._4 && t._7 > t._5, s"$id non-degenerate tile")
+          assert(t._6 <= w && t._7 <= h, s"$id clamped to the image")
+        }
+      }
+  }
+
+  test("sketch_cms_join_forecast: estimate recomputes and never underestimates") {
+    val a = Tables.events(spark, sf).select(col("user_id")).collect()
+      .map(_.getLong(0))
+    val b = Tables.orders(spark, sf).select(col("o_custkey")).collect()
+      .map(_.getLong(0))
+    val ca = a.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cb = b.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val trueRows = ca.map { case (k, c) => c * cb.getOrElse(k, 0L) }.sum
+    def cms(ks: Array[Long]) = ks
+      .flatMap(k => (0 to 3).map(r => (r, md5bucket(r, k, 16384))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sa = cms(a); val sb = cms(b)
+    val est = (0 to 3).map { r =>
+      (0 until 16384).map(bk =>
+        sa.getOrElse((r, bk), 0L) * sb.getOrElse((r, bk), 0L)).sum
+    }.min
+    val row = SketchOps.sketchCmsJoinForecast.run(spark, sf).collect().head
+    assert(row.getLong(2) == trueRows)
+    assert(row.getLong(3) == est, "inner-product estimate")
+    assert(est >= trueRows, "CMS inner product never underestimates")
+  }
+
+  test("report_value_migration: bands recompute against each year's floor mean") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def yearMap(y: Int) = orders.filter(_._2 == y).groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    val m95 = yearMap(1995); val m96 = yearMap(1996)
+    val a95 = m95.values.sum / m95.size; val a96 = m96.values.sum / m96.size
+    def band(c: Option[Long], avg: Long) = c match {
+      case None => "none"
+      case Some(v) if v * 2 < avg => "low"
+      case Some(v) if v <= avg * 2 => "mid"
+      case _ => "high"
+    }
+    val expected = (m95.keySet ++ m96.keySet).toSeq
+      .map(k => (band(m95.get(k), a95), band(m96.get(k), a96)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Aggregates.reportValueMigration.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
