@@ -1260,6 +1260,110 @@ object Aggregates {
       .orderBy(col("band_prev"), col("band_cur"))
   }
 
+  /** Gini coefficient of customer value per market segment (r12c) —
+    * the inequality number next to the whale-share report
+    * (`report_concentration`): with per-customer cents sorted
+    * ascending and ranked 1..n, G = (2·Σ r·x − (n+1)·Σx) / (n·Σx).
+    * The numerator and denominator are EXACT BIGINTs (ties in x make
+    * Σ r·x rank-order-invariant, and (cents, custkey) is a total
+    * order anyway), so the single float division at the edge is on
+    * identical operands. The rank window partitions by segment over
+    * the CUSTOMER aggregate; beyond per-segment window range the cut
+    * swaps to the order_rfm_segments two-pass rank machinery. */
+  val aggGiniValue: QDef = q(
+    "agg_gini_value",
+    """WITH c AS (
+      |  SELECT c_mktsegment AS seg, o.o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders o JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT seg, cents,
+      |    row_number() OVER (PARTITION BY seg ORDER BY cents, o_custkey) AS rk
+      |  FROM c),
+      |s AS (
+      |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS total,
+      |    CAST(SUM(rk * cents) AS BIGINT) AS rx
+      |  FROM r GROUP BY seg)
+      |SELECT seg AS c_mktsegment, n AS n_customers, total AS total_cents,
+      |  CAST(2 * rx - (n + 1) * total AS DOUBLE) / (CAST(n AS DOUBLE) * total)
+      |    AS gini
+      |FROM s ORDER BY c_mktsegment""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("cents"), col("o_custkey"))
+    c.withColumn("rk", row_number().over(w).cast(LongType))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).cast(LongType).as("total"),
+        sum(col("rk") * col("cents")).cast(LongType).as("rx"))
+      .select(col("seg").as("c_mktsegment"), col("n").as("n_customers"),
+        col("total").as("total_cents"),
+        ((lit(2) * col("rx") - (col("n") + 1) * col("total")).cast(DoubleType)
+          / (col("n").cast(DoubleType) * col("total"))).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** XYZ demand-variability classification (r12c) — ABC's companion
+    * cut (`report_abc_class` ranks by value; XYZ ranks by demand
+    * stability): per part, weekly shipped quantity over its ACTIVE
+    * weeks, squared coefficient of variation tested in exact
+    * integers — X while n·Σx² − S² ≤ S²/4 (CoV ≤ 0.5, cleared of
+    * both divisions as 4·(n·Σx² − S²) ≤ S²), Y to CoV ≤ 1, Z beyond.
+    * Two part-keyed aggs (week level then part level), class counts
+    * as the output — the fact never shuffles twice. */
+  val reportXyzVariability: QDef = q(
+    "report_xyz_variability",
+    """WITH wk AS (
+      |  SELECT l_partkey,
+      |    date_diff('day', DATE '1992-01-01', l_shipdate) // 7 AS week,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT))
+      |      AS BIGINT) AS q10
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(q10) AS BIGINT) AS s,
+      |    CAST(SUM(q10 * q10) AS BIGINT) AS s2
+      |  FROM wk GROUP BY l_partkey),
+      |cl AS (
+      |  SELECT CASE WHEN 4 * (n * s2 - s * s) <= s * s THEN 'X'
+      |              WHEN n * s2 - s * s <= s * s THEN 'Y'
+      |              ELSE 'Z' END AS xyz_class,
+      |    n, s
+      |  FROM p)
+      |SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(n) AS BIGINT) AS total_active_weeks,
+      |  CAST(SUM(s) AS BIGINT) AS total_q10
+      |FROM cl GROUP BY xyz_class ORDER BY xyz_class""") { (s, d) =>
+    val wk = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        expr("datediff(l_shipdate, DATE '1992-01-01') div 7").as("week"),
+        (qty(col("l_quantity")) * 10).cast(LongType).as("q10"))
+      .groupBy(col("l_partkey"), col("week"))
+      .agg(sum(col("q10")).cast(LongType).as("q10"))
+    val p = wk.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("q10")).cast(LongType).as("s"),
+        sum(col("q10") * col("q10")).cast(LongType).as("s2"))
+    p.select(
+        when(lit(4) * (col("n") * col("s2") - col("s") * col("s"))
+            <= col("s") * col("s"), "X")
+          .when(col("n") * col("s2") - col("s") * col("s")
+            <= col("s") * col("s"), "Y")
+          .otherwise("Z").as("xyz_class"),
+        col("n"), col("s"))
+      .groupBy(col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("n")).cast(LongType).as("total_active_weeks"),
+        sum(col("s")).cast(LongType).as("total_q10"))
+      .orderBy(col("xyz_class"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1269,5 +1373,6 @@ object Aggregates {
     aggSkewKurtosis, aggBoolCountif, aggCorrExplicit, aggGroupingId,
     aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix,
     reportAgingBuckets, reportConcentration, reportAbcClass,
-    reportYtdRunning, reportValueMigration)
+    reportYtdRunning, reportValueMigration, aggGiniValue,
+    reportXyzVariability)
 }

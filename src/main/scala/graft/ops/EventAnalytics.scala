@@ -1149,6 +1149,72 @@ object EventAnalytics {
       .orderBy(col("gap_hours"))
   }
 
+  /** Time-decay attribution (r12c) — attribution_linear's
+    * recency-weighted sibling: each qualifying click gets weight
+    * 2^(6 − age_days) (dyadic half-life of one day over the 7-day
+    * window — powers of two so weights are EXACT integers, the
+    * win_ewma_dyadic discipline), and the purchase's cents split
+    * proportionally by floor division. credited = Σ ⌊cents·wᵢ/W⌋ per
+    * purchase plus the undistributed dust — exact integer end to end.
+    * Two user-keyed passes (touch match, then weight-sum rejoin);
+    * weights attach row-locally. */
+  val attributionTimeDecay: QDef = q(
+    "attribution_time_decay",
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pt,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS ct
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT purchase_id, p.user_id, cents,
+      |    CAST(power(2, 6 - (pt - ct) // 86400000000) AS BIGINT) AS w
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |  WHERE ct <= pt AND pt - ct <= 604800000000),
+      |n AS (
+      |  SELECT purchase_id, user_id, cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n_touch,
+      |    CAST(SUM(w) AS BIGINT) AS w_sum
+      |  FROM m GROUP BY 1, 2, 3),
+      |cr AS (
+      |  SELECT m.purchase_id, CAST(SUM(m.cents * m.w // n.w_sum) AS BIGINT)
+      |    AS credited
+      |  FROM m JOIN n ON m.purchase_id = n.purchase_id
+      |  GROUP BY m.purchase_id)
+      |SELECT n.purchase_id, user_id, n_touch, w_sum,
+      |  credited AS credited_cents,
+      |  cents - credited AS dust_cents
+      |FROM n JOIN cr ON n.purchase_id = cr.purchase_id
+      |ORDER BY n.purchase_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("pt"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ct"))
+    val m = p.join(c, Seq("user_id"))
+      .filter(col("ct") <= col("pt") &&
+        col("pt") - col("ct") <= 604800000000L)
+      .select(col("purchase_id"), col("user_id"), col("cents"),
+        expr("CAST(shiftleft(1L, CAST(6 - (pt - ct) div 86400000000L AS INT)) AS BIGINT)")
+          .as("w"))
+    val n = m.groupBy(col("purchase_id"), col("user_id"), col("cents"))
+      .agg(count(lit(1)).as("n_touch"), sum(col("w")).cast(LongType).as("w_sum"))
+    val cr = m.select(col("purchase_id").as("pid"), col("cents").as("mc"),
+        col("w"))
+      .join(n.select(col("purchase_id").as("pid2"), col("w_sum")),
+        col("pid") === col("pid2"))
+      .groupBy(col("pid"))
+      .agg(sum(expr("mc * w div w_sum")).cast(LongType).as("credited"))
+    n.join(cr, col("purchase_id") === col("pid"))
+      .select(col("purchase_id"), col("user_id"), col("n_touch"),
+        col("w_sum"), col("credited").as("credited_cents"),
+        (col("cents") - col("credited")).as("dust_cents"))
+      .orderBy(col("purchase_id"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1156,5 +1222,5 @@ object EventAnalytics {
     tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError,
     audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
-    funnelTimeToConvert)
+    funnelTimeToConvert, attributionTimeDecay)
 }

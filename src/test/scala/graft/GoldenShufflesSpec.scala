@@ -103,6 +103,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "multimodal_image_tiles" -> 1,
     "sketch_cms_join_forecast" -> 7,
     "report_value_migration" -> 6,
+    "agg_gini_value" -> 3,
+    "report_xyz_variability" -> 4,
+    "attribution_time_decay" -> 6,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

@@ -26,7 +26,8 @@ class R12cOpsSpec extends SparkSpec {
     "sim_hard_negatives", "q17_small_qty_revenue", "sketch_hll_linear",
     "funnel_time_to_convert", "stream_late_drop_audit", "drift_unigram_jsd",
     "dedup_url_canonical", "report_ytd_running", "multimodal_image_tiles",
-    "sketch_cms_join_forecast", "report_value_migration")
+    "sketch_cms_join_forecast", "report_value_migration", "agg_gini_value",
+    "report_xyz_variability", "attribution_time_decay")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -946,6 +947,88 @@ class R12cOpsSpec extends SparkSpec {
     val got = Aggregates.reportValueMigration.run(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected)
+  }
+
+  test("agg_gini_value: the rank formula recomputes and stays in [0, 1)") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = cents.toSeq.groupBy { case (k, _) => cust(k) }
+      .map { case (seg, cs) =>
+        val sorted = cs.sortBy { case (k, c) => (c, k) }.map(_._2)
+        val n = sorted.length.toLong
+        val total = sorted.sum
+        val rx = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+        seg -> (n, total,
+          (2 * rx - (n + 1) * total).toDouble / (n.toDouble * total))
+      }
+    val got = Aggregates.aggGiniValue.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (seg, v) =>
+      assert(got(seg) == v, s"$seg gini recompute")
+      assert(v._3 >= 0.0 && v._3 < 1.0, s"$seg gini bounds")
+    }
+  }
+
+  test("report_xyz_variability: classes recompute from weekly demand moments") {
+    val wk = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        expr("datediff(l_shipdate, DATE '1992-01-01') div 7").as("w"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT)").as("q"))
+      .groupBy(col("l_partkey"), col("w")).agg(sum(col("q")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val expected = wk.groupBy(_._1).values.map { rs =>
+      val n = rs.length.toLong; val s = rs.map(_._2).sum
+      val s2 = rs.map(x => x._2 * x._2).sum
+      val num = n * s2 - s * s
+      val cls = if (4 * num <= s * s) "X" else if (num <= s * s) "Y" else "Z"
+      (cls, n, s)
+    }.toSeq.groupBy(_._1).view.mapValues { ps =>
+      (ps.length.toLong, ps.map(_._2).sum, ps.map(_._3).sum)
+    }.toMap
+    val got = Aggregates.reportXyzVariability.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == wk.map(_._1).distinct.length.toLong)
+  }
+
+  test("attribution_time_decay: credits recompute and dust is bounded by touches") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"),
+        expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val clicks = evs.filter(_._3 == "click").groupBy(_._2)
+    val expected = evs.filter(_._3 == "purchase").flatMap {
+      case (pid, u, _, pt, cents) =>
+        val ws = clicks.getOrElse(u, Array.empty[(Long, Long, String, Long, Long)])
+          .filter(c => c._4 <= pt && pt - c._4 <= 604800000000L)
+          .map(c => 1L << (6 - (pt - c._4) / 86400000000L).toInt)
+        if (ws.isEmpty) None
+        else {
+          val wsum = ws.sum
+          val credited = ws.map(w => cents * w / wsum).sum
+          Some(pid -> (ws.length.toLong, wsum, credited, cents - credited))
+        }
+    }.toMap
+    val got = EventAnalytics.attributionTimeDecay.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected)
+    got.values.foreach { case (nt, _, _, dust) =>
+      assert(dust >= 0 && dust < nt, "dust bounded by the touch count")
+    }
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
