@@ -1215,6 +1215,36 @@ object EventAnalytics {
       .orderBy(col("purchase_id"))
   }
 
+  /** Day-of-week × hour activity heatmap (r12c) — the 168-cell load
+    * matrix capacity planning reads. Both axes are PURE INTEGER
+    * functions of the epoch (dow = (days + 4) % 7 with 0 = Sunday —
+    * 1970-01-01 was a Thursday; hour = UTC hour of day), never the
+    * engines' calendar functions, whose weekday numbering disagrees
+    * (DuckDB 0=Sunday vs Spark 1=Sunday — exactly the cross-engine
+    * seam this spelling removes). One fixed-size agg, map-side
+    * partials. */
+  val eventsHourlyHeatmap: QDef = q(
+    "events_hourly_heatmap",
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT (us // 86400000000 + 4) % 7 AS dow,
+      |  (us // 3600000000) % 24 AS hour,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM e GROUP BY 1, 2
+      |ORDER BY dow, hour""") { (s, d) =>
+    Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("us"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy(expr("(us div 86400000000L + 4) % 7").as("dow"),
+        expr("(us div 3600000000L) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).cast(LongType).as("total_cents"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1222,5 +1252,5 @@ object EventAnalytics {
     tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError,
     audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
-    funnelTimeToConvert, attributionTimeDecay)
+    funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap)
 }

@@ -2,8 +2,10 @@ package graft.ops
 
 import graft.{QDef, Tables}
 import graft.QDef.q
+import graft.Protocol._
 import graft.pipeline.Harmonize
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Oracle-graded execution of the harmonization pipeline — the
   * reference's core computation (SURVEY §0.1) verified cross-engine,
@@ -201,6 +203,46 @@ object HarmonizeQueries {
       .orderBy(col("final_code"))
   }
 
+  /** Currency conversion via a broadcast rate dimension (r12c) — the
+    * config-as-data harmonization shape: a 12-row monthly rate table
+    * (integer MILLI-rates, the D2 no-float-money rule applied to FX)
+    * joins the order aggregate and converts with one floor division
+    * cents·rate‰ div 1000 — exact on both engines, no decimal
+    * rescale, no float multiply. Grades per-(year, month) native and
+    * converted totals; the rate dim broadcasts at any corpus size. */
+  val harmonizeFxConvert: QDef = q(
+    "harmonize_fx_convert",
+    """WITH rates AS (
+      |  SELECT r AS mon_r, 900 + (r - 1) * 10 AS rate_milli
+      |  FROM range(1, 13) t(r)),
+      |o AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |    CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT yr, mon,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(cents) AS BIGINT) AS native_cents,
+      |  CAST(SUM(cents * rate_milli // 1000) AS BIGINT) AS usd_cents
+      |FROM o JOIN rates ON mon = mon_r
+      |GROUP BY yr, mon
+      |ORDER BY yr, mon""") { (s, d) =>
+    import s.implicits._
+    val rates = (1 to 12).map(m => (m.toLong, (900 + (m - 1) * 10).toLong))
+      .toDF("mon_r", "rate_milli")
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mon"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      .join(broadcast(rates), col("mon") === col("mon_r"))
+      .groupBy(col("yr"), col("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).cast(LongType).as("native_cents"),
+        sum(expr("cents * rate_milli div 1000")).cast(LongType)
+          .as("usd_cents"))
+      .orderBy(col("yr"), col("mon"))
+  }
+
   val all: Seq[QDef] = Seq(harmonizeCube, harmonizeUnmappable, harmonizeProvenance,
-    entityMatchFuzzy, harmonizeCrosswalk)
+    entityMatchFuzzy, harmonizeCrosswalk, harmonizeFxConvert)
 }

@@ -578,9 +578,53 @@ object Sampling {
       .orderBy(col("replicate"))
   }
 
+  /** Leak-free train/valid/test split BY USER (r12c) — the
+    * entity-level split an events model needs: splitting event ROWS
+    * (split_train_holdout's doc-level shape) would leak a user's
+    * behavior across sets, so the md5 membership decision hashes the
+    * USER key (test = bucket 0, valid = bucket 1, train = the rest)
+    * and every event follows its user. Disjointness is structural —
+    * a user hashes to exactly one bucket on any engine and any
+    * partitioning (the spec pins empty pairwise user intersections).
+    * One row-local projection + one split-keyed agg. */
+  val splitByUserLeakfree: QDef = q(
+    "split_by_user_leakfree",
+    """WITH e AS (
+      |  SELECT CASE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::INT
+      |           % 10
+      |    WHEN 0 THEN 'test' WHEN 1 THEN 'valid' ELSE 'train' END AS split,
+      |    user_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT split,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM e GROUP BY split
+      |ORDER BY split""") { (s, d) =>
+    Tables.events(s, d)
+      .select(
+        when(conv(substring(md5(col("user_id").cast(StringType)), 1, 4), 16, 10)
+            .cast(IntegerType) % 10 === 0, "test")
+          .when(conv(substring(md5(col("user_id").cast(StringType)), 1, 4), 16, 10)
+            .cast(IntegerType) % 10 === 1, "valid")
+          .otherwise("train").as("split"),
+        col("user_id"), col("event_type"),
+        (qty(col("value")) * 100).cast(LongType).as("cents"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(col("cents")).cast(LongType).as("total_cents"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
     sampleWeightedPps, shardTokenBalanced, profileKeySkew,
-    dqFreshnessSla, samplePoissonBootstrap)
+    dqFreshnessSla, samplePoissonBootstrap, splitByUserLeakfree)
 }

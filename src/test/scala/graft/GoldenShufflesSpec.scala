@@ -106,6 +106,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_gini_value" -> 3,
     "report_xyz_variability" -> 4,
     "attribution_time_decay" -> 6,
+    "events_hourly_heatmap" -> 2,
+    "harmonize_fx_convert" -> 2,
+    "split_by_user_leakfree" -> 3,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

@@ -27,7 +27,9 @@ class R12cOpsSpec extends SparkSpec {
     "funnel_time_to_convert", "stream_late_drop_audit", "drift_unigram_jsd",
     "dedup_url_canonical", "report_ytd_running", "multimodal_image_tiles",
     "sketch_cms_join_forecast", "report_value_migration", "agg_gini_value",
-    "report_xyz_variability", "attribution_time_decay")
+    "report_xyz_variability", "attribution_time_decay",
+    "events_hourly_heatmap", "harmonize_fx_convert",
+    "split_by_user_leakfree")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1029,6 +1031,74 @@ class R12cOpsSpec extends SparkSpec {
     got.values.foreach { case (nt, _, _, dust) =>
       assert(dust >= 0 && dust < nt, "dust bounded by the touch count")
     }
+  }
+
+  test("events_hourly_heatmap: integer dow/hour recompute and match the calendar") {
+    val evs = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"),
+        expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = evs.groupBy { case (us, _) =>
+      ((us / 86400000000L + 4) % 7, (us / 3600000000L) % 24)
+    }.view.mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val got = EventAnalytics.eventsHourlyHeatmap.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected)
+    // spelling sanity: the integer dow agrees with java.time's calendar
+    val sample = evs.head._1
+    val cal = java.time.Instant.ofEpochSecond(sample / 1000000L)
+      .atZone(java.time.ZoneOffset.UTC).getDayOfWeek.getValue % 7 // Sunday=0
+    assert((sample / 86400000000L + 4) % 7 == cal.toLong)
+  }
+
+  test("harmonize_fx_convert: per-order floor conversion recomputes") {
+    val orders = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("c")).collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong, r.getLong(2)))
+    val expected = orders.groupBy(o => (o._1, o._2)).view.mapValues { os =>
+      val rate = 900L + (os.head._2 - 1) * 10
+      (os.length.toLong, os.map(_._3).sum, os.map(o => o._3 * rate / 1000).sum)
+    }.toMap
+    val got = HarmonizeQueries.harmonizeFxConvert.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    // conversion is per ORDER then summed, not floor-of-sum
+    got.foreach { case ((_, m), (_, native, usd)) =>
+      val rate = 900L + (m - 1) * 10
+      assert(usd <= native * rate / 1000, "sum of floors <= floor of sum")
+    }
+  }
+
+  test("split_by_user_leakfree: user sets are disjoint and exhaustive") {
+    val users = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      Integer.parseInt(hex, 16) % 10 match {
+        case 0 => "test"; case 1 => "valid"; case _ => "train"
+      }
+    }
+    val bySplit = users.map(_._1).distinct.groupBy(bucket)
+    val got = Sampling.splitByUserLeakfree.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == bySplit.keySet)
+    bySplit.foreach { case (s2, us) =>
+      assert(got(s2)._1 == us.length.toLong, s"$s2 n_users")
+    }
+    val sets = bySplit.values.map(_.toSet).toSeq
+    sets.combinations(2).foreach { case Seq(x, y2) =>
+      assert((x & y2).isEmpty, "splits must not share users")
+    }
+    assert(sets.map(_.size).sum == users.map(_._1).distinct.length)
+    assert(got.values.map(_._2).sum == users.length.toLong)
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
