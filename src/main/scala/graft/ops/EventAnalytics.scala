@@ -1245,6 +1245,52 @@ object EventAnalytics {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** Order-gap survival curve (r12c) — the repurchase-latency read
+    * behind churn models: consecutive same-customer order gaps (one
+    * customer-keyed lag window over the ORDER table), evaluated at
+    * the standard horizon grid {30,60,90,120,180,360} days — for
+    * each horizon, how many inter-order gaps exceed it (floor-ppm
+    * survival). The gap table builds once; horizons attach by a
+    * row-local 6-element explode, so the whole curve costs one
+    * window plus one 6-group agg. */
+  val tsOrderGapSurvival: QDef = q(
+    "ts_order_gap_survival",
+    """WITH g AS (
+      |  SELECT date_diff('day',
+      |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) AS gap_days
+      |  FROM orders),
+      |gg AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL),
+      |e AS (
+      |  SELECT t AS threshold_days, gap_days
+      |  FROM gg CROSS JOIN (SELECT unnest([30, 60, 90, 120, 180, 360]) AS t))
+      |SELECT CAST(threshold_days AS BIGINT) AS threshold_days,
+      |  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(CASE WHEN gap_days > threshold_days THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_exceeding,
+      |  CAST(SUM(CASE WHEN gap_days > threshold_days THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS survival_ppm
+      |FROM e GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val g = Tables.orders(s, d)
+      .select(datediff(col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w)).cast(LongType).as("gap_days"))
+      .filter(col("gap_days").isNotNull)
+    g.select(col("gap_days"),
+        explode(array(Seq(30, 60, 90, 120, 180, 360).map(lit): _*))
+          .as("threshold_days"))
+      .groupBy(col("threshold_days").cast(LongType).as("threshold_days"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("gap_days") > col("threshold_days"), 1L).otherwise(0L))
+          .as("n_exceeding"))
+      .select(col("threshold_days"), col("n_gaps"), col("n_exceeding"),
+        expr("CAST(n_exceeding * 1000000 div n_gaps AS BIGINT)")
+          .as("survival_ppm"))
+      .orderBy(col("threshold_days"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1252,5 +1298,6 @@ object EventAnalytics {
     tsAutocorrDaily, winStreaksDaily, tsSeasonalNaiveError,
     audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
-    funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap)
+    funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
+    tsOrderGapSurvival)
 }

@@ -622,9 +622,47 @@ object Sampling {
       .orderBy(col("split"))
   }
 
+  /** Cross-table date-consistency audit (r12c) — the referential DQ
+    * rule `dq_rule_check`'s single-table FILTERs can't see: a line
+    * must not ship before its order is placed. The fixture genuinely
+    * violates this (~49% of lines — synthetic dates are independent),
+    * so the audit measures a real defect rate per order year rather
+    * than vacuously passing. One fact⋈fact equi join on the order
+    * key (the q3 shuffle shape) + a year-level agg; day deltas are
+    * exact integer datediffs. */
+  val dqOrderLineitemDates: QDef = q(
+    "dq_order_lineitem_dates",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_violations,
+      |  CAST(MIN(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+      |    AS worst_days_early,
+      |  CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS violation_ppm
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .as("n_violations"),
+        min(datediff(col("l_shipdate"), col("o_orderdate"))).cast(LongType)
+          .as("worst_days_early"))
+      .select(col("yr"), col("n_lines"), col("n_violations"),
+        col("worst_days_early"),
+        expr("CAST(n_violations * 1000000 div n_lines AS BIGINT)")
+          .as("violation_ppm"))
+      .orderBy(col("yr"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
     sampleWeightedPps, shardTokenBalanced, profileKeySkew,
-    dqFreshnessSla, samplePoissonBootstrap, splitByUserLeakfree)
+    dqFreshnessSla, samplePoissonBootstrap, splitByUserLeakfree,
+    dqOrderLineitemDates)
 }

@@ -242,6 +242,70 @@ object SketchOps {
           .cast(LongType).as("over_ppm"))
   }
 
+  /** Raw-HyperLogLog register audit: the m=64 register table (max
+    * leading-zero rank per bucket from a 32-bit md5 hash: 6 bucket
+    * bits, 26 rank bits) and the harmonic-mean estimate
+    * α·m²/Σ2^(−M_b). m is deliberately SMALL so n ≫ 2.5m and the
+    * raw regime is exercised (`sketch_hll_linear` owns the
+    * small-cardinality branch). Every 2^(−M) is an exact dyadic
+    * double and the 64-term sum stays inside 53 mantissa bits, so Z
+    * is exact and ORDER-INDEPENDENT — the float discipline that lets
+    * an HLL estimate hash-match across engines. Rank via
+    * length(bin(w)) — identical unpadded binary strings on both
+    * engines. err_ppm is sign-safe floor (the win_pct_change
+    * discipline). */
+  val sketchHllRegisters: QDef = q(
+    "sketch_hll_registers",
+    s"""WITH base AS (SELECT o_custkey AS k FROM orders),
+      |h AS (
+      |  SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS hv
+      |  FROM base),
+      |reg0 AS (
+      |  SELECT hv // 67108864 AS b,
+      |    MAX(CASE WHEN hv % 67108864 = 0 THEN 27
+      |        ELSE 27 - length(bin(hv % 67108864)) END) AS m
+      |  FROM h GROUP BY 1),
+      |reg AS (
+      |  SELECT r AS b, COALESCE(m, 0) AS m
+      |  FROM range(0, 64) t(r) LEFT JOIN reg0 ON reg0.b = r),
+      |z AS (SELECT SUM(power(2.0, -m)) AS zz,
+      |  CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |  FROM reg),
+      |t AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_true FROM base)
+      |SELECT CAST(64 AS BIGINT) AS m, n_true, n_zero,
+      |  CAST(floor(0.709 * 64 * 64 / zz + 0.5) AS BIGINT) AS est_rows,
+      |  CASE WHEN floor(0.709 * 64 * 64 / zz + 0.5) >= n_true
+      |    THEN CAST((CAST(floor(0.709 * 64 * 64 / zz + 0.5) AS BIGINT)
+      |      - n_true) * 1000000 // n_true AS BIGINT)
+      |    ELSE -CAST((n_true - CAST(floor(0.709 * 64 * 64 / zz + 0.5)
+      |      AS BIGINT)) * 1000000 // n_true AS BIGINT) END AS err_ppm
+      |FROM z, t""") { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val h = base.select(col("k"),
+      conv(substring(md5(col("k").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType).as("hv"))
+    val reg0 = h
+      .groupBy(expr("hv div 67108864").as("b"))
+      .agg(max(when(col("hv") % 67108864 === 0, 27)
+        .otherwise(lit(27) - length(bin(col("hv") % 67108864)))).as("m"))
+    val scaffold = s.range(0, 64).select(col("id").as("b2"))
+    val reg = scaffold.join(broadcast(reg0), col("b2") === col("b"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+    val z = reg.agg(sum(pow(lit(2.0), -col("m"))).as("zz"),
+      sum(when(col("m") === 0, 1L).otherwise(0L)).as("n_zero"))
+    val t = base.agg(countDistinct(col("k")).as("n_true"))
+    val est = floor(lit(0.709) * 64 * 64 / col("zz") + 0.5).cast(LongType)
+    z.crossJoin(broadcast(t))
+      .select(lit(64L).as("m"), col("n_true"), col("n_zero"),
+        est.as("est_rows"),
+        when(est >= col("n_true"),
+          expr(s"CAST((CAST(floor(0.709 * 64 * 64 / zz + 0.5) AS BIGINT)" +
+            " - n_true) * 1000000 div n_true AS BIGINT)"))
+          .otherwise(-expr(s"CAST((n_true - CAST(floor(0.709 * 64 * 64 / zz" +
+            " + 0.5) AS BIGINT)) * 1000000 div n_true AS BIGINT)"))
+          .as("err_ppm"))
+  }
+
   val all: Seq[QDef] = Seq(sketchCountminFreq, sketchBloomFpr,
-    sketchHllLinear, sketchCmsJoinForecast)
+    sketchHllLinear, sketchCmsJoinForecast, sketchHllRegisters)
 }

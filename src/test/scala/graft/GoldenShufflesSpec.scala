@@ -109,6 +109,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "events_hourly_heatmap" -> 2,
     "harmonize_fx_convert" -> 2,
     "split_by_user_leakfree" -> 3,
+    "sketch_hll_registers" -> 4,
+    "ts_order_gap_survival" -> 3,
+    "dq_order_lineitem_dates" -> 2,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

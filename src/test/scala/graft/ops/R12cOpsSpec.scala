@@ -29,7 +29,8 @@ class R12cOpsSpec extends SparkSpec {
     "sketch_cms_join_forecast", "report_value_migration", "agg_gini_value",
     "report_xyz_variability", "attribution_time_decay",
     "events_hourly_heatmap", "harmonize_fx_convert",
-    "split_by_user_leakfree")
+    "split_by_user_leakfree", "sketch_hll_registers",
+    "ts_order_gap_survival", "dq_order_lineitem_dates")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1099,6 +1100,77 @@ class R12cOpsSpec extends SparkSpec {
     }
     assert(sets.map(_.size).sum == users.map(_._1).distinct.length)
     assert(got.values.map(_._2).sum == users.length.toLong)
+  }
+
+  test("sketch_hll_registers: registers and the harmonic estimate recompute exactly") {
+    val keys = Tables.orders(spark, sf).select(col("o_custkey")).collect()
+      .map(_.getLong(0))
+    val regs = Array.fill(64)(0)
+    keys.foreach { k =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val hv = java.lang.Long.parseLong(hex, 16)
+      val b = (hv / 67108864L).toInt
+      val w2 = hv % 67108864L
+      val rho = if (w2 == 0) 27
+        else 27 - java.lang.Long.toBinaryString(w2).length
+      regs(b) = math.max(regs(b), rho)
+    }
+    val z = regs.map(m2 => math.pow(2.0, -m2)).sum
+    val est = math.floor(0.709 * 64 * 64 / z + 0.5).toLong
+    val nTrue = keys.distinct.length.toLong
+    val r = SketchOps.sketchHllRegisters.run(spark, sf).collect().head
+    assert(r.getLong(0) == 64L)
+    assert(r.getLong(1) == nTrue)
+    assert(r.getLong(2) == regs.count(_ == 0).toLong)
+    assert(r.getLong(3) == est, "harmonic-mean estimate (exact dyadic sum)")
+    assert(math.abs(est - nTrue).toDouble / nTrue < 0.4,
+      "raw HLL should land within ~3 standard errors at m=64")
+  }
+
+  test("ts_order_gap_survival: the curve recomputes and is monotone decreasing") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val gaps = orders.groupBy(_._1).values.flatMap { os =>
+      os.sortBy(o => (o._2, o._3)).sliding(2).collect {
+        case Array(a, b) => b._2 - a._2
+      }
+    }.toSeq
+    val got = EventAnalytics.tsOrderGapSurvival.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set(30L, 60L, 90L, 120L, 180L, 360L))
+    got.foreach { case (t, (n, ex, ppm)) =>
+      assert(n == gaps.length.toLong, s"$t n_gaps")
+      assert(ex == gaps.count(_ > t).toLong, s"$t n_exceeding")
+      assert(ppm == ex * 1000000L / n, s"$t survival_ppm")
+    }
+    val curve = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(curve == curve.sorted.reverse, "survival is monotone decreasing")
+  }
+
+  test("dq_order_lineitem_dates: violation counts recompute per order year") {
+    val joined = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(year(col("o_orderdate")).as("y"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("dd"))
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong))
+    val expected = joined.groupBy(_._1).view.mapValues { rs =>
+      val v = rs.count(_._2 < 0).toLong
+      (rs.length.toLong, v, rs.map(_._2).min, v * 1000000L / rs.length)
+    }.toMap
+    val got = Sampling.dqOrderLineitemDates.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "the audit must measure a real defect rate")
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
