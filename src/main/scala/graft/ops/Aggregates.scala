@@ -1364,6 +1364,32 @@ object Aggregates {
       .orderBy(col("xyz_class"))
   }
 
+  /** Multi-column multi-DISTINCT in one pass (r12c) — three DISTINCT
+    * aggregates over DIFFERENT key sets in a single query, the shape
+    * Catalyst plans with one Expand (row replicated per distinct
+    * group) + two aggregate levels instead of three scans. At 100 TB
+    * the Expand triples map output but the fact is still read ONCE —
+    * the trade every multi-distinct dashboard query makes. Pair
+    * distinctness uses the real two-column form, not a string
+    * concat. */
+  val aggMultiDistinct: QDef = q(
+    "agg_multi_distinct",
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |  CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS n_days,
+      |  CAST(COUNT(DISTINCT (o_custkey, o_orderdate)) AS BIGINT)
+      |    AS n_cust_days
+      |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderdate")).as("n_days"),
+        countDistinct(col("o_custkey"), col("o_orderdate")).as("n_cust_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1374,5 +1400,5 @@ object Aggregates {
     aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix,
     reportAgingBuckets, reportConcentration, reportAbcClass,
     reportYtdRunning, reportValueMigration, aggGiniValue,
-    reportXyzVariability)
+    reportXyzVariability, aggMultiDistinct)
 }

@@ -904,10 +904,36 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Power-of-two document-length histogram (r12c) — the long-tail
+    * length read every corpus audit opens with: bucket = ⌊log₂
+    * n_chars⌋ computed as length(bin(n_chars)) − 1 — EXACT integer
+    * log2 via identical unpadded binary strings on both engines (the
+    * sketch_hll_registers trick), no float log anywhere. Row-local
+    * bucketing + one small agg per (lang, bucket). */
+  val corpusLengthLog2: QDef = q(
+    "corpus_length_log2",
+    """SELECT lang, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents WHERE n_chars >= 1
+      |GROUP BY 1, 2 ORDER BY lang, log2_bucket""") { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("n_chars") >= 1)
+      .groupBy(col("lang"),
+        (length(bin(col("n_chars"))) - 1).cast(LongType).as("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"),
+        min(col("n_chars")).cast(LongType).as("min_chars"),
+        max(col("n_chars")).cast(LongType).as("max_chars"))
+      .orderBy(col("lang"), col("log2_bucket"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
     dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings,
-    textTermEntropy)
+    textTermEntropy, corpusLengthLog2)
 }

@@ -347,9 +347,35 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** 6-hour tumbling DISTINCT-user counts (r12c) — the windowed
+    * unique-visitors number `stream_tumbling_counts` (plain counts)
+    * doesn't give. Batch twin uses exact countDistinct; the
+    * streaming execution of the same logic is watermarked
+    * dropDuplicates on (window, type, user) followed by the window
+    * count — state bounded by open-window × active users, the
+    * standard exact-uniques-in-stream decomposition (beyond memory
+    * range the documented swap is the HLL sketch family). */
+  val streamTumblingDistinct: QDef = q(
+    "stream_tumbling_distinct",
+    """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS w_start,
+      |  event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("w_start"), col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     streamTumblingCounts, streamSlidingWindows,
     streamSessionWindows, streamDedupKeyed, streamIntervalJoin,
     streamTopkWindowed, streamRateAlert, streamCustomSessions,
-    streamLateDropAudit)
+    streamLateDropAudit, streamTumblingDistinct)
 }

@@ -112,6 +112,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "sketch_hll_registers" -> 4,
     "ts_order_gap_survival" -> 3,
     "dq_order_lineitem_dates" -> 2,
+    "agg_multi_distinct" -> 3,
+    "stream_tumbling_distinct" -> 3,
+    "corpus_length_log2" -> 2,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

@@ -30,7 +30,9 @@ class R12cOpsSpec extends SparkSpec {
     "report_xyz_variability", "attribution_time_decay",
     "events_hourly_heatmap", "harmonize_fx_convert",
     "split_by_user_leakfree", "sketch_hll_registers",
-    "ts_order_gap_survival", "dq_order_lineitem_dates")
+    "ts_order_gap_survival", "dq_order_lineitem_dates",
+    "agg_multi_distinct", "stream_tumbling_distinct",
+    "corpus_length_log2")
 
   test("every r12c key is partition-count invariant (the 100 TB correctness property)") {
     val session = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1171,6 +1173,66 @@ class R12cOpsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(got == expected)
     assert(got.values.exists(_._2 > 0), "the audit must measure a real defect rate")
+  }
+
+  test("agg_multi_distinct: counts recompute and the plan uses one Expand, one scan") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("d")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val expected = orders.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).distinct.length.toLong,
+        rs.map(_._3).distinct.length.toLong,
+        rs.map(r => (r._2, r._3)).distinct.length.toLong)
+    }.toMap
+    val df = Aggregates.aggMultiDistinct.run(spark, sf)
+    val got = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+    // count on sparkPlan: the AQE-wrapped executedPlan string prints
+    // the scan once per plan snapshot and double-counts
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.toString.contains("Expand"),
+      "multi-distinct must plan via Expand")
+    assert(plan.collectLeaves().size == 1,
+      "the fact must be scanned exactly once")
+  }
+
+  test("stream_tumbling_distinct: distinct users recompute per 6h window") {
+    val evs = Tables.events(spark, sf)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"),
+        col("user_id")).collect()
+      .map(r => (r.getLong(0) / 21600000000L, r.getString(1), r.getLong(2)))
+    val expected = evs.groupBy(e => (e._1, e._2)).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._3).distinct.length.toLong)
+    }.toMap
+    val got = Streaming.streamTumblingDistinct.run(spark, sf).collect()
+      .map { r =>
+        val start = r.getTimestamp(0).getTime / 1000 * 1000000L
+        ((start / 21600000000L, r.getString(1)), (r.getLong(2), r.getLong(3)))
+      }.toMap
+    assert(got == expected)
+    got.values.foreach { case (n, u) => assert(u <= n) }
+  }
+
+  test("corpus_length_log2: every bucket's extrema respect its power-of-two range") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._2 >= 1)
+    val expected = docs.groupBy { case (l, n) =>
+      (l, 63 - java.lang.Long.numberOfLeadingZeros(n))
+    }.view.mapValues(rs =>
+      (rs.length.toLong, rs.map(_._2).sum, rs.map(_._2).min, rs.map(_._2).max))
+      .toMap
+    val got = CorpusOps.corpusLengthLog2.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected)
+    got.foreach { case ((_, b), (_, _, mn, mx)) =>
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+        s"bucket $b extrema inside [2^$b, 2^${b + 1})")
+    }
   }
 
   test("profile_key_skew: top-10 selection and ppm arithmetic recompute") {
