@@ -1292,6 +1292,143 @@ object Joins {
       .orderBy(col("p_brand"))
   }
 
+  /** TPC-H Q7 shape (r12c) — volume shipping between two nations: for
+    * each (supplier nation, customer nation) direction of the
+    * NATION_18↔NATION_19 trade lane, annual shipped revenue over
+    * 1995–1996. Scale posture: the nation filter lands on the two tiny
+    * dim sides FIRST — supplier×nation collapses to the qualifying
+    * supplier keys (broadcast onto the fact scan, cutting lineitem to
+    * the two nations' line items at the scan), and the customer side
+    * rides the orders⋈customer custkey join before the single big
+    * orders⋈lineitem orderkey exchange. The asymmetric-pair predicate
+    * (supp ≠ cust nation) is a residual filter on two broadcast-sourced
+    * string columns — no extra shuffle. Exact-decimal revenue (D2). */
+  val q7VolumeShipping: QDef = q(
+    "q7_volume_shipping",
+    """WITH shipping AS (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(6,2))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""") { (s, d) =>
+    val nations = Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"))
+      .agg(outDouble(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount"))))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (r12c) — national market share: within the EUROPE
+    * customer market for ECONOMY-type parts, the share of shipped
+    * revenue supplied by NATION_3's suppliers, per order year. Scale
+    * posture: part (type-filtered) and supplier (nation-labeled via
+    * the 25-row nation dim) broadcast onto the lineitem scan; the
+    * EUROPE customer-key set rides the orders join; the one big
+    * exchange is orders⋈lineitem on the order key, then a ≤7-group
+    * year agg with map-side partials. Ratio discipline is q14's: both
+    * sums exact DECIMAL through the agg, one DOUBLE conversion, one
+    * identically-spelled ppm expression on those operands. */
+  val q8MarketShare: QDef = q(
+    "q8_market_share",
+    """WITH all_nations AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(6,2))) AS volume,
+      |    n1.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON l_partkey = p_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n2.n_regionkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |a AS (
+      |  SELECT o_year,
+      |    SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS nr,
+      |    SUM(volume) AS tr
+      |  FROM all_nations GROUP BY o_year)
+      |SELECT o_year, CAST(nr AS DOUBLE) AS nation_revenue,
+      |  CAST(tr AS DOUBLE) AS total_revenue,
+      |  CAST(floor(CAST(nr AS DOUBLE) * 1000000 / CAST(tr AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS mkt_share_ppm
+      |FROM a ORDER BY o_year""") { (s, d) =>
+    val europeKeys = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(europeKeys), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val econParts = Tables.part(s, d)
+      .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+    val a = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .as("volume"))
+      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("nation") === "NATION_3", col("volume"))
+        .otherwise(lit(0))).as("nr"), sum(col("volume")).as("tr"))
+    a.select(col("o_year"),
+        outDouble(col("nr")).as("nation_revenue"),
+        outDouble(col("tr")).as("total_revenue"),
+        floor(outDouble(col("nr")) * 1000000 / outDouble(col("tr")) + 0.5)
+          .cast(LongType).as("mkt_share_ppm"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -1303,5 +1440,5 @@ object Joins {
     q14PromoRevenue, q16SupplierVariety, q22NoOrderCustomers,
     q6RevenueDelta, q13CustomerDistribution, q15TopSupplier,
     q19DiscountedRevenue, joinCardinalityProbe, joinTimeBandBucketed,
-    joinNullAwareIn, q17SmallQtyRevenue)
+    joinNullAwareIn, q17SmallQtyRevenue, q7VolumeShipping, q8MarketShare)
 }

@@ -963,9 +963,108 @@ object LlmExtras {
       .orderBy(col("scheme"))
   }
 
+  /** ANN recall audit (r12d): recall@5 of the hyperplane-LSH bucket
+    * probe (`sim_lsh_bucketed`'s 8-plane signature + Hamming-1
+    * multi-probe) against the brute-force exact top-5, per query
+    * vector over an 8-query eval panel. THE number an ANN rollout at
+    * 100 TB is gated on: the candidate generation is the same
+    * bucket-equality join that prunes at scale, while the exact side
+    * is O(N·|panel|) — bounded by the fixed eval panel, never run
+    * corpus×corpus. Per query: candidate-set size, hits among the
+    * exact top-5, and recall in percent (n_hits·20 — exact integers
+    * end to end; cosine ties broken by vec_id in both engines). */
+  val evalAnnRecall: QDef = q(
+    "eval_ann_recall",
+    s"""WITH signs AS (
+      |  SELECT p, i,
+      |    CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 2))::INT % 2 = 0
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT unnest(range(0, 8)) AS p), (SELECT unnest(range(1, 65)) AS i)),
+      |proj AS (
+      |  SELECT vec_id, p,
+      |    SUM(sgn * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS sp
+      |  FROM embeddings CROSS JOIN signs
+      |  GROUP BY vec_id, p),
+      |sig AS (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN sp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+      |      AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |qs AS (SELECT vec_id AS q_id, bucket AS q_bucket FROM sig WHERE vec_id < 8),
+      |probes AS (
+      |  SELECT q_id, unnest(list_transform(range(0, 9),
+      |    k -> CASE WHEN k = 0 THEN q_bucket
+      |              ELSE xor(q_bucket, 1::BIGINT << (k - 1)) END)) AS probe
+      |  FROM qs),
+      |cand AS (
+      |  SELECT DISTINCT p.q_id, s.vec_id
+      |  FROM probes p JOIN sig s ON s.bucket = p.probe
+      |  WHERE s.vec_id <> p.q_id),
+      |sims AS (
+      |  SELECT qe.vec_id AS q_id, e.vec_id,
+      |    ${sqlCosine("e.embedding", "qe.embedding")} AS sim
+      |  FROM embeddings e JOIN embeddings qe
+      |    ON qe.vec_id < 8 AND e.vec_id <> qe.vec_id),
+      |topk AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+      |    FROM sims) WHERE rn <= 5),
+      |hits AS (
+      |  SELECT t.q_id, CAST(COUNT(c.vec_id) AS BIGINT) AS n_hits
+      |  FROM topk t LEFT JOIN cand c ON c.q_id = t.q_id AND c.vec_id = t.vec_id
+      |  GROUP BY t.q_id),
+      |nc AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY q_id)
+      |SELECT h.q_id, CAST(COALESCE(nc.n_cand, 0) AS BIGINT) AS n_cand,
+      |  h.n_hits, CAST(h.n_hits * 20 AS BIGINT) AS recall_pct
+      |FROM hits h LEFT JOIN nc ON nc.q_id = h.q_id
+      |ORDER BY h.q_id""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    // Signature construction is sim_lsh_bucketed's, verbatim: one
+    // 512-element md5-derived ±1 sign row broadcast onto every vector,
+    // bucket folded by the compiled graft_lsh_bucket pass.
+    val signsRow = s.range(1).select(expr(
+      """transform(sequence(0, 511), k ->
+        |  IF(CAST(conv(substring(md5(concat_ws(':', k div 64, k % 64 + 1)), 1, 2), 16, 10) AS INT) % 2 = 0,
+        |     CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))""".stripMargin).as("signs"))
+    val withB = e.crossJoin(broadcast(signsRow))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions
+          .lshBucket(col("embedding"), col("signs"), 8, 64).as("bucket"))
+    val qs = withB.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val probes = qs.select(col("q_id"), explode(expr(
+      """transform(sequence(0, 8), k ->
+        |  IF(k = 0, q_bucket,
+        |     q_bucket ^ shiftleft(CAST(1 AS BIGINT), k - 1)))""".stripMargin))
+      .as("probe"))
+    val cand = withB.select(col("vec_id"), col("bucket"))
+      .join(broadcast(probes), col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val sims = e.crossJoin(broadcast(qs.select(col("q_id"), col("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        fcosine(col("embedding"), col("q_emb")).as("sim"))
+    val topk = sims.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+    val hits = topk
+      .join(cand.select(col("q_id").as("c_q"), col("vec_id").as("c_vec")),
+        col("c_q") === col("q_id") && col("c_vec") === col("vec_id"), "left")
+      .groupBy(col("q_id")).agg(count(col("c_vec")).as("n_hits"))
+    val nc = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+    hits.join(nc.select(col("q_id").as("nq"), col("n_cand")),
+        col("nq") === col("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_hits"), (col("n_hits") * 20).cast(LongType).as("recall_pct"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
     annIvfLabel, simLshBucketed, kmeansAssign, evalLangidConfusion,
-    knnHoldoutEval, dedupBandTuning, kmeansUpdateRound)
+    knnHoldoutEval, dedupBandTuning, kmeansUpdateRound, evalAnnRecall)
 }

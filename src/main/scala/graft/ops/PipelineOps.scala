@@ -647,9 +647,64 @@ object PipelineOps {
       .orderBy(col("canonical_url"))
   }
 
+  /** Curation threshold sweep (r12d): the kept-docs / kept-tokens
+    * retention curve over a minimum-length threshold grid — the table
+    * a corpus curator reads before fixing a quality cut, answering
+    * "what fraction of documents and of token mass survives each
+    * candidate floor" in one pass. Plan shape: per-doc token counts
+    * are row-local; the 6-row grid broadcast-joins with `tok >= thr`
+    * (each doc contributes to every threshold it clears — ≤6× fanout
+    * of a 2-column stream, collapsed map-side by the partial agg), and
+    * the scaffold LEFT JOIN keeps zero-survivor thresholds visible
+    * (the empty-cohort discipline from ADVICE r11). At 100 TB the
+    * sweep costs one scan + one ≤6-group agg. */
+  val curationThresholdSweep: QDef = q(
+    "curation_threshold_sweep",
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS n_toks FROM toks),
+      |grid AS (SELECT unnest([0, 16, 32, 64, 128, 256]) AS thr),
+      |kept0 AS (
+      |  SELECT thr, CAST(COUNT(*) AS BIGINT) AS docs_kept,
+      |    CAST(SUM(tok) AS BIGINT) AS toks_kept
+      |  FROM toks JOIN grid ON tok >= thr GROUP BY thr),
+      |kept AS (
+      |  SELECT g.thr, CAST(COALESCE(k.docs_kept, 0) AS BIGINT) AS docs_kept,
+      |    CAST(COALESCE(k.toks_kept, 0) AS BIGINT) AS toks_kept
+      |  FROM grid g LEFT JOIN kept0 k ON k.thr = g.thr)
+      |SELECT thr, docs_kept, toks_kept,
+      |  CAST(floor(CAST(docs_kept AS DOUBLE) * 1000000
+      |    / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT) AS docs_ppm,
+      |  CAST(floor(CAST(toks_kept AS DOUBLE) * 1000000
+      |    / CAST(n_toks AS DOUBLE) + 0.5) AS BIGINT) AS toks_ppm
+      |FROM kept CROSS JOIN tot ORDER BY thr""") { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("tok"))
+    val tot = toks.agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_toks"))
+    val grid = s.range(1)
+      .select(explode(expr("array(0, 16, 32, 64, 128, 256)")).as("thr"))
+    val kept0 = toks.join(broadcast(grid), col("tok") >= col("thr"))
+      .groupBy(col("thr"))
+      .agg(count(lit(1)).as("docs_kept"), sum(col("tok")).as("toks_kept"))
+    val kept = grid.join(kept0.withColumnRenamed("thr", "kthr"),
+        col("kthr") === col("thr"), "left")
+      .select(col("thr"), coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+        coalesce(col("toks_kept"), lit(0L)).as("toks_kept"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("thr"), col("docs_kept"), col("toks_kept"),
+        floor(col("docs_kept").cast(DoubleType) * 1000000
+          / col("n_docs").cast(DoubleType) + 0.5).cast(LongType).as("docs_ppm"),
+        floor(col("toks_kept").cast(DoubleType) * 1000000
+          / col("n_toks").cast(DoubleType) + 0.5).cast(LongType).as("toks_ppm"))
+      .orderBy(col("thr"))
+  }
+
   val all: Seq[QDef] = Seq(
     contaminationNgram, packSequences, mixDomainWeighted, textRepetition,
     textPiiScrub, embedQuantizeInt8, curationFunnel, dedupPrefixCluster,
     mixTemperatureResample, mixUpsampleEpochs, embedNormAudit,
-    dedupSourcePriority, hashFeatureCollisions, dedupUrlCanonical)
+    dedupSourcePriority, hashFeatureCollisions, dedupUrlCanonical,
+    curationThresholdSweep)
 }

@@ -443,9 +443,87 @@ object Scans {
       .orderBy(col("lang"))
   }
 
+  /** Bit-interleave term shared verbatim by the Spark and oracle forms
+    * of `layout_zorder_skipping` (only the shift spelling differs:
+    * Spark SQL has `shiftright`, DuckDB the `>>` operator). */
+  private def zTerms(a: String, b: String, spark: Boolean): String =
+    (0 to 7).map { i =>
+      val sa = if (spark) s"shiftright($a, $i)" else s"($a >> $i)"
+      val sb = if (spark) s"shiftright($b, $i)" else s"($b >> $i)"
+      s"($sa & 1) * ${1L << (2 * i)} + ($sb & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order layout audit (r12d): the data-skipping win of Z-ordering,
+    * measured. Orders get two candidate layouts — `linear` (insertion
+    * order: 1024-key o_orderkey blocks) and `zorder` (1024-value
+    * blocks of the 16-bit Morton interleave of the two filter dims) —
+    * and each block keeps parquet-style min/max stats on both dims.
+    * For a fixed 2-D predicate the audit reports, per layout, how many
+    * blocks a min/max-pruning scanner must read and how many rows
+    * that is, against the identical matched-row count. This is the
+    * decision table for 100 TB table maintenance: row groups are
+    * blocks, `OPTIMIZE ZORDER BY` is the z layout, and the rows_scanned
+    * column is the I/O bill — computed with two count-aggregates, no
+    * sort of the data itself (the z-value is a row-local expression,
+    * the block stats a partial+final agg). Morton order: Orenstein &
+    * Merrett 1984. */
+  val layoutZorderSkipping: QDef = q(
+    "layout_zorder_skipping",
+    s"""WITH base AS (
+      |  SELECT o_orderkey, o_custkey % 256 AS ck,
+      |    (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) % 256) AS dy
+      |  FROM orders),
+      |z AS (SELECT o_orderkey, ck, dy,
+      |  (${zTerms("ck", "dy", spark = false)}) AS zv FROM base),
+      |both_layouts AS (
+      |  SELECT 'linear' AS layout, o_orderkey // 1024 AS blk, ck, dy FROM z
+      |  UNION ALL
+      |  SELECT 'zorder' AS layout, zv // 1024 AS blk, ck, dy FROM z),
+      |blocks AS (
+      |  SELECT layout, blk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(ck) AS min_ck, MAX(ck) AS max_ck,
+      |    MIN(dy) AS min_dy, MAX(dy) AS max_dy,
+      |    CAST(SUM(CASE WHEN ck BETWEEN 32 AND 47 AND dy BETWEEN 64 AND 95
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM both_layouts GROUP BY layout, blk)
+      |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(CASE WHEN min_ck <= 47 AND max_ck >= 32
+      |    AND min_dy <= 95 AND max_dy >= 64 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_scanned,
+      |  CAST(SUM(CASE WHEN min_ck <= 47 AND max_ck >= 32
+      |    AND min_dy <= 95 AND max_dy >= 64 THEN n_rows ELSE 0 END) AS BIGINT)
+      |    AS rows_scanned,
+      |  CAST(SUM(n_match) AS BIGINT) AS rows_matched
+      |FROM blocks GROUP BY layout ORDER BY layout""") { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_custkey") % 256).as("ck"),
+      (datediff(col("o_orderdate").cast(DateType),
+        lit("1995-01-01").cast(DateType)) % 256).as("dy"))
+    val z = base.withColumn("zv",
+      expr(zTerms("ck", "dy", spark = true)).cast(LongType))
+    val layouts = z.select(lit("linear").as("layout"),
+        expr("o_orderkey div 1024").cast(LongType).as("blk"), col("ck"), col("dy"))
+      .unionAll(z.select(lit("zorder").as("layout"),
+        expr("zv div 1024").cast(LongType).as("blk"), col("ck"), col("dy")))
+    val hit = col("ck").between(32, 47) && col("dy").between(64, 95)
+    val blocks = layouts.groupBy(col("layout"), col("blk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+        min(col("dy")).as("min_dy"), max(col("dy")).as("max_dy"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_match"))
+    val scanned = col("min_ck") <= 47 && col("max_ck") >= 32 &&
+      col("min_dy") <= 95 && col("max_dy") >= 64
+    blocks.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(scanned, 1L).otherwise(0L)).as("n_scanned"),
+        sum(when(scanned, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_match")).as("rows_matched"))
+      .orderBy(col("layout"))
+  }
+
   val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
     sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo,
     sourceSortedRanges, sourceSchemaMerge, sourceOrcRoundtrip,
     sourceJsonRoundtrip, joinDppPartitioned, sourceCsvQuoted,
-    sourceTextLines, sourceBinaryFiles)
+    sourceTextLines, sourceBinaryFiles, layoutZorderSkipping)
 }

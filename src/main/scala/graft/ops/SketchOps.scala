@@ -306,6 +306,64 @@ object SketchOps {
           .as("err_ppm"))
   }
 
+  /** KMV (k-minimum-values / bottom-k) distinct-count audit: hash every
+    * distinct order customer to a 32-bit value (md5 prefix — identical
+    * in both engines), keep only the 256 smallest hashes, and read off
+    * the estimate (k−1)·2³²/h₍ₖ₎ at k ∈ {16, 64, 256} against the
+    * exact distinct count. This is THE mergeable distinct sketch for
+    * 100 TB: each partition ships its bottom-k (k longs, constant
+    * size), merge = union + re-take-bottom-k — here the bottom-256 is
+    * one TakeOrdered (O(k) per partition, no global sort), ranks come
+    * from a 256-row broadcast self-join (never a single-partition
+    * window), and the estimate algebra is exact BIGINT division. */
+  val sketchKmvDistinct: QDef = q(
+    "sketch_kmv_distinct",
+    """WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |hs AS (SELECT DISTINCT
+      |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM keys),
+      |truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_distinct FROM keys),
+      |bottom AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+      |ranked AS (
+      |  SELECT a.h, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM bottom a JOIN bottom b ON b.h <= a.h GROUP BY a.h),
+      |kth AS (
+      |  SELECT r AS k, h AS kth_min_h,
+      |    CAST((r - 1) * 4294967296 // h AS BIGINT) AS est_distinct
+      |  FROM ranked WHERE r IN (16, 64, 256))
+      |SELECT k, kth_min_h, est_distinct, true_distinct,
+      |  CASE WHEN est_distinct >= true_distinct
+      |    THEN CAST((est_distinct - true_distinct) * 1000000 // true_distinct
+      |      AS BIGINT)
+      |    ELSE -CAST((true_distinct - est_distinct) * 1000000 // true_distinct
+      |      AS BIGINT) END AS err_ppm
+      |FROM kth CROSS JOIN truth
+      |ORDER BY k""") { (s, d) =>
+    val keys = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val hs = keys.select(
+      conv(substring(md5(col("k").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType).as("h")).distinct()
+    val truth = keys.agg(count(lit(1)).as("true_distinct"))
+    val bottom = hs.orderBy(col("h")).limit(256)
+    val ranked = bottom.as("a")
+      .join(broadcast(bottom.as("b")), col("b.h") <= col("a.h"))
+      .groupBy(col("a.h").as("h")).agg(count(lit(1)).as("r"))
+    val kth = ranked.filter(col("r").isin(16L, 64L, 256L))
+      .select(col("r").as("k"), col("h").as("kth_min_h"),
+        expr("CAST((r - 1) * 4294967296 div h AS BIGINT)")
+          .as("est_distinct"))
+    kth.crossJoin(broadcast(truth))
+      .select(col("k"), col("kth_min_h"), col("est_distinct"),
+        col("true_distinct"),
+        when(col("est_distinct") >= col("true_distinct"),
+          expr("CAST((est_distinct - true_distinct) * 1000000" +
+            " div true_distinct AS BIGINT)"))
+          .otherwise(-expr("CAST((true_distinct - est_distinct) * 1000000" +
+            " div true_distinct AS BIGINT)")).as("err_ppm"))
+      .orderBy(col("k"))
+  }
+
   val all: Seq[QDef] = Seq(sketchCountminFreq, sketchBloomFpr,
-    sketchHllLinear, sketchCmsJoinForecast, sketchHllRegisters)
+    sketchHllLinear, sketchCmsJoinForecast, sketchHllRegisters,
+    sketchKmvDistinct)
 }

@@ -115,6 +115,12 @@ class GoldenShufflesSpec extends SparkSpec {
     "agg_multi_distinct" -> 3,
     "stream_tumbling_distinct" -> 3,
     "corpus_length_log2" -> 2,
+    "q7_volume_shipping" -> 4,
+    "q8_market_share" -> 4,
+    "sketch_kmv_distinct" -> 3,
+    "eval_ann_recall" -> 6,
+    "layout_zorder_skipping" -> 3,
+    "curation_threshold_sweep" -> 3,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,

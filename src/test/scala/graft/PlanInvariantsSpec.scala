@@ -74,13 +74,14 @@ class PlanInvariantsSpec extends SparkSpec {
     // 3-10x slower than exploding an index sequence and computing per
     // row (see the langid/udtf_bigrams/contamination builds).
     // Exception: sim_lsh_bucketed explodes a transform over its ONE
-    // probe row — 9 evaluations total, structurally harmless.
+    // probe row (9 evaluations total) and eval_ann_recall over its
+    // fixed 8-row query panel (72 total) — structurally harmless.
     import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
     val bad = offenders({
       case g: org.apache.spark.sql.execution.GenerateExec =>
         g.generator.children.exists(_.exists(_.isInstanceOf[HigherOrderFunction]))
       case _ => false
-    }, except = Set("sim_lsh_bucketed"))
+    }, except = Set("sim_lsh_bucketed", "eval_ann_recall"))
     assert(bad.isEmpty,
       s"Generate over higher-order expression in graded plans: ${bad.mkString(", ")}")
   }
