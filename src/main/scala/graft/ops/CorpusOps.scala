@@ -930,10 +930,57 @@ object CorpusOps {
       .orderBy(col("lang"), col("log2_bucket"))
   }
 
+  /** The candidate vocabulary sizes `vocab_coverage_curve` evaluates —
+    * the grid a tokenizer design sweeps. */
+  private val vocabGrid = Seq(16, 64, 256, 1024, 4096)
+
+  /** Vocabulary coverage curve (r12e) — for each candidate vocabulary
+    * size N, what fraction of the corpus's token OCCURRENCE mass the
+    * top-N terms (by frequency, ties by term — a total order) cover.
+    * THE table a tokenizer design is fixed from: vocab_oov_rate grades
+    * one chosen vocabulary, this sweeps the size axis (the classic
+    * Zipf-mass curve, Zipf 1949). Scale posture: one term-frequency
+    * aggregate (term-cardinality shuffle, persisted once), then each
+    * grid point is a TakeOrdered top-N — O(N) heap per partition, no
+    * global sort, no window, no rank self-join — over the SAME
+    * persisted table, plus a one-row total broadcast. Everything after
+    * the frequency agg is O(|vocab grid| · N), independent of corpus
+    * size. Exact BIGINT mass + floor-ppm coverage. */
+  val vocabCoverageCurve: QDef = q(
+    "vocab_coverage_curve",
+    s"""WITH tf AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tf GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM freq),
+      |cov AS (
+      |${vocabGrid.map(n =>
+        s"""  SELECT $n AS vocab_size, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |    CAST(SUM(freq) AS BIGINT) AS covered
+      |  FROM (SELECT freq FROM freq ORDER BY freq DESC, tok LIMIT $n)"""
+      ).mkString("\n      |  UNION ALL\n      |")})
+      |SELECT vocab_size, n_terms, covered,
+      |  CAST(covered * 1000000 // n_total AS BIGINT) AS coverage_ppm
+      |FROM cov CROSS JOIN tot ORDER BY vocab_size""") { (s, d) =>
+    val freq = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = freq.agg(sum(col("freq")).cast(LongType).as("n_total"))
+    val cov = vocabGrid.map { n =>
+      freq.orderBy(col("freq").desc, col("tok")).limit(n)
+        .agg(count(lit(1)).as("n_terms"), sum(col("freq")).as("covered"))
+        .select(lit(n).as("vocab_size"), col("n_terms"), col("covered"))
+    }.reduce(_ unionAll _)
+    cov.crossJoin(broadcast(tot))
+      .select(col("vocab_size"), col("n_terms"), col("covered"),
+        expr("CAST(covered * 1000000 div n_total AS BIGINT)")
+          .as("coverage_ppm"))
+      .orderBy(col("vocab_size"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
     dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings,
-    textTermEntropy, corpusLengthLog2)
+    textTermEntropy, corpusLengthLog2, vocabCoverageCurve)
 }

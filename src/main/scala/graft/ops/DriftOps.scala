@@ -488,7 +488,90 @@ object DriftOps {
           .as("jsd_nats"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test (r12e) — has the order-
+    * value distribution moved between the 1995 and 1996 cohorts? The
+    * distribution-free test a pipeline runs when histogram bins are
+    * too coarse. EXACT-INTEGER throughout: with cohort sizes na/nb and
+    * right-continuous ECDFs evaluated at every distinct cents value v,
+    * the KS statistic is D = max |cumA·nb − cumB·na| / (na·nb) — the
+    * numerator and the final floor-ppm are pure BIGINT algebra
+    * (na·nb ≈ 5·10¹⁴ even at 1000× the graded SF, far inside 2⁶³), so
+    * both engines hash-match bit-for-bit with no libm anywhere. The
+    * argmax value reports WHERE the distributions diverge (ties → min
+    * v, a total order). Scale posture: the global cumulative sum is
+    * the distributed TWO-PASS prefix — value-level counts bucket into
+    * $10k blocks, the running sum windows PARTITION BY bucket (never
+    * an unpartitioned window), and each bucket's offset comes from a
+    * broadcast self-join over the ≤50-row per-bucket total table; the
+    * final argmax is one global max-of-struct aggregate. Shuffles
+    * carry distinct-value partial counts only. */
+  import org.apache.spark.sql.expressions.Window
+
+  val statsKsTest: QDef = q(
+    "stats_ks_test",
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM orders
+      |  WHERE year(o_orderdate) IN (1995, 1996)
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |  CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+      |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      |  FROM c),
+      |g AS (
+      |  SELECT v, abs(cum_a * nb - cum_b * na) AS gap
+      |  FROM cum CROSS JOIN tot),
+      |mx AS (SELECT CAST(MAX(gap) AS BIGINT) AS d_num FROM g)
+      |SELECT na, nb, d_num,
+      |  CAST((SELECT MIN(v) FROM g WHERE gap = d_num) AS BIGINT) AS at_cents,
+      |  CAST(d_num * 1000000 // (na * nb) AS BIGINT) AS ks_d_ppm
+      |FROM tot CROSS JOIN mx""") { (s, d) =>
+    val c = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select((money(col("o_totalprice")) * 100).cast(LongType).as("v"),
+        when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L).as("a"),
+        when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L).as("b"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+      .withColumn("bkt", expr("v div 1000000"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // pass 1: running sums INSIDE each $10k bucket (partitioned window)
+    val w = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = c.select(col("v"), col("bkt"),
+      sum(col("ca")).over(w).as("ra"), sum(col("cb")).over(w).as("rb"))
+    // pass 2: each bucket's offset = total of all STRICTLY EARLIER
+    // buckets, from the tiny per-bucket table (broadcast self-join)
+    val btot = c.groupBy(col("bkt"))
+      .agg(sum(col("ca")).as("ba"), sum(col("cb")).as("bb"))
+    val bpre = btot.select(col("bkt"), col("ba"), col("bb")).as("x")
+      .join(broadcast(btot.select(col("bkt").as("ybkt"),
+        col("ba").as("yba"), col("bb").as("ybb"))),
+        col("ybkt") < col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("yba")), lit(0L)).as("pa"),
+        coalesce(sum(col("ybb")), lit(0L)).as("pb"))
+    val g = within.join(broadcast(bpre), "bkt")
+      .crossJoin(broadcast(tot))
+      .select(col("v"),
+        abs((col("ra") + col("pa")) * col("nb")
+          - (col("rb") + col("pb")) * col("na")).as("gap"))
+    val best = g.agg(max(struct(col("gap"), (-col("v")).as("nv"))).as("m"))
+    best.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), col("m.gap").as("d_num"),
+        (-col("m.nv")).as("at_cents"),
+        expr("CAST(m.gap * 1000000 div (na * nb) AS BIGINT)").as("ks_d_ppm"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
     statsChiSquare, embedTopComponent, embedCosineHistogram, tsCusumAlarm,
-    driftUnigramJsd)
+    driftUnigramJsd, statsKsTest)
 }

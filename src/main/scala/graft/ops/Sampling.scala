@@ -659,10 +659,74 @@ object Sampling {
       .orderBy(col("yr"))
   }
 
+  /** Benford expected first-digit shares, floor-half-up ppm of
+    * log10(1+1/d) — hardcoded as integer literals in BOTH engines'
+    * query text so no libm log appears anywhere (they sum to exactly
+    * 1,000,000). Benford 1938 / Newcomb 1881. */
+  private val benfordPpm = Seq(1 -> 301030, 2 -> 176091, 3 -> 124939,
+    4 -> 96910, 5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+
+  /** Benford first-digit audit (r12e) — the fraud/fabrication screen
+    * auditors run on financial columns: the first significant digit of
+    * naturally-occurring amounts should follow log10(1+1/d), and a
+    * synthesized or truncated column shows up as a flat or spiked
+    * digit histogram. Graded against o_totalprice: per digit 1-9, the
+    * observed order count, its round-half-up ppm share, the Benford
+    * expectation, and the signed delta — a fixture like this one
+    * (uniform-ish totals) FAILS the screen loudly, which is the point:
+    * the audit measures deviation, it doesn't assume conformance. All
+    * 9 digits are scaffolded via a literal grid LEFT JOIN (empty-
+    * cohort discipline). Scale: the digit is a row-local string head
+    * of the integer cents; one 9-group agg with map-side partials —
+    * nothing scales with the table. */
+  val dqBenfordDigits: QDef = q(
+    "dq_benford_digits",
+    s"""WITH obs AS (
+      |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1),
+      |grid AS (SELECT * FROM (VALUES
+      |    ${benfordPpm.map { case (dg, p) => s"($dg, $p)" }.mkString(", ")})
+      |  g(digit, exp_ppm)),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),
+      |j AS (
+      |  SELECT g.digit, CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+      |    CAST(floor(CAST(COALESCE(o.n, 0) AS DOUBLE) * 1000000
+      |      / CAST(nt AS DOUBLE) + 0.5) AS BIGINT) AS obs_ppm,
+      |    CAST(g.exp_ppm AS BIGINT) AS exp_ppm
+      |  FROM grid g LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN tot)
+      |SELECT digit, n_orders, obs_ppm, exp_ppm,
+      |  obs_ppm - exp_ppm AS delta_ppm
+      |FROM j ORDER BY digit""") { (s, d) =>
+    // persisted: the ≤9-row digit histogram feeds both the join and
+    // the total — without it the fact table would be scanned twice
+    val obs = Tables.orders(s, d)
+      .select(substring((money(col("o_totalprice")) * 100).cast(LongType)
+        .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = obs.agg(sum(col("n")).as("nt"))
+    val grid = s.range(1).select(explode(expr(
+      "array(" + benfordPpm.map { case (dg, p) =>
+        s"named_struct('digit', $dg, 'exp_ppm', CAST($p AS BIGINT))"
+      }.mkString(", ") + ")")).as("g"))
+      .select(col("g.digit"), col("g.exp_ppm"))
+    grid.join(broadcast(obs.withColumnRenamed("digit", "odigit")),
+        col("odigit") === col("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n_orders"),
+        floor(coalesce(col("n"), lit(0L)).cast(DoubleType) * 1000000
+          / col("nt").cast(DoubleType) + 0.5).cast(LongType).as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("delta_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
     sampleWeightedPps, shardTokenBalanced, profileKeySkew,
     dqFreshnessSla, samplePoissonBootstrap, splitByUserLeakfree,
-    dqOrderLineitemDates)
+    dqOrderLineitemDates, dqBenfordDigits)
 }

@@ -121,6 +121,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "eval_ann_recall" -> 6,
     "layout_zorder_skipping" -> 3,
     "curation_threshold_sweep" -> 3,
+    "stats_ks_test" -> 5,
+    "vocab_coverage_curve" -> 1,
+    "dq_benford_digits" -> 2,
     "index_inverted_postings" -> 2,
     "ts_seasonal_naive_error" -> 3,
     "pareto_frontier_parts" -> 3,
