@@ -571,7 +571,173 @@ object DriftOps {
         expr("CAST(m.gap * 1000000 div (na * nb) AS BIGINT)").as("ks_d_ppm"))
   }
 
+  /** Exclusive prefix counts over distinct values — the distributed
+    * rank primitive the rank statistics below share (`stats_ks_test`
+    * spells the same two-pass shape inline): within-bucket running
+    * sums via a PARTITIONED window, cross-bucket offsets from the
+    * tiny per-bucket total table (broadcast strictly-earlier
+    * self-join) — never an unpartitioned window. Input: one row per
+    * distinct value `v` with a BIGINT weight `cnt` (extra columns
+    * ride along); output adds `pre` = Σ cnt over all values strictly
+    * below v. Shuffles carry distinct-value partial counts only. */
+  private def exclusivePrefix(counts: org.apache.spark.sql.DataFrame,
+      bucketOf: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val c = counts.withColumn("bkt", bucketOf)
+    val w = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = c.withColumn("run", sum(col("cnt")).over(w))
+    val btot = c.groupBy(col("bkt")).agg(sum(col("cnt")).as("bt"))
+    val bpre = btot.as("x")
+      .join(broadcast(btot.select(col("bkt").as("ybkt"), col("bt").as("ybt"))),
+        col("ybkt") < col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("ybt")), lit(0L)).as("off"))
+    within.join(broadcast(bpre), "bkt")
+      .withColumn("pre", col("run") - col("cnt") + col("off"))
+      .drop("bkt", "bt", "run", "off")
+  }
+
+  /** Mann–Whitney U rank-sum test (r12f) — the nonparametric "did the
+    * order-value distribution SHIFT between the 1995 and 1996
+    * cohorts" companion to `stats_ks_test` (KS is sensitive to any
+    * ECDF gap, U to stochastic dominance). EXACT-INTEGER via DOUBLED
+    * midranks: a tie group occupying rank positions pre+1..pre+cnt
+    * has doubled midrank 2·pre + cnt + 1 (always an integer), so
+    * 2·R_A = Σ_v ca_v·(2·pre_v + cnt_v + 1) and 2·U_A = 2·R_A −
+    * na(na+1) are pure BIGINT algebra — both engines hash-match
+    * bit-for-bit, no libm. `auc_ppm` = U_A/(na·nb) in floor-ppm is
+    * the common-language effect size P(A>B) + ½P(A=B) (Mann &
+    * Whitney 1947). All operands nonnegative (2R_A ≥ na(na+1)), so
+    * Spark `div` and DuckDB `//` agree. Scale posture: one distinct-
+    * value count agg, the shared bucketed-prefix rank pass, one
+    * DECIMAL(38)-partial fold — shuffles carry distinct-value rows
+    * only. The ppm numerator u2·10⁶ needs |u2| ≤ 2·na·nb ≲ 9·10¹²
+    * (na,nb ≤ ~2·10⁶ cohorts); beyond that, divide na·nb first. */
+  val statsMannWhitneyU: QDef = q(
+    "stats_mannwhitney_u",
+    """WITH c AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM orders
+      |  WHERE year(o_orderdate) IN (1995, 1996)
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |  CAST(SUM(cb) AS BIGINT) AS nb FROM c),
+      |cum AS (
+      |  SELECT v, ca, ca + cb AS cnt,
+      |    CAST(COALESCE(SUM(ca + cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS pre
+      |  FROM c),
+      |r AS (SELECT CAST(SUM(ca * (2 * pre + cnt + 1)) AS BIGINT) AS r2a
+      |  FROM cum)
+      |SELECT na, nb, r2a,
+      |  CAST(r2a - na * (na + 1) AS BIGINT) AS u2a,
+      |  CAST((r2a - na * (na + 1)) * 1000000 // (2 * na * nb) AS BIGINT)
+      |    AS auc_ppm
+      |FROM tot CROSS JOIN r""") { (s, d) =>
+    val c = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select((money(col("o_totalprice")) * 100).cast(LongType).as("v"),
+        when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L).as("a"),
+        when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L).as("b"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = c.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val ranked = exclusivePrefix(c, expr("v div 1000000"))
+    val r = ranked
+      .agg(sum((col("ca") * (lit(2L) * col("pre") + col("cnt") + lit(1L)))
+        .cast(DecimalType(38, 0))).as("r2d"))
+      .select(col("r2d").cast(LongType).as("r2a"))
+    r.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), col("r2a"),
+        (col("r2a") - col("na") * (col("na") + 1)).as("u2a"),
+        expr("CAST((r2a - na * (na + 1)) * 1000000 div (2 * na * nb) AS BIGINT)")
+          .as("auc_ppm"))
+  }
+
+  /** Spearman rank correlation (r12f) — is a customer's ORDER COUNT
+    * monotonically associated with their TOTAL SPEND? Pearson
+    * (`agg_corr_explicit`) grades the linear association; Spearman is
+    * the rank version a skewed-spend distribution needs (Spearman
+    * 1904). Ties use midranks, kept exact via DOUBLED midranks
+    * (2·pre + cnt + 1 — integers; the ×2 cancels in ρ). Both rank
+    * maps come from the shared bucketed-prefix primitive — the
+    * small order-count map broadcasts back, the per-cents map joins
+    * on the value key (an equi-shuffle sized by customer
+    * cardinality). Moment fold + final formula are spelled exactly
+    * as `agg_corr_explicit` (DECIMAL(38,0) partials, one DOUBLE
+    * conversion, IEEE-exact sqrt — the one libm call both engines
+    * correctly round). */
+  val statsSpearmanCorr: QDef = q(
+    "stats_spearman_corr",
+    """WITH cust AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT
+      |    2 * (RANK() OVER (ORDER BY x)) + COUNT(*) OVER (PARTITION BY x) - 1
+      |      AS rx,
+      |    2 * (RANK() OVER (ORDER BY y)) + COUNT(*) OVER (PARTITION BY y) - 1
+      |      AS ry
+      |  FROM cust),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+      |    SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+      |    SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+      |  FROM r),
+      |t AS (SELECT n, CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+      |    CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy,
+      |    CAST(sxy AS DOUBLE) AS dxy
+      |  FROM s)
+      |SELECT n,
+      |  (n * dxy - dx * dy) / (sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy))
+      |    AS rho_spearman
+      |FROM t""") { (s, d) =>
+    val cust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"),
+        sum((money(col("o_totalprice")) * 100).cast(LongType)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def doubledMidrank(vals: org.apache.spark.sql.DataFrame,
+        bucketOf: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+      exclusivePrefix(vals.groupBy(col("v")).agg(count(lit(1)).as("cnt")),
+          bucketOf)
+        .select(col("v"),
+          (lit(2L) * col("pre") + col("cnt") + lit(1L)).as("r2"))
+    val xr = doubledMidrank(cust.select(col("x").as("v")), expr("v div 8"))
+      .select(col("v").as("x"), col("r2").as("rx"))
+    val yr = doubledMidrank(cust.select(col("y").as("v")),
+        expr("v div 100000000"))
+      .select(col("v").as("y"), col("r2").as("ry"))
+    val ranked = cust.join(broadcast(xr), "x").join(yr, "y")
+    val decRx = col("rx").cast(DecimalType(38, 0))
+    val decRy = col("ry").cast(DecimalType(38, 0))
+    val sums = ranked.agg(count(lit(1)).as("n"),
+      sum(decRx).as("sx"), sum(decRy).as("sy"),
+      sum(decRx * col("rx")).as("sxx"), sum(decRy * col("ry")).as("syy"),
+      sum(decRx * col("ry")).as("sxy"))
+    val t = sums.select(col("n"),
+      col("sx").cast(DoubleType).as("dx"), col("sy").cast(DoubleType).as("dy"),
+      col("sxx").cast(DoubleType).as("dxx"),
+      col("syy").cast(DoubleType).as("dyy"),
+      col("sxy").cast(DoubleType).as("dxy"))
+    t.select(col("n"),
+      ((col("n") * col("dxy") - col("dx") * col("dy"))
+        / (sqrt(col("n") * col("dxx") - col("dx") * col("dx"))
+          * sqrt(col("n") * col("dyy") - col("dy") * col("dy"))))
+        .as("rho_spearman"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
     statsChiSquare, embedTopComponent, embedCosineHistogram, tsCusumAlarm,
-    driftUnigramJsd, statsKsTest)
+    driftUnigramJsd, statsKsTest, statsMannWhitneyU, statsSpearmanCorr)
 }

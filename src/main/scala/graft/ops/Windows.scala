@@ -711,10 +711,80 @@ object Windows {
       .drop("gr_pid", "gr_lrn", "gr_cnt", "gr_off", "gr_n", "gr_r")
   }
 
+  /** Rolling 7-day OLS slope (r12f) — the trailing trend a
+    * monitoring dashboard draws over each event type's daily value:
+    * per (event_type, day), the least-squares slope of daily cents
+    * over the last 7 CALENDAR days (RANGE frame on the integer day
+    * number, so gaps shorten the window instead of silently widening
+    * it the way a ROWS frame would). EXACT-INTEGER: with x = day
+    * number since 2024-01-01 (small by construction — centering the
+    * regressor is what keeps n·Σxy − Σx·Σy cancellation-free in
+    * BIGINT) and y = daily cents, slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²) emitted as floor-micro-cents/day with the
+    * win_pct_change sign decomposition (Spark `div` truncates,
+    * DuckDB `//` floors — they agree only on nonnegative operands).
+    * n = 1 makes the denominator 0 → NULL slope. One partitioned
+    * window over the tiny daily aggregate; nothing after the first
+    * agg scales with the fact table. */
+  val winRollingSlope: QDef = q(
+    "win_rolling_slope",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01',
+      |              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS day_no,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day_no, y,
+      |    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+      |    CAST(SUM(day_no) OVER win AS BIGINT) AS sx,
+      |    CAST(SUM(y) OVER win AS BIGINT) AS sy,
+      |    CAST(SUM(day_no * y) OVER win AS BIGINT) AS sxy,
+      |    CAST(SUM(day_no * day_no) OVER win AS BIGINT) AS sxx
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY event_type ORDER BY day_no
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT event_type, day_no, y, n,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |  FROM w)
+      |SELECT event_type, day_no, y AS day_cents, n AS n_days,
+      |  CAST(CASE WHEN den = 0 THEN NULL
+      |       WHEN num >= 0 THEN (num * 1000000) // den
+      |       ELSE -(((-num) * 1000000) // den) END AS BIGINT) AS slope_micro
+      |FROM g ORDER BY event_type, day_no""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(date_trunc("day", col("ts")).cast(DateType),
+          lit("2024-01-01").cast(DateType)).as("day_no"),
+        money(col("value")).as("v0"))
+      .groupBy(col("event_type"), col("day_no"))
+      .agg((sum(col("v0")) * 100).cast(LongType).as("y"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+      .rangeBetween(-6, Window.currentRow)
+    val w = daily.select(col("event_type"), col("day_no"), col("y"),
+      count(lit(1)).over(win).as("n"),
+      sum(col("day_no")).over(win).cast(LongType).as("sx"),
+      sum(col("y")).over(win).as("sy"),
+      sum(col("day_no").cast(LongType) * col("y")).over(win).as("sxy"),
+      sum(col("day_no").cast(LongType) * col("day_no")).over(win).as("sxx"))
+    val g = w
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+    g.select(col("event_type"), col("day_no"),
+        col("y").as("day_cents"), col("n").as("n_days"),
+        when(col("den") === 0, lit(null).cast(LongType))
+          .when(col("num") >= 0,
+            expr("CAST((num * 1000000) div den AS BIGINT)"))
+          .otherwise(expr("CAST(-(((-num) * 1000000) div den) AS BIGINT)"))
+          .as("slope_micro"))
+      .orderBy(col("event_type"), col("day_no"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
     winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian,
     winRatioToReport, winMaxDrawdown, winPctChange, winEwmaDyadic,
-    orderRfmSegments)
+    orderRfmSegments, winRollingSlope)
 }

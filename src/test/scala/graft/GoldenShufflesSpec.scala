@@ -122,6 +122,9 @@ class GoldenShufflesSpec extends SparkSpec {
     "layout_zorder_skipping" -> 3,
     "curation_threshold_sweep" -> 3,
     "stats_ks_test" -> 5,
+    "stats_mannwhitney_u" -> 5,
+    "stats_spearman_corr" -> 11,
+    "win_rolling_slope" -> 3,
     "vocab_coverage_curve" -> 1,
     "dq_benford_digits" -> 2,
     "index_inverted_postings" -> 2,
