@@ -1390,6 +1390,79 @@ object Aggregates {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Price/volume/mix bridge (r12g) — the FP&A decomposition of a
+    * brand's year-over-year revenue change into WHAT moved it: with
+    * per-brand 1995/1996 revenue (cents) and quantity (tenth-units)
+    * and average unit price p = rev/qty,
+    *   volume effect = (q₁−q₀)·p₀, price effect = (p₁−p₀)·q₀,
+    *   mix effect = (q₁−q₀)·(p₁−p₀);
+    * the three sum to Δrevenue identically. The four base sums stay
+    * EXACT BIGINT through the aggregate; the effects take ONE double
+    * conversion with the formula spelled character-identically in
+    * both engines (the agg_corr_explicit discipline — IEEE ops in the
+    * same order). Brands missing a year (none in this fixture; all 25
+    * ship in both) are excluded by the q₀>0 ∧ q₁>0 guard rather than
+    * risking a 0-division. Scale posture: one year-filtered fact scan
+    * with the 25-row brand dim broadcast, ONE conditional-sum agg
+    * keyed by brand (no self-join, no pivot exchange), 25-row
+    * output. */
+  val reportPriceVolumeMix: QDef = q(
+    "report_price_volume_mix",
+    """WITH b AS (
+      |  SELECT p_brand AS brand,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN
+      |      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev0,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN
+      |      CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS q0,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN
+      |      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev1,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN
+      |      CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS q1
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE year(l_shipdate) IN (1995, 1996)
+      |  GROUP BY 1)
+      |SELECT brand, rev0 AS rev0_cents, rev1 AS rev1_cents,
+      |  rev1 - rev0 AS delta_cents,
+      |  (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+      |    * (CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)) AS volume_effect,
+      |  (CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+      |    - CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+      |    * CAST(q0 AS DOUBLE) AS price_effect,
+      |  (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+      |    * (CAST(rev1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+      |      - CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)) AS mix_effect
+      |FROM b WHERE q0 > 0 AND q1 > 0
+      |ORDER BY brand""") { (s, d) =>
+    val yr = year(col("l_shipdate"))
+    val cents = (money(col("l_extendedprice")) * 100).cast(LongType)
+    val tenths = (qty(col("l_quantity")) * 10).cast(LongType)
+    val b = Tables.lineitem(s, d)
+      .filter(yr.isin(1995, 1996))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(when(yr === 1995, cents).otherwise(0L)).as("rev0"),
+        sum(when(yr === 1995, tenths).otherwise(0L)).as("q0"),
+        sum(when(yr === 1996, cents).otherwise(0L)).as("rev1"),
+        sum(when(yr === 1996, tenths).otherwise(0L)).as("q1"))
+    val (dq0, dq1) = (col("q0").cast(DoubleType), col("q1").cast(DoubleType))
+    val (dr0, dr1) =
+      (col("rev0").cast(DoubleType), col("rev1").cast(DoubleType))
+    b.filter(col("q0") > 0 && col("q1") > 0)
+      .select(col("brand"),
+        col("rev0").as("rev0_cents"), col("rev1").as("rev1_cents"),
+        (col("rev1") - col("rev0")).as("delta_cents"),
+        ((dq1 - dq0) * (dr0 / dq0)).as("volume_effect"),
+        ((dr1 / dq1 - dr0 / dq0) * dq0).as("price_effect"),
+        ((dq1 - dq0) * (dr1 / dq1 - dr0 / dq0)).as("mix_effect"))
+      .orderBy(col("brand"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1400,5 +1473,5 @@ object Aggregates {
     aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix,
     reportAgingBuckets, reportConcentration, reportAbcClass,
     reportYtdRunning, reportValueMigration, aggGiniValue,
-    reportXyzVariability, aggMultiDistinct)
+    reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix)
 }

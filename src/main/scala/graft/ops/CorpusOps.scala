@@ -977,10 +977,65 @@ object CorpusOps {
       .orderBy(col("vocab_size"))
   }
 
+  /** Per-term burstiness / dispersion (r12g) — Church & Gale 1995:
+    * a term that appears 100 times in ONE document behaves nothing
+    * like one appearing once in each of 100, and stopword-vs-content
+    * screens key off exactly that. Graded per term (top 25 by corpus
+    * frequency, ties by term): document frequency, total occurrences,
+    * the variance-to-mean ratio of the per-document count over ALL
+    * N docs (zeros included — VMR = (N·Σc² − (Σc)²)/(N·Σc), ≥ 0 by
+    * Cauchy–Schwarz so floor-ppm needs no sign split; VMR ≈ 1 is
+    * Poisson-like, ≫ 1 is bursty), and mean occurrences per
+    * CONTAINING doc. Pure BIGINT algebra — no libm. The ppm numerator
+    * needs N·Σc²·10⁶ inside 2⁶³; beyond ~10⁹ doc-occurrences per term
+    * the fold swaps to DECIMAL(38,0) partials. Scale posture: per-doc
+    * tf builds row-locally (`graft_term_counts`, one row per DISTINCT
+    * term per doc — never an occurrence-stream shuffle), one
+    * term-keyed moment agg, broadcast one-row doc count, top-25 via
+    * TakeOrdered (no global sort). */
+  val corpusTermBurstiness: QDef = q(
+    "corpus_term_burstiness",
+    """WITH tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      |t AS (
+      |  SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS df_docs,
+      |    CAST(SUM(c) AS BIGINT) AS total_occ,
+      |    CAST(SUM(c * c) AS BIGINT) AS ssq
+      |  FROM tf GROUP BY 1)
+      |SELECT term, df_docs, total_occ,
+      |  CAST((n_docs * ssq - total_occ * total_occ) * 1000000
+      |    // (n_docs * total_occ) AS BIGINT) AS vmr_ppm,
+      |  CAST(total_occ * 1000000 // df_docs AS BIGINT) AS per_doc_ppm
+      |FROM t CROSS JOIN nd
+      |ORDER BY total_occ DESC, term LIMIT 25""") { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions.termCounts(
+          split(col("text"), " "))).as("tc"))
+      .select(col("tc.term").as("term"), col("tc.tf").cast(LongType).as("c"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val t = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"), sum(col("c")).as("total_occ"),
+        sum(col("c") * col("c")).as("ssq"))
+    t.crossJoin(broadcast(nd))
+      .select(col("term"), col("df_docs"), col("total_occ"),
+        expr("""CAST((n_docs * ssq - total_occ * total_occ) * 1000000
+                div (n_docs * total_occ) AS BIGINT)""").as("vmr_ppm"),
+        expr("CAST(total_occ * 1000000 div df_docs AS BIGINT)")
+          .as("per_doc_ppm"))
+      .orderBy(col("total_occ").desc, col("term"))
+      .limit(25)
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
     dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings,
-    textTermEntropy, corpusLengthLog2, vocabCoverageCurve)
+    textTermEntropy, corpusLengthLog2, vocabCoverageCurve,
+    corpusTermBurstiness)
 }

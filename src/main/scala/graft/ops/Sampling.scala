@@ -723,10 +723,61 @@ object Sampling {
       .orderBy(col("digit"))
   }
 
+  /** Line-number sequence-contiguity audit (r12g) — the DQ check a
+    * CDC or re-ingest pipeline runs on a positional child key: within
+    * each order, l_linenumber must be exactly 1..n (no duplicates, no
+    * gaps, 1-based start) or a partial write/replay happened. Graded
+    * as a per-fanout breakdown (one row per lines-per-order count):
+    * orders total, fully contiguous, with duplicate positions
+    * (distinct < count), with gaps (range wider than distinct), and
+    * with a shifted start (min ≠ 1) — four independent violation
+    * axes, so the report localizes WHICH failure mode entered. This
+    * fixture's line numbers are deliberately dirty (duplicates, gaps
+    * and shifted starts all occur), so the audit grades non-trivial
+    * counts on every axis. Scale posture: one per-order agg on the natural
+    * join key (count-distinct over a ≤7-value positional domain —
+    * bounded partials), then a ≤7-group rollup; shuffles carry
+    * per-order stat rows only. */
+  val dqSequenceContiguity: QDef = q(
+    "dq_sequence_contiguity",
+    """WITH o AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(MIN(l_linenumber) AS BIGINT) AS mn,
+      |    CAST(MAX(l_linenumber) AS BIGINT) AS mx,
+      |    CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS dn
+      |  FROM lineitem GROUP BY 1)
+      |SELECT n AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN mn = 1 AND mx = n AND dn = n THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_contiguous,
+      |  CAST(SUM(CASE WHEN dn < n THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_duplicates,
+      |  CAST(SUM(CASE WHEN mx - mn + 1 > dn THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_gaps,
+      |  CAST(SUM(CASE WHEN mn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bad_start
+      |FROM o GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val o = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_linenumber")).cast(LongType).as("mn"),
+        max(col("l_linenumber")).cast(LongType).as("mx"),
+        countDistinct(col("l_linenumber")).as("dn"))
+    o.groupBy(col("n").as("n_lines"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("mn") === 1 && col("mx") === col("n")
+          && col("dn") === col("n"), 1L).otherwise(0L)).as("n_contiguous"),
+        sum(when(col("dn") < col("n"), 1L).otherwise(0L))
+          .as("n_with_duplicates"),
+        sum(when(col("mx") - col("mn") + 1 > col("dn"), 1L).otherwise(0L))
+          .as("n_with_gaps"),
+        sum(when(col("mn") =!= 1, 1L).otherwise(0L)).as("n_bad_start"))
+      .orderBy(col("n_lines"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
     sampleWeightedPps, shardTokenBalanced, profileKeySkew,
     dqFreshnessSla, samplePoissonBootstrap, splitByUserLeakfree,
-    dqOrderLineitemDates, dqBenfordDigits)
+    dqOrderLineitemDates, dqBenfordDigits, dqSequenceContiguity)
 }
