@@ -1291,6 +1291,67 @@ object EventAnalytics {
       .orderBy(col("threshold_days"))
   }
 
+  /** Hampel outlier filter (r12h) — the ROBUST spike detector a
+    * metrics pipeline runs where `anomaly_mad` (global MAD) would
+    * drown local spikes in a trending series: per event type and
+    * day, flag the daily value when it sits more than 3 local MADs
+    * from the local median over a ±3-calendar-day window (Hampel
+    * 1974; Pearson et al. 2016). EXACT INTEGERS throughout: the
+    * window's values collect into a ≤7-element array (RANGE frame on
+    * the integer day, so gaps shrink the neighborhood), median and
+    * MAD are the LOWER median of the sorted array — element picks,
+    * never interpolation — and the flag compares BIGINTs. A zero MAD
+    * (constant neighborhood) flags any deviation, the standard
+    * degenerate-Hampel convention. Scale posture: one partitioned
+    * window over the tiny daily aggregate; the array work is
+    * row-local on ≤7 longs — nothing scales with the fact table. */
+  val tsHampelOutliers: QDef = q(
+    "ts_hampel_outliers",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01',
+      |              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS day_no,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day_no, y,
+      |    list(y) OVER (PARTITION BY event_type ORDER BY day_no
+      |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS arr
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, day_no, y, arr,
+      |    list_sort(arr)[CAST((len(arr) + 1) // 2 AS INTEGER)] AS med
+      |  FROM w),
+      |md AS (
+      |  SELECT event_type, day_no, y, med,
+      |    list_sort(list_transform(arr, v -> abs(v - med)))
+      |      [CAST((len(arr) + 1) // 2 AS INTEGER)] AS mad
+      |  FROM m)
+      |SELECT event_type, day_no, y AS day_cents,
+      |  med AS med_cents, mad AS mad_cents,
+      |  abs(y - med) > 3 * mad AS is_outlier
+      |FROM md ORDER BY event_type, day_no""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(date_trunc("day", col("ts")).cast(DateType),
+          lit("2024-01-01").cast(DateType)).as("day_no"),
+        money(col("value")).as("v0"))
+      .groupBy(col("event_type"), col("day_no"))
+      .agg((sum(col("v0")) * 100).cast(LongType).as("y"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+      .rangeBetween(-3, 3)
+    daily.withColumn("arr", collect_list(col("y")).over(win))
+      .withColumn("med",
+        element_at(array_sort(col("arr")), expr("CAST((size(arr) + 1) div 2 AS INT)")))
+      .withColumn("mad",
+        element_at(array_sort(expr("transform(arr, v -> abs(v - med))")),
+          expr("CAST((size(arr) + 1) div 2 AS INT)")))
+      .select(col("event_type"), col("day_no"), col("y").as("day_cents"),
+        col("med").as("med_cents"), col("mad").as("mad_cents"),
+        (abs(col("y") - col("med")) > lit(3) * col("mad")).as("is_outlier"))
+      .orderBy(col("event_type"), col("day_no"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1299,5 +1360,5 @@ object EventAnalytics {
     audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
-    tsOrderGapSurvival)
+    tsOrderGapSurvival, tsHampelOutliers)
 }

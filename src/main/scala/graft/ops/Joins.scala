@@ -1429,6 +1429,49 @@ object Joins {
       .orderBy(col("o_year"))
   }
 
+  /** TPC-H Q11 shape (r12h) — important suppliers: per-supplier
+    * shipped revenue, kept only where it exceeds the GLOBAL mean
+    * supplier revenue — the group-agg-vs-global-scalar HAVING shape
+    * (Q11 proper thresholds partsupp stock value; this fixture has
+    * no partsupp, so the same shape grades on lineitem revenue).
+    * The threshold compares CROSS-MULTIPLIED exact BIGINTs
+    * (rev·n_suppliers > total) — no division anywhere in the
+    * predicate, so the cut is bit-exact in both engines; share_ppm
+    * is presentation-only floor division on nonnegative operands.
+    * Scale posture: one suppkey-keyed fact agg, a ONE-ROW global
+    * total broadcast against it (never a re-scan), the tiny supplier
+    * dim broadcast for names, sort only the qualifying remainder. */
+  val q11ImportantSuppliers: QDef = q(
+    "q11_important_suppliers",
+    """WITH r AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_supp FROM r)
+      |SELECT s_suppkey, s_name, rev_cents,
+      |  CAST(rev_cents * 1000000 // total_cents AS BIGINT) AS share_ppm
+      |FROM r JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN t
+      |WHERE rev_cents * n_supp > total_cents
+      |ORDER BY rev_cents DESC, s_suppkey""") { (s, d) =>
+    val r = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((money(col("l_extendedprice")) * 100).cast(LongType))
+        .as("rev_cents"))
+    val t = r.agg(sum(col("rev_cents")).as("total_cents"),
+      count(lit(1)).as("n_supp"))
+    r.join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(t))
+      .filter(col("rev_cents") * col("n_supp") > col("total_cents"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_cents"),
+        expr("CAST(rev_cents * 1000000 div total_cents AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("rev_cents").desc, col("s_suppkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     joinInnerEqui, joinBroadcastDim, joinLeftOuter, joinFullOuter,
     joinSemi, joinAnti, joinThetaRange, joinCrossSmall,
@@ -1440,5 +1483,6 @@ object Joins {
     q14PromoRevenue, q16SupplierVariety, q22NoOrderCustomers,
     q6RevenueDelta, q13CustomerDistribution, q15TopSupplier,
     q19DiscountedRevenue, joinCardinalityProbe, joinTimeBandBucketed,
-    joinNullAwareIn, q17SmallQtyRevenue, q7VolumeShipping, q8MarketShare)
+    joinNullAwareIn, q17SmallQtyRevenue, q7VolumeShipping, q8MarketShare,
+    q11ImportantSuppliers)
 }

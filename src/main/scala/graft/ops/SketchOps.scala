@@ -363,7 +363,84 @@ object SketchOps {
       .orderBy(col("k"))
   }
 
+  /** HLL shard-merge audit (r12h) — the MERGEABILITY property that
+    * makes a distinct sketch work at 100 TB: registers built
+    * independently per shard (here custkey mod 8 — stand-in for 8
+    * executors' partial sketches) then combined by per-bucket MAX
+    * must equal the registers built over the whole stream in one
+    * pass, because max is associative/commutative/idempotent. The
+    * audit grades both estimates AND the register-for-register
+    * equality witness (`registers_equal`, stronger than estimate
+    * equality — two wrong registers can cancel in the harmonic sum).
+    * Hash/rank/estimate algebra is `sketch_hll_registers`' exactly
+    * (md5-prefix 32-bit hash, 6 bucket bits, dyadic 2^(−M) sums —
+    * exact doubles, order-independent). Scale posture: per-shard
+    * register tables are 8×64 rows regardless of input; everything
+    * after the first agg is constant-size. */
+  val sketchHllMerge: QDef = q(
+    "sketch_hll_merge",
+    """WITH base AS (SELECT o_custkey AS k FROM orders),
+      |h AS (
+      |  SELECT k, k % 8 AS shard,
+      |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS hv
+      |  FROM base),
+      |sreg AS (
+      |  SELECT shard, hv // 67108864 AS b,
+      |    MAX(CASE WHEN hv % 67108864 = 0 THEN 27
+      |        ELSE 27 - length(bin(hv % 67108864)) END) AS m
+      |  FROM h GROUP BY 1, 2),
+      |merged0 AS (SELECT b, MAX(m) AS m FROM sreg GROUP BY 1),
+      |direct0 AS (
+      |  SELECT hv // 67108864 AS b,
+      |    MAX(CASE WHEN hv % 67108864 = 0 THEN 27
+      |        ELSE 27 - length(bin(hv % 67108864)) END) AS m
+      |  FROM h GROUP BY 1),
+      |grid AS (
+      |  SELECT r AS b, COALESCE(merged0.m, 0) AS m1, COALESCE(direct0.m, 0) AS m2
+      |  FROM range(0, 64) t(r)
+      |  LEFT JOIN merged0 ON merged0.b = r
+      |  LEFT JOIN direct0 ON direct0.b = r),
+      |z AS (SELECT SUM(power(2.0, -m1)) AS zm, SUM(power(2.0, -m2)) AS zd,
+      |  bool_and(m1 = m2) AS req FROM grid),
+      |ns AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards FROM h),
+      |t AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_true FROM base)
+      |SELECT n_shards, CAST(64 AS BIGINT) AS m, n_true,
+      |  CAST(floor(0.709 * 64 * 64 / zd + 0.5) AS BIGINT) AS est_direct,
+      |  CAST(floor(0.709 * 64 * 64 / zm + 0.5) AS BIGINT) AS est_merged,
+      |  req AS registers_equal
+      |FROM ns, t, z""") { (s, d) =>
+    val base = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    val h = base.select(col("k"), (col("k") % 8).as("shard"),
+      conv(substring(md5(col("k").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType).as("hv"))
+    def rank = max(when(col("hv") % 67108864 === 0, 27)
+      .otherwise(lit(27) - length(bin(col("hv") % 67108864)))).as("m")
+    val merged = h.groupBy(col("shard"), expr("hv div 67108864").as("b"))
+      .agg(rank)
+      .groupBy(col("b")).agg(max(col("m")).as("m"))
+    val direct = h.groupBy(expr("hv div 67108864").as("b")).agg(rank)
+    val grid = s.range(0, 64).select(col("id").as("b0"))
+      .join(broadcast(merged.select(col("b").as("bm"), col("m").as("mm"))),
+        col("b0") === col("bm"), "left")
+      .join(broadcast(direct.select(col("b").as("bd"), col("m").as("md"))),
+        col("b0") === col("bd"), "left")
+      .select(coalesce(col("mm"), lit(0)).as("m1"),
+        coalesce(col("md"), lit(0)).as("m2"))
+    val z = grid.agg(sum(pow(lit(2.0), -col("m1"))).as("zm"),
+      sum(pow(lit(2.0), -col("m2"))).as("zd"),
+      expr("bool_and(m1 = m2)").as("req"))
+    val ns = h.agg(countDistinct(col("shard")).as("n_shards"))
+    val t = base.agg(countDistinct(col("k")).as("n_true"))
+    z.crossJoin(broadcast(ns)).crossJoin(broadcast(t))
+      .select(col("n_shards"), lit(64L).as("m"), col("n_true"),
+        floor(lit(0.709) * 64 * 64 / col("zd") + 0.5).cast(LongType)
+          .as("est_direct"),
+        floor(lit(0.709) * 64 * 64 / col("zm") + 0.5).cast(LongType)
+          .as("est_merged"),
+        col("req").as("registers_equal"))
+  }
+
   val all: Seq[QDef] = Seq(sketchCountminFreq, sketchBloomFpr,
     sketchHllLinear, sketchCmsJoinForecast, sketchHllRegisters,
-    sketchKmvDistinct)
+    sketchKmvDistinct, sketchHllMerge)
 }
