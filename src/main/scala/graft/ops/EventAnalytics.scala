@@ -1352,6 +1352,92 @@ object EventAnalytics {
       .orderBy(col("event_type"), col("day_no"))
   }
 
+  /** Theil–Sen robust trend (r12i) — the median of all pairwise
+    * slopes of each event type's daily series (Theil 1950, Sen 1968):
+    * the trend estimate that shrugs off the spikes `ts_hampel_outliers`
+    * flags, where the OLS slope (`win_rolling_slope`) chases them.
+    * Slopes are QUANTIZED to exact integer micro-cents/day first
+    * (sign-safe floor division, the win_pct_change discipline) and
+    * the reported statistic is the LOWER median of those integers —
+    * a total order, so both engines agree bit-for-bit with no
+    * rational-number comparisons. The median comes from a per-type
+    * rank computed by a strictly-smaller self-join on the ≤O(days²)
+    * pair table (never an unpartitioned window). Scale posture: the
+    * pair table grows with the SQUARE of the calendar span — bounded
+    * by the month window (≤435 pairs/type), NOT by data volume; the
+    * fact table is touched once by the daily agg. */
+  val tsTheilSen: QDef = q(
+    "ts_theil_sen",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '2024-01-01',
+      |              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS x,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type,
+      |    CAST(CASE WHEN b.y - a.y >= 0
+      |      THEN ((b.y - a.y) * 1000000) // (b.x - a.x)
+      |      ELSE -(((a.y - b.y) * 1000000) // (b.x - a.x)) END AS BIGINT)
+      |      AS slope_micro
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND b.x > a.x),
+      |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM p GROUP BY 1),
+      |g AS (SELECT event_type, slope_micro, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM p GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT a.event_type, a.slope_micro,
+      |    CAST(SUM(b.c) AS BIGINT) AS cum, a.c AS own
+      |  FROM g a JOIN g b ON b.event_type = a.event_type
+      |    AND b.slope_micro <= a.slope_micro
+      |  GROUP BY 1, 2, a.c)
+      |SELECT n.event_type, n.n_pairs,
+      |  CAST(cum.slope_micro AS BIGINT) AS theil_sen_slope_micro
+      |FROM n JOIN cum ON cum.event_type = n.event_type
+      |WHERE cum.cum - cum.own < (n.n_pairs + 1) // 2
+      |  AND (n.n_pairs + 1) // 2 <= cum.cum
+      |ORDER BY 1""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        datediff(date_trunc("day", col("ts")).cast(DateType),
+          lit("2024-01-01").cast(DateType)).as("x"),
+        money(col("value")).as("v0"))
+      .groupBy(col("event_type"), col("x"))
+      .agg((sum(col("v0")) * 100).cast(LongType).as("y"))
+    val a = daily.select(col("event_type"), col("x").as("x1"),
+      col("y").as("y1"))
+    val b = daily.select(col("event_type").as("et2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val p = a.join(b, col("event_type") === col("et2") && col("x2") > col("x1"))
+      .select(col("event_type"),
+        when(col("y2") - col("y1") >= 0,
+          expr("CAST(((y2 - y1) * 1000000) div (x2 - x1) AS BIGINT)"))
+          .otherwise(
+            expr("CAST(-(((y1 - y2) * 1000000) div (x2 - x1)) AS BIGINT)"))
+          .as("slope_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.groupBy(col("event_type")).agg(count(lit(1)).as("n_pairs"))
+    // lower median by value rank over DISTINCT slopes (ties collapse:
+    // a slope's rank = #values strictly below it + its own tie count,
+    // so the (n+1)/2-th order statistic is the least distinct slope
+    // whose cumulative count reaches that position)
+    val g = p.groupBy(col("event_type"), col("slope_micro"))
+      .agg(count(lit(1)).as("c"))
+    val g2 = g.select(col("event_type").as("et3"),
+      col("slope_micro").as("s3"), col("c").as("c3"))
+    val cum = g.join(g2, col("event_type") === col("et3")
+        && col("s3") <= col("slope_micro"))
+      .groupBy(col("event_type"), col("slope_micro"))
+      .agg(sum(col("c3")).as("cum"), max(col("c")).as("own"))
+    n.join(cum, "event_type")
+      .filter(col("cum") - col("own") < expr("(n_pairs + 1) div 2")
+        && expr("(n_pairs + 1) div 2") <= col("cum"))
+      .select(col("event_type"), col("n_pairs"),
+        col("slope_micro").as("theil_sen_slope_micro"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1360,5 +1446,5 @@ object EventAnalytics {
     audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
-    tsOrderGapSurvival, tsHampelOutliers)
+    tsOrderGapSurvival, tsHampelOutliers, tsTheilSen)
 }

@@ -382,8 +382,47 @@ object Functions {
       .orderBy(col("c_custkey"))
   }
 
+  /** Calendar-dimension family (r12i) — the date functions `fn_date`
+    * leaves out, each probed for cross-engine agreement: quarter;
+    * ISO day-of-week (Spark has no isodow — weekday()+1 gives the
+    * identical Mon=1..Sun=7 numbering); ISO week-of-year (both
+    * engines are ISO-8601: 1995-01-01 is week 52 of 1994 in both,
+    * probed); month addition WITH end-of-month clamping (Spark
+    * add_months and DuckDB + INTERVAL both clamp Jan 31 + 1mo →
+    * Feb 28, probed); next-Monday (Spark next_day is strictly-after —
+    * DuckDB spells the same rule as isodow arithmetic with the
+    * Monday→+7 wrap); and a month-end flag. All row-local projection,
+    * zero shuffles beyond the presentation sort. */
+  val fnDateAdvanced: QDef = q(
+    "fn_date_advanced",
+    """SELECT o_orderkey,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+      |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+      |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2_months,
+      |  CAST(o_orderdate AS DATE) + CAST(CASE WHEN isodow(o_orderdate) = 1
+      |    THEN 7 ELSE 8 - isodow(o_orderdate) END AS INTEGER) AS next_monday,
+      |  CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE))
+      |    AS is_month_end
+      |FROM orders
+      |ORDER BY o_orderkey""") { (s, d) =>
+    val od = col("o_orderdate")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        quarter(od).cast(IntegerType).as("qtr"),
+        (weekday(od) + 1).cast(IntegerType).as("iso_dow"),
+        weekofyear(od).cast(IntegerType).as("iso_week"),
+        date_trunc("quarter", od).cast(DateType).as("quarter_start"),
+        add_months(od.cast(DateType), 2).as("plus_2_months"),
+        next_day(od.cast(DateType), "Mon").as("next_monday"),
+        (od.cast(DateType) === last_day(od.cast(DateType)))
+          .as("is_month_end"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QDef] = Seq(
     fnString, fnStringDistance, fnDate, fnMath, fnArray,
     fnMapJson, fnConditional, fnHigherOrder, fnBitwise, fnStruct,
-    fnTrySafe, fnUrlParse)
+    fnTrySafe, fnUrlParse, fnDateAdvanced)
 }

@@ -774,10 +774,102 @@ object Sampling {
       .orderBy(col("n_lines"))
   }
 
+  /** Neyman optimal stratified allocation (r12i) — how many samples
+    * each customer segment gets from a fixed budget of 1000 when the
+    * allocation is proportional to N_h·S_h (stratum size × stratum
+    * spread, Neyman 1934) instead of size alone: the high-variance
+    * stratum earns more budget per row. Determinism ladder: the
+    * population variance fold is exact (DECIMAL(38,0) moments, the
+    * agg_corr_explicit pattern); S_h takes ONE IEEE-exact sqrt and is
+    * immediately HALF-UP quantized to integer milli-cents (identical
+    * spelling both engines); every step after is pure BIGINT — the
+    * final seats come from LARGEST-REMAINDER apportionment (floor
+    * share + the (budget − Σfloor) biggest remainders, ties by
+    * segment name), with remainder ranks from a strictly-greater
+    * broadcast self-join over the 5-row stratum table — never an
+    * unpartitioned window. Scale posture: one fact agg keyed by the
+    * broadcast-joined segment; everything downstream is 5 rows. */
+  val sampleNeymanAllocation: QDef = q(
+    "sample_neyman_allocation",
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |st AS (
+      |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_h,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+      |  FROM o GROUP BY 1),
+      |w AS (
+      |  SELECT seg, n_h,
+      |    CAST(floor(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE))
+      |      / CAST(n_h AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS s_milli
+      |  FROM st),
+      |ww AS (SELECT seg, n_h, s_milli, n_h * s_milli AS wt FROM w),
+      |tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS wtot,
+      |  CAST(SUM((1000 * wt) // (SELECT SUM(wt) FROM ww)) AS BIGINT)
+      |    AS base_sum
+      |  FROM ww),
+      |b AS (
+      |  SELECT seg, n_h, s_milli, wt,
+      |    CAST((1000 * wt) // wtot AS BIGINT) AS base,
+      |    CAST((1000 * wt) % wtot AS BIGINT) AS rem,
+      |    CAST(1000 - base_sum AS BIGINT) AS extra
+      |  FROM ww CROSS JOIN tot),
+      |r AS (
+      |  SELECT a.seg, CAST(COUNT(*) AS BIGINT) AS rnk
+      |  FROM b a JOIN b c ON c.rem > a.rem
+      |    OR (c.rem = a.rem AND c.seg <= a.seg)
+      |  GROUP BY 1)
+      |SELECT b.seg AS segment, b.n_h AS n_stratum, b.s_milli, b.wt AS weight,
+      |  CAST(b.base + CASE WHEN r.rnk <= b.extra THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_alloc
+      |FROM b JOIN r ON r.seg = b.seg
+      |ORDER BY segment""") { (s, d) =>
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("x"))
+    val decX = col("x").cast(DecimalType(38, 0))
+    val st = o.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_h"), sum(decX).as("sx"),
+        sum(decX * col("x")).as("sxx"))
+    val w = st.select(col("seg"), col("n_h"),
+      floor(sqrt(expr("CAST(n_h * sxx - sx * sx AS DOUBLE)"))
+        / col("n_h").cast(DoubleType) * 1000 + 0.5).cast(LongType)
+        .as("s_milli"))
+    val ww = w.withColumn("wt", col("n_h") * col("s_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wtot = ww.agg(sum(col("wt")).as("wtot"))
+    val withTot = ww.crossJoin(broadcast(wtot))
+      .select(col("seg"), col("n_h"), col("s_milli"), col("wt"),
+        expr("CAST((1000 * wt) div wtot AS BIGINT)").as("base"),
+        expr("CAST((1000 * wt) % wtot AS BIGINT)").as("rem"))
+    val baseSum = withTot.agg(sum(col("base")).as("base_sum"))
+    val b = withTot.crossJoin(broadcast(baseSum))
+      .withColumn("extra", lit(1000L) - col("base_sum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = b.select(col("seg"), col("rem")).as("a")
+      .join(broadcast(b.select(col("seg").as("cseg"), col("rem").as("crem"))),
+        col("crem") > col("rem")
+          || (col("crem") === col("rem") && col("cseg") <= col("a.seg")))
+      .groupBy(col("a.seg").as("rseg"))
+      .agg(count(lit(1)).as("rnk"))
+    b.join(broadcast(r), col("rseg") === col("seg"))
+      .select(col("seg").as("segment"), col("n_h").as("n_stratum"),
+        col("s_milli"), col("wt").as("weight"),
+        (col("base") + when(col("rnk") <= col("extra"), 1L).otherwise(0L))
+          .as("n_alloc"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
     sampleWeightedPps, shardTokenBalanced, profileKeySkew,
     dqFreshnessSla, samplePoissonBootstrap, splitByUserLeakfree,
-    dqOrderLineitemDates, dqBenfordDigits, dqSequenceContiguity)
+    dqOrderLineitemDates, dqBenfordDigits, dqSequenceContiguity,
+    sampleNeymanAllocation)
 }
