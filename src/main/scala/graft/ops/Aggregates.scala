@@ -1463,6 +1463,62 @@ object Aggregates {
       .orderBy(col("brand"))
   }
 
+  /** Herfindahl–Hirschman concentration index (r12j) — the antitrust
+    * number next to the whale-share (`report_concentration`) and Gini
+    * (`agg_gini_value`) reports: per supplier nation, HHI = Σ sᵢ² of
+    * the nation's suppliers' revenue shares. DEFINED over floor-ppm
+    * shares so the whole statistic is pure BIGINT (share ≤ 10⁶,
+    * square ≤ 10¹², Σ over any supplier count stays far inside 2⁶³)
+    * and both engines agree bit-for-bit: hhi_micro ∈ (0, 10⁶], 10⁶ =
+    * monopoly, 10⁶/n = perfect equality. top_share_ppm rides along —
+    * HHI and the max share separate "one whale" from "few large".
+    * Scale posture: one (nation, supplier) fact agg with the supplier
+    * and nation dims broadcast onto the scan, the ≤25-row nation
+    * total broadcast back, a ≤25-group final fold. */
+  val reportHhiByNation: QDef = q(
+    "report_hhi_by_nation",
+    """WITH r AS (
+      |  SELECT n_name AS nation, s_suppkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT nation, CAST(SUM(rev) AS BIGINT) AS tot,
+      |  CAST(COUNT(*) AS BIGINT) AS n_suppliers FROM r GROUP BY 1),
+      |sh AS (
+      |  SELECT r.nation, CAST(rev * 1000000 // tot AS BIGINT) AS share_ppm
+      |  FROM r JOIN t ON t.nation = r.nation)
+      |SELECT sh.nation, t.n_suppliers, t.tot AS total_cents,
+      |  CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_micro,
+      |  CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+      |FROM sh JOIN t ON t.nation = sh.nation
+      |GROUP BY 1, 2, 3 ORDER BY 1""") { (s, d) =>
+    val r = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("s_suppkey"))
+      .agg(sum((money(col("l_extendedprice")) * 100).cast(LongType)).as("rev"))
+      // persisted: the supplier-level agg feeds both the nation total
+      // and the share join — without it the fact scans twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = r.groupBy(col("nation").as("tn"))
+      .agg(sum(col("rev")).as("tot"), count(lit(1)).as("n_suppliers"))
+    r.join(broadcast(t), col("tn") === col("nation"))
+      .select(col("nation"), col("n_suppliers"), col("tot"),
+        expr("CAST(rev * 1000000 div tot AS BIGINT)").as("share_ppm"))
+      .groupBy(col("nation"), col("n_suppliers"), col("tot").as("total_cents"))
+      .agg(expr("CAST(SUM(share_ppm * share_ppm) div 1000000 AS BIGINT)")
+        .as("hhi_micro"),
+        max(col("share_ppm")).as("top_share_ppm"))
+      .orderBy(col("nation"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1473,5 +1529,6 @@ object Aggregates {
     aggStringConcat, aggZscoreOutliers, reportTopnOther, aggCorrMatrix,
     reportAgingBuckets, reportConcentration, reportAbcClass,
     reportYtdRunning, reportValueMigration, aggGiniValue,
-    reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix)
+    reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix,
+    reportHhiByNation)
 }

@@ -737,7 +737,80 @@ object DriftOps {
         .as("rho_spearman"))
   }
 
+  /** Cramér's V (r12j) — the EFFECT SIZE the χ² test
+    * (`stats_chi_square`) needs alongside it: V = √(χ² / (n·(min(r,c)
+    * − 1))) ∈ [0,1] answers "how strongly are order priority and
+    * order status associated", where raw χ² only answers "more than
+    * chance". Numeric ladder is stats_chi_square's exactly: each
+    * cell's (obs·n − rtot·ctot)²/(n·rtot·ctot) term is computed as a
+    * DOUBLE on exact BIGINT operands and immediately quantized to
+    * DECIMAL(28,18), so the ≤15-cell sum is order-independent; the
+    * final double tree (one division, one IEEE sqrt) is spelled
+    * identically in both engines and reported half-up in milli.
+    * Scale posture: one fact agg to the r×c contingency table;
+    * everything after is ≤15 rows of broadcast algebra. */
+  val statsCramersV: QDef = q(
+    "stats_cramers_v",
+    """WITH o AS (
+      |  SELECT o_orderpriority AS pr, o_orderstatus AS st,
+      |    CAST(count(*) AS BIGINT) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT pr, CAST(SUM(obs) AS BIGINT) AS rtot FROM o GROUP BY pr),
+      |ct AS (SELECT st, CAST(SUM(obs) AS BIGINT) AS ctot FROM o GROUP BY st),
+      |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS ntot FROM o),
+      |dims AS (SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS r,
+      |  CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS c),
+      |cells AS (
+      |  SELECT rt.rtot, ct.ctot, COALESCE(o.obs, 0) AS obs, n.ntot
+      |  FROM rt CROSS JOIN ct CROSS JOIN n
+      |  LEFT JOIN o ON o.pr = rt.pr AND o.st = ct.st),
+      |terms AS (
+      |  SELECT ntot,
+      |    CAST(CAST(obs * ntot - rtot * ctot AS DOUBLE)
+      |      * CAST(obs * ntot - rtot * ctot AS DOUBLE)
+      |      / (CAST(ntot AS DOUBLE) * rtot * ctot)
+      |      AS DECIMAL(28,18)) AS term
+      |  FROM cells),
+      |chi AS (SELECT ntot, CAST(SUM(term) AS DOUBLE) AS chi2
+      |  FROM terms GROUP BY ntot)
+      |SELECT ntot AS n, r AS n_rows, c AS n_cols,
+      |  CAST(floor(chi2 * 1000 + 0.5) AS BIGINT) AS chi2_milli,
+      |  CAST(floor(sqrt(chi2 / (CAST(ntot AS DOUBLE)
+      |    * (least(r, c) - 1))) * 1000 + 0.5) AS BIGINT) AS cramers_v_milli
+      |FROM chi CROSS JOIN dims""") { (s, d) =>
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pr"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = o.groupBy(col("pr")).agg(sum(col("obs")).cast(LongType).as("rtot"))
+    val ct = o.groupBy(col("st")).agg(sum(col("obs")).cast(LongType).as("ctot"))
+    val n = o.agg(sum(col("obs")).cast(LongType).as("ntot"))
+    val dims = rt.agg(count(lit(1)).as("r"))
+      .crossJoin(broadcast(ct.agg(count(lit(1)).as("c"))))
+    val cells = rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(o.select(col("pr").as("op"), col("st").as("os"), col("obs")),
+        col("op") === col("pr") && col("os") === col("st"), "left")
+      .select(col("rtot"), col("ctot"),
+        coalesce(col("obs"), lit(0L)).as("obs"), col("ntot"))
+    val chi = cells
+      .withColumn("term", expr(
+        """CAST(CAST(obs * ntot - rtot * ctot AS DOUBLE)
+          |  * CAST(obs * ntot - rtot * ctot AS DOUBLE)
+          |  / (CAST(ntot AS DOUBLE) * rtot * ctot)
+          |  AS DECIMAL(28,18))""".stripMargin))
+      .groupBy(col("ntot"))
+      .agg(sum(col("term")).cast(DoubleType).as("chi2"))
+    chi.crossJoin(broadcast(dims))
+      .select(col("ntot").as("n"), col("r").as("n_rows"),
+        col("c").as("n_cols"),
+        floor(col("chi2") * 1000 + 0.5).cast(LongType).as("chi2_milli"),
+        floor(sqrt(col("chi2") / (col("ntot").cast(DoubleType)
+          * (least(col("r"), col("c")) - 1))) * 1000 + 0.5)
+          .cast(LongType).as("cramers_v_milli"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
     statsChiSquare, embedTopComponent, embedCosineHistogram, tsCusumAlarm,
-    driftUnigramJsd, statsKsTest, statsMannWhitneyU, statsSpearmanCorr)
+    driftUnigramJsd, statsKsTest, statsMannWhitneyU, statsSpearmanCorr,
+    statsCramersV)
 }

@@ -1438,6 +1438,45 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** Trading-day seasonality index (r12j) — the day-of-week revenue
+    * profile a retail calendar adjustment divides by: per ISO weekday
+    * of the order date, order count, exact revenue cents, floor-ppm
+    * revenue share, and the trading-day INDEX (share × 7 — 10⁶ =
+    * a flat week, above = that weekday over-trades). Pure BIGINT
+    * algebra; the weekday seam is the probed fn_date_advanced rule
+    * (Spark weekday()+1 ≡ DuckDB isodow, Mon=1..Sun=7). Scale
+    * posture: one 7-group fact agg with map-side partials, one-row
+    * total broadcast — nothing scales with the table. */
+  val tsTradingDayIndex: QDef = q(
+    "ts_trading_day_index",
+    """WITH o AS (
+      |  SELECT CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM o)
+      |SELECT iso_dow, n_orders, rev_cents,
+      |  CAST(rev_cents * 1000000 // tot AS BIGINT) AS share_ppm,
+      |  CAST(rev_cents * 7000000 // tot AS BIGINT) AS trading_index_ppm
+      |FROM o CROSS JOIN t ORDER BY iso_dow""") { (s, d) =>
+    // persisted: the 7-row dow histogram feeds both the share join
+    // and the total — without it the fact table would be scanned twice
+    val o = Tables.orders(s, d)
+      .groupBy((weekday(col("o_orderdate")) + 1).cast(IntegerType)
+        .as("iso_dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((money(col("o_totalprice")) * 100).cast(LongType)).as("rev_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = o.agg(sum(col("rev_cents")).as("tot"))
+    o.crossJoin(broadcast(t))
+      .select(col("iso_dow"), col("n_orders"), col("rev_cents"),
+        expr("CAST(rev_cents * 1000000 div tot AS BIGINT)").as("share_ppm"),
+        expr("CAST(rev_cents * 7000000 div tot AS BIGINT)")
+          .as("trading_index_ppm"))
+      .orderBy(col("iso_dow"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1446,5 +1485,5 @@ object EventAnalytics {
     audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
-    tsOrderGapSurvival, tsHampelOutliers, tsTheilSen)
+    tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex)
 }
