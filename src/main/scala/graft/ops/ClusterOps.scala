@@ -3,7 +3,7 @@ package graft.ops
 import graft.{QDef, Tables}
 import graft.QDef.q
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
 import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster assignment: the step a real dedup pipeline runs
@@ -792,8 +792,90 @@ object ClusterOps {
       .orderBy(col("round"))
   }
 
+  /** Degree assortativity (r12k) — Newman 2002: the Pearson
+    * correlation of endpoint degrees over the edges of the
+    * customer⇄supplier trade graph (the same distinct-partnership
+    * bidirectional edge set PageRank walks, so r < 0 reads "hubs
+    * attach to leaves" — the expected sign for a bipartite
+    * trade graph). The moment fold is `agg_corr_explicit`'s
+    * (DECIMAL(38,0) partials, one DOUBLE conversion, one
+    * identically-spelled formula); counting every undirected edge in
+    * BOTH directions makes the x/y marginals symmetric, which IS the
+    * standard undirected definition. Scale posture: edges built once
+    * and persisted; the node-degree table broadcasts onto the two
+    * endpoint joins (beyond broadcast range the documented fallback
+    * is SMJ on the endpoint key — the PageRank degradation); one
+    * moment fold ends the plan. */
+  val graphDegreeAssortativity: QDef = q(
+    "graph_degree_assortativity",
+    """WITH eb AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS MATERIALIZED (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
+      |  UNION ALL
+      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+      |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+      |  FROM edges GROUP BY 1),
+      |j AS (
+      |  SELECT ds.deg AS x, dd.deg AS y
+      |  FROM edges e JOIN deg ds ON ds.id = e.src
+      |  JOIN deg dd ON dd.id = e.dst),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |  FROM j),
+      |t AS (SELECT n, CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+      |    CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy,
+      |    CAST(sxy AS DOUBLE) AS dxy FROM s)
+      |SELECT n AS n_directed_edges,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  (n * dxy - dx * dy) / (sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy))
+      |    AS assortativity
+      |FROM t""") { (s, d) =>
+    val eb = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = eb.select(
+        explode(array(
+          struct((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
+          struct((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst"))))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val j = edges
+      .join(broadcast(deg.select(col("id").as("sid"), col("deg").as("x"))),
+        col("sid") === col("src"))
+      .join(broadcast(deg.select(col("id").as("did"), col("deg").as("y"))),
+        col("did") === col("dst"))
+      .select(col("x"), col("y"))
+    val decX = col("x").cast(DecimalType(38, 0))
+    val decY = col("y").cast(DecimalType(38, 0))
+    val sums = j.agg(count(lit(1)).as("n"),
+      sum(decX).as("sx"), sum(decY).as("sy"),
+      sum(decX * col("x")).as("sxx"), sum(decY * col("y")).as("syy"),
+      sum(decX * col("y")).as("sxy"))
+    val t = sums.select(col("n"),
+      col("sx").cast(DoubleType).as("dx"), col("sy").cast(DoubleType).as("dy"),
+      col("sxx").cast(DoubleType).as("dxx"),
+      col("syy").cast(DoubleType).as("dyy"),
+      col("sxy").cast(DoubleType).as("dxy"))
+    t.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n").as("n_directed_edges"), col("n_nodes"),
+        ((col("n") * col("dxy") - col("dx") * col("dy"))
+          / (sqrt(col("n") * col("dxx") - col("dx") * col("dx"))
+            * sqrt(col("n") * col("dyy") - col("dy") * col("dy"))))
+          .as("assortativity"))
+  }
+
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
     graphTriangleCount, basketAssocRules, dedupClusterStar,
     graphJaccardNeighbors, graphBfsLevels, graphLabelPropagation,
-    graphKCore)
+    graphKCore, graphDegreeAssortativity)
 }

@@ -1031,11 +1031,57 @@ object CorpusOps {
       .limit(25)
   }
 
+  /** Type-token ratio per source (r12k) — the lexical-diversity
+    * number a corpus card reports per slice: distinct terms over
+    * total token occurrences (floor-ppm, exact BIGINT) plus Guiraud's
+    * root-TTR (distinct/√tokens — the length-corrected variant, one
+    * IEEE sqrt on identically-spelled operands, half-up milli).
+    * Distinguishes a template-y source (low TTR) from a diverse one
+    * at a glance; `corpus_term_burstiness` answers WHICH terms, this
+    * answers WHICH SLICE. Scale posture: per-doc tf builds row-locally
+    * (`graft_term_counts`), then ONE (source, term) distinct-level
+    * agg → ≤20-group fold; shuffles carry per-doc distinct-term rows
+    * only, never occurrences. */
+  val corpusTypeTokenRatio: QDef = q(
+    "corpus_type_token_ratio",
+    """WITH tf AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens
+      |  FROM tf GROUP BY 1)
+      |SELECT source, n_types, n_tokens,
+      |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+      |  CAST(floor(CAST(n_types AS DOUBLE)
+      |    / sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+      |    AS root_ttr_milli
+      |FROM s ORDER BY source""") { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.functions.VectorFunctions.termCounts(
+          split(col("text"), " "))).as("tc"))
+      .select(col("source"), col("tc.term").as("tok"),
+        col("tc.tf").cast(LongType).as("c"))
+      .groupBy(col("source"), col("tok"))
+      .agg(sum(col("c")).as("c"))
+    val st = tf.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+    st.select(col("source"), col("n_types"), col("n_tokens"),
+        expr("CAST(n_types * 1000000 div n_tokens AS BIGINT)").as("ttr_ppm"),
+        floor(col("n_types").cast(DoubleType)
+          / sqrt(col("n_tokens").cast(DoubleType)) * 1000 + 0.5)
+          .cast(LongType).as("root_ttr_milli"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
     dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings,
     textTermEntropy, corpusLengthLog2, vocabCoverageCurve,
-    corpusTermBurstiness)
+    corpusTermBurstiness, corpusTypeTokenRatio)
 }

@@ -1477,6 +1477,50 @@ object EventAnalytics {
       .orderBy(col("iso_dow"))
   }
 
+  /** Bot-rate heuristics (r12k) — the pre-training traffic screen:
+    * per user, event volume, active minutes (distinct minute
+    * buckets), the single-minute burst maximum, and the sustained
+    * rate in exact milli-events-per-active-minute, with the two
+    * standard flags (burst: ≥2 events inside one minute; sustained:
+    * rate above 1 event/active-minute). Thresholds sit just inside
+    * this fixture's observed range (max burst 2, max rate 1018 milli
+    * at sf0.01) so BOTH flag populations are non-degenerate — the
+    * screen measures, it doesn't assume humans. Exact integers
+    * everywhere. Scale posture: one (user, minute) agg then one user
+    * agg — the second exchange only refines the first's hash key;
+    * nothing is driver-side. */
+  val eventsBotRateFlags: QDef = q(
+    "events_bot_rate_flags",
+    """WITH m AS (
+      |  SELECT user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS mn,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(COUNT(*) AS BIGINT) AS active_minutes,
+      |    CAST(MAX(c) AS BIGINT) AS max_per_minute
+      |  FROM m GROUP BY 1)
+      |SELECT user_id, n_events, active_minutes, max_per_minute,
+      |  CAST(n_events * 1000 // active_minutes AS BIGINT) AS rate_milli,
+      |  max_per_minute >= 2 AS is_burst,
+      |  n_events * 1000 // active_minutes > 1000 AS is_sustained
+      |FROM u ORDER BY user_id""") { (s, d) =>
+    val m = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("mn"))
+      .agg(count(lit(1)).as("c"))
+    val u = m.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("active_minutes"),
+        max(col("c")).as("max_per_minute"))
+    u.select(col("user_id"), col("n_events"), col("active_minutes"),
+        col("max_per_minute"),
+        expr("CAST(n_events * 1000 div active_minutes AS BIGINT)")
+          .as("rate_milli"),
+        (col("max_per_minute") >= 2).as("is_burst"),
+        (expr("n_events * 1000 div active_minutes") > 1000)
+          .as("is_sustained"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1485,5 +1529,6 @@ object EventAnalytics {
     audienceOverlapJaccard, eventsDauStickiness, cohortRevenueLtv,
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
-    tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex)
+    tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex,
+    eventsBotRateFlags)
 }
