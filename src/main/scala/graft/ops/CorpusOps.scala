@@ -1077,11 +1077,67 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** Cross-source n-gram overlap matrix (r12l) — which SLICES of the
+    * corpus share boilerplate: for every source pair, the Jaccard of
+    * their distinct word-3-gram sets (3-grams, not unigrams — this
+    * fixture's unigram vocabulary is ~31 tokens, so unigram Jaccard
+    * is degenerately ≈1; 3-grams give ~1.3k distinct per source and
+    * discriminative intersections, probed). The provenance tool run
+    * before `contamination_ngram`: a hot pair means shared templates
+    * or a copied crawl. Exact BIGINT set algebra, floor-ppm Jaccard.
+    * Scale posture: (source, gram) distinct-level rows only (grams
+    * build row-locally via `graft_word_ngrams` + array_distinct);
+    * pairs come from a gram-keyed self-join whose per-gram fanout is
+    * bounded by the SLICE COUNT squared (≤20² here), never by corpus
+    * volume; at an unbounded source count the per-gram source list
+    * gets the inverted-postings cap. */
+  val corpusSourceOverlap: QDef = q(
+    "corpus_source_overlap",
+    """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |u AS (SELECT source, toks,
+      |    unnest(generate_series(1, len(toks) - 2)) AS i FROM t),
+      |g AS (SELECT DISTINCT source,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram FROM u),
+      |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM g a JOIN g b ON b.gram = a.gram AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b, p.n_inter,
+      |  CAST(p.n_inter * 1000000 // (sa.n + sb.n - p.n_inter) AS BIGINT)
+      |    AS jaccard_ppm
+      |FROM p JOIN sz sa ON sa.source = p.src_a
+      |JOIN sz sb ON sb.source = p.src_b
+      |ORDER BY src_a, src_b""") { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("source"),
+        explode(array_distinct(graft.functions.VectorFunctions.wordNgrams(
+          split(col("text"), " "), 3))).as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val p = g.join(g.select(col("source").as("sb"), col("gram").as("gb")),
+        col("gb") === col("gram") && col("source") < col("sb"))
+      .groupBy(col("source").as("src_a"), col("sb").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    p.join(broadcast(sz.select(col("source").as("ka"), col("n").as("n_a"))),
+        col("ka") === col("src_a"))
+      .join(broadcast(sz.select(col("source").as("kb"), col("n").as("n_b"))),
+        col("kb") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        expr("CAST(n_inter * 1000000 div (n_a + n_b - n_inter) AS BIGINT)")
+          .as("jaccard_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
     dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings,
     textTermEntropy, corpusLengthLog2, vocabCoverageCurve,
-    corpusTermBurstiness, corpusTypeTokenRatio)
+    corpusTermBurstiness, corpusTypeTokenRatio, corpusSourceOverlap)
 }

@@ -580,7 +580,7 @@ object DriftOps {
     * distinct value `v` with a BIGINT weight `cnt` (extra columns
     * ride along); output adds `pre` = Σ cnt over all values strictly
     * below v. Shuffles carry distinct-value partial counts only. */
-  private def exclusivePrefix(counts: org.apache.spark.sql.DataFrame,
+  private[ops] def exclusivePrefix(counts: org.apache.spark.sql.DataFrame,
       bucketOf: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val c = counts.withColumn("bkt", bucketOf)
     val w = Window.partitionBy(col("bkt")).orderBy(col("v"))
@@ -809,8 +809,106 @@ object DriftOps {
           .cast(LongType).as("cramers_v_milli"))
   }
 
+  /** Wald–Wolfowitz runs test (r12l) — is the daily-revenue series
+    * RANDOM around its median, or does it trend/cycle? Per year:
+    * days strictly above vs below the year's LOWER-median daily
+    * revenue (median-equal days excluded, the standard convention),
+    * the observed count of runs (maximal same-side streaks in day
+    * order), the expected count 1 + 2ab/(a+b) in exact floor-milli,
+    * and the z-score (R − μ)/σ with σ² = 2ab(2ab−a−b)/((a+b)²(a+b−1))
+    * as ONE identically-spelled double tree, half-up milli (double
+    * `floor(x·1000+0.5)` rounds negatives identically in both
+    * engines — no integer-div sign seam). Every window partitions by
+    * YEAR: the per-partition row count is calendar-bounded (≤366),
+    * so the rank and lag passes scale out with years regardless of
+    * fact volume. Degenerate years (one side empty) yield NULL z by
+    * the same CASE in both engines. */
+  val statsRunsTest: QDef = q(
+    "stats_runs_test",
+    """WITH daily AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      AS day,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT yr, day, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY yr ORDER BY cents, day)
+      |      AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY yr) AS BIGINT) AS n
+      |  FROM daily),
+      |med AS (SELECT yr, cents AS med FROM rk WHERE rn = (n + 1) // 2),
+      |sides AS (
+      |  SELECT rk.yr, rk.day,
+      |    CASE WHEN rk.cents > med.med THEN 1 ELSE 0 END AS side
+      |  FROM rk JOIN med ON med.yr = rk.yr
+      |  WHERE rk.cents <> med.med),
+      |runs AS (
+      |  SELECT yr, day, side,
+      |    CASE WHEN lag(side) OVER (PARTITION BY yr ORDER BY day) IS NULL
+      |      OR side <> lag(side) OVER (PARTITION BY yr ORDER BY day)
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM sides),
+      |agg AS (
+      |  SELECT yr, CAST(SUM(side) AS BIGINT) AS na,
+      |    CAST(SUM(1 - side) AS BIGINT) AS nb,
+      |    CAST(SUM(chg) AS BIGINT) AS n_runs
+      |  FROM runs GROUP BY 1)
+      |SELECT yr, na AS n_above, nb AS n_below, n_runs,
+      |  CAST(1000 + (2000 * na * nb) // (na + nb) AS BIGINT)
+      |    AS exp_runs_milli,
+      |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+      |    ELSE CAST(floor((CAST(n_runs AS DOUBLE)
+      |      - (1 + 2.0 * na * nb / (na + nb)))
+      |      / sqrt(2.0 * na * nb * (2.0 * na * nb - na - nb)
+      |        / (CAST(na + nb AS DOUBLE) * (na + nb) * (na + nb - 1)))
+      |      * 1000 + 0.5) AS BIGINT) END AS z_milli
+      |FROM agg ORDER BY yr""") { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy(year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        datediff(col("o_orderdate").cast(DateType),
+          lit("1995-01-01").cast(DateType)).as("day"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+    val wRank = Window.partitionBy(col("yr")).orderBy(col("cents"), col("day"))
+    val wCnt = Window.partitionBy(col("yr"))
+    val rk = daily.select(col("yr"), col("day"), col("cents"),
+        row_number().over(wRank).cast(LongType).as("rn"),
+        count(lit(1)).over(wCnt).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = rk.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("yr").as("myr"), col("cents").as("med"))
+    val sides = rk.join(broadcast(med), col("myr") === col("yr"))
+      .filter(col("cents") =!= col("med"))
+      .select(col("yr"), col("day"),
+        when(col("cents") > col("med"), 1L).otherwise(0L).as("side"))
+    val wDay = Window.partitionBy(col("yr")).orderBy(col("day"))
+    val runs = sides.select(col("yr"), col("side"),
+      when(lag(col("side"), 1).over(wDay).isNull
+        || col("side") =!= lag(col("side"), 1).over(wDay), 1L)
+        .otherwise(0L).as("chg"))
+    val agg = runs.groupBy(col("yr"))
+      .agg(sum(col("side")).as("na"), sum(lit(1L) - col("side")).as("nb"),
+        sum(col("chg")).as("n_runs"))
+    agg.select(col("yr"), col("na").as("n_above"), col("nb").as("n_below"),
+        col("n_runs"),
+        expr("CAST(1000 + (2000 * na * nb) div (na + nb) AS BIGINT)")
+          .as("exp_runs_milli"),
+        when(col("na") === 0 || col("nb") === 0, lit(null).cast(LongType))
+          .otherwise(expr(
+            """CAST(floor((CAST(n_runs AS DOUBLE)
+              |  - (1 + 2.0 * na * nb / (na + nb)))
+              |  / sqrt(2.0 * na * nb * (2.0 * na * nb - na - nb)
+              |    / (CAST(na + nb AS DOUBLE) * (na + nb) * (na + nb - 1)))
+              |  * 1000 + 0.5) AS BIGINT)""".stripMargin))
+          .as("z_milli"))
+      .orderBy(col("yr"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
     statsChiSquare, embedTopComponent, embedCosineHistogram, tsCusumAlarm,
     driftUnigramJsd, statsKsTest, statsMannWhitneyU, statsSpearmanCorr,
-    statsCramersV)
+    statsCramersV, statsRunsTest)
 }

@@ -1521,6 +1521,89 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Peak session concurrency (r12l) — the capacity number an ops
+    * team sizes for: the maximum number of simultaneously-open
+    * sessions, computed by the classic +1/−1 interval sweep. Sessions
+    * are `sessionize_events`' 30-min-gap islands, closed at
+    * last-event + 1800 s; each contributes (+1 at start, −1 at
+    * close), per-second nets aggregate first (so an end and a start
+    * in the same second cancel — half-open intervals, identical
+    * convention in both engines), and the running net is the
+    * DISTRIBUTED two-pass prefix over day buckets (the shared
+    * `exclusivePrefix` primitive — partitioned windows + broadcast
+    * bucket offsets, never an unpartitioned window). Peak = max
+    * running net, reported with its earliest second and the session
+    * count. Pure BIGINT end to end. Scale posture: shuffles carry
+    * session rows then distinct-second nets — both bounded well
+    * below raw event volume. */
+  val eventsPeakConcurrency: QDef = q(
+    "events_peak_concurrency",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |              date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, sec, event_id,
+      |    CASE WHEN lag(sec) OVER w IS NULL
+      |           OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      |s AS (
+      |  SELECT user_id, sec,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM m),
+      |iv AS (
+      |  SELECT MIN(sec) AS a, MAX(sec) + 1800 AS b
+      |  FROM s GROUP BY user_id, sess_id),
+      |delta AS (
+      |  SELECT a AS sec, CAST(1 AS BIGINT) AS d FROM iv
+      |  UNION ALL
+      |  SELECT b AS sec, CAST(-1 AS BIGINT) AS d FROM iv),
+      |net AS (SELECT sec, CAST(SUM(d) AS BIGINT) AS net
+      |  FROM delta GROUP BY 1),
+      |run AS (
+      |  SELECT sec, CAST(SUM(net) OVER (ORDER BY sec
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM net),
+      |pk AS (SELECT CAST(MAX(run) AS BIGINT) AS peak FROM run),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM iv)
+      |SELECT ns.n_sessions, pk.peak AS peak_concurrency,
+      |  (SELECT CAST(MIN(sec) AS BIGINT) FROM run, pk WHERE run = peak)
+      |    AS at_sec
+      |FROM ns, pk""") { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        tsSec(col("ts")).cast(LongType).as("sec"))
+    val flagged = e.select(col("user_id"), col("sec"), col("event_id"),
+      when(lag(col("sec"), 1).over(w).isNull ||
+        col("sec") - lag(col("sec"), 1).over(w) > 1800, 1).otherwise(0)
+        .as("new_s"))
+    val sess = flagged.select(col("user_id"), col("sec"),
+      sum(col("new_s")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("sess_id"))
+    val iv = sess.groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("sec")).as("a"), (max(col("sec")) + 1800).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delta = iv.select(explode(array(
+        struct(col("a").as("v"), lit(1L).as("d")),
+        struct(col("b").as("v"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.v").as("v"), col("x.d").as("d"))
+    val net = delta.groupBy(col("v")).agg(sum(col("d")).as("cnt"))
+    val run = DriftOps.exclusivePrefix(net, expr("v div 86400"))
+      .select(col("v").as("sec"), (col("pre") + col("cnt")).as("run"))
+    val pk = run.agg(max(col("run")).as("peak"))
+    val at = run.join(broadcast(pk), col("run") === col("peak"))
+      .agg(min(col("sec")).as("at_sec"))
+    val ns = iv.agg(count(lit(1)).as("n_sessions"))
+    ns.crossJoin(broadcast(pk)).crossJoin(broadcast(at))
+      .select(col("n_sessions"), col("peak").as("peak_concurrency"),
+        col("at_sec"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1530,5 +1613,5 @@ object EventAnalytics {
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
     tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex,
-    eventsBotRateFlags)
+    eventsBotRateFlags, eventsPeakConcurrency)
 }
