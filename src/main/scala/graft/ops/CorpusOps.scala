@@ -1133,11 +1133,55 @@ object CorpusOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** The candidate alphabet sizes `vocab_char_coverage` sweeps. */
+  private val charGrid = Seq(8, 16, 32, 64)
+
+  /** Character-coverage curve (r12m) — the `character_coverage` knob
+    * a SentencePiece-style tokenizer is configured with: for each
+    * candidate alphabet size N, the share of all character
+    * OCCURRENCES the top-N characters cover (spaces included — they
+    * are corpus bytes too). `vocab_coverage_curve`'s machinery one
+    * level down: one char-frequency agg (alphabet-cardinality
+    * shuffle, persisted once), each grid point a TakeOrdered top-N
+    * plus a one-row broadcast total; everything after the frequency
+    * agg is O(grid·N). Exact BIGINT mass, floor-ppm coverage. */
+  val vocabCharCoverage: QDef = q(
+    "vocab_char_coverage",
+    s"""WITH ch AS (SELECT unnest(string_split(text, '')) AS c FROM documents),
+      |freq AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS freq FROM ch GROUP BY c),
+      |tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_total FROM freq),
+      |cov AS (
+      |${charGrid.map(n =>
+        s"""  SELECT $n AS alphabet_size, CAST(COUNT(*) AS BIGINT) AS n_chars,
+      |    CAST(SUM(freq) AS BIGINT) AS covered
+      |  FROM (SELECT freq FROM freq ORDER BY freq DESC, c LIMIT $n)"""
+      ).mkString("\n      |  UNION ALL\n      |")})
+      |SELECT alphabet_size, n_chars, covered,
+      |  CAST(covered * 1000000 // n_total AS BIGINT) AS coverage_ppm
+      |FROM cov CROSS JOIN tot ORDER BY alphabet_size""") { (s, d) =>
+    val freq = Tables.documents(s, d)
+      .select(explode(split(col("text"), "")).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = freq.agg(sum(col("freq")).cast(LongType).as("n_total"))
+    val cov = charGrid.map { n =>
+      freq.orderBy(col("freq").desc, col("c")).limit(n)
+        .agg(count(lit(1)).as("n_chars"), sum(col("freq")).as("covered"))
+        .select(lit(n).as("alphabet_size"), col("n_chars"), col("covered"))
+    }.reduce(_ unionAll _)
+    cov.crossJoin(broadcast(tot))
+      .select(col("alphabet_size"), col("n_chars"), col("covered"),
+        expr("CAST(covered * 1000000 div n_total AS BIGINT)")
+          .as("coverage_ppm"))
+      .orderBy(col("alphabet_size"))
+  }
+
   val all: Seq[QDef] = Seq(
     boilerplateNgram, corpusZipf, splitTrainHoldout, textCharStats,
     chunkSlidingWindows, textNgramLogprob, bm25TopDocs, cooccurPmi,
     textNgramNovelty, textReadability, aggGiniImpurity, vocabOovRate,
     dedupSegmentLevel, tokenizerBpePairs, indexInvertedPostings,
     textTermEntropy, corpusLengthLog2, vocabCoverageCurve,
-    corpusTermBurstiness, corpusTypeTokenRatio, corpusSourceOverlap)
+    corpusTermBurstiness, corpusTypeTokenRatio, corpusSourceOverlap,
+    vocabCharCoverage)
 }

@@ -1062,9 +1062,67 @@ object LlmExtras {
       .orderBy(col("q_id"))
   }
 
+  /** Product-quantization codes (r12m) — the memory-compression leg
+    * of the ANN family (Jégou et al. 2011): the 64-dim embedding
+    * splits into 4×16-dim subspaces, each sub-vector snaps to the
+    * nearest of 8 sub-centroids, and a vector is stored as 4 bytes
+    * of codes instead of 256 bytes of floats. The codebook here is
+    * SEED-derived (sub-vectors of vec_id 0..7 — deterministic, no
+    * training loop: `kmeans_update_round` owns Lloyd updates; this
+    * key grades the assign/compress machinery). Numeric ladder is
+    * the k-means family's: milli-quantized components, exact BIGINT
+    * squared distances, argmin ties to the smallest code via
+    * min(struct(d2, code)) ≡ the oracle's ORDER BY d2, code. Graded
+    * per (subspace, code): population + total residual — the
+    * codebook-balance/distortion table a PQ index tuner reads.
+    * Scale posture: the 32-row codebook broadcasts onto the
+    * component explode; one (vec, subspace, code) distance agg, one
+    * argmin agg, one ≤32-group fold. */
+  val simPqCodes: QDef = q(
+    "sim_pq_codes",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |qv AS (
+      |  SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qc,
+      |    CAST((i - 1) // 16 AS INTEGER) AS s
+      |  FROM embeddings CROSS JOIN dims),
+      |cb AS (SELECT i, CAST(vec_id AS INTEGER) AS code, qc AS sc
+      |  FROM qv WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT q.vec_id, q.s, cb.code,
+      |    CAST(SUM((q.qc - cb.sc) * (q.qc - cb.sc)) AS BIGINT) AS d2
+      |  FROM qv q JOIN cb ON cb.i = q.i
+      |  GROUP BY 1, 2, 3),
+      |asg AS (
+      |  SELECT vec_id, s, code, d2,
+      |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+      |  FROM dist)
+      |SELECT s AS subspace, code, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+      |  CAST(SUM(d2) AS BIGINT) AS sum_d2
+      |FROM asg WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("qc"),
+        expr("CAST(i div 16 AS INT)").as("s"))
+    val cb = ex.filter(col("vec_id") < 8)
+      .select(col("i").as("ci"), col("vec_id").cast(IntegerType).as("code"),
+        col("qc").as("sc"))
+    val dist = ex.join(broadcast(cb), col("ci") === col("i"))
+      .groupBy(col("vec_id"), col("s"), col("code"))
+      .agg(sum((col("qc") - col("sc")) * (col("qc") - col("sc"))).as("d2"))
+    val asg = dist.groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("m"))
+    asg.groupBy(col("s").as("subspace"), col("m.code").as("code"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("m.d2")).as("sum_d2"))
+      .orderBy(col("subspace"), col("code"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
     annIvfLabel, simLshBucketed, kmeansAssign, evalLangidConfusion,
-    knnHoldoutEval, dedupBandTuning, kmeansUpdateRound, evalAnnRecall)
+    knnHoldoutEval, dedupBandTuning, kmeansUpdateRound, evalAnnRecall,
+    simPqCodes)
 }

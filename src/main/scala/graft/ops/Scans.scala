@@ -521,9 +521,58 @@ object Scans {
       .orderBy(col("layout"))
   }
 
+  /** Nested-parquet roundtrip (r12m) — every other source key reads
+    * FLAT schemas; real lakehouse tables carry structs and arrays.
+    * This writes one row per customer as (cust STRUCT<key, segment>,
+    * order_cents ARRAY<BIGINT>) — the array from a LEFT join so
+    * order-less customers land with an EMPTY array, not a dropped
+    * row — reads it back, projects THROUGH the struct
+    * (`cust.segment`: schema pruning must reach the parquet column
+    * chunks) and folds the array row-locally (size +
+    * functions.aggregate sum — no explode, no shuffle for the array
+    * math). The oracle computes the same rollup from the flat
+    * tables, so the hash match certifies the nested write→read→
+    * project→fold path end to end. Array element order never
+    * matters (size and sum are permutation-invariant — the only
+    * deterministic contract a distributed collect_list offers). */
+  val sourceParquetNested: QDef = q(
+    "source_parquet_nested",
+    """WITH j AS (
+      |  SELECT c.c_custkey, c.c_mktsegment,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey)
+      |SELECT c_mktsegment AS segment,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+      |  CAST(COUNT(cents) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+      |FROM j GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val out = graft.TempDirs.create("graft_nested")
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .select(col("o_custkey"),
+            (money(col("o_totalprice")) * 100).cast(LongType).as("cents")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(collect_list(col("cents")).as("order_cents"))
+      .select(struct(col("c_custkey").as("key"),
+          col("c_mktsegment").as("segment")).as("cust"),
+        col("order_cents"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(col("cust.segment").as("segment"),
+        size(col("order_cents")).cast(LongType).as("n"),
+        aggregate(col("order_cents"), lit(0L), (acc, x) => acc + x)
+          .as("cents"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("n")).as("n_orders"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
     sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo,
     sourceSortedRanges, sourceSchemaMerge, sourceOrcRoundtrip,
     sourceJsonRoundtrip, joinDppPartitioned, sourceCsvQuoted,
-    sourceTextLines, sourceBinaryFiles, layoutZorderSkipping)
+    sourceTextLines, sourceBinaryFiles, layoutZorderSkipping,
+    sourceParquetNested)
 }
