@@ -1519,6 +1519,108 @@ object Aggregates {
       .orderBy(col("nation"))
   }
 
+  /** ABC×XYZ planning matrix (r12n) — the 9-cell grid inventory
+    * planning actually runs on: value class (A/B/C — brand-relative
+    * 70/90 cumulative-revenue cut, the exact-decimal comparison
+    * spelled as in `report_abc_class`) crossed with demand-stability
+    * class (X/Y/Z — the cleared-of-divisions CoV test spelled as in
+    * `report_xyz_variability`), one row per cell with part count,
+    * exact-decimal revenue (ONE double conversion at the output
+    * edge — rev's scale-4 decimal is NOT integral in cents, and
+    * decimal→BIGINT casts round differently across engines) and
+    * shipped quantity. AX = automate, CZ =
+    * make-to-order; the cross is what turns two reports into a
+    * policy. Both class passes run over the SAME persisted part-level
+    * aggregate (the fact shuffles once — ShuffleAudit-verified), and
+    * the XYZ week stats ride a second agg of the same scan before
+    * the part-key join. */
+  val reportAbcXyzMatrix: QDef = q(
+    "report_abc_xyz_matrix",
+    """WITH pr AS (
+      |  SELECT p_brand, l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS rev
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY p_brand, l_partkey),
+      |abc AS (
+      |  SELECT l_partkey, rev,
+      |    CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+      |         WHEN cum * 10 <= tot * 9 THEN 'B'
+      |         ELSE 'C' END AS abc_class
+      |  FROM (
+      |    SELECT l_partkey, rev,
+      |      SUM(rev) OVER (PARTITION BY p_brand ORDER BY rev DESC, l_partkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      SUM(rev) OVER (PARTITION BY p_brand) AS tot
+      |    FROM pr)),
+      |wk AS (
+      |  SELECT l_partkey,
+      |    date_diff('day', DATE '1992-01-01', l_shipdate) // 7 AS week,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT))
+      |      AS BIGINT) AS q10
+      |  FROM lineitem GROUP BY 1, 2),
+      |xyz AS (
+      |  SELECT l_partkey,
+      |    CASE WHEN 4 * (n * s2 - s * s) <= s * s THEN 'X'
+      |         WHEN n * s2 - s * s <= s * s THEN 'Y'
+      |         ELSE 'Z' END AS xyz_class,
+      |    s
+      |  FROM (
+      |    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |      CAST(SUM(q10) AS BIGINT) AS s,
+      |      CAST(SUM(q10 * q10) AS BIGINT) AS s2
+      |    FROM wk GROUP BY l_partkey))
+      |SELECT abc_class, xyz_class,
+      |  CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(rev) AS DOUBLE) AS cell_revenue,
+      |  CAST(SUM(s) AS BIGINT) AS total_q10
+      |FROM abc JOIN xyz USING (l_partkey)
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pr = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice"))
+        * (lit(1) - rate(col("l_discount")))).as("rev"))
+    val wCum = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("p_brand"))
+    val abc = pr
+      .select(col("l_partkey"), col("rev"),
+        sum(col("rev")).over(wCum).as("cum"),
+        sum(col("rev")).over(wTot).as("tot"))
+      .select(col("l_partkey"), col("rev"),
+        when(col("cum") * 10 <= col("tot") * 7, "A")
+          .when(col("cum") * 10 <= col("tot") * 9, "B")
+          .otherwise("C").as("abc_class"))
+    val wk = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("xk"),
+        expr("datediff(l_shipdate, DATE '1992-01-01') div 7").as("week"),
+        (qty(col("l_quantity")) * 10).cast(LongType).as("q10"))
+      .groupBy(col("xk"), col("week"))
+      .agg(sum(col("q10")).cast(LongType).as("q10"))
+    val xyz = wk.groupBy(col("xk"))
+      .agg(count(lit(1)).as("n"), sum(col("q10")).cast(LongType).as("s"),
+        sum(col("q10") * col("q10")).cast(LongType).as("s2"))
+      .select(col("xk"),
+        when(lit(4) * (col("n") * col("s2") - col("s") * col("s"))
+            <= col("s") * col("s"), "X")
+          .when(col("n") * col("s2") - col("s") * col("s")
+            <= col("s") * col("s"), "Y")
+          .otherwise("Z").as("xyz_class"),
+        col("s"))
+    abc.join(xyz, col("xk") === col("l_partkey"))
+      .groupBy(col("abc_class"), col("xyz_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        outDouble(sum(col("rev"))).as("cell_revenue"),
+        sum(col("s")).as("total_q10"))
+      .orderBy(col("abc_class"), col("xyz_class"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1530,5 +1632,5 @@ object Aggregates {
     reportAgingBuckets, reportConcentration, reportAbcClass,
     reportYtdRunning, reportValueMigration, aggGiniValue,
     reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix,
-    reportHhiByNation)
+    reportHhiByNation, reportAbcXyzMatrix)
 }

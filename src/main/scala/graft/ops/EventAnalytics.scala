@@ -1604,6 +1604,103 @@ object EventAnalytics {
         col("at_sec"))
   }
 
+  /** Kaplan–Meier hazard table (r12n) — time-to-convert WITH
+    * censoring, which `funnel_time_to_convert` (converters only)
+    * cannot see: a clicker whose first purchase does not land inside
+    * the 7-DAY conversion window is CENSORED — at day 7, or earlier
+    * if the observation period ends first — and dropping them biases
+    * conversion speed optimistic. (The window is what makes the
+    * censored population non-empty in this always-eventually-buying
+    * fixture: 1/8/59 censored at the three SFs, probed.) Per
+    * day-offset t since first click: the at-risk count (users still
+    * unconverted and uncensored entering t), conversions at t,
+    * censorings at t, and the discrete hazard d/n in floor-ppm — the
+    * product-limit survival curve's exact ingredients (Kaplan &
+    * Meier 1958; the curve itself is a running PRODUCT, which no
+    * cross-engine float contract survives — the hazard table is the
+    * honest exact boundary). At-risk comes from N − exclusive-prefix
+    * over the offset axis (the shared bucketed two-pass primitive —
+    * never an unpartitioned window). Scale posture: one first-click
+    * agg, one conditional first-purchase agg, then everything is
+    * per-distinct-offset rows bounded by the observation window, not
+    * event volume. */
+  val funnelKmHazard: QDef = q(
+    "funnel_km_hazard",
+    """WITH fc AS (
+      |  SELECT user_id,
+      |    MIN(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |      date_trunc('second', CAST(ts AS TIMESTAMP)))) AS fc
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |tend AS (
+      |  SELECT MAX(date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)))) AS t_end
+      |  FROM events),
+      |fp AS (
+      |  SELECT e.user_id, MIN(date_diff('second',
+      |      TIMESTAMP '1970-01-01 00:00:00',
+      |      date_trunc('second', CAST(e.ts AS TIMESTAMP)))) AS fp
+      |  FROM events e JOIN fc ON fc.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |      date_trunc('second', CAST(e.ts AS TIMESTAMP))) >= fc.fc
+      |    AND date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |      date_trunc('second', CAST(e.ts AS TIMESTAMP)))
+      |      < fc.fc + 604800
+      |  GROUP BY 1),
+      |obs AS (
+      |  SELECT fc.user_id,
+      |    CASE WHEN fp.fp IS NULL
+      |      THEN (SELECT least(7, (t_end - fc) // 86400) FROM tend)
+      |      ELSE (fp.fp - fc.fc) // 86400 END AS t,
+      |    CASE WHEN fp.fp IS NULL THEN 0 ELSE 1 END AS converted
+      |  FROM fc LEFT JOIN fp ON fp.user_id = fc.user_id),
+      |g AS (
+      |  SELECT t, CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |    CAST(SUM(1 - converted) AS BIGINT) AS n_censored,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM obs GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM g),
+      |r AS (
+      |  SELECT t, n_converted, n_censored,
+      |    CAST(total - COALESCE(SUM(cnt) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_at_risk
+      |  FROM g CROSS JOIN n)
+      |SELECT t AS day_offset, n_at_risk, n_converted, n_censored,
+      |  CAST(n_converted * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+      |FROM r ORDER BY t""") { (s, d) =>
+    val sec = tsSec(col("ts")).cast(LongType)
+    val fc = Tables.events(s, d).filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(sec).as("fc"))
+    val tend = Tables.events(s, d).agg(max(sec).as("t_end"))
+    val fp = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), sec.as("ps"))
+      .join(fc, col("pu") === col("user_id"))
+      .filter(col("ps") >= col("fc") && col("ps") < col("fc") + 604800L)
+      .groupBy(col("pu")).agg(min(col("ps")).as("fp"))
+    val obs = fc.join(fp, col("pu") === col("user_id"), "left")
+      .crossJoin(broadcast(tend))
+      .select(
+        when(col("fp").isNull,
+          least(lit(7L), expr("(t_end - fc) div 86400")))
+          .otherwise(expr("(fp - fc) div 86400")).as("t"),
+        when(col("fp").isNull, 0L).otherwise(1L).as("converted"))
+    val g = obs.groupBy(col("t").as("v"))
+      .agg(sum(col("converted")).as("n_converted"),
+        sum(lit(1L) - col("converted")).as("n_censored"),
+        count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = g.agg(sum(col("cnt")).as("total"))
+    DriftOps.exclusivePrefix(g, expr("v div 7"))
+      .crossJoin(broadcast(n))
+      .select(col("v").as("day_offset"),
+        (col("total") - col("pre")).as("n_at_risk"),
+        col("n_converted"), col("n_censored"),
+        expr("CAST(n_converted * 1000000 div (total - pre) AS BIGINT)")
+          .as("hazard_ppm"))
+      .orderBy(col("day_offset"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1613,5 +1710,5 @@ object EventAnalytics {
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
     tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex,
-    eventsBotRateFlags, eventsPeakConcurrency)
+    eventsBotRateFlags, eventsPeakConcurrency, funnelKmHazard)
 }

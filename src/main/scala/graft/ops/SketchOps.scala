@@ -440,7 +440,98 @@ object SketchOps {
         col("req").as("registers_equal"))
   }
 
+  /** Theta-sketch intersection (r12n) — the SET-OPERATION leg of the
+    * KMV family (`sketch_kmv_distinct` grades cardinality; audience
+    * overlap at 100 TB needs |A∩B| from two constant-size sketches
+    * without touching raw keys): θ = min of the two sketches' k-th
+    * minimum hashes (a sketch smaller than k is EXACT with θ = 2³²),
+    * the intersection sample is every common hash below θ, and the
+    * estimate is n_sample·2³²/θ — pure BIGINT division. Audited
+    * against the exact key intersection (event users ⊂ order
+    * customers here, so truth is non-trivial at every SF). Hash,
+    * bottom-k (TakeOrdered + ≤k broadcast rank self-join, never an
+    * unpartitioned window) and err_ppm spelling are
+    * sketch_kmv_distinct's exactly. */
+  val sketchKmvIntersection: QDef = q(
+    "sketch_kmv_intersection",
+    """WITH ka AS (SELECT DISTINCT user_id AS k FROM events),
+      |kb AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |ha AS (SELECT DISTINCT
+      |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM ka),
+      |hb AS (SELECT DISTINCT
+      |    ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM kb),
+      |ba AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+      |bb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+      |ra AS (SELECT a.h, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM ba a JOIN ba b ON b.h <= a.h GROUP BY 1),
+      |rb AS (SELECT a.h, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM bb a JOIN bb b ON b.h <= a.h GROUP BY 1),
+      |th AS (
+      |  SELECT least(
+      |    CASE WHEN (SELECT COUNT(*) FROM ha) >= 64
+      |      THEN (SELECT h FROM ra WHERE r = 64) ELSE 4294967296 END,
+      |    CASE WHEN (SELECT COUNT(*) FROM hb) >= 64
+      |      THEN (SELECT h FROM rb WHERE r = 64) ELSE 4294967296 END)
+      |    AS theta),
+      |samp AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sample
+      |  FROM ha JOIN hb USING (h) CROSS JOIN th WHERE h < theta),
+      |tru AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_inter
+      |  FROM ka JOIN kb USING (k))
+      |SELECT CAST(64 AS BIGINT) AS k, CAST(theta AS BIGINT) AS theta,
+      |  n_sample,
+      |  CAST(CASE WHEN n_sample = 0 THEN 0
+      |    ELSE n_sample * 4294967296 // theta END AS BIGINT) AS est_inter,
+      |  true_inter,
+      |  CASE WHEN n_sample * 4294967296 // theta >= true_inter
+      |    THEN CAST((n_sample * 4294967296 // theta - true_inter) * 1000000
+      |      // true_inter AS BIGINT)
+      |    ELSE -CAST((true_inter - n_sample * 4294967296 // theta) * 1000000
+      |      // true_inter AS BIGINT) END AS err_ppm
+      |FROM th, samp, tru""") { (s, d) =>
+    def hashes(keys: org.apache.spark.sql.DataFrame) = keys.select(
+      conv(substring(md5(col("k").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType).as("h")).distinct()
+    def kthOr(hs: org.apache.spark.sql.DataFrame) = {
+      val bottom = hs.orderBy(col("h")).limit(64)
+      val kth = bottom.as("a")
+        .join(broadcast(bottom.select(col("h").as("h2"))),
+          col("h2") <= col("a.h"))
+        .groupBy(col("a.h").as("h")).agg(count(lit(1)).as("r"))
+        .filter(col("r") === 64).agg(min(col("h")).as("kth"))
+      hs.agg(count(lit(1)).as("n")).crossJoin(broadcast(kth))
+        .select(when(col("n") >= 64, col("kth"))
+          .otherwise(lit(4294967296L)).as("t"))
+    }
+    val ka = Tables.events(s, d).select(col("user_id").as("k")).distinct()
+    val kb = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val (ha, hb) = (hashes(ka).persist(), hashes(kb).persist())
+    val th = kthOr(ha).select(col("t").as("ta"))
+      .crossJoin(broadcast(kthOr(hb).select(col("t").as("tb"))))
+      .select(least(col("ta"), col("tb")).as("theta"))
+    val samp = ha.join(hb.select(col("h").as("h2")), col("h2") === col("h"))
+      .crossJoin(broadcast(th))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_sample"))
+    val tru = ka.join(kb.select(col("k").as("k2")), col("k2") === col("k"))
+      .agg(count(lit(1)).as("true_inter"))
+    val est = when(col("n_sample") === 0, 0L)
+      .otherwise(expr("CAST(n_sample * 4294967296 div theta AS BIGINT)"))
+    samp.crossJoin(broadcast(th)).crossJoin(broadcast(tru))
+      .select(lit(64L).as("k"), col("theta"), col("n_sample"),
+        est.as("est_inter"), col("true_inter"),
+        when(est >= col("true_inter"),
+          expr("CAST((n_sample * 4294967296 div theta - true_inter)" +
+            " * 1000000 div true_inter AS BIGINT)"))
+          .otherwise(-expr(
+            "CAST((true_inter - n_sample * 4294967296 div theta)" +
+              " * 1000000 div true_inter AS BIGINT)"))
+          .as("err_ppm"))
+  }
+
   val all: Seq[QDef] = Seq(sketchCountminFreq, sketchBloomFpr,
     sketchHllLinear, sketchCmsJoinForecast, sketchHllRegisters,
-    sketchKmvDistinct, sketchHllMerge)
+    sketchKmvDistinct, sketchHllMerge, sketchKmvIntersection)
 }
