@@ -1621,6 +1621,47 @@ object Aggregates {
       .orderBy(col("abc_class"), col("xyz_class"))
   }
 
+  /** Split-shipment rate (r12o) — the fulfillment KPI next to the
+    * aging buckets: per order month, how many orders shipped their
+    * lines on MORE than one distinct date (a split shipment — extra
+    * freight, worse experience). Per-order distinct ship-date count
+    * via one orderkey-keyed agg (the natural join key, so the
+    * orders⋈lineitem exchange is the only data-sized shuffle), then
+    * a ≤84-row month rollup with floor-ppm rate. Exact integers
+    * end to end. */
+  val reportSplitShipment: QDef = q(
+    "report_split_shipment",
+    """WITH o AS (
+      |  SELECT l_orderkey,
+      |    CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT)
+      |      AS n_dates
+      |  FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(month(o_orderdate) AS INTEGER) AS mon,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CASE WHEN n_dates > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_split
+      |  FROM orders JOIN o ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)
+      |SELECT yr, mon, n_orders, n_split,
+      |  CAST(n_split * 1000000 // n_orders AS BIGINT) AS split_ppm
+      |FROM m ORDER BY yr, mon""") { (s, d) =>
+    val o = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_shipdate").cast(DateType)).as("n_dates"))
+    Tables.orders(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        month(col("o_orderdate")).cast(IntegerType).as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("n_dates") > 1, 1L).otherwise(0L)).as("n_split"))
+      .select(col("yr"), col("mon"), col("n_orders"), col("n_split"),
+        expr("CAST(n_split * 1000000 div n_orders AS BIGINT)")
+          .as("split_ppm"))
+      .orderBy(col("yr"), col("mon"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1632,5 +1673,5 @@ object Aggregates {
     reportAgingBuckets, reportConcentration, reportAbcClass,
     reportYtdRunning, reportValueMigration, aggGiniValue,
     reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix,
-    reportHhiByNation, reportAbcXyzMatrix)
+    reportHhiByNation, reportAbcXyzMatrix, reportSplitShipment)
 }

@@ -865,11 +865,53 @@ object Sampling {
       .orderBy(col("segment"))
   }
 
+  /** Deterministic k-fold assignment (r12o) — the cross-validation
+    * primitive `split_train_holdout` (one fixed 80/10/10 cut) does
+    * not give: every document lands in exactly one of 5 folds by the
+    * same md5-prefix hash the split family uses (membership is a
+    * pure function of doc_id — partitioning- and engine-independent),
+    * and the graded output is the per-(fold, lang) census with each
+    * fold's total and the language's floor-ppm share WITHIN its fold
+    * — the balance table a stratification audit reads before trusting
+    * CV variance. Scale posture: one (fold, lang) agg with map-side
+    * partials, the 5-row fold-total table broadcast back. */
+  val sampleKfoldAssign: QDef = q(
+    "sample_kfold_assign",
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 5
+      |      AS fold
+      |  FROM documents),
+      |g AS (
+      |  SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM b GROUP BY 1, 2),
+      |t AS (SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_total
+      |  FROM g GROUP BY 1)
+      |SELECT g.fold, g.lang, g.n_docs, t.fold_total,
+      |  CAST(g.n_docs * 1000000 // t.fold_total AS BIGINT) AS share_ppm
+      |FROM g JOIN t ON t.fold = g.fold
+      |ORDER BY g.fold, g.lang""") { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("lang"),
+        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(IntegerType) % 5).as("fold"))
+      .groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = g.groupBy(col("fold").as("tf"))
+      .agg(sum(col("n_docs")).as("fold_total"))
+    g.join(broadcast(t), col("tf") === col("fold"))
+      .select(col("fold"), col("lang"), col("n_docs"), col("fold_total"),
+        expr("CAST(n_docs * 1000000 div fold_total AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
     sampleWeightedPps, shardTokenBalanced, profileKeySkew,
     dqFreshnessSla, samplePoissonBootstrap, splitByUserLeakfree,
     dqOrderLineitemDates, dqBenfordDigits, dqSequenceContiguity,
-    sampleNeymanAllocation)
+    sampleNeymanAllocation, sampleKfoldAssign)
 }

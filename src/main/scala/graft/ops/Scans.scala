@@ -569,10 +569,57 @@ object Scans {
       .orderBy(col("segment"))
   }
 
+  /** PERMISSIVE corrupt-record audit (r12o) — what a real ingest does
+    * with a dirty JSONL feed: quarantine the unparsable lines, keep
+    * the rest, and report both counts. The corruption is PLANTED
+    * deterministically (every doc_id ≡ 0 mod 7 line gets a '###'
+    * prefix — invalid JSON by construction), written as text, and
+    * read back under an EXPLICIT schema with a _corrupt_record
+    * column in PERMISSIVE mode. The oracle never parses the dirty
+    * file — it computes the expected per-language valid census and
+    * the corrupt total straight from the plant rule, so the hash
+    * match certifies that Spark's malformed-record machinery
+    * quarantines EXACTLY the planted lines (no false drops, no
+    * silent repairs). Scan-parallel end to end; the one shuffle is
+    * the ≤6-group census. */
+  val sourceJsonCorruptAudit: QDef = q(
+    "source_json_corrupt_audit",
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM documents WHERE doc_id % 7 <> 0
+      |GROUP BY lang
+      |UNION ALL
+      |SELECT '__corrupt__' AS lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM documents WHERE doc_id % 7 = 0
+      |ORDER BY lang""") { (s, d) =>
+    val out = graft.TempDirs.create("graft_dirty_jsonl")
+    Tables.documents(s, d)
+      .select(when(col("doc_id") % 7 === 0,
+          concat(lit("###"), to_json(struct(col("doc_id"), col("lang")))))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"))))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+      .select(when(col("_corrupt_record").isNotNull, "__corrupt__")
+        .otherwise(col("lang")).as("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QDef] = Seq(scanParquetProject, sourceJsonProps,
     sourceCsvRoundtrip, sourcePartitionedPrune, joinBucketedColo,
     sourceSortedRanges, sourceSchemaMerge, sourceOrcRoundtrip,
     sourceJsonRoundtrip, joinDppPartitioned, sourceCsvQuoted,
     sourceTextLines, sourceBinaryFiles, layoutZorderSkipping,
-    sourceParquetNested)
+    sourceParquetNested, sourceJsonCorruptAudit)
 }
