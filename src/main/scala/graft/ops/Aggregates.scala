@@ -1662,6 +1662,56 @@ object Aggregates {
       .orderBy(col("yr"), col("mon"))
   }
 
+  /** First-day behavior-signature census via aggregate BIT_OR
+    * (r12p) — each user's FIRST-DAY event-type set folds into one
+    * bitmask (click=1, error=2, purchase=4, signup=8, view=16 —
+    * alphabetical bit order), then the corpus is a ≤32-row histogram
+    * of activation signatures — the day-one segmentation a lifecycle
+    * team reads ("clicked but never purchased on day one" is a row).
+    * Restricting to the user's first active DAY is what makes the
+    * census non-degenerate: over the full month every user has every
+    * type (probed: one all-bits row), on day one the fixture spreads
+    * across ~30 distinct masks. `fn_bitwise` grades row-local bit
+    * expressions; this is the AGGREGATE bit fold (bit_or partials
+    * commute, so map-side combine works like any sum). Scale
+    * posture: first-day table via one user-keyed agg joined back on
+    * (user, day) — both exchanges hash the user key. */
+  val aggBitmaskSignatures: QDef = q(
+    "agg_bitmask_signatures",
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(date_trunc('day', CAST(ts AS TIMESTAMP))) AS d0
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT e.user_id,
+      |    CAST(bit_or(CASE e.event_type
+      |      WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'purchase' THEN 4
+      |      WHEN 'signup' THEN 8 ELSE 16 END) AS BIGINT) AS sig
+      |  FROM events e JOIN f ON f.user_id = e.user_id
+      |    AND date_trunc('day', CAST(e.ts AS TIMESTAMP)) = f.d0
+      |  GROUP BY 1)
+      |SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(sig & 4 > 0 AS BOOLEAN) AS has_purchase,
+      |  CAST(sig & 2 > 0 AS BOOLEAN) AS has_error
+      |FROM b GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val f = Tables.events(s, d)
+      .groupBy(col("user_id").as("fu"))
+      .agg(min(date_trunc("day", col("ts"))).as("d0"))
+    Tables.events(s, d)
+      .join(f, col("fu") === col("user_id")
+        && date_trunc("day", col("ts")) === col("d0"))
+      .groupBy(col("user_id"))
+      .agg(expr("CAST(bit_or(CASE event_type" +
+        " WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'purchase' THEN 4" +
+        " WHEN 'signup' THEN 8 ELSE 16 END) AS BIGINT)").as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("sig"), col("n_users"),
+        (col("sig").bitwiseAND(4) > 0).as("has_purchase"),
+        (col("sig").bitwiseAND(2) > 0).as("has_error"))
+      .orderBy(col("sig"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1673,5 +1723,6 @@ object Aggregates {
     reportAgingBuckets, reportConcentration, reportAbcClass,
     reportYtdRunning, reportValueMigration, aggGiniValue,
     reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix,
-    reportHhiByNation, reportAbcXyzMatrix, reportSplitShipment)
+    reportHhiByNation, reportAbcXyzMatrix, reportSplitShipment,
+    aggBitmaskSignatures)
 }

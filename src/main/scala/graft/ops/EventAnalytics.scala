@@ -1701,6 +1701,58 @@ object EventAnalytics {
       .orderBy(col("day_offset"))
   }
 
+  /** SLO error-budget burn (r12p) — the SRE table a service reviews
+    * weekly: per day, event volume, 'error' events, the day's error
+    * rate in floor-ppm, and the WEEK-to-date budget consumption
+    * against a 99%-success SLO (budget_used_ppm = cum_errors·10⁸ //
+    * cum_events — the fraction of the 1% allowance burned, > 10⁶ =
+    * budget blown). Cumulative windows partition by ISO WEEK — the
+    * budget window IS the reset boundary, so no global prefix is
+    * needed and per-partition width is calendar-bounded at 7. Pure
+    * BIGINT; the weekday/week seams are the probed fn_date_advanced
+    * rules. */
+  val eventsSloBurnRate: QDef = q(
+    "events_slo_burn_rate",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_errors
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, n_events, n_errors,
+      |    CAST(weekofyear(day) AS INTEGER) AS iso_week,
+      |    CAST(SUM(n_events) OVER win AS BIGINT) AS cum_events,
+      |    CAST(SUM(n_errors) OVER win AS BIGINT) AS cum_errors
+      |  FROM daily
+      |  WINDOW win AS (PARTITION BY weekofyear(day) ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT day, iso_week, n_events, n_errors,
+      |  CAST(n_errors * 1000000 // n_events AS BIGINT) AS day_err_ppm,
+      |  CAST(cum_errors * 100000000 // cum_events AS BIGINT)
+      |    AS budget_used_ppm
+      |FROM w ORDER BY day""") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+    val win = Window.partitionBy(weekofyear(col("day")))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("day"),
+        weekofyear(col("day")).cast(IntegerType).as("iso_week"),
+        col("n_events"), col("n_errors"),
+        sum(col("n_events")).over(win).as("cum_events"),
+        sum(col("n_errors")).over(win).as("cum_errors"))
+      .select(col("day"), col("iso_week"), col("n_events"), col("n_errors"),
+        expr("CAST(n_errors * 1000000 div n_events AS BIGINT)")
+          .as("day_err_ppm"),
+        expr("CAST(cum_errors * 100000000 div cum_events AS BIGINT)")
+          .as("budget_used_ppm"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1710,5 +1762,6 @@ object EventAnalytics {
     eventsBurstDetection, eventsInterarrivalStats, eventsGrowthAccounting,
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
     tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex,
-    eventsBotRateFlags, eventsPeakConcurrency, funnelKmHazard)
+    eventsBotRateFlags, eventsPeakConcurrency, funnelKmHazard,
+    eventsSloBurnRate)
 }

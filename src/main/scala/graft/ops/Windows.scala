@@ -781,10 +781,61 @@ object Windows {
       .orderBy(col("event_type"), col("day_no"))
   }
 
+  /** Anchored VWAP (r12p) — the volume-weighted average price a
+    * trading/pricing desk tracks per instrument from an anchor date:
+    * per BRAND_1 part in ship-date order, cumulative revenue over
+    * cumulative quantity. Both cumulants stay EXACT BIGINT (cents ×
+    * tenth-units) in per-part windows with the (date, orderkey,
+    * linenumber) total-order tie-break, and the VWAP itself is one
+    * floor division of nonnegative longs per row — micro-cents per
+    * tenth-unit, bit-identical in both engines. Scale posture: one
+    * hash exchange on the part key feeds both windows (same spec →
+    * one WindowExec); the brand filter broadcasts from the 25-row
+    * dim. Output bounded by the filtered brand's line items. */
+  val winAnchoredVwap: QDef = q(
+    "win_anchored_vwap",
+    """WITH li AS (
+      |  SELECT l_partkey, l_orderkey, l_linenumber,
+      |    CAST(l_shipdate AS DATE) AS sd,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT) AS q10
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#1'),
+      |c AS (
+      |  SELECT l_partkey, sd, cents, q10,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents,
+      |    CAST(SUM(q10) OVER w AS BIGINT) AS cum_q10
+      |  FROM li
+      |  WINDOW w AS (PARTITION BY l_partkey
+      |    ORDER BY sd, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT l_partkey, sd, cents, q10, cum_cents, cum_q10,
+      |  CAST(cum_cents * 1000000 // cum_q10 AS BIGINT) AS vwap_micro
+      |FROM c ORDER BY l_partkey, sd, cum_cents""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(DateType).as("sd"),
+        (money(col("l_extendedprice")) * 100).cast(LongType).as("cents"),
+        (qty(col("l_quantity")) * 10).cast(LongType).as("q10"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("sd"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(col("l_partkey"), col("sd"), col("cents"), col("q10"),
+        sum(col("cents")).over(w).as("cum_cents"),
+        sum(col("q10")).over(w).as("cum_q10"))
+      .withColumn("vwap_micro",
+        expr("CAST(cum_cents * 1000000 div cum_q10 AS BIGINT)"))
+      .orderBy(col("l_partkey"), col("sd"), col("cum_cents"))
+  }
+
   val all: Seq[QDef] = Seq(
     winRankDenseRow, winLagLead, winRunningSum, winSlidingAvg,
     winDistribution, winFirstLast, topkPerGroup, winRangeNumeric,
     winFillLocf, winInterpolateLinear, winRunningDistinct, winRollingMedian,
     winRatioToReport, winMaxDrawdown, winPctChange, winEwmaDyadic,
-    orderRfmSegments, winRollingSlope)
+    orderRfmSegments, winRollingSlope, winAnchoredVwap)
 }
