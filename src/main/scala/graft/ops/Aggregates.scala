@@ -1712,6 +1712,85 @@ object Aggregates {
       .orderBy(col("sig"))
   }
 
+  /** Bilateral price indices (r12q) — the economics trio the
+    * price/volume/mix bridge feeds into: per brand, 1995→1996
+    * Laspeyres (base-period basket at current prices), Paasche
+    * (current basket at base prices) and Fisher (their geometric
+    * mean). DETERMINISM CONTRACT: each part's cross-valued term
+    * (rev₁·q₀)/q₁ resp. (rev₀·q₁)/q₀ is FLOOR-QUANTIZED to whole
+    * cents per part before summing — a documented quantized index,
+    * so both engines agree bit-for-bit with no rational arithmetic —
+    * and Fisher takes the one IEEE sqrt on identically-spelled ppm
+    * operands, half-up. Parts missing a year are excluded (matched-
+    * model index, the standard treatment of assortment churn). Scale
+    * posture: ONE conditional-sum agg per (brand, part) with the
+    * 25-row dim broadcast, then a 25-group fold. */
+  val reportPriceIndex: QDef = q(
+    "report_price_index",
+    """WITH b AS (
+      |  SELECT p_brand AS brand, l_partkey,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN
+      |      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev0,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1995 THEN
+      |      CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS q0,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN
+      |      CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev1,
+      |    CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN
+      |      CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS q1
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE year(l_shipdate) IN (1995, 1996)
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT brand,
+      |    CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |    CAST(SUM(rev0) AS BIGINT) AS sum_rev0,
+      |    CAST(SUM(rev1) AS BIGINT) AS sum_rev1,
+      |    CAST(SUM((rev1 * q0) // q1) AS BIGINT) AS l_num,
+      |    CAST(SUM((rev0 * q1) // q0) AS BIGINT) AS p_den
+      |  FROM b WHERE q0 > 0 AND q1 > 0 GROUP BY 1),
+      |i AS (
+      |  SELECT brand, n_parts,
+      |    CAST(l_num * 1000000 // sum_rev0 AS BIGINT) AS laspeyres_ppm,
+      |    CAST(sum_rev1 * 1000000 // p_den AS BIGINT) AS paasche_ppm
+      |  FROM m)
+      |SELECT brand, n_parts, laspeyres_ppm, paasche_ppm,
+      |  CAST(floor(sqrt(CAST(laspeyres_ppm AS DOUBLE)
+      |    * CAST(paasche_ppm AS DOUBLE)) + 0.5) AS BIGINT) AS fisher_ppm
+      |FROM i ORDER BY brand""") { (s, d) =>
+    val yr = year(col("l_shipdate"))
+    val cents = (money(col("l_extendedprice")) * 100).cast(LongType)
+    val tenths = (qty(col("l_quantity")) * 10).cast(LongType)
+    val b = Tables.lineitem(s, d)
+      .filter(yr.isin(1995, 1996))
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("l_partkey"))
+      .agg(sum(when(yr === 1995, cents).otherwise(0L)).as("rev0"),
+        sum(when(yr === 1995, tenths).otherwise(0L)).as("q0"),
+        sum(when(yr === 1996, cents).otherwise(0L)).as("rev1"),
+        sum(when(yr === 1996, tenths).otherwise(0L)).as("q1"))
+    val m = b.filter(col("q0") > 0 && col("q1") > 0)
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev0")).as("sum_rev0"), sum(col("rev1")).as("sum_rev1"),
+        sum(expr("(rev1 * q0) div q1")).as("l_num"),
+        sum(expr("(rev0 * q1) div q0")).as("p_den"))
+    m.select(col("brand"), col("n_parts"),
+        expr("CAST(l_num * 1000000 div sum_rev0 AS BIGINT)")
+          .as("laspeyres_ppm"),
+        expr("CAST(sum_rev1 * 1000000 div p_den AS BIGINT)")
+          .as("paasche_ppm"))
+      .withColumn("fisher_ppm",
+        floor(sqrt(col("laspeyres_ppm").cast(DoubleType)
+          * col("paasche_ppm").cast(DoubleType)) + 0.5).cast(LongType))
+      .orderBy(col("brand"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1724,5 +1803,5 @@ object Aggregates {
     reportYtdRunning, reportValueMigration, aggGiniValue,
     reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix,
     reportHhiByNation, reportAbcXyzMatrix, reportSplitShipment,
-    aggBitmaskSignatures)
+    aggBitmaskSignatures, reportPriceIndex)
 }

@@ -907,8 +907,88 @@ object DriftOps {
       .orderBy(col("yr"))
   }
 
+  /** Kendall's τ-b (r12q) — the concordance companion to Spearman:
+    * do 1995 and 1996 share a SEASONAL revenue shape? The two years'
+    * daily totals pair by calendar (month, day) — Feb 29 drops out
+    * of the matched inner join — and every day pair (i < j) is
+    * classified concordant / discordant / x-tied / y-tied in exact
+    * integers; τ-b = (C − D)/√((n₀−Tx)(n₀−Ty)) is ONE
+    * identically-spelled double tree, half-up milli (Kendall 1938).
+    * The O(n²) pair join is CALENDAR-BOUNDED (≤365² pairs regardless
+    * of data volume — the ts_theil_sen scale argument); the fact
+    * table is touched once by the daily agg. */
+  val statsKendallTau: QDef = q(
+    "stats_kendall_tau",
+    """WITH daily AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |    CAST(day(o_orderdate) AS INTEGER) AS dy,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      |  GROUP BY 1, 2, 3),
+      |p AS (
+      |  SELECT a.mo, a.dy, a.cents AS x, b.cents AS y
+      |  FROM daily a JOIN daily b
+      |    ON b.mo = a.mo AND b.dy = a.dy AND a.yr = 1995 AND b.yr = 1996),
+      |pairs AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN (i.x - j.x) * (i.y - j.y) > 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN (i.x - j.x) * (i.y - j.y) < 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(SUM(CASE WHEN i.x = j.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |    CAST(SUM(CASE WHEN i.y = j.y THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+      |    CAST(COUNT(*) AS BIGINT) AS n0
+      |  FROM p i JOIN p j
+      |    ON j.mo > i.mo OR (j.mo = i.mo AND j.dy > i.dy)),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM p)
+      |SELECT n_days, n0 AS n_pairs, c AS concordant, d AS discordant,
+      |  CAST(floor(CAST(c - d AS DOUBLE)
+      |    / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))
+      |    * 1000 + 0.5) AS BIGINT) AS tau_b_milli
+      |FROM pairs CROSS JOIN n""") { (s, d) =>
+    val daily = Tables.orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy(year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        month(col("o_orderdate")).cast(IntegerType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(IntegerType).as("dy"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+    val p = daily.filter(col("yr") === 1995)
+      .select(col("mo"), col("dy"), col("cents").as("x"))
+      .join(daily.filter(col("yr") === 1996)
+          .select(col("mo").as("mo2"), col("dy").as("dy2"),
+            col("cents").as("y")),
+        col("mo2") === col("mo") && col("dy2") === col("dy"))
+      .select(col("mo"), col("dy"), col("x"), col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val j = p.select(col("mo").as("jmo"), col("dy").as("jdy"),
+      col("x").as("jx"), col("y").as("jy"))
+    // the probe side is ≤366 rows by the calendar bound — broadcast it
+    // so the theta join plans as BroadcastNestedLoopJoin, never a
+    // CartesianProduct (PlanInvariantsSpec bans the latter registry-wide)
+    val pairs = p.join(broadcast(j), col("jmo") > col("mo")
+        || (col("jmo") === col("mo") && col("jdy") > col("dy")))
+      .agg(
+        sum(when((col("x") - col("jx")) * (col("y") - col("jy")) > 0, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when((col("x") - col("jx")) * (col("y") - col("jy")) < 0, 1L)
+          .otherwise(0L)).as("d"),
+        sum(when(col("x") === col("jx"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("y") === col("jy"), 1L).otherwise(0L)).as("ty"),
+        count(lit(1)).as("n0"))
+    val n = p.agg(count(lit(1)).as("n_days"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("n_days"), col("n0").as("n_pairs"),
+        col("c").as("concordant"), col("d").as("discordant"),
+        floor((col("c") - col("d")).cast(DoubleType)
+          / sqrt((col("n0") - col("tx")).cast(DoubleType)
+            * (col("n0") - col("ty")).cast(DoubleType))
+          * 1000 + 0.5).cast(LongType).as("tau_b_milli"))
+  }
+
   val all: Seq[QDef] = Seq(driftValueHistogram, driftEmbeddingCentroid,
     statsChiSquare, embedTopComponent, embedCosineHistogram, tsCusumAlarm,
     driftUnigramJsd, statsKsTest, statsMannWhitneyU, statsSpearmanCorr,
-    statsCramersV, statsRunsTest)
+    statsCramersV, statsRunsTest, statsKendallTau)
 }

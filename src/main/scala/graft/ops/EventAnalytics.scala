@@ -1753,6 +1753,63 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** Point-in-time feature extraction (r12q) — the feature-store
+    * primitive that makes training labels LEAKAGE-FREE: for every
+    * purchase (the label event), the behavioral features are computed
+    * over the STRICTLY-PRECEDING 7 days only — a RANGE frame
+    * [−604800 s, −1 s] on the per-user event stream, so nothing at or
+    * after the label instant can contaminate the row (the as-of
+    * discipline, generalized to windowed aggregates). One
+    * user-partitioned window pass emits clicks/views/errors counts
+    * and the exact cents sum per label row; conditional sums inside
+    * ONE frame, not one join per feature. Scale posture: a single
+    * hash exchange on user_id; frame width is time-bounded, so state
+    * per key follows the 7-day event density, never history length. */
+  val featuresPointInTime: QDef = q(
+    "features_point_in_time",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |              date_trunc('second', CAST(ts AS TIMESTAMP))) AS sec,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, event_type, sec,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+      |      OVER w, 0) AS BIGINT) AS clicks_7d,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+      |      OVER w, 0) AS BIGINT) AS views_7d,
+      |    CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END)
+      |      OVER w, 0) AS BIGINT) AS errors_7d,
+      |    CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT) AS cents_7d
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |    RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id AS label_event_id, sec AS label_sec,
+      |  clicks_7d, views_7d, errors_7d, cents_7d
+      |FROM f WHERE event_type = 'purchase'
+      |ORDER BY user_id, label_sec, label_event_id""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsSec(col("ts")).cast(LongType).as("sec"),
+        (money(col("value")) * 100).cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-604800L, -1L)
+    e.select(col("user_id"), col("event_id"), col("event_type"), col("sec"),
+        coalesce(sum(when(col("event_type") === "click", 1L)).over(w), lit(0L))
+          .as("clicks_7d"),
+        coalesce(sum(when(col("event_type") === "view", 1L)).over(w), lit(0L))
+          .as("views_7d"),
+        coalesce(sum(when(col("event_type") === "error", 1L)).over(w), lit(0L))
+          .as("errors_7d"),
+        coalesce(sum(col("cents")).over(w), lit(0L)).as("cents_7d"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_event_id"),
+        col("sec").as("label_sec"), col("clicks_7d"), col("views_7d"),
+        col("errors_7d"), col("cents_7d"))
+      .orderBy(col("user_id"), col("label_sec"), col("label_event_id"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1763,5 +1820,5 @@ object EventAnalytics {
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
     tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex,
     eventsBotRateFlags, eventsPeakConcurrency, funnelKmHazard,
-    eventsSloBurnRate)
+    eventsSloBurnRate, featuresPointInTime)
 }
