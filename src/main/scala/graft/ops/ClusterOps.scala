@@ -874,8 +874,88 @@ object ClusterOps {
           .as("assortativity"))
   }
 
+  /** HITS hubs & authorities (r12r) — Kleinberg 1999, PageRank's
+    * bipartite sibling, natural on the customer→supplier trade graph:
+    * a customer is a good HUB when it buys from good authorities, a
+    * supplier a good AUTHORITY when good hubs buy from it. Two fixed
+    * mutual-reinforcement rounds with MAX-normalization after every
+    * half-step (score·10⁶ div max — floor division of positive longs,
+    * bit-identical in both engines; the conventional L2 norm would
+    * put a sqrt inside the loop, so the max-normalized variant is the
+    * exact-arithmetic formulation and is documented as such). Graded
+    * as the top-10 of each side (ties to the smaller key). Scale
+    * posture: the distinct-partnership edge table is built once and
+    * persisted; each half-step broadcasts an O(nodes) score table
+    * onto it (the PageRank share-table shape — beyond broadcast
+    * range, SMJ on the edge key) and aggregates on the opposite key;
+    * normalization is a one-row broadcast. */
+  val graphHitsScores: QDef = q(
+    "graph_hits_scores",
+    """WITH eb AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |a1r AS (SELECT sk, CAST(SUM(1000000) AS BIGINT) AS s
+      |  FROM eb GROUP BY 1),
+      |a1m AS (SELECT MAX(s) AS m FROM a1r),
+      |a1 AS (SELECT sk, CAST(s * 1000000 // m AS BIGINT) AS auth
+      |  FROM a1r CROSS JOIN a1m),
+      |h1r AS (SELECT eb.ck, CAST(SUM(a1.auth) AS BIGINT) AS s
+      |  FROM eb JOIN a1 ON a1.sk = eb.sk GROUP BY 1),
+      |h1m AS (SELECT MAX(s) AS m FROM h1r),
+      |h1 AS (SELECT ck, CAST(s * 1000000 // m AS BIGINT) AS hub
+      |  FROM h1r CROSS JOIN h1m),
+      |a2r AS (SELECT eb.sk, CAST(SUM(h1.hub) AS BIGINT) AS s
+      |  FROM eb JOIN h1 ON h1.ck = eb.ck GROUP BY 1),
+      |a2m AS (SELECT MAX(s) AS m FROM a2r),
+      |a2 AS (SELECT sk, CAST(s * 1000000 // m AS BIGINT) AS auth
+      |  FROM a2r CROSS JOIN a2m),
+      |h2r AS (SELECT eb.ck, CAST(SUM(a2.auth) AS BIGINT) AS s
+      |  FROM eb JOIN a2 ON a2.sk = eb.sk GROUP BY 1),
+      |h2m AS (SELECT MAX(s) AS m FROM h2r),
+      |h2 AS (SELECT ck, CAST(s * 1000000 // m AS BIGINT) AS hub
+      |  FROM h2r CROSS JOIN h2m),
+      |ta AS (SELECT 'authority' AS kind, sk AS node, auth AS score_micro
+      |  FROM a2 ORDER BY auth DESC, sk LIMIT 10),
+      |th AS (SELECT 'hub' AS kind, ck AS node, hub AS score_micro
+      |  FROM h2 ORDER BY hub DESC, ck LIMIT 10)
+      |SELECT * FROM ta UNION ALL SELECT * FROM th
+      |ORDER BY kind, score_micro DESC, node""") { (s, d) =>
+    val eb = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def normalize(r: org.apache.spark.sql.DataFrame, key: String,
+        out: String): org.apache.spark.sql.DataFrame =
+      r.crossJoin(broadcast(r.agg(max(col("s")).as("m"))))
+        .select(col(key), expr("CAST(s * 1000000 div m AS BIGINT)").as(out))
+    val a1 = normalize(
+      eb.groupBy(col("sk")).agg(sum(lit(1000000L)).as("s")), "sk", "auth")
+    val h1 = normalize(
+      eb.join(broadcast(a1.withColumnRenamed("sk", "jk")),
+          col("jk") === col("sk"))
+        .groupBy(col("ck")).agg(sum(col("auth")).as("s")), "ck", "hub")
+    val a2 = normalize(
+      eb.join(broadcast(h1.withColumnRenamed("ck", "jk")),
+          col("jk") === col("ck"))
+        .groupBy(col("sk")).agg(sum(col("hub")).as("s")), "sk", "auth")
+    val h2 = normalize(
+      eb.join(broadcast(a2.withColumnRenamed("sk", "jk")),
+          col("jk") === col("sk"))
+        .groupBy(col("ck")).agg(sum(col("auth")).as("s")), "ck", "hub")
+    val ta = a2.orderBy(col("auth").desc, col("sk")).limit(10)
+      .select(lit("authority").as("kind"), col("sk").as("node"),
+        col("auth").as("score_micro"))
+    val th = h2.orderBy(col("hub").desc, col("ck")).limit(10)
+      .select(lit("hub").as("kind"), col("ck").as("node"),
+        col("hub").as("score_micro"))
+    ta.unionAll(th)
+      .orderBy(col("kind"), col("score_micro").desc, col("node"))
+  }
+
   val all: Seq[QDef] = Seq(dedupClusterCc, graphDegreeStats, graphPagerank,
     graphTriangleCount, basketAssocRules, dedupClusterStar,
     graphJaccardNeighbors, graphBfsLevels, graphLabelPropagation,
-    graphKCore, graphDegreeAssortativity)
+    graphKCore, graphDegreeAssortativity, graphHitsScores)
 }

@@ -1810,6 +1810,108 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("label_sec"), col("label_event_id"))
   }
 
+  /** CUPED variance reduction (r12r) — the pre-experiment covariate
+    * adjustment every experimentation platform runs (Deng et al.
+    * 2013): with X = each user's PRE-period value (first 15 days) and
+    * Y = post-period value, θ = cov(X,Y)/var(X), the adjusted metric
+    * Y − θ(X − X̄) keeps the same mean but sheds the variance X
+    * explains (exactly 1 − ρ² of it). FLOAT DISCIPLINE: no adjusted
+    * value is ever aggregated — per-arm adjusted means and the
+    * adjusted variance come ALGEBRAICALLY from exact DECIMAL(38)
+    * moment sums (var(Y−θ(X−X̄)) = varY − 2θcov + θ²varX), so the
+    * only doubles are one identically-spelled tree per output. Arms
+    * by the ab_test_metrics user_id-parity rule. Scale posture: one
+    * user-level conditional agg, one global + two per-arm moment
+    * folds over it. */
+  val abCupedAdjustment: QDef = q(
+    "ab_cuped_adjustment",
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INTEGER) AS arm,
+      |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+      |        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) < 15
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+      |        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) >= 15
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |  FROM u),
+      |t AS (
+      |  SELECT n, CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy,
+      |    CAST(sxx AS DOUBLE) AS dxx, CAST(syy AS DOUBLE) AS dyy,
+      |    CAST(sxy AS DOUBLE) AS dxy
+      |  FROM g),
+      |th AS (
+      |  SELECT n, dx, dy,
+      |    (n * dxy - dx * dy) / (n * dxx - dx * dx) AS theta,
+      |    (n * dyy - dy * dy) AS vy_n2,
+      |    (n * dxy - dx * dy) AS cv_n2,
+      |    (n * dxx - dx * dx) AS vx_n2
+      |  FROM t),
+      |a AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay
+      |  FROM u GROUP BY 1)
+      |SELECT a.arm, a.n_users,
+      |  CAST(a.ay * 1000 // a.n_users AS BIGINT) AS mean_y_milli,
+      |  CAST(a.ax * 1000 // a.n_users AS BIGINT) AS mean_x_milli,
+      |  CAST(a.ay AS DOUBLE) / a.n_users
+      |    - theta * (CAST(a.ax AS DOUBLE) / a.n_users - dx / n)
+      |    AS mean_y_adjusted,
+      |  theta,
+      |  CAST(floor((1 - (vy_n2 - 2 * theta * cv_n2 + theta * theta * vx_n2)
+      |    / vy_n2) * 1000000 + 0.5) AS BIGINT) AS var_reduction_ppm
+      |FROM a CROSS JOIN th ORDER BY a.arm""") { (s, d) =>
+    val dayNo = datediff(date_trunc("day", col("ts")).cast(DateType),
+      lit("2024-01-01").cast(DateType))
+    val cents = (money(col("value")) * 100).cast(LongType)
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).cast(IntegerType).as("arm"))
+      .agg(sum(when(dayNo < 15, cents).otherwise(0L)).as("x"),
+        sum(when(dayNo >= 15, cents).otherwise(0L)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val decX = col("x").cast(DecimalType(38, 0))
+    val decY = col("y").cast(DecimalType(38, 0))
+    val t = u.agg(count(lit(1)).as("n"),
+        sum(decX).as("sx"), sum(decY).as("sy"),
+        sum(decX * col("x")).as("sxx"), sum(decY * col("y")).as("syy"),
+        sum(decX * col("y")).as("sxy"))
+      .select(col("n"),
+        col("sx").cast(DoubleType).as("dx"),
+        col("sy").cast(DoubleType).as("dy"),
+        col("sxx").cast(DoubleType).as("dxx"),
+        col("syy").cast(DoubleType).as("dyy"),
+        col("sxy").cast(DoubleType).as("dxy"))
+    val th = t.select(col("n"), col("dx"), col("dy"),
+      ((col("n") * col("dxy") - col("dx") * col("dy"))
+        / (col("n") * col("dxx") - col("dx") * col("dx"))).as("theta"),
+      (col("n") * col("dyy") - col("dy") * col("dy")).as("vy_n2"),
+      (col("n") * col("dxy") - col("dx") * col("dy")).as("cv_n2"),
+      (col("n") * col("dxx") - col("dx") * col("dx")).as("vx_n2"))
+    val a = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+    a.crossJoin(broadcast(th))
+      .select(col("arm"), col("n_users"),
+        expr("CAST(ay * 1000 div n_users AS BIGINT)").as("mean_y_milli"),
+        expr("CAST(ax * 1000 div n_users AS BIGINT)").as("mean_x_milli"),
+        (col("ay").cast(DoubleType) / col("n_users")
+          - col("theta") * (col("ax").cast(DoubleType) / col("n_users")
+            - col("dx") / col("n"))).as("mean_y_adjusted"),
+        col("theta"),
+        floor((lit(1) - (col("vy_n2") - lit(2) * col("theta") * col("cv_n2")
+          + col("theta") * col("theta") * col("vx_n2")) / col("vy_n2"))
+          * 1000000 + 0.5).cast(LongType).as("var_reduction_ppm"))
+      .orderBy(col("arm"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1820,5 +1922,5 @@ object EventAnalytics {
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
     tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex,
     eventsBotRateFlags, eventsPeakConcurrency, funnelKmHazard,
-    eventsSloBurnRate, featuresPointInTime)
+    eventsSloBurnRate, featuresPointInTime, abCupedAdjustment)
 }

@@ -373,9 +373,52 @@ object Streaming {
       .orderBy(col("w_start"), col("event_type"))
   }
 
+  /** Windowed exact median (r12r) — the latency-dashboard shape: per
+    * 6-hour tumbling window, the LOWER median of event value cents
+    * (an actual data value — rank selection, never interpolation, so
+    * both engines agree bit-for-bit) plus the window volume. The
+    * median rank comes from a row_number window PARTITIONED BY the
+    * time bucket with a (cents, event_id) total order — per-partition
+    * width follows window density, never stream length, which is
+    * exactly the state bound the streaming twin (foreachBatch
+    * re-rank, as stream_topk_windowed) relies on. */
+  val streamWindowedMedian: QDef = q(
+    "stream_windowed_median",
+    """WITH b AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |    - INTERVAL (CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) % 6) HOUR
+      |    AS win_start,
+      |    event_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT win_start, cents,
+      |    row_number() OVER (PARTITION BY win_start
+      |      ORDER BY cents, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY win_start) AS n
+      |  FROM b)
+      |SELECT win_start, CAST(n AS BIGINT) AS n_events,
+      |  cents AS median_cents
+      |FROM r WHERE rn = (n + 1) // 2
+      |ORDER BY win_start""") { (s, d) =>
+    val b = Tables.events(s, d)
+      .select(window(col("ts"), "6 hours").getField("start").as("win_start"),
+        col("event_id"),
+        (money(col("value")) * 100).cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("win_start"))
+      .orderBy(col("cents"), col("event_id"))
+    val cnt = Window.partitionBy(col("win_start"))
+    b.select(col("win_start"), col("cents"),
+        row_number().over(w).as("rn"), count(lit(1)).over(cnt).as("n"))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("win_start"), col("n").as("n_events"),
+        col("cents").as("median_cents"))
+      .orderBy(col("win_start"))
+  }
+
   val all: Seq[QDef] = Seq(
     streamTumblingCounts, streamSlidingWindows,
     streamSessionWindows, streamDedupKeyed, streamIntervalJoin,
     streamTopkWindowed, streamRateAlert, streamCustomSessions,
-    streamLateDropAudit, streamTumblingDistinct)
+    streamLateDropAudit, streamTumblingDistinct, streamWindowedMedian)
 }
