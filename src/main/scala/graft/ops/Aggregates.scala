@@ -1791,6 +1791,83 @@ object Aggregates {
       .orderBy(col("brand"))
   }
 
+  /** Winsorized mean (r12s) — the robust location estimate a metrics
+    * team ships when `agg_zscore_outliers` keeps flagging the tail:
+    * per market segment, order totals are CLIPPED (not dropped) at
+    * the exact p05/p95 rank-selected bounds — real data values via
+    * row_number over the segment partition, the agg_quantiles_exact
+    * discipline, never interpolation — then averaged. Everything
+    * before the single milli division is exact BIGINT: clip bounds
+    * from one windowed pass, the clipped sum from a conditional
+    * re-aggregate against the broadcast ≤5-row bounds table. Also
+    * reports the raw mean so the robustness delta is visible. */
+  val aggWinsorizedMean: QDef = q(
+    "agg_winsorized_mean",
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    o_orderkey
+      |  FROM orders JOIN customer ON c_custkey = o_custkey),
+      |r AS (
+      |  SELECT seg, cents,
+      |    row_number() OVER (PARTITION BY seg ORDER BY cents, o_orderkey)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY seg) AS n
+      |  FROM o),
+      |b AS (
+      |  SELECT seg,
+      |    CAST(MIN(CASE WHEN rn = greatest(1, (n * 5) // 100)
+      |      THEN cents END) AS BIGINT) AS lo,
+      |    CAST(MIN(CASE WHEN rn = least(n, (n * 95) // 100 + 1)
+      |      THEN cents END) AS BIGINT) AS hi,
+      |    CAST(MAX(n) AS BIGINT) AS n
+      |  FROM r GROUP BY seg),
+      |w AS (
+      |  SELECT o.seg, b.n, b.lo, b.hi,
+      |    CAST(SUM(CASE WHEN o.cents < b.lo THEN b.lo
+      |      WHEN o.cents > b.hi THEN b.hi ELSE o.cents END) AS BIGINT)
+      |      AS wsum,
+      |    CAST(SUM(o.cents) AS BIGINT) AS rsum
+      |  FROM o JOIN b ON b.seg = o.seg
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT seg AS segment, n AS n_orders, lo AS p05_cents, hi AS p95_cents,
+      |  CAST(wsum * 1000 // n AS BIGINT) AS winsorized_mean_milli,
+      |  CAST(rsum * 1000 // n AS BIGINT) AS raw_mean_milli
+      |FROM w ORDER BY segment""") { (s, d) =>
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (money(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        col("o_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy(col("seg")).orderBy(col("cents"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("seg"))
+    val r = o.select(col("seg"), col("cents"),
+      row_number().over(wr).cast(LongType).as("rn"),
+      count(lit(1)).over(wn).as("n"))
+    val b = r.groupBy(col("seg").as("bseg"))
+      .agg(min(when(col("rn") === greatest(lit(1L), expr("(n * 5) div 100")),
+        col("cents"))).as("lo"),
+        min(when(col("rn") === least(col("n"), expr("(n * 95) div 100 + 1")),
+          col("cents"))).as("hi"),
+        max(col("n")).as("n"))
+    o.join(broadcast(b), col("bseg") === col("seg"))
+      .groupBy(col("seg").as("segment"), col("n"), col("lo"), col("hi"))
+      .agg(sum(when(col("cents") < col("lo"), col("lo"))
+          .when(col("cents") > col("hi"), col("hi"))
+          .otherwise(col("cents"))).as("wsum"),
+        sum(col("cents")).as("rsum"))
+      .select(col("segment"), col("n").as("n_orders"),
+        col("lo").as("p05_cents"), col("hi").as("p95_cents"),
+        expr("CAST(wsum * 1000 div n AS BIGINT)")
+          .as("winsorized_mean_milli"),
+        expr("CAST(rsum * 1000 div n AS BIGINT)").as("raw_mean_milli"))
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1803,5 +1880,5 @@ object Aggregates {
     reportYtdRunning, reportValueMigration, aggGiniValue,
     reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix,
     reportHhiByNation, reportAbcXyzMatrix, reportSplitShipment,
-    aggBitmaskSignatures, reportPriceIndex)
+    aggBitmaskSignatures, reportPriceIndex, aggWinsorizedMean)
 }

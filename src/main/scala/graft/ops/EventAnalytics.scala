@@ -1912,6 +1912,89 @@ object EventAnalytics {
       .orderBy(col("arm"))
   }
 
+  /** Additive seasonal decomposition (r12s) — revenue(t) = trend +
+    * seasonal + residual over the order book's monthly series, the
+    * classical-decomposition shape (the moving-average step of STL
+    * without loess): trend = centered 13-month MA computed from
+    * CUMULATIVE sums ((cumIncl(t+6) − cumExcl(t−6)) div 13 — two
+    * broadcast shifted self-joins against the ≤84-row month table,
+    * with NULL at the 6-month edges where the window is incomplete);
+    * seasonal = the calendar month's mean detrended value
+    * (sign-decomposed floor division — rev−trend goes negative);
+    * residual = the exact remainder. The cumulative sums come from
+    * the shared bucketed two-pass prefix (year buckets) — never an
+    * unpartitioned window; everything after the one fact agg is
+    * ≤84-row broadcast algebra. */
+  val tsDecomposeAdditive: QDef = q(
+    "ts_decompose_additive",
+    """WITH m AS (
+      |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+      |      AS t,
+      |    CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT t, yr, mo, rev,
+      |    CAST(COALESCE(SUM(rev) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS pre
+      |  FROM m),
+      |tr AS (
+      |  SELECT a.t, a.yr, a.mo, a.rev,
+      |    CAST((hi.pre + hi.rev - lo.pre) // 13 AS BIGINT) AS trend
+      |  FROM cum a
+      |  LEFT JOIN cum hi ON hi.t = a.t + 6
+      |  LEFT JOIN cum lo ON lo.t = a.t - 6),
+      |se AS (
+      |  SELECT mo,
+      |    CAST(CASE WHEN SUM(rev - trend) >= 0
+      |      THEN SUM(rev - trend) // COUNT(*)
+      |      ELSE -((-SUM(rev - trend)) // COUNT(*)) END AS BIGINT)
+      |      AS seasonal
+      |  FROM tr WHERE trend IS NOT NULL GROUP BY mo)
+      |SELECT tr.yr, tr.mo, tr.rev AS rev_cents, tr.trend AS trend_cents,
+      |  CAST(CASE WHEN tr.trend IS NULL THEN NULL ELSE se.seasonal END
+      |    AS BIGINT) AS seasonal_cents,
+      |  CAST(tr.rev - tr.trend - se.seasonal AS BIGINT) AS residual_cents
+      |FROM tr LEFT JOIN se ON se.mo = tr.mo
+      |ORDER BY tr.yr, tr.mo""") { (s, d) =>
+    val m = Tables.orders(s, d)
+      .groupBy(((year(col("o_orderdate")) - 1995) * 12
+          + month(col("o_orderdate")) - 1).as("v"),
+        year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        month(col("o_orderdate")).cast(IntegerType).as("mo"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast(LongType)).as("cnt"))
+    val cum = DriftOps.exclusivePrefix(m, expr("v div 12"))
+      .select(col("v").as("t"), col("yr"), col("mo"),
+        col("cnt").as("rev"), col("pre"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hi = cum.select(col("t").as("ht"), (col("pre") + col("rev")).as("hc"))
+    val lo = cum.select(col("t").as("lt"), col("pre").as("lc"))
+    val tr = cum
+      .join(broadcast(hi), col("ht") === col("t") + 6, "left")
+      .join(broadcast(lo), col("lt") === col("t") - 6, "left")
+      .select(col("t"), col("yr"), col("mo"), col("rev"),
+        expr("CAST((hc - lc) div 13 AS BIGINT)").as("trend"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val se = tr.filter(col("trend").isNotNull)
+      .groupBy(col("mo").as("smo"))
+      .agg(sum(col("rev") - col("trend")).as("sdt"),
+        count(lit(1)).as("c"))
+      .select(col("smo"),
+        when(col("sdt") >= 0, expr("CAST(sdt div c AS BIGINT)"))
+          .otherwise(expr("CAST(-((-sdt) div c) AS BIGINT)"))
+          .as("seasonal"))
+    tr.join(broadcast(se), col("smo") === col("mo"), "left")
+      .select(col("yr"), col("mo"), col("rev").as("rev_cents"),
+        col("trend").as("trend_cents"),
+        when(col("trend").isNull, lit(null).cast(LongType))
+          .otherwise(col("seasonal")).as("seasonal_cents"),
+        (col("rev") - col("trend") - col("seasonal")).as("residual_cents"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
   val all: Seq[QDef] = Seq(funnelSteps, retentionCohorts, timeseriesGapfill,
     sessionizeEvents, anomalyMad, rolling7dValue, winSessionRunning,
     patternConsecutive, attributionLinear, tsOhlcDaily, pathTrigramTop,
@@ -1922,5 +2005,6 @@ object EventAnalytics {
     funnelTimeToConvert, attributionTimeDecay, eventsHourlyHeatmap,
     tsOrderGapSurvival, tsHampelOutliers, tsTheilSen, tsTradingDayIndex,
     eventsBotRateFlags, eventsPeakConcurrency, funnelKmHazard,
-    eventsSloBurnRate, featuresPointInTime, abCupedAdjustment)
+    eventsSloBurnRate, featuresPointInTime, abCupedAdjustment,
+    tsDecomposeAdditive)
 }

@@ -1119,10 +1119,97 @@ object LlmExtras {
       .orderBy(col("subspace"), col("code"))
   }
 
+  /** Gains / cumulative-capture chart (r12s) — THE ranking-model
+    * evaluation table: score every user by their PRE-period spend
+    * (first 15 days — the same deterministic score CUPED covaries
+    * on), cut into score deciles from the top, and report how much
+    * of the POST-period outcome mass each decile captures. A good
+    * score front-loads the capture; the diagonal is a random ranker.
+    * EXACT DISTRIBUTED RANKS: per-user rank = exclusive prefix over
+    * distinct score values (the shared bucketed two-pass primitive)
+    * + row_number within the tie group (by user_id — a total order),
+    * so decile membership is partitioning- and engine-independent;
+    * decile = (n − rank)·10 div n. Cumulative capture comes from a
+    * broadcast ≤10-row triangular self-join, never an unpartitioned
+    * window. Everything is BIGINT until the floor-ppm edges. */
+  val evalGainsCapture: QDef = q(
+    "eval_gains_capture",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+      |        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) < 15
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN date_diff('day', DATE '2024-01-01',
+      |        CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) >= 15
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(y) AS BIGINT) AS y_total FROM u),
+      |rk AS (
+      |  SELECT user_id, y,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT) AS rank
+      |  FROM u),
+      |dec AS (
+      |  SELECT CAST(((n - rank) * 10) // n AS BIGINT) AS decile, y
+      |  FROM rk CROSS JOIN n),
+      |g AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(y) AS BIGINT) AS y_cents
+      |  FROM dec GROUP BY 1),
+      |c AS (
+      |  SELECT a.decile, a.n_users, a.y_cents,
+      |    CAST(SUM(b.y_cents) AS BIGINT) AS cum_cents
+      |  FROM g a JOIN g b ON b.decile <= a.decile
+      |  GROUP BY 1, 2, 3)
+      |SELECT c.decile, c.n_users, c.y_cents,
+      |  CAST(c.y_cents * 1000000 // n.y_total AS BIGINT) AS capture_ppm,
+      |  CAST(c.cum_cents * 1000000 // n.y_total AS BIGINT)
+      |    AS cum_capture_ppm
+      |FROM c CROSS JOIN n ORDER BY c.decile""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dayNo = datediff(date_trunc("day", col("ts")).cast(DateType),
+      lit("2024-01-01").cast(DateType))
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100)
+      .cast(LongType)
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(dayNo < 15, cents).otherwise(0L)).as("x"),
+        sum(when(dayNo >= 15, cents).otherwise(0L)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = u.agg(count(lit(1)).as("n"), sum(col("y")).as("y_total"))
+    // exact distributed rank: exclusive prefix over distinct scores +
+    // row_number within the tie group (never a global window)
+    val xc = u.groupBy(col("x").as("v")).agg(count(lit(1)).as("cnt"))
+    val pre = DriftOps.exclusivePrefix(xc, expr("v div 100000"))
+      .select(col("v"), col("pre"))
+    val wTie = Window.partitionBy(col("x")).orderBy(col("user_id"))
+    val rk = u.join(pre, col("v") === col("x"))
+      .select(col("user_id"), col("y"),
+        (col("pre") + row_number().over(wTie)).as("rank"))
+    val g = rk.crossJoin(broadcast(n))
+      .select(expr("CAST(((n - rank) * 10) div n AS BIGINT)").as("decile"),
+        col("y"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("y")).as("y_cents"))
+    val c = g.join(broadcast(g.select(col("decile").as("bd"),
+        col("y_cents").as("by"))), col("bd") <= col("decile"))
+      .groupBy(col("decile"), col("n_users"), col("y_cents"))
+      .agg(sum(col("by")).as("cum_cents"))
+    c.crossJoin(broadcast(n))
+      .select(col("decile"), col("n_users"), col("y_cents"),
+        expr("CAST(y_cents * 1000000 div y_total AS BIGINT)")
+          .as("capture_ppm"),
+        expr("CAST(cum_cents * 1000000 div y_total AS BIGINT)")
+          .as("cum_capture_ppm"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupMinhashLsh, minhashEstAudit, dedupSimhash, dedupNearEmbedding,
     textLangid, textQuality, textTokenCount, textFingerprint,
     annIvfLabel, simLshBucketed, kmeansAssign, evalLangidConfusion,
     knnHoldoutEval, dedupBandTuning, kmeansUpdateRound, evalAnnRecall,
-    simPqCodes)
+    simPqCodes, evalGainsCapture)
 }
