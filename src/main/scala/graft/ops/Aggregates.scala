@@ -1868,6 +1868,110 @@ object Aggregates {
       .orderBy(col("segment"))
   }
 
+  /** Aggregate NULL-semantics matrix (r12t) — the cross-engine
+    * contract every migration audits first: COUNT(*) counts rows,
+    * COUNT(col) skips NULLs, SUM/AVG/MIN/MAX ignore NULLs (NULL only
+    * when ALL inputs are), and COUNT(DISTINCT col) skips NULLs too.
+    * NULLs are PLANTED deterministically (value goes NULL where
+    * event_id ≡ 0 mod 5) so every cell of the matrix is exercised on
+    * known counts; avg is spelled as the exact SUM·1000 div COUNT
+    * rather than a float avg — the point is the DENOMINATOR (skipped
+    * NULLs), not float formatting. One group-by-type agg; pure
+    * map-side partials. */
+  val aggNullSemantics: QDef = q(
+    "agg_null_semantics",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 5 = 0 THEN NULL
+      |      ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) END
+      |      AS cents
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(cents) AS BIGINT) AS n_nonnull,
+      |  CAST(COUNT(*) - COUNT(cents) AS BIGINT) AS n_null,
+      |  CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_distinct_nonnull,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_nonnull,
+      |  CAST(MIN(cents) AS BIGINT) AS min_nonnull,
+      |  CAST(MAX(cents) AS BIGINT) AS max_nonnull,
+      |  CAST(SUM(cents) * 1000 // COUNT(cents) AS BIGINT) AS avg_milli
+      |FROM e GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"),
+        when(col("event_id") % 5 === 0, lit(null).cast(LongType))
+          .otherwise((money(col("value")) * 100).cast(LongType)).as("cents"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("cents")).as("n_nonnull"),
+        (count(lit(1)) - count(col("cents"))).as("n_null"),
+        countDistinct(col("cents")).as("n_distinct_nonnull"),
+        sum(col("cents")).as("sum_nonnull"),
+        min(col("cents")).as("min_nonnull"),
+        max(col("cents")).as("max_nonnull"))
+      .withColumn("avg_milli",
+        expr("CAST(sum_nonnull * 1000 div n_nonnull AS BIGINT)"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MoM / YoY growth table (r12t) — the first page of every revenue
+    * review: per month, exact revenue cents plus growth vs the
+    * previous month and vs the same month last year, both as
+    * sign-decomposed floor-ppm (Spark div truncates, DuckDB //
+    * floors — they agree only on nonnegative operands). The shifted
+    * comparisons are broadcast self-joins on the month INDEX
+    * (t−1, t−12) against the ≤84-row month table — no global-order
+    * window anywhere; months missing a comparison row carry NULL
+    * growth. */
+  val reportGrowthMomYoy: QDef = q(
+    "report_growth_mom_yoy",
+    """WITH m AS (
+      |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+      |      AS t,
+      |    CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(month(o_orderdate) AS INTEGER) AS mon,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1, 2, 3)
+      |SELECT a.yr, a.mon, a.rev AS rev_cents,
+      |  CAST(CASE WHEN p.rev IS NULL THEN NULL
+      |    WHEN a.rev >= p.rev THEN ((a.rev - p.rev) * 1000000) // p.rev
+      |    ELSE -(((p.rev - a.rev) * 1000000) // p.rev) END AS BIGINT)
+      |    AS mom_ppm,
+      |  CAST(CASE WHEN y.rev IS NULL THEN NULL
+      |    WHEN a.rev >= y.rev THEN ((a.rev - y.rev) * 1000000) // y.rev
+      |    ELSE -(((y.rev - a.rev) * 1000000) // y.rev) END AS BIGINT)
+      |    AS yoy_ppm
+      |FROM m a
+      |LEFT JOIN m p ON p.t = a.t - 1
+      |LEFT JOIN m y ON y.t = a.t - 12
+      |ORDER BY a.yr, a.mon""") { (s, d) =>
+    val m = Tables.orders(s, d)
+      .groupBy(((year(col("o_orderdate")) - 1995) * 12
+          + month(col("o_orderdate")) - 1).as("t"),
+        year(col("o_orderdate")).cast(IntegerType).as("yr"),
+        month(col("o_orderdate")).cast(IntegerType).as("mon"))
+      .agg(sum((money(col("o_totalprice")) * 100).cast(LongType)).as("rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m.join(broadcast(m.select(col("t").as("pt"), col("rev").as("prev"))),
+        col("pt") === col("t") - 1, "left")
+      .join(broadcast(m.select(col("t").as("yt"), col("rev").as("yrev"))),
+        col("yt") === col("t") - 12, "left")
+      .select(col("yr"), col("mon"), col("rev").as("rev_cents"),
+        when(col("prev").isNull, lit(null).cast(LongType))
+          .when(col("rev") >= col("prev"),
+            expr("CAST(((rev - prev) * 1000000) div prev AS BIGINT)"))
+          .otherwise(expr(
+            "CAST(-(((prev - rev) * 1000000) div prev) AS BIGINT)"))
+          .as("mom_ppm"),
+        when(col("yrev").isNull, lit(null).cast(LongType))
+          .when(col("rev") >= col("yrev"),
+            expr("CAST(((rev - yrev) * 1000000) div yrev AS BIGINT)"))
+          .otherwise(expr(
+            "CAST(-(((yrev - rev) * 1000000) div yrev) AS BIGINT)"))
+          .as("yoy_ppm"))
+      .orderBy(col("yr"), col("mon"))
+  }
+
   val all: Seq[QDef] = Seq(
     q1PricingSummary, aggCountDistinct, aggApproxDistinct, aggRollup,
     aggCube, aggGroupingSets, aggStatsExplicit, aggCollectSorted,
@@ -1880,5 +1984,6 @@ object Aggregates {
     reportYtdRunning, reportValueMigration, aggGiniValue,
     reportXyzVariability, aggMultiDistinct, reportPriceVolumeMix,
     reportHhiByNation, reportAbcXyzMatrix, reportSplitShipment,
-    aggBitmaskSignatures, reportPriceIndex, aggWinsorizedMean)
+    aggBitmaskSignatures, reportPriceIndex, aggWinsorizedMean,
+    aggNullSemantics, reportGrowthMomYoy)
 }

@@ -907,11 +907,73 @@ object Sampling {
       .orderBy(col("fold"), col("lang"))
   }
 
+  /** Primary-key uniqueness audit across the whole catalog (r12t) —
+    * the first constraint a warehouse checks per load: one row per
+    * table with its declared key, row count, distinct-key count and
+    * duplicate-key row surplus. Keys are the natural ones; lineitem's
+    * is the COMPOSITE (orderkey, linenumber) — and this fixture's
+    * line numbers are deliberately dirty (see dq_sequence_contiguity),
+    * so the audit reports a real violation there while the seven
+    * other tables come back clean: the check measures, it doesn't
+    * assume. Scale posture: one count-distinct agg per table (each a
+    * single exchange of key partials), 8-row union output. */
+  val dqPkUniqueness: QDef = q(
+    "dq_pk_uniqueness",
+    """SELECT 'customer' AS table_name, 'c_custkey' AS pk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_dupe_rows
+      |FROM customer
+      |UNION ALL SELECT 'documents', 'doc_id', COUNT(*),
+      |  COUNT(DISTINCT doc_id), COUNT(*) - COUNT(DISTINCT doc_id)
+      |FROM documents
+      |UNION ALL SELECT 'embeddings', 'vec_id', COUNT(*),
+      |  COUNT(DISTINCT vec_id), COUNT(*) - COUNT(DISTINCT vec_id)
+      |FROM embeddings
+      |UNION ALL SELECT 'events', 'event_id', COUNT(*),
+      |  COUNT(DISTINCT event_id), COUNT(*) - COUNT(DISTINCT event_id)
+      |FROM events
+      |UNION ALL SELECT 'lineitem', 'l_orderkey+l_linenumber', COUNT(*),
+      |  COUNT(DISTINCT (l_orderkey, l_linenumber)),
+      |  COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+      |FROM lineitem
+      |UNION ALL SELECT 'orders', 'o_orderkey', COUNT(*),
+      |  COUNT(DISTINCT o_orderkey), COUNT(*) - COUNT(DISTINCT o_orderkey)
+      |FROM orders
+      |UNION ALL SELECT 'part', 'p_partkey', COUNT(*),
+      |  COUNT(DISTINCT p_partkey), COUNT(*) - COUNT(DISTINCT p_partkey)
+      |FROM part
+      |UNION ALL SELECT 'supplier', 's_suppkey', COUNT(*),
+      |  COUNT(DISTINCT s_suppkey), COUNT(*) - COUNT(DISTINCT s_suppkey)
+      |FROM supplier
+      |ORDER BY table_name""") { (s, d) =>
+    def audit(name: String, pk: String, df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]) =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(keys.head), keys.tail.map(col): _*)
+            .as("n_distinct"))
+        .select(lit(name).as("table_name"), lit(pk).as("pk"),
+          col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dupe_rows"))
+    Seq(
+      audit("customer", "c_custkey", Tables.customer(s, d), Seq("c_custkey")),
+      audit("documents", "doc_id", Tables.documents(s, d), Seq("doc_id")),
+      audit("embeddings", "vec_id", Tables.embeddings(s, d), Seq("vec_id")),
+      audit("events", "event_id", Tables.events(s, d), Seq("event_id")),
+      audit("lineitem", "l_orderkey+l_linenumber", Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber")),
+      audit("orders", "o_orderkey", Tables.orders(s, d), Seq("o_orderkey")),
+      audit("part", "p_partkey", Tables.part(s, d), Seq("p_partkey")),
+      audit("supplier", "s_suppkey", Tables.supplier(s, d), Seq("s_suppkey")))
+      .reduce(_ unionAll _)
+      .orderBy(col("table_name"))
+  }
+
   val all: Seq[QDef] = Seq(sampleHashDocs, sampleStratifiedDocs, profileOrders,
     sampleTokenBudget, reconcileOrdersItems, profileDocuments,
     sampleClassBalance, dqRuleCheck, sampleSystematic,
     sampleWeightedPps, shardTokenBalanced, profileKeySkew,
     dqFreshnessSla, samplePoissonBootstrap, splitByUserLeakfree,
     dqOrderLineitemDates, dqBenfordDigits, dqSequenceContiguity,
-    sampleNeymanAllocation, sampleKfoldAssign)
+    sampleNeymanAllocation, sampleKfoldAssign, dqPkUniqueness)
 }
