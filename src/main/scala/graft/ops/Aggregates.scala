@@ -607,58 +607,64 @@ object Aggregates {
     p.select(col("user_id") +: cols: _*).orderBy(col("user_id"))
   }
 
-  /** Skewness + excess kurtosis (r11c) — the 3rd/4th-moment
-    * distribution-shape profile extending `agg_stats_explicit`'s
-    * mean/stddev: raw power sums S1..S4 accumulate as EXACT
-    * DECIMAL(38,0) over integer dollars (d⁴ ≈ 1.5e20 overflows
-    * int64; the decimal partials stay exact and order-independent,
-    * and both engines keep (38,0)×int multiplication exact — scale
-    * never truncates), then ONE float finish evaluates the
-    * IDENTICAL expression tree in both engines on identical double
-    * inputs, so results are bit-equal (the `agg_regression_explicit`
-    * protocol). Population moments; single partial+final hash agg —
-    * partials are 4 decimals + a count per group at any row count. */
+  /** Skewness + excess kurtosis (r11c; r13 range-safe rescale) — the
+    * 3rd/4th-moment distribution-shape profile extending
+    * `agg_stats_explicit`'s mean/stddev: raw power sums S1..S4
+    * accumulate as EXACT DECIMAL(38,0), then ONE float finish
+    * evaluates the IDENTICAL expression tree in both engines on
+    * identical double inputs, so results are bit-equal (the
+    * `agg_regression_explicit` protocol). Units are KILODOLLARS
+    * (r13): DuckDB 1.0.0's int128→DOUBLE cast misrounds by 1 ulp
+    * above ~2^63 (PLANS.md, measured on agg_zscore_outliers), so
+    * every decimal sum feeding the float finish must stay below 2^53
+    * where both engines' conversions are exact integers. In dollars,
+    * s4 ≈ 1e25 at sf0.1 — deep in the hazard zone; in kilodollars
+    * d⁴ ≤ 104⁴ ≈ 1.2e8/row, keeping s4 < 2^53 up to ~7e7 rows (and
+    * the DecimalCastBoundsSpec gate asserts the bound at sf0.1).
+    * Population moments of the quantized variable; single
+    * partial+final hash agg — partials are 4 decimals + a count per
+    * group at any row count. */
   val aggSkewKurtosis: QDef = q(
     "agg_skew_kurtosis",
     """WITH li AS (
       |  SELECT l_returnflag AS flag,
-      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS dol
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS kdol
       |  FROM lineitem),
       |s AS (
       |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
-      |    SUM(CAST(dol AS DECIMAL(38,0))) AS s1,
-      |    SUM(CAST(dol AS DECIMAL(38,0)) * dol) AS s2,
-      |    SUM(CAST(dol AS DECIMAL(38,0)) * dol * dol) AS s3,
-      |    SUM(CAST(dol AS DECIMAL(38,0)) * dol * dol * dol) AS s4
+      |    SUM(CAST(kdol AS DECIMAL(38,0))) AS s1,
+      |    SUM(CAST(kdol AS DECIMAL(38,0)) * kdol) AS s2,
+      |    SUM(CAST(kdol AS DECIMAL(38,0)) * kdol * kdol) AS s3,
+      |    SUM(CAST(kdol AS DECIMAL(38,0)) * kdol * kdol * kdol) AS s4
       |  FROM li GROUP BY flag),
       |t AS (
       |  SELECT flag, n, CAST(s1 AS DOUBLE) / n AS m, CAST(s2 AS DOUBLE) / n AS q2,
       |    CAST(s3 AS DOUBLE) / n AS q3, CAST(s4 AS DOUBLE) / n AS q4
       |  FROM s),
       |u AS (SELECT flag, n, m, q2, q3, q4, q2 - m * m AS v FROM t)
-      |SELECT flag, n, m AS mean_dol, sqrt(v) AS sd_dol,
+      |SELECT flag, n, m AS mean_kdol, sqrt(v) AS sd_kdol,
       |  (q3 - 3 * m * q2 + 2 * m * m * m) / (sqrt(v) * sqrt(v) * sqrt(v)) AS skewness,
       |  (q4 - 4 * m * q3 + 6 * m * m * q2 - 3 * m * m * m * m) / (v * v) - 3
       |    AS excess_kurtosis
       |FROM u ORDER BY flag""") { (s, d) =>
-    val dec = col("dol").cast(DecimalType(38, 0))
+    val dec = col("kdol").cast(DecimalType(38, 0))
     val sums = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("flag"),
-        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100")
-          .as("dol"))
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100000")
+          .as("kdol"))
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n"), sum(dec).as("s1"),
-        sum(dec * col("dol")).as("s2"),
-        sum(dec * col("dol") * col("dol")).as("s3"),
-        sum(dec * col("dol") * col("dol") * col("dol")).as("s4"))
+        sum(dec * col("kdol")).as("s2"),
+        sum(dec * col("kdol") * col("kdol")).as("s3"),
+        sum(dec * col("kdol") * col("kdol") * col("kdol")).as("s4"))
     val t = sums.select(col("flag"), col("n"),
       (col("s1").cast(DoubleType) / col("n")).as("m"),
       (col("s2").cast(DoubleType) / col("n")).as("q2"),
       (col("s3").cast(DoubleType) / col("n")).as("q3"),
       (col("s4").cast(DoubleType) / col("n")).as("q4"))
     val u = t.withColumn("v", col("q2") - col("m") * col("m"))
-    u.select(col("flag"), col("n"), col("m").as("mean_dol"),
-        sqrt(col("v")).as("sd_dol"),
+    u.select(col("flag"), col("n"), col("m").as("mean_kdol"),
+        sqrt(col("v")).as("sd_kdol"),
         ((col("q3") - lit(3) * col("m") * col("q2")
           + lit(2) * col("m") * col("m") * col("m"))
           / (sqrt(col("v")) * sqrt(col("v")) * sqrt(col("v")))).as("skewness"),
@@ -737,18 +743,22 @@ object Aggregates {
   /** Pearson correlation per group (r12) — corr(quantity, price)
     * per return flag via EXPLICIT exact power sums, never the native
     * corr() (whose streaming-update float accumulation is engine-
-    * and partition-order-dependent). Inputs quantize to their
-    * natural integer units (deci-quantity, cents), the five cross
-    * sums accumulate as DECIMAL(38,0) partials (exact ⇒ partition-
-    * count invariant), and corr + population covariance are ONE
-    * identical float expression tree over identical doubles — the
-    * agg_skew_kurtosis protocol applied to a second column. */
+    * and partition-order-dependent). Inputs quantize to
+    * deci-quantity and DEKADOLLARS (r13 range-safe rescale: in
+    * cents, syy could reach ~6.6e19 at sf0.1 — inside DuckDB
+    * 1.0.0's int128→DOUBLE 1-ulp misround zone above ~2^63; in
+    * dekadollars y ≤ 10 499 keeps every sum below 2^53, where both
+    * engines' decimal→double conversions are exact integers — the
+    * agg_skew_kurtosis kilodollar discipline). The five cross sums
+    * accumulate as DECIMAL(38,0) partials (exact ⇒ partition-count
+    * invariant), and corr + population covariance are ONE identical
+    * float expression tree over identical doubles. */
   val aggCorrExplicit: QDef = q(
     "agg_corr_explicit",
     """WITH li AS (
       |  SELECT l_returnflag AS flag,
       |    CAST(CAST(l_quantity AS DECIMAL(12,4)) * 10 AS BIGINT) AS x,
-      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000 AS y
       |  FROM lineitem),
       |s AS (
       |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
@@ -772,7 +782,8 @@ object Aggregates {
     val sums = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("flag"),
         (qty(col("l_quantity")) * 10).cast(LongType).as("x"),
-        (money(col("l_extendedprice")) * 100).cast(LongType).as("y"))
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 1000")
+          .as("y"))
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n"),
         sum(decX).as("sx"), sum(decY).as("sy"),

@@ -720,11 +720,13 @@ object CorpusOps {
     "dedup_segment_level",
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sidx AS (
+      |  SELECT doc_id, ts, unnest(range(0, (len(ts) + 7) // 8)) AS i
+      |  FROM toks),
       |segs AS (
       |  SELECT doc_id, i AS seg_no,
       |    md5(array_to_string(list_slice(ts, i * 8 + 1, i * 8 + 8), ' ')) AS seg_h
-      |  FROM toks CROSS JOIN range(0, 1000) r(i)
-      |  WHERE i * 8 < len(ts)),
+      |  FROM sidx),
       |dup AS (
       |  SELECT seg_h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
       |  FROM segs GROUP BY seg_h)

@@ -89,9 +89,11 @@ object DriftOps {
     * even-id and odd-id cohorts' centroid directions. Components are
     * milli-quantized (floor(x·1000 + 0.5) — the same portable
     * half-up `embed_quantize_int8` uses), summed per (label, cohort,
-    * position) as exact longs, and the cosine is ONE identical float
-    * expression tree over those exact sums — bit-equal across
-    * engines. Scale-aware: the dimension explode shuffles
+    * position) as exact longs, reduced to FLOOR-MEAN centroid
+    * components (r13 — cohort-size-invariant |ce| ≤ 1000, keeping
+    * every downstream sum exact far below 2^53 at any scale), and
+    * the cosine is ONE identical float expression tree over those
+    * exact integers — bit-equal across engines. Scale-aware: the dimension explode shuffles
     * labels×cohorts×dims partial rows (map-side combined), never
     * vectors; the cohort pairing joins tables of that same bounded
     * size. Positions are engine-local (0- vs 1-based) — they only
@@ -110,11 +112,16 @@ object DriftOps {
       |  SELECT a.label, a.pos, a.s AS se, b.s AS so, a.n AS ne, b.n AS no_
       |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
       |  WHERE a.cohort = 0 AND b.cohort = 1),
+      |cent AS (
+      |  SELECT label, pos, ne, no_,
+      |    (se - ((se % ne) + ne) % ne) // ne AS ce,
+      |    (so - ((so % no_) + no_) % no_) // no_ AS co
+      |  FROM pairs),
       |dots AS (
       |  SELECT label, CAST(min(ne) AS BIGINT) AS n_even, CAST(min(no_) AS BIGINT) AS n_odd,
-      |    CAST(sum(se * so) AS DOUBLE) AS dot,
-      |    CAST(sum(se * se) AS DOUBLE) AS ee, CAST(sum(so * so) AS DOUBLE) AS oo
-      |  FROM pairs GROUP BY label)
+      |    CAST(sum(ce * co) AS DOUBLE) AS dot,
+      |    CAST(sum(ce * ce) AS DOUBLE) AS ee, CAST(sum(co * co) AS DOUBLE) AS oo
+      |  FROM cent GROUP BY label)
       |SELECT label, n_even, n_odd, dot / (sqrt(ee) * sqrt(oo)) AS centroid_cosine
       |FROM dots ORDER BY label""") { (s, d) =>
     // defaultParallelism, not a hardcoded 32 (ADVICE r11): the
@@ -132,18 +139,26 @@ object DriftOps {
     val odd = c.filter(col("cohort") === 1)
       .select(col("label").as("l2"), col("pos").as("p2"),
         col("s").as("so"), col("n").as("no_"))
-    // DECIMAL(38,0) partials (ADVICE r11): se·so products of two
-    // BIGINT component sums could wrap 64 bits silently in non-ANSI
-    // mode at large cohort sizes, while DuckDB accumulates through a
-    // 128-bit intermediate — the agg_skew_kurtosis pattern keeps both
-    // engines exact until the one final DOUBLE cast.
-    val dec = DecimalType(38, 0)
+    // r13 range-safe rescale: the r12 form summed se·so products of
+    // raw component SUMS through DECIMAL(38,0) and cast the result to
+    // DOUBLE — a sum that grows with cohort-size² and lands in DuckDB
+    // 1.0.0's int128→DOUBLE 1-ulp misround zone above ~2^63 (PLANS.md,
+    // measured). The cosine is now taken between the FLOOR-MEAN
+    // centroid vectors (milli-mean per position, exact floor division
+    // spelled (s − pmod(s, n)) div n because Spark's `div` truncates
+    // toward zero while DuckDB's `//` floors — they disagree on
+    // negative sums): |ce| ≤ 1000 regardless of cohort size, so every
+    // sum below is ≤ dims·1e6 ≈ 6.4e7 — exact in both engines at ANY
+    // scale, no wide decimal ever reaching a float cast.
     even.join(odd, col("label") === col("l2") && col("pos") === col("p2"))
+      .select(col("label"), col("ne"), col("no_"),
+        expr("(se - pmod(se, ne)) div ne").as("ce"),
+        expr("(so - pmod(so, no_)) div no_").as("co"))
       .groupBy(col("label"))
       .agg(min(col("ne")).as("n_even"), min(col("no_")).as("n_odd"),
-        sum(col("se").cast(dec) * col("so").cast(dec)).as("dotl"),
-        sum(col("se").cast(dec) * col("se").cast(dec)).as("eel"),
-        sum(col("so").cast(dec) * col("so").cast(dec)).as("ool"))
+        sum(col("ce") * col("co")).as("dotl"),
+        sum(col("ce") * col("ce")).as("eel"),
+        sum(col("co") * col("co")).as("ool"))
       .select(col("label"), col("n_even"), col("n_odd"),
         (col("dotl").cast(DoubleType)
           / (sqrt(col("eel").cast(DoubleType)) * sqrt(col("ool").cast(DoubleType))))

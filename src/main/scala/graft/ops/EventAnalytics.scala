@@ -1171,7 +1171,7 @@ object EventAnalytics {
       |  SELECT purchase_id, p.user_id, cents,
       |    CAST(power(2, 6 - (pt - ct) // 86400000000) AS BIGINT) AS w
       |  FROM p JOIN c ON p.user_id = c.user_id
-      |  WHERE ct <= pt AND pt - ct <= 604800000000),
+      |  WHERE ct <= pt AND pt - ct < 604800000000),
       |n AS (
       |  SELECT purchase_id, user_id, cents,
       |    CAST(COUNT(*) AS BIGINT) AS n_touch,
@@ -1196,7 +1196,7 @@ object EventAnalytics {
       .select(col("user_id"), unix_micros(col("ts")).as("ct"))
     val m = p.join(c, Seq("user_id"))
       .filter(col("ct") <= col("pt") &&
-        col("pt") - col("ct") <= 604800000000L)
+        col("pt") - col("ct") < 604800000000L)
       .select(col("purchase_id"), col("user_id"), col("cents"),
         expr("CAST(shiftleft(1L, CAST(6 - (pt - ct) div 86400000000L AS INT)) AS BIGINT)")
           .as("w"))

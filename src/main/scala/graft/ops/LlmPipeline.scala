@@ -424,9 +424,12 @@ object LlmPipeline {
       |  SELECT doc_id, duration_ms,
       |    (duration_ms + 24999) // 25000 AS n_segs
       |  FROM meta),
+      |sidx AS (
+      |  SELECT doc_id, duration_ms, unnest(range(0, n_segs)) AS seg_no
+      |  FROM m2),
       |segs AS (
-      |  SELECT doc_id, duration_ms, i AS seg_no, i * 25000 AS seg_start_ms
-      |  FROM m2 CROSS JOIN range(0, 1000) r(i) WHERE i < n_segs)
+      |  SELECT doc_id, duration_ms, seg_no, seg_no * 25000 AS seg_start_ms
+      |  FROM sidx)
       |SELECT doc_id, seg_no, seg_start_ms,
       |  least(seg_start_ms + 30000, duration_ms) AS seg_end_ms,
       |  (least(seg_start_ms + 30000, duration_ms) - seg_start_ms) * 16000 // 1000
@@ -436,6 +439,10 @@ object LlmPipeline {
     Tables.documents(s, d)
       .select(col("doc_id"), (col("n_chars") * 25).as("duration_ms"))
       .withColumn("n_segs", expr("(duration_ms + 24999) div 25000"))
+      // n_chars = 0 ⇒ n_segs = 0, and sequence(0, -1) would emit a
+      // DESCENDING [0,-1] (two bogus rows) where the oracle's
+      // range(0, 0) emits none — guard the explode (ADVICE r12).
+      .filter(col("n_segs") > 0)
       .select(col("doc_id"), col("duration_ms"),
         explode(expr("sequence(0L, n_segs - 1)")).as("seg_no"))
       .withColumn("seg_start_ms", col("seg_no") * 25000)
