@@ -268,13 +268,16 @@ object Aggregates {
 
   /** Per-group least-squares regression of value over event time,
     * computed ONLY from exact integer-scale decimal sums (x in whole
-    * seconds since 2024-01-01, y in cents): every SUM is exact, every
+    * KILOSECONDS since 2024-01-01 — r13 range-safe rescale: in
+    * seconds the determinant n·sxx − sx² reached ~2.3e20 at sf0.1,
+    * inside DuckDB 1.0.0's int128→DOUBLE misround zone above ~2^63;
+    * in kiloseconds it stays ~2.3e14 < 2^53 where both engines'
+    * conversions are exact — y in cents): every SUM is exact, every
     * down-cast is verified in-range and scale-preserving, and each
     * decimal→double conversion is a single correctly-rounded step in
-    * both engines (scale-0 decimals convert via one integer→double
-    * rounding — scale-2 would convert in two steps in DuckDB and
-    * risk a 1-ulp split). slope/intercept are then fixed float trees
-    * on identical operands (D3 taken to its limit). */
+    * both engines. slope (reported in dollars per second — the
+    * kilosecond slope divided by 1000 in the shared float tree) and
+    * intercept are fixed float trees on identical operands. */
   val aggRegressionExplicit: QDef = q(
     "agg_regression_explicit",
     """WITH sums AS (
@@ -282,19 +285,19 @@ object Aggregates {
       |    COUNT(*) AS n,
       |    CAST(COUNT(*) AS DECIMAL(6,0)) AS nd,
       |    CAST(SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
-      |         date_trunc('second', CAST(ts AS TIMESTAMP))) AS DECIMAL(8,0))) AS DECIMAL(19,0)) AS sx,
+      |         date_trunc('second', CAST(ts AS TIMESTAMP))) // 1000 AS DECIMAL(8,0))) AS DECIMAL(19,0)) AS sx,
       |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS DECIMAL(14,0)) AS sy0,
       |    CAST(SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
-      |         date_trunc('second', CAST(ts AS TIMESTAMP))) AS DECIMAL(8,0))
+      |         date_trunc('second', CAST(ts AS TIMESTAMP))) // 1000 AS DECIMAL(8,0))
       |       * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0))) AS DECIMAL(22,0)) AS sxy0,
       |    CAST(SUM(CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
-      |         date_trunc('second', CAST(ts AS TIMESTAMP))) AS DECIMAL(8,0))
+      |         date_trunc('second', CAST(ts AS TIMESTAMP))) // 1000 AS DECIMAL(8,0))
       |       * CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',
-      |         date_trunc('second', CAST(ts AS TIMESTAMP))) AS DECIMAL(8,0))) AS DECIMAL(19,0)) AS sxx
+      |         date_trunc('second', CAST(ts AS TIMESTAMP))) // 1000 AS DECIMAL(8,0))) AS DECIMAL(19,0)) AS sxx
       |  FROM events GROUP BY event_type)
       |SELECT event_type, n,
       |  ROUND(CAST(nd * sxy0 - sx * sy0 AS DOUBLE)
-      |      / CAST(nd * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope,
+      |      / CAST(nd * sxx - sx * sx AS DOUBLE) / 100.0 / 1000.0, 6) AS slope,
       |  ROUND((CAST(sy0 AS DOUBLE) / 100.0
       |      - CAST(nd * sxy0 - sx * sy0 AS DOUBLE)
       |        / CAST(nd * sxx - sx * sx AS DOUBLE) / 100.0
@@ -302,7 +305,8 @@ object Aggregates {
       |      / CAST(n AS DOUBLE), 6) AS intercept
       |FROM sums
       |ORDER BY event_type""") { (s, d) =>
-    val x = (unix_timestamp(tsSec(col("ts"))) - lit(1704067200L)).cast(DecimalType(8, 0))
+    val x = expr("(unix_timestamp(ts) - 1704067200L) div 1000")
+      .cast(DecimalType(8, 0))
     val y0 = (money(col("value")) * 100).cast(DecimalType(14, 0))
     val sums = Tables.events(s, d)
       .groupBy(col("event_type"))
@@ -319,7 +323,7 @@ object Aggregates {
     val slope = (col("nd") * col("sxy0") - col("sx") * col("sy0")).cast(DoubleType) /
       (col("nd") * col("sxx") - col("sx") * col("sx")).cast(DoubleType) / 100.0
     sums.select(col("event_type"), col("n"),
-        round(slope, 6).as("slope"),
+        round(slope / 1000.0, 6).as("slope"),
         round((col("sy0").cast(DoubleType) / 100.0 - slope * col("sx").cast(DoubleType))
           / col("n").cast(DoubleType), 6).as("intercept"))
       .orderBy(col("event_type"))

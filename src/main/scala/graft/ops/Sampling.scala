@@ -778,11 +778,16 @@ object Sampling {
     * each customer segment gets from a fixed budget of 1000 when the
     * allocation is proportional to N_h·S_h (stratum size × stratum
     * spread, Neyman 1934) instead of size alone: the high-variance
-    * stratum earns more budget per row. Determinism ladder: the
-    * population variance fold is exact (DECIMAL(38,0) moments, the
-    * agg_corr_explicit pattern); S_h takes ONE IEEE-exact sqrt and is
-    * immediately HALF-UP quantized to integer milli-cents (identical
-    * spelling both engines); every step after is pure BIGINT — the
+    * stratum earns more budget per row. Totals quantize to
+    * KILODOLLARS (r13 range-safe rescale: in cents the variance
+    * determinant n·sxx − sx² reached ~1.9e23 at sf0.1 — far beyond
+    * 2^53, where DuckDB 1.0.0's int128→DOUBLE cast can misround;
+    * in kilodollars it stays ~6.6e13, inside the exact-conversion
+    * range the DecimalCastBoundsSpec gate enforces). Determinism
+    * ladder: the population variance fold is exact (DECIMAL(38,0)
+    * moments, the agg_corr_explicit pattern); S_h takes ONE
+    * IEEE-exact sqrt and is immediately HALF-UP quantized to integer
+    * milli-kilodollars (identical spelling both engines); every step after is pure BIGINT — the
     * final seats come from LARGEST-REMAINDER apportionment (floor
     * share + the (budget − Σfloor) biggest remainders, ties by
     * segment name), with remainder ranks from a strictly-greater
@@ -793,7 +798,7 @@ object Sampling {
     "sample_neyman_allocation",
     """WITH o AS (
       |  SELECT c_mktsegment AS seg,
-      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000 AS x
       |  FROM orders JOIN customer ON c_custkey = o_custkey),
       |st AS (
       |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_h,
@@ -831,7 +836,8 @@ object Sampling {
         .select(col("c_custkey"), col("c_mktsegment"))),
         col("c_custkey") === col("o_custkey"))
       .select(col("c_mktsegment").as("seg"),
-        (money(col("o_totalprice")) * 100).cast(LongType).as("x"))
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 100000")
+          .as("x"))
     val decX = col("x").cast(DecimalType(38, 0))
     val st = o.groupBy(col("seg"))
       .agg(count(lit(1)).as("n_h"), sum(decX).as("sx"),

@@ -364,7 +364,7 @@ class R11cOpsSpec extends SparkSpec {
         r.getDouble(4), r.getDouble(5))).toMap
     val li = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"),
-        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100"))
+        expr("cast(cast(l_extendedprice as decimal(12,2)) * 100 as bigint) div 100000"))
       .collect().map(r => (r.getString(0), BigInt(r.getLong(1))))
     li.groupBy(_._1).foreach { case (flag, rows) =>
       val (n, mean, sd, skew, kurt) = out(flag)
@@ -481,9 +481,12 @@ class R11cOpsSpec extends SparkSpec {
     vecs.groupBy(_._2).foreach { case (label, vs) =>
       val even = vs.filter(_._1 % 2 == 0); val odd = vs.filter(_._1 % 2 == 1)
       val dim = vs.head._3.length
+      // r13: floor-MEAN centroid components (cohort-size-invariant,
+      // range-safe) — Math.floorDiv matches both engines' exact
+      // (s - pmod(s, n)) div n spelling on negative sums.
       def centroid(cs: Array[(Long, Int, Seq[Float])]) =
-        (0 until dim).map(i => cs.map(v =>
-          math.floor(v._3(i).toDouble * 1000 + 0.5).toLong).sum)
+        (0 until dim).map(i => Math.floorDiv(cs.map(v =>
+          math.floor(v._3(i).toDouble * 1000 + 0.5).toLong).sum, cs.length.toLong))
       val (se, so) = (centroid(even), centroid(odd))
       val dot = se.zip(so).map { case (a, b) => a * b }.sum.toDouble
       val ee = se.map(a => a * a).sum.toDouble

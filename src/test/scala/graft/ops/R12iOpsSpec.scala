@@ -68,7 +68,8 @@ class R12iOpsSpec extends SparkSpec {
       .join(Tables.customer(spark, sf),
         col("c_custkey") === col("o_custkey"))
       .select(col("c_mktsegment").as("seg"),
-        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("x"))
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 100000")
+          .as("x"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (seg, xs) => (seg, xs.map(_._2)) }
     assert(rows.map(_.getString(0)).toSet == byseg.keySet)
