@@ -341,8 +341,27 @@ object Bench {
       if (p.waitFor() != 0 || !txt.contains(s""""sf":"$sfDir"""")) -1.0
       else HarnessConf.ratioMedian(results, HarnessConf.parseBenchQueries(txt))
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    // Second attribution ratio (r13, VERDICT r12 item 4): the same
+    // shared-key median against the PREVIOUS ROUND'S DRIVER artifact
+    // (newest BENCH_r*.json — the driver's own window, not ours), so
+    // the next verdict's host-vs-plans adjudication is a one-line
+    // read: ratio_median says "vs our committed run", ratio_median_prev
+    // says "vs what the driver itself measured last round". The driver
+    // artifact holds only the 25 slowest keys, so this is a
+    // top-of-the-cost-curve statistic by construction. -1.0 when no
+    // artifact, different sf, or no shared keys.
+    val ratioMedianPrev: Double = try {
+      val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      arts.lastOption.map { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        if (!txt.contains(sfDir)) -1.0
+        else HarnessConf.ratioMedian(results, HarnessConf.parseBenchQueriesLoose(txt))
+      }.getOrElse(-1.0)
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val loadJson = s""","load_start":${r3(loadStart)},"load_end":${r3(loadEnd)}""" +
-      s""","steal_frac":${r3(stealFrac)},"ratio_median":${r3(ratioMedian)}"""
+      s""","steal_frac":${r3(stealFrac)},"ratio_median":${r3(ratioMedian)}""" +
+      s""","ratio_median_prev":${r3(ratioMedianPrev)}"""
     val slowest = results.sortBy(-_._2).take(25)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // failed queries surface in the JSON itself (additive field — the

@@ -117,9 +117,20 @@ object ClusterOps {
     s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val finalLabels = try {
     val nm0 = edges.groupBy(col("dst")).agg(min(col("src")).as("nm"))
+    // run_tag nonce (r13): the loop persists AND UNPERSISTS
+    // DataFrames round by round. Cache entries are shared by
+    // canonical plan, so two concurrent executions of this query in
+    // one JVM (parallel test suites; any multi-tenant driver) would
+    // dedupe onto the SAME entries — and the first run's unpersist
+    // then yanks blocks out from under the second mid-read
+    // (BlockNotFoundException / empty rounds, measured r13). A
+    // per-invocation literal in the seed plan flows into every
+    // downstream round's subtree, making all loop entries private.
+    val runTag = scala.util.Random.nextInt()
     var labels = edges.select(col("src").as("id")).distinct()
       .join(nm0, col("id") === col("dst"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("nm"), col("id"))).as("lbl"))
+      .select(col("id"), least(col("id"), coalesce(col("nm"), col("id"))).as("lbl"),
+        lit(runTag).as("run_tag"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cached = labels
     var changed = 1L

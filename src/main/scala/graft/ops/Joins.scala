@@ -234,13 +234,20 @@ object Joins {
       |  ORDER BY o_totalprice DESC, o_orderkey
       |  LIMIT 2) t
       |ORDER BY c_custkey, total DESC, o_orderkey""") { (s, d) =>
-    Tables.customer(s, d).createOrReplaceTempView("customer")
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql("""SELECT c_custkey, o_orderkey,
+    // View names carry the sf-dir hash (r13): plain "customer"/
+    // "orders" were session-global, so two concurrent callers at
+    // DIFFERENT scale factors (parallel test suites) could read each
+    // other's registration mid-analysis. Same-sf concurrent callers
+    // re-register an identical definition — benign. sql() analyzes
+    // eagerly, so the views are resolved into the returned plan here.
+    val tag = (d.hashCode.toLong & 0xffffffffL).toString
+    Tables.customer(s, d).createOrReplaceTempView(s"customer_$tag")
+    Tables.orders(s, d).createOrReplaceTempView(s"orders_$tag")
+    s.sql(s"""SELECT c_custkey, o_orderkey,
             |  CAST(o_totalprice AS DOUBLE) AS total
-            |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c,
+            |FROM (SELECT c_custkey FROM customer_$tag WHERE c_acctbal > 9000) c,
             |LATERAL (
-            |  SELECT o_orderkey, o_totalprice FROM orders
+            |  SELECT o_orderkey, o_totalprice FROM orders_$tag
             |  WHERE o_custkey = c_custkey
             |  ORDER BY o_totalprice DESC, o_orderkey
             |  LIMIT 2) t

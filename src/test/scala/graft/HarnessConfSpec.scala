@@ -59,6 +59,25 @@ class HarnessConfSpec extends AnyFunSuite {
     assert(HarnessConf.parseBenchQueries("""{"queries":{"q":oops}}""") == Map.empty)
   }
 
+  test("parseBenchQueriesLoose tolerates the driver's Python re-serialization") {
+    // the driver wraps our line through json.dump: spaces after every
+    // colon, and an escaped copy of the whole line inside "tail"
+    // BEFORE the parsed object — the escaped \"queries\" must not
+    // match, the spaced real one must.
+    val art = """{"n": 12, "rc": 0, "sf": 0.1, """ +
+      """"tail": "stderr \"queries\":{\"q_x\":9.999} noise", """ +
+      """"parsed": {"metric": "total", "value": 51.4, """ +
+      """"queries": {"q_a": 1.500, "q_b": 0.250}, "sf": "/x"}}"""
+    assert(HarnessConf.parseBenchQueriesLoose(art) ==
+      Map("q_a" -> 1.5, "q_b" -> 0.25))
+    // the exact-format artifact still parses identically
+    val tight = """{"queries":{"q_a":1.5,"q_b":0.25},"sf":"/x"}"""
+    assert(HarnessConf.parseBenchQueriesLoose(tight) ==
+      Map("q_a" -> 1.5, "q_b" -> 0.25))
+    assert(HarnessConf.parseBenchQueriesLoose("") == Map.empty)
+    assert(HarnessConf.parseBenchQueriesLoose("""{"queries": {""") == Map.empty)
+  }
+
   test("ratioMedian: shared-key median, odd/even, no-overlap sentinel") {
     val committed = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "z" -> 0.0)
     // odd count: ratios 2.0, 1.5, 1.0 -> median 1.5

@@ -8,7 +8,7 @@ import scala.util.Random
   * the invariants that make hash-matching DuckDB possible are checked
   * here structurally, not against the oracle. Cases are generated
   * from FIXED seeds so the suite itself is deterministic. */
-class OpsPropertySpec extends SparkSpec {
+class OpsPropertySpec extends SparkSpec with SerialSuite {
 
   import org.apache.spark.sql.Row
 
@@ -74,20 +74,22 @@ class OpsPropertySpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val keys = Seq("text_tfidf_topterms", "text_langid", "text_ngram_logprob",
       "boilerplate_ngram", "cdc_apply_orders")
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
-    try keys.foreach { k =>
+    keys.foreach { k =>
       // sorted multiset, not toSet (ADVICE r7): a partition-count-
-      // dependent change in duplicate-row MULTIPLICITY must fail too
+      // dependent change in duplicate-row MULTIPLICITY must fail too.
+      // Width override on a throwaway newSession (r13): parallel-safe
+      // — no shared-conf mutation to restore.
       def rows(parts: Int): Seq[String] = {
-        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        val out = SparkEntry.queries(k)(spark, sf).collect()
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val out = SparkEntry.queries(k)(s2, sf).collect()
           .map(_.toString).sorted.toSeq
         spark.catalog.clearCache()
         out
       }
       val (one, seven) = (rows(1), rows(7))
       assert(one == seven, s"$k differs between 1 and 7 shuffle partitions")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
   }
 
   test("graded near-dup jaccard equals a direct string-set formulation on sf0.001") {

@@ -17,7 +17,7 @@ import graft.{SparkSpec, SparkEntry}
   * expressions (signatures, shingles, term counts, vector math,
   * sorted intersects) and asserts row-identical results against the
   * default-mode run of the same key. */
-class InterpretedParitySpec extends SparkSpec {
+class InterpretedParitySpec extends SparkSpec with graft.SerialSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -37,26 +37,24 @@ class InterpretedParitySpec extends SparkSpec {
     // graph_jaccard_neighbors (r12b)
     "embed_top_component", "graph_jaccard_neighbors")
 
-  private def rows(key: String): Seq[String] = {
-    val df = SparkEntry.queries(key)(spark, sf)
+  private def rows(s: org.apache.spark.sql.SparkSession, key: String): Seq[String] = {
+    val df = SparkEntry.queries(key)(s, sf)
     val out = df.collect().map(_.toString).sorted.toSeq
     spark.catalog.clearCache()
     out
   }
 
   test("graded consumers of custom expressions match under NO_CODEGEN") {
-    val default = keys.map(k => k -> rows(k)).toMap
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    try {
-      for (k <- keys) {
-        val interpreted = rows(k)
-        assert(interpreted == default(k),
-          s"$k diverges between codegen and interpreted evaluation")
-      }
-    } finally {
-      spark.conf.unset("spark.sql.codegen.wholeStage")
-      spark.conf.unset("spark.sql.codegen.factoryMode")
+    val default = keys.map(k => k -> rows(spark, k)).toMap
+    // interpreted-mode confs on a throwaway newSession (r13):
+    // parallel-safe — concurrently running suites keep codegen on.
+    val noCodegen = spark.newSession()
+    noCodegen.conf.set("spark.sql.codegen.wholeStage", "false")
+    noCodegen.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    for (k <- keys) {
+      val interpreted = rows(noCodegen, k)
+      assert(interpreted == default(k),
+        s"$k diverges between codegen and interpreted evaluation")
     }
   }
 }

@@ -22,14 +22,15 @@ class R11OpsSpec extends SparkSpec {
     // The oracle certifies one partitioning; this certifies ALL of
     // them — a key whose answer moved with spark.sql.shuffle.partitions
     // would be wrong on a cluster even while hash-matching locally.
-    val session = spark.conf.get("spark.sql.shuffle.partitions")
+    // session-LOCAL width override via newSession (r13): no shared-conf
+    // mutation, so suites can run in parallel without racing it.
     def results(parts: Int): Map[String, Seq[String]] = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      try r11Keys.map { k =>
-        k -> graft.SparkEntry.queries(k)(spark, sf).collect()
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      r11Keys.map { k =>
+        k -> graft.SparkEntry.queries(k)(s2, sf).collect()
           .map(_.toString).toSeq.sorted
       }.toMap
-      finally spark.conf.set("spark.sql.shuffle.partitions", session)
     }
     val a = results(3); val b = results(17)
     r11Keys.foreach { k =>

@@ -16,14 +16,15 @@ class R12pOpsSpec extends SparkSpec {
     Seq("win_anchored_vwap", "events_slo_burn_rate", "agg_bitmask_signatures")
 
   test("every r12p key is partition-count invariant (the 100 TB correctness property)") {
-    val session = spark.conf.get("spark.sql.shuffle.partitions")
+    // session-LOCAL width override via newSession (r13): no shared-conf
+    // mutation, so suites can run in parallel without racing it.
     def results(parts: Int): Map[String, Seq[String]] = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      try keys.map { k =>
-        k -> graft.SparkEntry.queries(k)(spark, sf).collect()
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      keys.map { k =>
+        k -> graft.SparkEntry.queries(k)(s2, sf).collect()
           .map(_.toString).toSeq.sorted
       }.toMap
-      finally spark.conf.set("spark.sql.shuffle.partitions", session)
     }
     val a = results(3); val b = results(17)
     keys.foreach { k =>

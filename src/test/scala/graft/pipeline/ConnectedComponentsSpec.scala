@@ -7,7 +7,7 @@ import graft.SparkSpec
   * union-find ground truth on adversarial shapes: deep chains (the
   * case min-label alone is worst at), big stars (the skew case), and
   * mixed random graphs. */
-class ConnectedComponentsSpec extends SparkSpec {
+class ConnectedComponentsSpec extends SparkSpec with graft.SerialSuite {
 
   private def groundTruth(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()

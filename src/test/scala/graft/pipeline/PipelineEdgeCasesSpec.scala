@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 /** Degenerate-input behavior of the r6 composition libraries — empty
   * edge lists, empty build sides, k larger than the corpus. Iterative
   * loops and broadcast builders are exactly where empties break. */
-class PipelineEdgeCasesSpec extends SparkSpec {
+class PipelineEdgeCasesSpec extends SparkSpec with graft.SerialSuite {
 
   private val sf = "/root/testdata/sf0.001"
 

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * AdaptiveSparkPlanExec wrapper AND QueryStageExec nodes are
   * traversal barriers (stages are leaves to collect()), hence the
   * stage-recursive flatten below. */
-class AdaptiveExecSpec extends SparkSpec {
+class AdaptiveExecSpec extends SparkSpec with graft.SerialSuite {
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
     df.collect()

@@ -5,7 +5,7 @@ import graft.{SparkSpec, Tables}
 /** Bucketed co-located join: the whole point is the ABSENCE of
   * shuffle exchanges in the physical plan — asserted here with
   * broadcast disabled so the planner can't sidestep the question. */
-class BucketingSpec extends SparkSpec {
+class BucketingSpec extends SparkSpec with graft.SerialSuite {
 
   test("join of two tables bucketed on the join key plans without exchanges") {
     val sf = "/root/testdata/sf0.001"

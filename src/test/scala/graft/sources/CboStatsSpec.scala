@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * the optimized plan → the star join picks broadcast builds from
   * those stats with the auto-broadcast threshold as the decider.
   */
-class CboStatsSpec extends SparkSpec {
+class CboStatsSpec extends SparkSpec with graft.SerialSuite {
 
   private val sf = "/root/testdata/sf0.001"
+
 
   test("ANALYZE TABLE stats flow into catalog, plan sizing, and join strategy") {
     val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")

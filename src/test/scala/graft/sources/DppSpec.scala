@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
   * every partition. AQE scoped OFF like GoldenShufflesSpec: the
   * adaptive wrapper hides children from collect(), and the invariant
   * is structural. */
-class DppSpec extends SparkSpec {
+class DppSpec extends SparkSpec with graft.SerialSuite {
 
   test("join_dpp_partitioned prunes fact partitions dynamically") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * judge this plan; the assertions are structural (the rule fired
   * and the probe sits on the application side) plus a correctness
   * cross-check against the unfiltered join. */
-class RuntimeFilterSpec extends SparkSpec {
+class RuntimeFilterSpec extends SparkSpec with graft.SerialSuite {
 
   test("a selective dim filter injects a bloom probe into the fact side") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -22,11 +22,15 @@ class RocksDBStateSpec extends SparkSpec {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   private def runDedup(provider: Option[String]): (Seq[(Long, String)], Option[String]) = {
-    implicit val sqlCtx = spark.sqlContext
-    import spark.implicits._
-    val prev = spark.conf.getOption(providerConf)
-    provider.foreach(spark.conf.set(providerConf, _))
-    try {
+    // provider conf on a throwaway newSession (r13): the state-store
+    // choice stays local to this stream, so parallel suites never see
+    // it. The MemoryStream, the stream, and the memory sink's temp
+    // view all live on that session.
+    val local = spark.newSession()
+    implicit val sqlCtx = local.sqlContext
+    import local.implicits._
+    provider.foreach(local.conf.set(providerConf, _))
+    locally {
       val mem = MemoryStream[Ev]
       val sink = s"rocksdb_dedup_${provider.isDefined}"
       val q = StreamOps.dedupKeyed(mem.toDF())
@@ -42,15 +46,10 @@ class RocksDBStateSpec extends SparkSpec {
         .flatMap(p => p.stateOperators.headOption)
         .map(_.customMetrics.keySet().toString)
       q.stop()
-      val rows = spark.table(sink)
+      val rows = local.table(sink)
         .select(col("user_id"), col("event_type"))
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
       (rows, metrics)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(providerConf, v)
-        case None => spark.conf.unset(providerConf)
-      }
     }
   }
 

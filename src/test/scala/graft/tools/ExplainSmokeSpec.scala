@@ -8,7 +8,7 @@ import graft.SparkSpec
   * since nothing else invokes Explain.main. Smoke it over a
   * representative key per family; `getOrCreate` inside the main
   * reuses the suite session, so this is cheap. */
-class ExplainSmokeSpec extends SparkSpec {
+class ExplainSmokeSpec extends SparkSpec with graft.SerialSuite {
 
   test("Explain.run prints plans for representative keys without throwing") {
     val keys = Seq("q1_pricing_summary", "join_star_3way", "dedup_simhash",
