@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.window.WindowExec
   * hides children from collect(), and the invariant is structural,
   * not data-dependent.
   */
-class PlanInvariantsSpec extends SparkSpec {
+class PlanInvariantsSpec extends SparkSpec with SerialSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
