@@ -17,7 +17,8 @@ object SparkEntry {
       ops.LlmExtras.all ++ ops.Streaming.all ++ ops.Sampling.all ++
       ops.HarmonizeQueries.all ++ ops.EventAnalytics.all ++
       ops.PipelineOps.all ++ ops.ClusterOps.all ++ ops.CorpusOps.all ++
-      ops.EvolutionQueries.all ++ ops.DriftOps.all ++ ops.SketchOps.all
+      ops.EvolutionQueries.all ++ ops.DriftOps.all ++ ops.SketchOps.all ++
+      ops.R13Ops.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,351 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-13 additions: catalog-integrity, corpus-vocabulary,
+  * multimodal-budgeting and event-session operators, all under the
+  * house determinism protocol (exact integers end to end; floor
+  * division spelled identically in both engines; presentation-only
+  * ORDER BY). */
+object R13Ops {
+
+  /** Referential-integrity orphan census (r13) — the FK audit a lake
+    * runs before trusting any join: for each declared child→parent
+    * relationship, how many child rows reference a missing parent.
+    * One LEFT join + conditional count per relationship (parent keys
+    * are unique, so the join never multiplies; NULL FKs are counted
+    * in n_child but are not orphans — the SQL NOT EXISTS semantics).
+    * The deliberately-included events.user_id→customer row documents
+    * the fixture's real cross-domain gap instead of hiding it. Scale:
+    * each check is one fact-side scan joined to its dim — broadcast
+    * while the dim fits, SMJ beyond; the 8 checks are independent
+    * (a driver can run them as separate jobs). */
+  val dqReferentialOrphans: QDef = q(
+    "dq_referential_orphans",
+    """WITH rel AS (
+      |  SELECT 'customer.c_nationkey->nation' AS relationship,
+      |    (SELECT CAST(COUNT(c_nationkey) AS BIGINT) FROM customer) AS n_child,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+      |      WHERE c_nationkey IS NOT NULL
+      |        AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      |      AS n_orphans
+      |  UNION ALL
+      |  SELECT 'events.user_id->customer',
+      |    (SELECT CAST(COUNT(user_id) AS BIGINT) FROM events),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+      |      WHERE user_id IS NOT NULL
+      |        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey->orders',
+      |    (SELECT CAST(COUNT(l_orderkey) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |      WHERE l_orderkey IS NOT NULL
+      |        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part',
+      |    (SELECT CAST(COUNT(l_partkey) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |      WHERE l_partkey IS NOT NULL
+      |        AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier',
+      |    (SELECT CAST(COUNT(l_suppkey) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |      WHERE l_suppkey IS NOT NULL
+      |        AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      |  UNION ALL
+      |  SELECT 'nation.n_regionkey->region',
+      |    (SELECT CAST(COUNT(n_regionkey) AS BIGINT) FROM nation),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n
+      |      WHERE n_regionkey IS NOT NULL
+      |        AND NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer',
+      |    (SELECT CAST(COUNT(o_custkey) AS BIGINT) FROM orders),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+      |      WHERE o_custkey IS NOT NULL
+      |        AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'supplier.s_nationkey->nation',
+      |    (SELECT CAST(COUNT(s_nationkey) AS BIGINT) FROM supplier),
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
+      |      WHERE s_nationkey IS NOT NULL
+      |        AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)))
+      |SELECT relationship, n_child, n_orphans,
+      |  (n_orphans * 1000000) // n_child AS orphan_ppm
+      |FROM rel ORDER BY relationship""") { (s, d) =>
+    def check(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck))
+        .join(parent.select(col(pk).as("__pk")).distinct(),
+          col(ck) === col("__pk"), "left")
+        .agg(count(col(ck)).as("n_child"),
+          count_if(col(ck).isNotNull && col("__pk").isNull).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+    val checks = Seq(
+      check("customer.c_nationkey->nation",
+        Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+      check("events.user_id->customer",
+        Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey"),
+      check("lineitem.l_orderkey->orders",
+        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+      check("lineitem.l_partkey->part",
+        Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey"),
+      check("lineitem.l_suppkey->supplier",
+        Tables.lineitem(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      check("nation.n_regionkey->region",
+        Tables.nation(s, d), "n_regionkey", Tables.region(s, d), "r_regionkey"),
+      check("orders.o_custkey->customer",
+        Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"),
+      check("supplier.s_nationkey->nation",
+        Tables.supplier(s, d), "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+    checks.reduce(_.unionAll(_))
+      .select(col("relationship"), col("n_child"), col("n_orphans"),
+        expr("(n_orphans * 1000000) div n_child").as("orphan_ppm"))
+      .orderBy(col("relationship"))
+  }
+
+  /** Hapax-legomena profile per source (r13) — the vocabulary-tail
+    * statistic corpus linguists read next to Zipf: how much of each
+    * source's vocabulary occurs exactly once (hapax) or twice (dis).
+    * A high hapax share flags OCR noise / boilerplate IDs; a low one
+    * flags template text. One (source, term) wordcount — the shuffle
+    * is vocabulary-sized with map-side combine, never the occurrence
+    * stream — then a source-level fold. */
+  val textHapaxRatio: QDef = q(
+    "text_hapax_ratio",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM toks WHERE tok <> '' GROUP BY source, tok)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+      |  (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+      |    // CAST(COUNT(*) AS BIGINT) AS hapax_permille
+      |FROM tf GROUP BY source ORDER BY source""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        count_if(col("c") === 1).as("n_hapax"),
+        count_if(col("c") === 2).as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_terms"),
+        col("n_hapax"), col("n_dis"),
+        expr("(n_hapax * 1000) div n_terms").as("hapax_permille"))
+      .orderBy(col("source"))
+  }
+
+  /** Token-length histogram per language (r13) — the tokenizer-prep
+    * profile: occurrence-weighted distribution of whitespace-token
+    * lengths, capped at 15+ (the tail bucket). Informs max-token-len
+    * truncation and BPE pre-tokenization rules. The explode is
+    * row-local; the shuffle carries langs×15 combined partials. */
+  val vocabTokenLenHistogram: QDef = q(
+    "vocab_token_len_histogram",
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |b AS (
+      |  SELECT lang, least(length(tok), 15) AS len_bucket
+      |  FROM toks WHERE tok <> ''),
+      |c AS (
+      |  SELECT lang, len_bucket, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |  FROM b GROUP BY lang, len_bucket),
+      |t AS (SELECT lang, CAST(SUM(n_occ) AS BIGINT) AS tot FROM c GROUP BY lang)
+      |SELECT c.lang, c.len_bucket, c.n_occ,
+      |  (c.n_occ * 1000) // t.tot AS permille
+      |FROM c JOIN t ON c.lang = t.lang
+      |ORDER BY c.lang, c.len_bucket""") { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("lang"), least(length(col("tok")), lit(15)).as("len_bucket"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_occ"))
+    val totals = counts.groupBy(col("lang").as("t_lang"))
+      .agg(sum(col("n_occ")).as("tot"))
+    counts.join(broadcast(totals), col("lang") === col("t_lang"))
+      .select(col("lang"), col("len_bucket"), col("n_occ"),
+        expr("(n_occ * 1000) div tot").as("permille"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
+
+  /** Per-source keyframe budget allocation (r13) — the multimodal
+    * twin of `sample_neyman_allocation`: each SOURCE gets a 1000-
+    * keyframe extraction budget, split across its documents by
+    * largest-remainder apportionment proportional to synthesized
+    * duration (n_chars·25 ms — the `multimodal_chunk_audio` metadata
+    * convention), so every downstream decode job knows its exact
+    * frame count BEFORE touching bytes. Pure BIGINT: floor share +
+    * the (budget − Σfloor) biggest remainders, ties by doc_id. The
+    * remainder rank is a SOURCE-partitioned window (never global);
+    * at extreme docs-per-source the same answer comes from the
+    * shared bucketed prefix machinery the global-rank keys use. */
+  val multimodalKeyframeBudget: QDef = q(
+    "multimodal_keyframe_budget",
+    """WITH m AS (
+      |  SELECT doc_id, source, n_chars * 25 AS duration_ms FROM documents),
+      |w AS (
+      |  SELECT source, CAST(SUM(duration_ms) AS BIGINT) AS wtot
+      |  FROM m GROUP BY source),
+      |b0 AS (
+      |  SELECT m.doc_id, m.source, m.duration_ms,
+      |    CAST((1000 * m.duration_ms) // w.wtot AS BIGINT) AS base,
+      |    CAST((1000 * m.duration_ms) % w.wtot AS BIGINT) AS rem
+      |  FROM m JOIN w ON m.source = w.source),
+      |t AS (
+      |  SELECT source, CAST(SUM(base) AS BIGINT) AS base_sum
+      |  FROM b0 GROUP BY source),
+      |b AS (
+      |  SELECT b0.doc_id, b0.source, b0.duration_ms, b0.base, b0.rem,
+      |    CAST(1000 - t.base_sum AS BIGINT) AS extra
+      |  FROM b0 JOIN t ON b0.source = t.source),
+      |r AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY rem DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM b)
+      |SELECT b.doc_id, b.source, b.duration_ms, b.base,
+      |  CAST(b.base + CASE WHEN r.rnk <= b.extra THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_frames
+      |FROM b JOIN r ON b.doc_id = r.doc_id
+      |ORDER BY b.doc_id""") { (s, d) =>
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), (col("n_chars") * 25).as("duration_ms"))
+    val t = m.groupBy(col("source").as("t_source"))
+      .agg(sum(col("duration_ms")).as("wtot"))
+    val withBase = m.join(broadcast(t), col("source") === col("t_source"))
+      .select(col("doc_id"), col("source"), col("duration_ms"), col("wtot"),
+        expr("CAST((1000 * duration_ms) div wtot AS BIGINT)").as("base"),
+        expr("CAST((1000 * duration_ms) % wtot AS BIGINT)").as("rem"))
+    val baseSum = withBase.groupBy(col("source").as("b_source"))
+      .agg(sum(col("base")).as("base_sum"))
+    val b = withBase.join(broadcast(baseSum), col("source") === col("b_source"))
+      .withColumn("extra", lit(1000L) - col("base_sum"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rem").desc, col("doc_id"))
+    b.withColumn("rnk", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("source"), col("duration_ms"), col("base"),
+        (col("base") + when(col("rnk") <= col("extra"), 1L).otherwise(0L))
+          .as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Daily bounce rate (r13) — sessions (30-minute gap islands, the
+    * `stream_custom_sessions` definition) that contain exactly ONE
+    * event, per session-start day: the engagement-quality monitor a
+    * funnel dashboard pairs with DAU. User-partitioned windows only
+    * (per-user event cardinality bounds the state); days join back
+    * over a tiny per-day table. Ties inside a user's stream order by
+    * (ts, event_id) in both engines. */
+  val eventsBounceRate: QDef = q(
+    "events_bounce_rate",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |    CASE WHEN lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+      |              IS NULL THEN 1
+      |         WHEN date_diff('second',
+      |              lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id),
+      |              ts_sec) >= 1800 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM e),
+      |ids AS (
+      |  SELECT user_id, ts_sec,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(ts_sec) AS session_start,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM ids GROUP BY user_id, sid)
+      |SELECT CAST(date_trunc('day', session_start) AS DATE) AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+      |  (CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(COUNT(*) AS BIGINT) AS bounce_ppm
+      |FROM sess GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val flagged = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"))
+      .withColumn("new_session",
+        when(lag(col("ts_sec"), 1).over(wOrd).isNull, 1L)
+          .when(unix_timestamp(col("ts_sec"))
+            - unix_timestamp(lag(col("ts_sec"), 1).over(wOrd)) >= 1800, 1L)
+          .otherwise(0L))
+    val sess = flagged
+      .withColumn("sid", sum(col("new_session"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_sec")).as("session_start"), count(lit(1)).as("n_events"))
+    sess.groupBy(date_trunc("day", col("session_start")).cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_if(col("n_events") === 1).as("n_bounce"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        expr("(n_bounce * 1000000) div n_sessions").as("bounce_ppm"))
+      .orderBy(col("day"))
+  }
+
+  /** Weekly retention triangle (r13) — the cohort × age activity
+    * matrix growth teams read: users grouped by first-active EPOCH
+    * WEEK (floor(epoch_days/7) — a pure integer both engines compute
+    * identically, dodging week-of-year calendar seams), with each
+    * later week's active share of the cohort in floor-ppm. Two
+    * user-keyed aggs and one user-keyed join — the standard retention
+    * shape; nothing scales past user cardinality. */
+  val cohortRetentionTriangle: QDef = q(
+    "cohort_retention_triangle",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS wk
+      |  FROM events),
+      |first AS (
+      |  SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+      |sizes AS (
+      |  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      |  FROM first GROUP BY cohort_wk),
+      |active AS (
+      |  SELECT f.cohort_wk, e.wk - f.cohort_wk AS age_weeks,
+      |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |  FROM e JOIN first f ON e.user_id = f.user_id
+      |  GROUP BY f.cohort_wk, e.wk - f.cohort_wk)
+      |SELECT a.cohort_wk, a.age_weeks, s.cohort_users, a.n_active,
+      |  (a.n_active * 1000000) // s.cohort_users AS retention_ppm
+      |FROM active a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+      |ORDER BY a.cohort_wk, a.age_weeks""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000L div 7").as("wk"))
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = first.groupBy(col("cohort_wk").as("s_wk"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val active = e.join(first, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    active.join(broadcast(sizes), col("cohort_wk") === col("s_wk"))
+      .select(col("cohort_wk"), col("age_weeks"), col("cohort_users"),
+        col("n_active"),
+        expr("(n_active * 1000000) div cohort_users").as("retention_ppm"))
+      .orderBy(col("cohort_wk"), col("age_weeks"))
+  }
+
+  val all: Seq[QDef] = Seq(dqReferentialOrphans, textHapaxRatio,
+    vocabTokenLenHistogram, multimodalKeyframeBudget, eventsBounceRate,
+    cohortRetentionTriangle)
+}
