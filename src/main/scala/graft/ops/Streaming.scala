@@ -61,10 +61,19 @@ object Streaming {
 
   /** Per-user session windows with a 30-minute inactivity gap.
     * Sessionized on the SECOND-truncated timestamp in both engines so
-    * boundaries agree; Spark's session end = last event + gap, and a
-    * new session starts when the gap is >= 30 min (session windows
-    * merge only when they strictly overlap) — the oracle's
-    * gaps-and-islands formulation replicates exactly that. */
+    * boundaries agree. The gap is spelled 1800.5 s (r13): with a
+    * whole-second gap, an event arriving EXACTLY gap seconds after
+    * the previous one makes the new session's start equal the old
+    * session's end, and Spark's two session-merge code paths (partial
+    * UpdatingSessionsIterator vs post-shuffle merge) disagree on that
+    * equality — the same data returned 95 466 sessions under the
+    * bench conf and 95 465 under the 200-partition cluster profile at
+    * sf0.1 (one exactly-1800 s gap in the fixture). Second-truncated
+    * timestamps can never tie a half-second boundary, so the merge
+    * rule is unambiguously "gap ≤ 1800 s merges" on every physical
+    * path, and the oracle's gaps-and-islands formulation replicates
+    * exactly that (new session when gap ≥ 1801 s; end = last event +
+    * 1800.5 s). */
   val streamSessionWindows: QDef = q(
     "stream_session_windows",
     """WITH e AS (
@@ -77,7 +86,7 @@ object Streaming {
       |              IS NULL THEN 1
       |         WHEN date_diff('second',
       |              lag(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id),
-      |              ts_sec) >= 1800 THEN 1
+      |              ts_sec) >= 1801 THEN 1
       |         ELSE 0 END AS new_session
       |  FROM e),
       |ids AS (
@@ -86,13 +95,13 @@ object Streaming {
       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM flagged)
       |SELECT user_id, min(ts_sec) AS session_start,
-      |  max(ts_sec) + INTERVAL '30 minutes' AS session_end,
+      |  max(ts_sec) + INTERVAL '1800500 milliseconds' AS session_end,
       |  COUNT(*) AS n_events
       |FROM ids
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""") { (s, d) =>
     Tables.events(s, d)
-      .groupBy(col("user_id"), session_window(tsSec(col("ts")), "30 minutes"))
+      .groupBy(col("user_id"), session_window(tsSec(col("ts")), "1800500 milliseconds"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
