@@ -345,7 +345,311 @@ object R13Ops {
       .orderBy(col("cohort_wk"), col("age_weeks"))
   }
 
+  /** Lorenz decile table of customer order revenue (r13b) — the
+    * curve behind `agg_gini_value`, materialized: active customers
+    * ranked ASCENDING by exact revenue, cut into 10 rank deciles,
+    * each with its revenue mass and the cumulative (Lorenz) share in
+    * floor-ppm. Ranks come from the shared distributed-rank primitive
+    * (`DriftOps.exclusivePrefix` over distinct revenue values +
+    * row_number INSIDE the tie group — never an unpartitioned
+    * window); everything after the rank is 10-row algebra. */
+  val reportLorenzDeciles: QDef = q(
+    "report_lorenz_deciles",
+    """WITH u AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS total FROM u),
+      |rk AS (
+      |  SELECT cents,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rank
+      |  FROM u),
+      |dec AS (
+      |  SELECT CAST(((rank - 1) * 10) // n AS BIGINT) AS decile, cents
+      |  FROM rk CROSS JOIN n),
+      |g AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM dec GROUP BY 1),
+      |c AS (
+      |  SELECT a.decile, a.n_customers, a.cents,
+      |    CAST(SUM(b.cents) AS BIGINT) AS cum_cents
+      |  FROM g a JOIN g b ON b.decile <= a.decile
+      |  GROUP BY 1, 2, 3)
+      |SELECT c.decile, c.n_customers, c.cents, c.cum_cents,
+      |  CAST(c.cum_cents * 1000000 // n.total AS BIGINT) AS lorenz_ppm
+      |FROM c CROSS JOIN n ORDER BY c.decile""") { (s, d) =>
+    val u = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"))
+        .cast(LongType).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = u.agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+    val xc = u.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
+    val pre = DriftOps.exclusivePrefix(xc, expr("v div 10000000"))
+      .select(col("v"), col("pre"))
+    val wTie = Window.partitionBy(col("cents")).orderBy(col("o_custkey"))
+    val rk = u.join(pre, col("v") === col("cents"))
+      .select(col("cents"), (col("pre") + row_number().over(wTie)).as("rank"))
+    val g = rk.crossJoin(broadcast(n))
+      .select(expr("CAST(((rank - 1) * 10) div n AS BIGINT)").as("decile"),
+        col("cents"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+    val c = g.join(broadcast(g.select(col("decile").as("bd"),
+        col("cents").as("bc"))), col("bd") <= col("decile"))
+      .groupBy(col("decile"), col("n_customers"), col("cents"))
+      .agg(sum(col("bc")).as("cum_cents"))
+    c.crossJoin(broadcast(n))
+      .select(col("decile"), col("n_customers"), col("cents"), col("cum_cents"),
+        expr("CAST(cum_cents * 1000000 div total AS BIGINT)").as("lorenz_ppm"))
+      .orderBy(col("decile"))
+  }
+
+  /** Modularity of the nation partition on the trade multigraph
+    * (r13b) — is customer↔supplier trade nation-assortative? Each
+    * lineitem is one undirected edge between its order's customer and
+    * its supplier; communities are the endpoints' nations. Newman
+    * modularity per community, Q_c = e_c/m − (d_c/2m)², reported as
+    * the exact integer numerator (4·m·e_c − d_c²) over 4m² in
+    * sign-decomposed trunc-toward-zero ppm (both engines spell the
+    * CASE identically — floor vs trunc never diverges). The products
+    * ride DECIMAL(38,0) (4m²·10⁶ outgrows int64 past ~sf0.3) and end
+    * in an integral division — no decimal→double cast, so the 2^53
+    * gate has nothing to flag. Scale: one fact join + two
+    * nation-sized aggs. */
+  val graphModularityNations: QDef = q(
+    "graph_modularity_nations",
+    """WITH edges AS (
+      |  SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+      |deg AS (
+      |  SELECT nation, CAST(SUM(dn) AS BIGINT) AS d FROM (
+      |    SELECT cust_nation AS nation, CAST(COUNT(*) AS BIGINT) AS dn
+      |    FROM edges GROUP BY 1
+      |    UNION ALL
+      |    SELECT supp_nation, CAST(COUNT(*) AS BIGINT) FROM edges GROUP BY 1)
+      |  GROUP BY nation),
+      |internal AS (
+      |  SELECT cust_nation AS nation, CAST(COUNT(*) AS BIGINT) AS e_in
+      |  FROM edges WHERE cust_nation = supp_nation GROUP BY 1),
+      |q AS (
+      |  SELECT deg.nation, COALESCE(i.e_in, 0) AS e_in, deg.d,
+      |    4 * m.m * COALESCE(i.e_in, 0) - deg.d * deg.d AS num,
+      |    4 * m.m * m.m AS den
+      |  FROM deg LEFT JOIN internal i ON deg.nation = i.nation CROSS JOIN m)
+      |SELECT nation, e_in AS n_internal_edges, d AS degree_sum,
+      |  CAST(CASE WHEN num >= 0
+      |    THEN (CAST(num AS HUGEINT) * 1000000) // den
+      |    ELSE -((CAST(-num AS HUGEINT) * 1000000) // den) END AS BIGINT)
+      |    AS contrib_ppm
+      |FROM q ORDER BY nation""") { (s, d) =>
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("c_nk"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey").as("s_nk"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nk") === col("cnk"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nk") === col("snk"))
+      .select(col("cust_nation"), col("supp_nation"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("cust_nation").as("nation"))
+      .unionAll(edges.select(col("supp_nation")))
+      .groupBy(col("nation")).agg(count(lit(1)).as("d"))
+    val internal = edges.filter(col("cust_nation") === col("supp_nation"))
+      .groupBy(col("cust_nation").as("i_nation"))
+      .agg(count(lit(1)).as("e_in"))
+    deg.join(broadcast(internal), col("nation") === col("i_nation"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("nation"),
+        coalesce(col("e_in"), lit(0L)).as("n_internal_edges"),
+        col("d").as("degree_sum"),
+        (lit(4) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("d") * col("d")).as("num"),
+        (lit(4) * col("m") * col("m")).as("den"))
+      .select(col("nation"), col("n_internal_edges"), col("degree_sum"),
+        expr("""CAST(CASE WHEN num >= 0
+          THEN (CAST(num AS DECIMAL(38,0)) * 1000000) div den
+          ELSE -((CAST(-num AS DECIMAL(38,0)) * 1000000) div den) END AS BIGINT)""")
+          .as("contrib_ppm"))
+      .orderBy(col("nation"))
+  }
+
+  /** Nearest-centroid classifier audit (r13b) — the evaluation leg of
+    * the kmeans/knn family: label centroids as FLOOR-MEAN
+    * milli-quantized vectors (the `drift_embedding_centroid`
+    * spelling: cohort-size-invariant, exact cross-engine floor via
+    * (s − pmod(s, n)) div n), every vector assigned to the centroid
+    * with the smallest exact squared integer distance (ties by
+    * label), reported as a confusion matrix. The explode shuffles
+    * vecs×labels×dims bounded partials at fixture scale; at 100 TB
+    * the candidate set comes from IVF routing (`ann_ivf_label`) and
+    * this remains the held-out-sample grade. */
+  val simCentroidClassifier: QDef = q(
+    "sim_centroid_classifier",
+    """WITH comp AS (
+      |  SELECT vec_id, label, t.pos AS pos,
+      |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |      AS milli
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)),
+      |cent AS (
+      |  SELECT label AS c_label, pos,
+      |    (s - ((s % n) + n) % n) // n AS c
+      |  FROM (SELECT label, pos, CAST(SUM(milli) AS BIGINT) AS s,
+      |          CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM comp GROUP BY label, pos) sums),
+      |dist AS (
+      |  SELECT comp.vec_id, comp.label AS true_label, cent.c_label,
+      |    CAST(SUM((comp.milli - cent.c) * (comp.milli - cent.c)) AS BIGINT) AS d2
+      |  FROM comp JOIN cent ON comp.pos = cent.pos
+      |  GROUP BY 1, 2, 3),
+      |pick AS (
+      |  SELECT vec_id, true_label, c_label AS pred_label,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+      |  FROM dist)
+      |SELECT true_label, pred_label, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN true_label = pred_label THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct
+      |FROM pick WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val comp = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        floor(col("x").cast(DoubleType) * 1000 + 0.5).cast(LongType).as("milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = comp.groupBy(col("label").as("c_label"), col("pos").as("c_pos"))
+      .agg(sum(col("milli")).as("s"), count(lit(1)).as("n"))
+      .select(col("c_label"), col("c_pos"),
+        expr("(s - pmod(s, n)) div n").as("c"))
+    val dist = comp.join(broadcast(cent), col("pos") === col("c_pos"))
+      .groupBy(col("vec_id"), col("label").as("true_label"), col("c_label"))
+      .agg(sum((col("milli") - col("c")) * (col("milli") - col("c"))).as("d2"))
+    val wPick = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_label"))
+    dist.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .groupBy(col("true_label"), col("c_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("true_label") === col("c_label")).as("n_correct"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  /** Vocabulary growth curve (r13b) — Heaps'-law style: distinct
+    * terms and token mass accumulated by each 10%-of-corpus doc-id
+    * threshold, the statistic that sizes a tokenizer vocabulary
+    * against corpus growth. Spelled as per-term FIRST-doc (one
+    * vocabulary-sized agg) joined against the 10-row threshold table
+    * — never an ordered scan. */
+  val corpusVocabGrowth: QDef = q(
+    "corpus_vocab_growth",
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bounds AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n_docs FROM docs),
+      |th AS (
+      |  SELECT k, (n_docs * k) // 10 AS cutoff
+      |  FROM (SELECT unnest(range(1, 11)) AS k) CROSS JOIN bounds),
+      |tok AS (
+      |  SELECT doc_id, unnest(ts) AS tok FROM docs),
+      |firsts AS (
+      |  SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |  FROM tok WHERE tok <> '' GROUP BY tok),
+      |dtok AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      |  FROM tok WHERE tok <> '' GROUP BY doc_id)
+      |SELECT th.k,
+      |  CAST(th.cutoff AS BIGINT) AS n_docs,
+      |  (SELECT CAST(SUM(n_tok) AS BIGINT) FROM dtok WHERE doc_id < th.cutoff)
+      |    AS n_tokens,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts WHERE first_doc < th.cutoff)
+      |    AS n_distinct_terms
+      |FROM th ORDER BY th.k""") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = tok.agg((max(col("doc_id")) + 1).as("n_docs"))
+    val th = s.range(1, 11).select(col("id").as("k"))
+      .crossJoin(broadcast(bounds))
+      .select(col("k"), expr("(n_docs * k) div 10").as("cutoff"))
+    val firsts = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val dtok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    // conditional aggregation over the broadcast 10-row threshold
+    // table (never a big-side broadcast): every k keeps its row even
+    // with zero qualifying docs/terms
+    val tokens = dtok.crossJoin(broadcast(th))
+      .groupBy(col("k"), col("cutoff"))
+      .agg(sum(when(col("doc_id") < col("cutoff"), col("n_tok")).otherwise(0L))
+        .as("n_tokens"))
+    val terms = firsts.crossJoin(broadcast(th.select(col("k").as("t_k"),
+        col("cutoff").as("t_cutoff"))))
+      .groupBy(col("t_k"))
+      .agg(count_if(col("first_doc") < col("t_cutoff")).as("n_distinct_terms"))
+    tokens.join(broadcast(terms), col("k") === col("t_k"))
+      .select(col("k"), col("cutoff").as("n_docs"), col("n_tokens"),
+        col("n_distinct_terms"))
+      .orderBy(col("k"))
+  }
+
+  /** Order→ship lag histogram (r13b) — the fulfilment-latency
+    * distribution behind `dq_order_lineitem_dates`' violation audit:
+    * whole-day lag from order date to each line's ship date, bucketed
+    * by week with a 15+ tail, counts and floor-permille. One
+    * fact⋈fact equi-join on the order key (SMJ at scale — exactly the
+    * join the bucketed-layout keys delete) and a 16-cell agg. */
+  val reportShipLagHistogram: QDef = q(
+    "report_ship_lag_histogram",
+    """WITH lag AS (
+      |  SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) AS lag_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |b AS (
+      |  SELECT least(greatest(lag_days, 0) // 7, 15) AS week_bucket
+      |  FROM lag),
+      |c AS (
+      |  SELECT week_bucket, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+      |SELECT CAST(week_bucket AS BIGINT) AS week_bucket, n,
+      |  (n * 1000) // t.tot AS permille
+      |FROM c CROSS JOIN t ORDER BY week_bucket""") { (s, d) =>
+    val lags = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate").cast(DateType).as("ship"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("odate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("ship"), col("odate")).as("lag_days"))
+    val c = lags
+      .select(least(expr("greatest(lag_days, 0) div 7"), lit(15))
+        .cast(LongType).as("week_bucket"))
+      .groupBy(col("week_bucket")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).as("tot"))
+    c.crossJoin(broadcast(t))
+      .select(col("week_bucket"), col("n"),
+        expr("(n * 1000) div tot").as("permille"))
+      .orderBy(col("week_bucket"))
+  }
+
   val all: Seq[QDef] = Seq(dqReferentialOrphans, textHapaxRatio,
     vocabTokenLenHistogram, multimodalKeyframeBudget, eventsBounceRate,
-    cohortRetentionTriangle)
+    cohortRetentionTriangle, reportLorenzDeciles, graphModularityNations,
+    simCentroidClassifier, corpusVocabGrowth, reportShipLagHistogram)
 }

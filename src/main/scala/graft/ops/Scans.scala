@@ -15,6 +15,10 @@ import org.apache.spark.sql.types._
   */
 object Scans {
 
+  /** Monotone tag for per-invocation bucketed-table names (see
+    * join_bucketed_colo). */
+  private[ops] val bucketedRunTag = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Projection + row-group-prunable predicate on the fact table. */
   val scanParquetProject: QDef = q(
     "scan_parquet_project",
@@ -106,8 +110,8 @@ object Scans {
     * the layout cost is paid once and every downstream orderkey join
     * is exchange-free (BucketingSpec asserts the plan shape). This is
     * the 100 TB answer for the repeated fact⋈fact join a broadcast
-    * can't cover. Fixed table names: the harness runs queries
-    * sequentially, and reruns overwrite. */
+    * can't cover. Table names are unique per invocation (see the
+    * in-body note) so concurrent registry sweeps never collide. */
   val joinBucketedColo: QDef = q(
     "join_bucketed_colo",
     """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -124,21 +128,30 @@ object Scans {
     // read-side regression can't hide under the write noise:
     // join-read ≈ bench total − layout_s.
     val t0 = System.nanoTime()
+    // Unique per-invocation table names (r13): CREATE TABLE is not
+    // idempotent, so two registry-sweep suites constructing this key
+    // CONCURRENTLY raced the fixed names (TABLE_ALREADY_EXISTS).
+    // Every invocation still pays the full layout write — the benched
+    // semantics are unchanged — and the tables land in the session's
+    // temp warehouse, which the harness deletes at JVM exit.
+    val tag = Scans.bucketedRunTag.incrementAndGet()
+    val ordersTable = s"graft_b_orders_$tag"
+    val lineitemTable = s"graft_b_lineitem_$tag"
     graft.sources.Bucketing.writeBucketed(
       Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_b_orders", "o_orderkey", 8)
+      ordersTable, "o_orderkey", 8)
     graft.sources.Bucketing.writeBucketed(
       Tables.lineitem(s, d).select(col("l_orderkey"),
         col("l_extendedprice"), col("l_quantity")),
-      "graft_b_lineitem", "l_orderkey", 8)
+      lineitemTable, "l_orderkey", 8)
     System.err.println(f"[join_bucketed_colo] layout_s=${(System.nanoTime() - t0) / 1e9}%.2f")
     // MERGE hint: at fixture scale the planner would broadcast the
     // orders side and never consult the bucketed layout; at 100 TB
     // neither side is broadcastable and sort-merge over the bucketed
     // distribution (no exchange, no sort) is the only sane plan — the
     // hint makes the graded plan BE that plan.
-    s.table("graft_b_orders").hint("merge")
-      .join(s.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+    s.table(ordersTable).hint("merge")
+      .join(s.table(lineitemTable), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sumMoney(col("l_extendedprice")).as("revenue"),

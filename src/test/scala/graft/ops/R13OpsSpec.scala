@@ -15,7 +15,10 @@ class R13OpsSpec extends SparkSpec {
 
   private val keys = Seq("dq_referential_orphans", "text_hapax_ratio",
     "vocab_token_len_histogram", "multimodal_keyframe_budget",
-    "events_bounce_rate", "cohort_retention_triangle")
+    "events_bounce_rate", "cohort_retention_triangle",
+    "report_lorenz_deciles", "graph_modularity_nations",
+    "sim_centroid_classifier", "corpus_vocab_growth",
+    "report_ship_lag_histogram")
 
   test("every r13 key is partition-count invariant (the 100 TB correctness property)") {
     // session-LOCAL width override via newSession (r13): no shared-conf
@@ -181,5 +184,84 @@ class R13OpsSpec extends SparkSpec {
         assert(ppm == 1000000L, "every user is active in their cohort week")
       assert(age >= 0L)
     }
+  }
+
+  test("report_lorenz_deciles: the curve is a valid ascending Lorenz curve") {
+    val rows = R13Ops.reportLorenzDeciles.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == nCust, "every active customer lands in one decile")
+    assert(rows.last._5 == 1000000L, "the full cumulative share is exactly 1e6 ppm")
+    rows.sliding(2).foreach { pr =>
+      if (pr.length == 2) {
+        assert(pr(0)._5 <= pr(1)._5, "cumulative share is nondecreasing")
+        // ascending revenue ranks: a later decile's MEAN revenue is >= earlier's
+        assert(pr(0)._3 * pr(1)._2 <= pr(1)._3 * pr(0)._2,
+          s"decile means must be nondecreasing: ${pr(0)} vs ${pr(1)}")
+      }
+    }
+    assert(rows.map(_._4).max == rows.map(_._3).sum, "last cum equals total")
+  }
+
+  test("graph_modularity_nations: degree and edge conservation hold") {
+    val rows = R13Ops.graphModularityNations.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val m = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._3).sum == 2 * m, "sum of degrees is twice the edge count")
+    assert(rows.map(_._2).sum <= m, "internal edges cannot exceed all edges")
+    assert(rows.forall(r => r._2 <= r._3), "internal edges bounded by degree")
+    // modularity contributions live in [-1e6, 1e6]
+    assert(rows.forall(r => r._4 >= -1000000L && r._4 <= 1000000L))
+  }
+
+  test("sim_centroid_classifier: the confusion matrix recomputes exactly") {
+    val rows = R13Ops.simCentroidClassifier.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)
+        .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray))
+    val dim = vecs.head._3.length
+    val cents = vecs.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> (0 until dim).map(i =>
+        Math.floorDiv(vs.map(_._3(i)).sum, vs.length.toLong)).toArray
+    }
+    val truth = vecs.map { case (_, lbl, mv) =>
+      val pred = cents.toSeq.map { case (cl, c) =>
+        (mv.indices.map(i => (mv(i) - c(i)) * (mv(i) - c(i))).sum, cl)
+      }.min._2
+      (lbl, pred)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.keySet == truth.keySet)
+    truth.foreach { case (cell, n) =>
+      assert(rows(cell)._1 == n, s"cell $cell count")
+      assert(rows(cell)._2 == (if (cell._1 == cell._2) n else 0L), s"cell $cell diag")
+    }
+  }
+
+  test("corpus_vocab_growth: the curve is monotone and ends at the full corpus") {
+    val rows = R13Ops.corpusVocabGrowth.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L).toSeq)
+    rows.sliding(2).foreach { pr =>
+      if (pr.length == 2) {
+        assert(pr(0)._3 <= pr(1)._3 && pr(0)._4 <= pr(1)._4, "monotone growth")
+      }
+    }
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    assert(rows.last._3 == toks.length.toLong, "k=10 covers every token")
+    assert(rows.last._4 == toks.distinct.length.toLong, "k=10 covers the full vocabulary")
+  }
+
+  test("report_ship_lag_histogram: buckets cover every line item exactly once") {
+    val rows = R13Ops.reportShipLagHistogram.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nLi = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._2).sum == nLi)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 15))
+    val tot = rows.map(_._2).sum
+    rows.foreach { case (_, nb, pm) => assert(pm == nb * 1000L / tot) }
   }
 }
