@@ -648,8 +648,79 @@ object R13Ops {
       .orderBy(col("week_bucket"))
   }
 
+  /** Population Stability Index of order value (r13b) — THE model-
+    * monitoring drift number: Σ (p_i − q_i)·ln(p_i/q_i) over 11 fixed
+    * $50k buckets between the early (≤1997) and late (≥1998) order
+    * eras, per-bucket. Determinism: counts and share differences are
+    * exact integer algebra cast once to double; the log follows the
+    * `drift_unigram_jsd` protocol — ln over a RATIO OF EXACT INTEGERS,
+    * rounded to 6 decimals into DECIMAL(28,6) (the two engines' libm
+    * ln agree far inside 1e-6), one shared float finish. Buckets empty
+    * on either side contribute 0 by the standard PSI convention
+    * (documented deviation from +∞). A 22-cell agg over one scan. */
+  val driftValuePsi: QDef = q(
+    "drift_value_psi",
+    """WITH o AS (
+      |  SELECT CASE WHEN year(CAST(o_orderdate AS TIMESTAMP)) <= 1997
+      |    THEN 0 ELSE 1 END AS era,
+      |    least(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 5000000, 10)
+      |      AS bucket
+      |  FROM orders),
+      |c AS (
+      |  SELECT era, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM o GROUP BY era, bucket),
+      |bins AS (SELECT unnest(range(0, 11)) AS bucket),
+      |r AS (SELECT bucket AS rb, n AS nr FROM c WHERE era = 0),
+      |cu AS (SELECT bucket AS cb, n AS nc FROM c WHERE era = 1),
+      |t AS (
+      |  SELECT CAST(bins.bucket AS BIGINT) AS bucket,
+      |    COALESCE(nr, 0) AS n_ref, COALESCE(nc, 0) AS n_cur
+      |  FROM bins LEFT JOIN r ON bins.bucket = rb
+      |    LEFT JOIN cu ON bins.bucket = cb),
+      |tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+      |  CAST(SUM(n_cur) AS BIGINT) AS tc FROM t)
+      |SELECT bucket, n_ref, n_cur,
+      |  (n_ref * 1000000) // tr AS ref_ppm,
+      |  (n_cur * 1000000) // tc AS cur_ppm,
+      |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+      |    CAST(n_ref * tc - n_cur * tr AS DOUBLE) / (CAST(tr AS DOUBLE) * tc)
+      |      * CAST(CAST(ROUND(ln(CAST(n_ref * tc AS DOUBLE) / (n_cur * tr)), 6)
+      |          AS DECIMAL(28,6)) AS DOUBLE)
+      |  ELSE 0.0 END AS psi_term
+      |FROM t CROSS JOIN tot
+      |ORDER BY bucket""") { (s, d) =>
+    val o = Tables.orders(s, d)
+      .select(when(year(col("o_orderdate").cast(TimestampType)) <= 1997, 0)
+          .otherwise(1).as("era"),
+        least(expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 5000000"),
+          lit(10L)).as("bucket"))
+    val c = o.groupBy(col("era"), col("bucket")).agg(count(lit(1)).as("n"))
+    val bins = s.range(0, 11).select(col("id").as("bucket"))
+    val r = c.filter(col("era") === 0).select(col("bucket").as("rb"), col("n").as("nr"))
+    val cu = c.filter(col("era") === 1).select(col("bucket").as("cb"), col("n").as("nc"))
+    val t = bins.join(broadcast(r), col("bucket") === col("rb"), "left")
+      .join(broadcast(cu), col("bucket") === col("cb"), "left")
+      .select(col("bucket"),
+        coalesce(col("nr"), lit(0L)).as("n_ref"),
+        coalesce(col("nc"), lit(0L)).as("n_cur"))
+    val tot = t.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    t.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        expr("(n_ref * 1000000) div tr").as("ref_ppm"),
+        expr("(n_cur * 1000000) div tc").as("cur_ppm"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          (col("n_ref") * col("tc") - col("n_cur") * col("tr")).cast(DoubleType)
+            / (col("tr").cast(DoubleType) * col("tc"))
+            * round(log((col("n_ref") * col("tc")).cast(DoubleType)
+                / (col("n_cur") * col("tr"))), 6)
+              .cast(DecimalType(28, 6)).cast(DoubleType))
+          .otherwise(lit(0.0)).as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QDef] = Seq(dqReferentialOrphans, textHapaxRatio,
     vocabTokenLenHistogram, multimodalKeyframeBudget, eventsBounceRate,
     cohortRetentionTriangle, reportLorenzDeciles, graphModularityNations,
-    simCentroidClassifier, corpusVocabGrowth, reportShipLagHistogram)
+    simCentroidClassifier, corpusVocabGrowth, reportShipLagHistogram,
+    driftValuePsi)
 }

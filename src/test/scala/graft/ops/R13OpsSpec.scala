@@ -18,7 +18,7 @@ class R13OpsSpec extends SparkSpec {
     "events_bounce_rate", "cohort_retention_triangle",
     "report_lorenz_deciles", "graph_modularity_nations",
     "sim_centroid_classifier", "corpus_vocab_growth",
-    "report_ship_lag_histogram")
+    "report_ship_lag_histogram", "drift_value_psi")
 
   test("every r13 key is partition-count invariant (the 100 TB correctness property)") {
     // session-LOCAL width override via newSession (r13): no shared-conf
@@ -253,6 +253,27 @@ class R13OpsSpec extends SparkSpec {
       .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
     assert(rows.last._3 == toks.length.toLong, "k=10 covers every token")
     assert(rows.last._4 == toks.distinct.length.toLong, "k=10 covers the full vocabulary")
+  }
+
+  test("drift_value_psi: terms recompute and the index is nonnegative-summing") {
+    val rows = R13Ops.driftValuePsi.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(r => r._2 + r._3).sum == nOrders, "every order in one cell")
+    assert(rows.map(_._1).toSeq == (0L to 10L), "all 11 scaffold buckets present")
+    val (tr, tc) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    rows.foreach { case (b, nr, nc, rppm, cppm, psi) =>
+      assert(rppm == nr * 1000000L / tr && cppm == nc * 1000000L / tc, s"bucket $b ppm")
+      if (nr > 0 && nc > 0) {
+        val lnr = BigDecimal(math.log(nr.toDouble * tc / (nc.toDouble * tr)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val expect = (nr.toDouble * tc - nc.toDouble * tr) / (tr.toDouble * tc) * lnr
+        assert(psi == expect, s"bucket $b psi term")
+        assert(psi >= 0.0 || math.abs(psi) < 1e-3,
+          s"bucket $b: (p-q) and ln(p/q) share a sign, so PSI terms are ~nonnegative")
+      } else assert(psi == 0.0, s"bucket $b empty-side convention")
+    }
   }
 
   test("report_ship_lag_histogram: buckets cover every line item exactly once") {
