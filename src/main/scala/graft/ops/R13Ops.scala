@@ -22,9 +22,12 @@ object R13Ops {
     * in n_child but are not orphans — the SQL NOT EXISTS semantics).
     * The deliberately-included events.user_id→customer row documents
     * the fixture's real cross-domain gap instead of hiding it. Scale:
-    * each check is one fact-side scan joined to its dim — broadcast
-    * while the dim fits, SMJ beyond; the 8 checks are independent
-    * (a driver can run them as separate jobs). */
+    * the three lineitem relationships share ONE scan of the biggest
+    * fact (three broadcast key-set probes in a single pass — at
+    * 100 TB that is a 3× I/O cut over naive per-check scans, and each
+    * probe degrades independently to SMJ if its key set outgrows
+    * broadcast range); the remaining checks are one fact-side scan
+    * each. */
   val dqReferentialOrphans: QDef = q(
     "dq_referential_orphans",
     """WITH rel AS (
@@ -87,17 +90,38 @@ object R13Ops {
         .agg(count(col(ck)).as("n_child"),
           count_if(col(ck).isNotNull && col("__pk").isNull).as("n_orphans"))
         .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+    // The three lineitem FKs probe in ONE scan: each parent key set
+    // joins as an independently-broadcast single-column distinct
+    // (orders keys ≈ 8 bytes × |orders| — MBs at fixture scale), and
+    // the three orphan counts come out of one agg, unpivoted to the
+    // same three rows the per-check spelling would produce.
+    val liProbe = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("__ok")).distinct(),
+        col("l_orderkey") === col("__ok"), "left")
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey").as("__pk")).distinct()),
+        col("l_partkey") === col("__pk"), "left")
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey").as("__sk")).distinct()),
+        col("l_suppkey") === col("__sk"), "left")
+      .agg(
+        count(col("l_orderkey")).as("n_ok"),
+        count_if(col("l_orderkey").isNotNull && col("__ok").isNull).as("o_ok"),
+        count(col("l_partkey")).as("n_pk"),
+        count_if(col("l_partkey").isNotNull && col("__pk").isNull).as("o_pk"),
+        count(col("l_suppkey")).as("n_sk"),
+        count_if(col("l_suppkey").isNotNull && col("__sk").isNull).as("o_sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def liRow(name: String, n: String, o: String): DataFrame =
+      liProbe.select(lit(name).as("relationship"),
+        col(n).as("n_child"), col(o).as("n_orphans"))
     val checks = Seq(
       check("customer.c_nationkey->nation",
         Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"),
       check("events.user_id->customer",
         Tables.events(s, d), "user_id", Tables.customer(s, d), "c_custkey"),
-      check("lineitem.l_orderkey->orders",
-        Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey"),
-      check("lineitem.l_partkey->part",
-        Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey"),
-      check("lineitem.l_suppkey->supplier",
-        Tables.lineitem(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      liRow("lineitem.l_orderkey->orders", "n_ok", "o_ok"),
+      liRow("lineitem.l_partkey->part", "n_pk", "o_pk"),
+      liRow("lineitem.l_suppkey->supplier", "n_sk", "o_sk"),
       check("nation.n_regionkey->region",
         Tables.nation(s, d), "n_regionkey", Tables.region(s, d), "r_regionkey"),
       check("orders.o_custkey->customer",
