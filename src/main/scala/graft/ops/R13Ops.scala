@@ -742,9 +742,100 @@ object R13Ops {
       .orderBy(col("bucket"))
   }
 
+  /** Curation rule-overlap matrix (r13c) — which quality rules
+    * actually fire TOGETHER: for the four standard filters (too-short,
+    * low-diversity, exact-duplicate, oversize), the doc counts failing
+    * every (rule, rule) pair — diagonals are per-rule totals, and a
+    * near-diagonal off-cell means one rule subsumes another (drop it
+    * and save its pass over the corpus). Rules: ntok < 30 (short),
+    * 10·nuniq < 4·ntok (the integer form of diversity < 0.4),
+    * non-min-doc exact-text duplicate (`dedup_exact_docs`
+    * survivorship), n_chars > 450 (oversize) — thresholds sit inside
+    * the fixture's operating range (ntok 10–100, diversity ≥ 0.27,
+    * n_chars 44–577) so the matrix is non-trivial; a production
+    * corpus dials its own. Per-doc flags fold row-locally into a
+    * failed-rules array (conditional array concat — no lambda, so the
+    * explode stays a plain Generate), the pair explode is ≤ 16
+    * rows/doc, and the shuffle carries 16 combined cells. */
+  val curationRuleOverlap: QDef = q(
+    "curation_rule_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, md5(text) AS h, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nuniq
+      |  FROM documents),
+      |m AS (SELECT h AS mh, MIN(doc_id) AS keeper FROM t GROUP BY h),
+      |f AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN ntok < 30 THEN ['short'] ELSE [] END)
+      |      || (CASE WHEN 10 * nuniq < 4 * ntok THEN ['low_diversity'] ELSE [] END)
+      |      || (CASE WHEN doc_id <> keeper THEN ['duplicate'] ELSE [] END)
+      |      || (CASE WHEN n_chars > 450 THEN ['oversize'] ELSE [] END) AS failed
+      |  FROM t JOIN m ON t.h = m.mh)
+      |SELECT u1.ra AS rule_a, u2.rb AS rule_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM f, UNNEST(failed) u1(ra), UNNEST(failed) u2(rb)
+      |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"), col("n_chars"),
+        size(split(col("text"), " ")).cast(LongType).as("ntok"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType).as("nuniq"))
+    val m = t.groupBy(col("h").as("mh")).agg(min(col("doc_id")).as("keeper"))
+    t.join(m, col("h") === col("mh"))
+      .select(col("doc_id"), expr(
+        """concat(
+          |  CASE WHEN ntok < 30 THEN array('short') ELSE CAST(array() AS ARRAY<STRING>) END,
+          |  CASE WHEN 10 * nuniq < 4 * ntok THEN array('low_diversity') ELSE CAST(array() AS ARRAY<STRING>) END,
+          |  CASE WHEN doc_id <> keeper THEN array('duplicate') ELSE CAST(array() AS ARRAY<STRING>) END,
+          |  CASE WHEN n_chars > 450 THEN array('oversize') ELSE CAST(array() AS ARRAY<STRING>) END)"""
+          .stripMargin).as("failed"))
+      .select(col("failed"), explode(col("failed")).as("rule_a"))
+      .select(col("rule_a"), explode(col("failed")).as("rule_b"))
+      .groupBy(col("rule_a"), col("rule_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("rule_a"), col("rule_b"))
+  }
+
+  /** Dedup-adjusted mixture weights (r13c) — the sampling-weight
+    * table a mixer reads AFTER exact dedup instead of before: per
+    * source, raw docs, surviving docs (global min-doc-per-text
+    * survivorship — a cross-source duplicate credits only the
+    * keeper's source, the `dedup_exact_docs` semantics), the
+    * duplication rate, and the re-normalized sampling weight over
+    * surviving docs in floor-ppm. Digest-keyed shuffle (16-byte md5,
+    * never text bodies); source-level algebra after. */
+  val mixDedupAdjusted: QDef = q(
+    "mix_dedup_adjusted",
+    """WITH t AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |m AS (SELECT h AS mh, MIN(doc_id) AS keeper FROM t GROUP BY h),
+      |f AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+      |    CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_kept
+      |  FROM t JOIN m ON t.h = m.mh GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_kept) AS BIGINT) AS total_kept FROM f)
+      |SELECT source, n_raw, n_kept,
+      |  ((n_raw - n_kept) * 1000000) // n_raw AS dup_ppm,
+      |  (n_kept * 1000000) // tot.total_kept AS weight_ppm
+      |FROM f CROSS JOIN tot ORDER BY source""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val m = t.groupBy(col("h").as("mh")).agg(min(col("doc_id")).as("keeper"))
+    val f = t.join(m, col("h") === col("mh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"),
+        count_if(col("doc_id") === col("keeper")).as("n_kept"))
+    val tot = f.agg(sum(col("n_kept")).as("total_kept"))
+    f.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_raw"), col("n_kept"),
+        expr("((n_raw - n_kept) * 1000000) div n_raw").as("dup_ppm"),
+        expr("(n_kept * 1000000) div total_kept").as("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QDef] = Seq(dqReferentialOrphans, textHapaxRatio,
     vocabTokenLenHistogram, multimodalKeyframeBudget, eventsBounceRate,
     cohortRetentionTriangle, reportLorenzDeciles, graphModularityNations,
     simCentroidClassifier, corpusVocabGrowth, reportShipLagHistogram,
-    driftValuePsi)
+    driftValuePsi, curationRuleOverlap, mixDedupAdjusted)
 }

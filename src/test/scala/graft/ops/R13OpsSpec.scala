@@ -18,7 +18,8 @@ class R13OpsSpec extends SparkSpec {
     "events_bounce_rate", "cohort_retention_triangle",
     "report_lorenz_deciles", "graph_modularity_nations",
     "sim_centroid_classifier", "corpus_vocab_growth",
-    "report_ship_lag_histogram", "drift_value_psi")
+    "report_ship_lag_histogram", "drift_value_psi",
+    "curation_rule_overlap", "mix_dedup_adjusted")
 
   test("every r13 key is partition-count invariant (the 100 TB correctness property)") {
     // session-LOCAL width override via newSession (r13): no shared-conf
@@ -273,6 +274,40 @@ class R13OpsSpec extends SparkSpec {
         assert(psi >= 0.0 || math.abs(psi) < 1e-3,
           s"bucket $b: (p-q) and ln(p/q) share a sign, so PSI terms are ~nonnegative")
       } else assert(psi == 0.0, s"bucket $b empty-side convention")
+    }
+  }
+
+  test("curation_rule_overlap: the matrix is symmetric with consistent diagonals") {
+    val rows = R13Ops.curationRuleOverlap.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { case ((a, b), n) =>
+      assert(rows((b, a)) == n, s"($a,$b) symmetric")
+      assert(n <= rows((a, a)) && n <= rows((b, b)),
+        s"($a,$b) overlap bounded by both diagonals")
+    }
+    // recompute the 'short' diagonal from raw token counts
+    val nShort = Tables.documents(spark, sf).select("text").collect()
+      .count(_.getString(0).split(" ").count(_.nonEmpty) < 30).toLong
+    if (nShort > 0) assert(rows(("short", "short")) == nShort)
+    else assert(!rows.contains(("short", "short")))
+  }
+
+  test("mix_dedup_adjusted: weights renormalize over global survivors") {
+    val rows = R13Ops.mixDedupAdjusted.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keeper = docs.groupBy(_._3).map { case (_, ds) => ds.map(_._1).min }.toSet
+    val bySrc = docs.groupBy(_._2)
+    val totalKept = docs.count(d => keeper(d._1)).toLong
+    assert(rows.map(_._3).sum == totalKept, "survivors conserved")
+    rows.foreach { case (src, nRaw, nKept, dupPpm, wPpm) =>
+      val ds = bySrc(src)
+      assert(nRaw == ds.length.toLong, s"$src raw")
+      assert(nKept == ds.count(d => keeper(d._1)).toLong, s"$src kept")
+      assert(dupPpm == (nRaw - nKept) * 1000000L / nRaw, s"$src dup ppm")
+      assert(wPpm == nKept * 1000000L / totalKept, s"$src weight ppm")
     }
   }
 
