@@ -330,7 +330,7 @@ object Bench {
     // a uniform 1.4 says "slower window", and a single outlier query
     // against a ~1 median is a real plan/noise event worth chasing.
     // -1.0 when HEAD has no artifact or no keys are shared.
-    val ratioMedian: Double = try {
+    val committedMap: Map[String, Double] = try {
       val p = new ProcessBuilder("git", "show", "HEAD:BENCH_full.json")
         .redirectErrorStream(false).start()
       val txt = new String(p.getInputStream.readAllBytes, "UTF-8")
@@ -338,9 +338,53 @@ object Bench {
       // not host-shift attribution — it's the data-size ratio wearing
       // the attribution field's name. Guard on the committed line's
       // sf field (absent in very old artifacts → guard fails → -1).
-      if (p.waitFor() != 0 || !txt.contains(s""""sf":"$sfDir"""")) -1.0
-      else HarnessConf.ratioMedian(results, HarnessConf.parseBenchQueries(txt))
-    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+      if (p.waitFor() != 0 || !txt.contains(s""""sf":"$sfDir"""")) Map.empty
+      else HarnessConf.parseBenchQueries(txt)
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val ratioMedian: Double =
+      if (committedMap.isEmpty) -1.0
+      else HarnessConf.ratioMedian(results, committedMap)
+    // Burst-resilience second-chance pass (r14, VERDICT r13 item 1):
+    // a mid-run external contention burst (r13 shipped a 3.24x
+    // minhash_est_audit inside an alphabetically-contiguous l→m
+    // stretch) shows up as a few keys whose ratio vs the committed
+    // same-code artifact vastly exceeds the run's own median. Re-time
+    // those keys once AFTER the loop — if the second timing is back
+    // near the committed value, the artifact itself proves the
+    // outlier was the host, not the plan; if it reproduces, it is a
+    // real regression worth chasing. STRICTLY ADDITIVE: the first
+    // pass's total/n_queries/queries fields are never touched (the
+    // trough discipline stands — a retime can only ANNOTATE, never
+    // improve, the shipped number).
+    val retimed: Seq[(String, Double, Double)] =
+      if (ratioMedian <= 0.0) Seq.empty
+      else {
+        val byKey = selected.toMap
+        val suspects = results.filter { case (k, dt) =>
+          committedMap.get(k).exists(c => c > 0.0 &&
+            dt / c > 2.0 * ratioMedian && dt - c * ratioMedian > 0.2)
+        }.sortBy(-_._2).take(20) // bound the pass on a pathological run
+        suspects.flatMap { case (k, first) =>
+          byKey.get(k).flatMap { fn =>
+            applyPolicy(k)
+            val t0 = System.nanoTime()
+            val ok = try { fn(spark, sfDir).count(); true }
+              catch { case scala.util.control.NonFatal(_) => false }
+            val second = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            System.gc()
+            if (ok) {
+              System.err.println(s"[bench] retimed $k first=${r3(first)}s " +
+                s"second=${r3(second)}s committed=${r3(committedMap(k))}s")
+              Some((k, first, second))
+            } else None
+          }
+        }
+      }
+    val retimedJson = if (retimed.isEmpty) ""
+      else retimed.map { case (k, f, s2) =>
+        "\"" + k + "\":[" + r3(f) + "," + r3(s2) + "]"
+      }.mkString(""","retimed":{""", ",", "}")
     // Second attribution ratio (r13, VERDICT r12 item 4): the same
     // shared-key median against the PREVIOUS ROUND'S DRIVER artifact
     // (newest BENCH_r*.json — the driver's own window, not ours), so
@@ -351,8 +395,14 @@ object Bench {
     // top-of-the-cost-curve statistic by construction. -1.0 when no
     // artifact, different sf, or no shared keys.
     val ratioMedianPrev: Double = try {
+      // numeric round sort, not lexicographic (ADVICE r13): by name,
+      // BENCH_r9.json sorts after BENCH_r13.json and the comparison
+      // silently lands on a stale round at every digit-count seam.
+      val roundNum = "BENCH_r(\\d+)".r
       val arts = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => roundNum.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt).getOrElse(-1))
       arts.lastOption.map { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         if (!txt.contains(sfDir)) -1.0
@@ -371,8 +421,15 @@ object Bench {
       else s""","failed":${crashed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     if (crashed.nonEmpty)
       System.err.println(s"[bench] ${crashed.size} queries FAILED: ${crashed.mkString(", ")}")
+    // The compact line lives inside the driver's ~2000-char stdout
+    // window: ship at most the 6 worst retimes there (plus an honest
+    // retimed_n count); BENCH_full.json carries all of them.
+    val retimedCompact = if (retimed.isEmpty) ""
+      else retimed.sortBy { case (_, f, _) => -f }.take(6).map {
+        case (k, f, s2) => "\"" + k + "\":[" + r3(f) + "," + r3(s2) + "]"
+      }.mkString(""","retimed_n":""" + retimed.size + ""","retimed":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)}$failedJson$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(slowest)}$failedJson$loadJson$retimedCompact,"sf":"$sfDir"}"""
     // Against sbt's [info]/[success] wrapping defeating the driver's
     // stdout parser (parsed=null in rounds 1+2): emit the bare line
     // ONCE on stdout AFTER spark.stop() (so it is the true last
@@ -392,7 +449,7 @@ object Bench {
     if (args.isEmpty) {
       writeFile("BENCH.json", line)
       writeFile("BENCH_full.json",
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.sortBy(_._1))}$failedJson$loadJson,"sf":"$sfDir"}""")
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(results.sortBy(_._1))}$failedJson$loadJson$retimedJson,"sf":"$sfDir"}""")
     }
     System.err.println(line)
     spark.stop()

@@ -610,7 +610,11 @@ object R13Ops {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bounds = tok.agg((max(col("doc_id")) + 1).as("n_docs"))
+    // bounds from the DOCS level, matching the oracle's docs-CTE MAX
+    // (ADVICE r13): the token-filtered exploded set loses a max-doc_id
+    // document whose text is empty/whitespace-only, shifting every
+    // cutoff.
+    val bounds = Tables.documents(s, d).agg((max(col("doc_id")) + 1).as("n_docs"))
     val th = s.range(1, 11).select(col("id").as("k"))
       .crossJoin(broadcast(bounds))
       .select(col("k"), expr("(n_docs * k) div 10").as("cutoff"))

@@ -286,8 +286,12 @@ class R13OpsSpec extends SparkSpec {
         s"($a,$b) overlap bounded by both diagonals")
     }
     // recompute the 'short' diagonal from raw token counts
+    // split with limit -1 to mirror the op's size(split(text,' '))
+    // (ADVICE r13): the op counts empty tokens from consecutive/
+    // leading/trailing spaces; a nonEmpty-filtered recount would
+    // disagree on any such fixture text.
     val nShort = Tables.documents(spark, sf).select("text").collect()
-      .count(_.getString(0).split(" ").count(_.nonEmpty) < 30).toLong
+      .count(_.getString(0).split(" ", -1).length < 30).toLong
     if (nShort > 0) assert(rows(("short", "short")) == nShort)
     else assert(!rows.contains(("short", "short")))
   }

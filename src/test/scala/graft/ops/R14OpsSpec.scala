@@ -1,0 +1,253 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-14 batch, checked by FULL
+  * driver-side recomputation at sf0.001 — independent of the DuckDB
+  * oracle: the incremental-dedup report is rebuilt from raw text via
+  * java MessageDigest md5 (split, digests, keepers, minhash bands,
+  * exact shingle jaccard), and every BPE merge round is re-simulated
+  * with java String.replace (the same non-overlapping left-to-right
+  * scan contract as both engines' replace()). */
+class R14OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("r14 keys are partition-count invariant (the 100 TB correctness property)") {
+    def results(parts: Int): Map[String, Seq[String]] = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      R14Ops.all.map(_.key).map { k =>
+        k -> graft.SparkEntry.queries(k)(s2, sf).collect()
+          .map(_.toString).toSeq.sorted
+      }.toMap
+    }
+    val a = results(3); val b = results(17)
+    a.keys.foreach { k =>
+      assert(a(k) == b(k), s"$k: result depends on the shuffle partition count")
+      assert(a(k).nonEmpty, s"$k: empty result cannot certify anything")
+    }
+  }
+
+  test("dedup_incremental_snapshot matches a full driver-side recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def isPrior(id: Long): Boolean = md5hex(id.toString).head <= '7'
+    val prior = docs.filter(d => isPrior(d._1))
+    val inc = docs.filter(d => !isPrior(d._1))
+    assert(prior.nonEmpty && inc.nonEmpty, "parity split degenerate at sf0.001")
+
+    val priorDigests = prior.map(d => md5hex(d._3)).toSet
+    val incKeeper = inc.groupBy(d => md5hex(d._3))
+      .map { case (h, ds) => h -> ds.map(_._1).min }
+
+    // minhash replica: per doc the distinct 3-gram shingle set (split
+    // limit -1 — empty tokens COUNT, mirroring size(split(text,' ')))
+    // and 8 signature windows substr(md5hex, 3i+1, 8)
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (2 until t.length).map(i => s"${t(i - 2)} ${t(i - 1)} ${t(i)}").toSet
+    }
+    def sig(sh: Set[String]): Seq[String] = {
+      val hs = sh.toSeq.map(md5hex)
+      (0 until 8).map(i => hs.map(_.substring(3 * i, 3 * i + 8)).min)
+    }
+    val withSig = docs.filter(d => shingles(d._3).nonEmpty)
+      .map(d => (d._1, shingles(d._3), sig(shingles(d._3))))
+    def bandsOf(h: Seq[String]): Seq[(Int, String)] =
+      (0 until 4).map(b => b -> s"${h(2 * b)}|${h(2 * b + 1)}")
+    val priorByBand = withSig.filter(d => isPrior(d._1))
+      .flatMap(d => bandsOf(d._3).map(bs => bs -> d._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val shingleOf = withSig.map(d => d._1 -> d._2).toMap
+    def jacc(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size
+    val nearDocs = withSig.filter(d => !isPrior(d._1)).filter { d =>
+      bandsOf(d._3).flatMap(bs => priorByBand.getOrElse(bs, Seq.empty[Long]))
+        .distinct.exists(p => jacc(d._2, shingleOf(p)) >= 0.5)
+    }.map(_._1).toSet
+
+    case class Cls(ep: Boolean, ia: Boolean, nd: Boolean)
+    val expect = inc.groupBy(_._2).map { case (src, ds) =>
+      val cls = ds.map { d =>
+        val h = md5hex(d._3)
+        Cls(priorDigests(h), incKeeper(h) != d._1, nearDocs(d._1))
+      }
+      src -> (ds.length.toLong,
+        cls.count(_.ep).toLong,
+        cls.count(c => !c.ep && c.ia).toLong,
+        cls.count(c => !c.ep && !c.ia && c.nd).toLong,
+        cls.count(c => !c.ep && !c.ia && !c.nd).toLong)
+    }
+    val got = R14Ops.dedupIncrementalSnapshot.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == expect.keySet, "source row sets differ")
+    expect.foreach { case (src, e) =>
+      assert(got(src) == e, s"$src: got ${got(src)}, recomputed $e")
+    }
+    // attrition conservation: the four buckets partition the increment
+    got.values.foreach { case (n, a, b, c, k) => assert(n == a + b + c + k) }
+  }
+
+  test("tokenizer_bpe_merges matches a 3-round driver-side BPE simulation") {
+    val toks = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.length >= 2)
+    var vocab: Map[String, Long] = toks.groupBy(identity)
+      .map { case (t, a) => (" " + t.map(c => s"$c ").mkString) -> a.length.toLong }
+    // NOTE keys are the padded seqs; two toks never collide (spaces
+    // removed reconstruct the tok), so the map stays per-word exact
+    def stats(v: Map[String, Long]): Map[(String, String), (Long, Long)] = {
+      val flat = v.toSeq.flatMap { case (seq, wc) =>
+        val a = seq.trim.split(" ")
+        (1 until a.length).map(i => (seq, (a(i - 1), a(i)), wc))
+      }
+      flat.groupBy(_._2).map { case (p, xs) =>
+        p -> (xs.map(_._3).sum, xs.map(_._1).distinct.length.toLong)
+      }
+    }
+    def top(st: Map[(String, String), (Long, Long)]): ((String, String), (Long, Long)) =
+      st.toSeq.sortBy { case ((l, r), (n, _)) => (-n, l, r) }.head
+    val got = R14Ops.tokenizerBpeMerges.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "one row per round, ordered")
+    for (round <- 1 to 3) {
+      val st = stats(vocab)
+      val ((l, r), (nOcc, nWords)) = top(st)
+      val row = got(round - 1)
+      assert((row._2, row._3, row._4, row._5) == (l, r, nOcc, nWords),
+        s"round $round: got $row, simulated (($l,$r),($nOcc,$nWords))")
+      assert(nOcc >= nWords && nWords >= 1, s"round $round sanity")
+      // apply the merge exactly as the engines do: two sequential
+      // non-overlapping replace passes (java String.replace has the
+      // same original-scan contract)
+      vocab = vocab.toSeq.map { case (seq, wc) =>
+        seq.replace(s" $l $r ", s" $l$r ").replace(s" $l $r ", s" $l$r ") -> wc
+      }.toMap
+    }
+  }
+
+  test("agg_incremental_merge: merged state equals the direct whole-table aggregate") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def isPrior(k: Long): Boolean = md5hex(k.toString).head <= '7'
+    val got = R14Ops.aggIncrementalMerge.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val byGrp = orders.groupBy(_._2)
+    assert(got.keySet == byGrp.keySet)
+    byGrp.foreach { case (grp, os) =>
+      val (np, nd, nm, s, mn, mx, avg) = got(grp)
+      // the POINT of the key: the merged state must equal the direct
+      // aggregate a full rescan would produce
+      assert(nm == os.length.toLong, s"$grp n_merged")
+      assert(np == os.count(o => isPrior(o._1)).toLong, s"$grp n_prior")
+      assert(nd == nm - np, s"$grp n_delta")
+      assert(s == os.map(_._3).sum, s"$grp sum")
+      assert(mn == os.map(_._3).min && mx == os.map(_._3).max, s"$grp min/max")
+      assert(avg == Math.floorDiv(s, nm), s"$grp floor mean")
+    }
+  }
+
+  test("multimodal_av_align matches the exact integer simulation") {
+    val metas = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = metas.flatMap { case (id, nc) =>
+      val dur = nc * 40L; val fps = 24L + (id % 3) * 6
+      val nFrames = dur * fps / 1000
+      if (nFrames <= 0) Seq.empty
+      else {
+        val nSamples = math.min(8L, nFrames)
+        val kfs = (0L until nSamples).map(i =>
+          (if (nSamples > 1) i * (nFrames - 1) / (nSamples - 1) else 0L)
+            * 1000 / fps)
+        val nSegs = (dur + 3999) / 4000
+        (0L until nSegs).map { sn =>
+          val start = sn * 4000
+          val kf = kfs.filter(_ <= start).max
+          (id, sn, start, kf, start - kf)
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = R14Ops.multimodalAvAlign.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect.toSeq, s"first diff: ${
+      got.zip(expect).find { case (a, b) => a != b }}")
+    got.foreach { case (_, _, start, kf, gap) =>
+      assert(kf <= start && gap == start - kf)
+    }
+  }
+
+  test("text_perplexity_heldout matches a driver-side LM recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def isTrain(id: Long): Boolean = md5hex(id.toString).head <= '7'
+    def tfOf(text: String): Map[String, Long] =
+      text.split(" ", -1).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val trf = docs.filter(d => isTrain(d._1)).flatMap(d => tfOf(d._3))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+    val nTrain = trf.values.sum; val v = trf.size.toLong
+    def lp6(c: Long): BigDecimal =
+      BigDecimal(math.log((c + 1).toDouble / (nTrain + v)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = docs.filter(d => !isTrain(d._1) && tfOf(d._3).nonEmpty)
+      .groupBy(_._2).map { case (src, ds) =>
+        val terms = ds.flatMap(d => tfOf(d._3).toSeq.map { case (t, tf) =>
+          (d._1, t, tf) })
+        val nTok = terms.map(_._3).sum
+        val xent = -terms.map { case (_, t, tf) =>
+          lp6(trf.getOrElse(t, 0L)) * BigDecimal(tf) }.sum
+        src -> (ds.length.toLong, nTok,
+          (xent * 1000000).toLongExact,
+          Math.floorDiv((xent * 1000000).toLongExact, nTok))
+      }
+    val got = R14Ops.textPerplexityHeldout.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (src, e) =>
+      assert(got(src) == e, s"$src: got ${got(src)}, recomputed $e")
+    }
+  }
+
+  test("profile_split_drift matches a driver-side profile") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("cents"),
+        datediff(col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast(
+            org.apache.spark.sql.types.LongType).as("eday"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def split(k: Long): String = if (md5hex(k.toString).head <= '7') "prior" else "delta"
+    val cells = orders.flatMap { case (ok, ck, cents, eday) =>
+      Seq(("o_custkey", split(ok), ck), ("order_epoch_day", split(ok), eday),
+        ("price_cents", split(ok), cents))
+    }
+    val expect = cells.groupBy(c => (c._1, c._2)).map { case (k, xs) =>
+      val vs = xs.map(_._3)
+      k -> (vs.length.toLong, 0L, vs.sum, vs.min, vs.max,
+        Math.floorDiv(vs.sum * 1000, vs.length.toLong))
+    }
+    val got = R14Ops.profileSplitDrift.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, e) => assert(got(k) == e, s"$k: ${got(k)} vs $e") }
+  }
+}
