@@ -528,7 +528,120 @@ object R14Ops {
       .orderBy(col("col_name"), col("split"))
   }
 
+  /** Balanced range-shard planning (r14c) — the boundary table a
+    * sorted-layout writer computes BEFORE a `repartitionByRange` /
+    * OPTIMIZE-style rewrite: 16 shards over orders by (cents,
+    * o_orderkey) total order, each shard's row count and key range.
+    * shard = ⌊(rank−1)·16/n⌋ (the `report_lorenz_deciles` integer
+    * apportionment); ranks come from the shared bucketed two-pass
+    * exclusive-prefix primitive — NEVER an unpartitioned window, so
+    * the plan holds at 100 TB where this exact pass replaces the
+    * range partitioner's row-sampling (which is non-deterministic and
+    * approximate) with exact boundaries. max_cents per shard IS the
+    * split key a writer feeds to the next rewrite. */
+  val shardRangeBoundaries: QDef = q(
+    "shard_range_boundaries",
+    """WITH u AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+      |rk AS (
+      |  SELECT cents,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rank
+      |  FROM u),
+      |sh AS (
+      |  SELECT ((rank - 1) * 16) // n AS shard_no, cents
+      |  FROM rk CROSS JOIN n)
+      |SELECT CAST(shard_no AS BIGINT) AS shard_no,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |FROM sh GROUP BY shard_no
+      |ORDER BY shard_no""") { (s, d) =>
+    val u = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = u.agg(count(lit(1)).as("n"))
+    val xc = u.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
+    val pre = DriftOps.exclusivePrefix(xc, expr("v div 10000000"))
+      .select(col("v"), col("pre"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cents")).orderBy(col("o_orderkey"))
+    val rk = u.join(pre, col("v") === col("cents"))
+      .select(col("cents"),
+        (col("pre") + row_number().over(wTie)).as("rank"))
+    rk.crossJoin(broadcast(n))
+      .select(expr("CAST(((rank - 1) * 16) div n AS BIGINT)").as("shard_no"),
+        col("cents"))
+      .groupBy(col("shard_no"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy(col("shard_no"))
+  }
+
+  /** Functional-dependency audit (r14c) — the key-inference /
+    * data-contract check profilers run before trusting a column as a
+    * lookup key: for each declared candidate FD lhs→rhs, how many
+    * distinct lhs values exist, how many carry MORE than one distinct
+    * rhs (violations), and the worst fan-out. Five candidates span
+    * the fixture's true keys (customer/nation PKs) and true
+    * violations (a customer orders at many priorities, an order ships
+    * from many suppliers). Each audit is ONE (lhs → distinct-rhs)
+    * agg over its table — group-sized shuffles; at 100 TB the two
+    * lineitem audits run as separate scans on purpose (their group
+    * keys differ, so a shared scan would double-shuffle the wider
+    * rows for no I/O win under columnar pruning). */
+  val dqFunctionalDependency: QDef = q(
+    "dq_functional_dependency",
+    """WITH a1 AS (
+      |  SELECT c_custkey AS lhs, COUNT(DISTINCT c_nationkey) AS ndv
+      |  FROM customer GROUP BY 1),
+      |a2 AS (
+      |  SELECT n_nationkey AS lhs, COUNT(DISTINCT n_regionkey) AS ndv
+      |  FROM nation GROUP BY 1),
+      |a3 AS (
+      |  SELECT o_custkey AS lhs, COUNT(DISTINCT o_orderpriority) AS ndv
+      |  FROM orders GROUP BY 1),
+      |a4 AS (
+      |  SELECT l_orderkey AS lhs, COUNT(DISTINCT l_suppkey) AS ndv
+      |  FROM lineitem GROUP BY 1),
+      |a5 AS (
+      |  SELECT l_partkey AS lhs, COUNT(DISTINCT l_suppkey) AS ndv
+      |  FROM lineitem GROUP BY 1),
+      |u AS (
+      |  SELECT 'customer.c_custkey->c_nationkey' AS fd, ndv FROM a1
+      |  UNION ALL SELECT 'nation.n_nationkey->n_regionkey', ndv FROM a2
+      |  UNION ALL SELECT 'orders.o_custkey->o_orderpriority', ndv FROM a3
+      |  UNION ALL SELECT 'lineitem.l_orderkey->l_suppkey', ndv FROM a4
+      |  UNION ALL SELECT 'lineitem.l_partkey->l_suppkey', ndv FROM a5)
+      |SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+      |  CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating_lhs,
+      |  CAST(MAX(ndv) AS BIGINT) AS max_rhs_per_lhs
+      |FROM u GROUP BY fd ORDER BY fd""") { (s, d) =>
+    def audit(df: DataFrame, fd: String, lhs: String, rhs: String): DataFrame =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("ndv"))
+        .select(lit(fd).as("fd"), col("ndv"))
+    audit(Tables.customer(s, d), "customer.c_custkey->c_nationkey",
+        "c_custkey", "c_nationkey")
+      .unionAll(audit(Tables.nation(s, d), "nation.n_nationkey->n_regionkey",
+        "n_nationkey", "n_regionkey"))
+      .unionAll(audit(Tables.orders(s, d), "orders.o_custkey->o_orderpriority",
+        "o_custkey", "o_orderpriority"))
+      .unionAll(audit(Tables.lineitem(s, d), "lineitem.l_orderkey->l_suppkey",
+        "l_orderkey", "l_suppkey"))
+      .unionAll(audit(Tables.lineitem(s, d), "lineitem.l_partkey->l_suppkey",
+        "l_partkey", "l_suppkey"))
+      .groupBy(col("fd"))
+      .agg(count(lit(1)).as("n_lhs"),
+        count_if(col("ndv") > 1).as("n_violating_lhs"),
+        max(col("ndv")).as("max_rhs_per_lhs"))
+      .orderBy(col("fd"))
+  }
+
   val all: Seq[QDef] = Seq(dedupIncrementalSnapshot, tokenizerBpeMerges,
     aggIncrementalMerge, multimodalAvAlign, textPerplexityHeldout,
-    profileSplitDrift)
+    profileSplitDrift, shardRangeBoundaries, dqFunctionalDependency)
 }

@@ -225,6 +225,48 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  test("shard_range_boundaries: exact balanced shards with contiguous key ranges") {
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sorted // (cents, orderkey) total order — the op's rank order
+    val n = cents.length.toLong
+    val expect = cents.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 16 / n }
+      .map { case (sh, xs) =>
+        sh -> (xs.length.toLong, xs.map(_._1._1).min, xs.map(_._1._1).max) }
+    val got = R14Ops.shardRangeBoundaries.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, e) => assert(got(k) == e, s"shard $k: ${got(k)} vs $e") }
+    // exact balance: shard sizes differ by at most 1 row
+    val sizes = got.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1, s"imbalanced: $sizes")
+    // contiguous, non-overlapping key ranges in shard order
+    got.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, (_, _, aMax)), (_, (_, bMin, _))) => assert(aMax <= bMin)
+      case _ => ()
+    }
+  }
+
+  test("dq_functional_dependency: PKs hold, known violations are counted exactly") {
+    val got = R14Ops.dqFunctionalDependency.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 5)
+    // the two true keys must audit clean
+    assert(got("customer.c_custkey->c_nationkey")._2 == 0L)
+    assert(got("nation.n_nationkey->n_regionkey")._2 == 0L)
+    // exact recompute of one violated FD
+    val perCust = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).distinct.length.toLong }
+    val e = (perCust.size.toLong, perCust.count(_ > 1).toLong, perCust.max)
+    assert(got("orders.o_custkey->o_orderpriority") == e)
+  }
+
   test("profile_split_drift matches a driver-side profile") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"),
