@@ -360,10 +360,10 @@ object Bench {
       if (ratioMedian <= 0.0) Seq.empty
       else {
         val byKey = selected.toMap
-        val suspects = results.filter { case (k, dt) =>
-          committedMap.get(k).exists(c => c > 0.0 &&
-            dt / c > 2.0 * ratioMedian && dt - c * ratioMedian > 0.2)
-        }.sortBy(-_._2).take(20) // bound the pass on a pathological run
+        val firstPass = results.toMap
+        val suspects = HarnessConf
+          .retimeSuspects(results, committedMap, ratioMedian)
+          .map(k => (k, firstPass(k)))
         suspects.flatMap { case (k, first) =>
           byKey.get(k).flatMap { fn =>
             applyPolicy(k)

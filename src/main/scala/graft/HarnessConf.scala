@@ -173,4 +173,22 @@ object HarnessConf {
     else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
     else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
   }
+
+  /** Burst-outlier selection for Bench's second-chance pass (r14,
+    * VERDICT r13 item 1) — pure so the policy is unit-testable: a key
+    * is a retime suspect when its ratio vs the committed same-code
+    * artifact exceeds 2× the run's own shared-key median AND the
+    * absolute excess over the window-adjusted expectation tops 0.2 s
+    * (sub-0.2 s wobbles on fast keys are noise, not bursts). Worst
+    * first, capped so a pathological run can't double its own wall
+    * time re-timing itself. Empty when there is no committed artifact
+    * to compare against (ratioMedian ≤ 0). */
+  private[graft] def retimeSuspects(current: Seq[(String, Double)],
+      committed: Map[String, Double], ratioMedian: Double,
+      cap: Int = 20): Seq[String] =
+    if (ratioMedian <= 0.0) Seq.empty
+    else current.filter { case (k, dt) =>
+      committed.get(k).exists(c => c > 0.0 &&
+        dt / c > 2.0 * ratioMedian && dt - c * ratioMedian > 0.2)
+    }.sortBy(-_._2).take(cap).map(_._1)
 }

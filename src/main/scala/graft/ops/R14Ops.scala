@@ -641,7 +641,76 @@ object R14Ops {
       .orderBy(col("fd"))
   }
 
+  /** Retrieval MRR eval (r14d) — Mean Reciprocal Rank of brute-force
+    * cosine retrieval against label ground truth, per label: for each
+    * md5-sampled query vector (first hex digit '0' ≈ 1/16 of the
+    * corpus — hash-deterministic, no RNG), the rank of the FIRST
+    * same-label neighbor under (sim DESC, vec_id) ordering;
+    * reciprocal ranks in floor-micro units, label-level mean by floor
+    * division. Queries with no same-label candidate contribute 0 (the
+    * standard MRR convention). Completes the retrieval-eval leg next
+    * to `eval_ann_recall` (recall@k) and `knn_holdout_eval`
+    * (classification). Scale: this is the EVAL-tier brute force — the
+    * ground-truth pass a pipeline runs on a sampled query set before
+    * trusting ANN routing; the query side stays a broadcast (sampled,
+    * 1/16), the per-query window is partitioned by q_id, and the
+    * production-scale retrieval itself routes through `ann_ivf_label`
+    * / `sim_lsh_bucketed`. Cosine is the shared quantized float tree
+    * (`fcosine` ≡ `sqlCosine`, spec-pinned bit-identical), so ranks
+    * agree across engines. */
+  val evalRetrievalMrr: QDef = q(
+    "eval_retrieval_mrr",
+    s"""WITH q AS (
+      |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+      |  FROM embeddings
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+      |cand AS (
+      |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+      |    ${VecMath.sqlCosine("e.embedding", "q.q_emb")} AS sim
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+      |r AS (
+      |  SELECT q_id, q_label, label,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cand),
+      |hits AS (
+      |  SELECT q_id, q_label,
+      |    MIN(CASE WHEN label = q_label THEN rnk END) AS first_rank
+      |  FROM r GROUP BY q_id, q_label)
+      |SELECT q_label AS label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(SUM(CASE WHEN first_rank IS NULL THEN 0
+      |    ELSE 1000000 // first_rank END) AS BIGINT) AS sum_rr_micro,
+      |  CAST(SUM(CASE WHEN first_rank IS NULL THEN 0
+      |    ELSE 1000000 // first_rank END) AS BIGINT) // COUNT(*) AS mrr_micro
+      |FROM hits GROUP BY q_label ORDER BY q_label""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter(
+        substring(md5(col("vec_id").cast(StringType)), 1, 1) === "0")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val cand = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        VecMath.fcosine(col("embedding"), col("q_emb")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val hits = cand
+      .select(col("q_id"), col("q_label"), col("label"),
+        row_number().over(w).cast(LongType).as("rnk"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(min(when(col("label") === col("q_label"), col("rnk"))).as("first_rank"))
+    hits.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("first_rank").isNull, 0L)
+          .otherwise(expr("1000000 div first_rank"))).as("sum_rr_micro"))
+      .select(col("label"), col("n_queries"), col("sum_rr_micro"),
+        expr("sum_rr_micro div n_queries").as("mrr_micro"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QDef] = Seq(dedupIncrementalSnapshot, tokenizerBpeMerges,
     aggIncrementalMerge, multimodalAvAlign, textPerplexityHeldout,
-    profileSplitDrift, shardRangeBoundaries, dqFunctionalDependency)
+    profileSplitDrift, shardRangeBoundaries, dqFunctionalDependency,
+    evalRetrievalMrr)
 }

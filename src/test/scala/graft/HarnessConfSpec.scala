@@ -107,6 +107,26 @@ class HarnessConfSpec extends AnyFunSuite {
     intercept[RuntimeException] { HarnessConf.parseWarmSchedule("/a:9999") }
   }
 
+  test("retimeSuspects: ratio + absolute-excess gates, worst-first cap, no-artifact empty") {
+    val committed = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.05, "d" -> 2.0)
+    // median 1.0: 'a' at 3.2x with 2.2s excess is the r13 burst shape
+    assert(HarnessConf.retimeSuspects(
+      Seq("a" -> 3.2, "b" -> 1.1, "d" -> 2.1), committed, 1.0) == Seq("a"))
+    // a 4x ratio on a 50ms key is noise, not a burst (absolute gate)
+    assert(HarnessConf.retimeSuspects(
+      Seq("c" -> 0.2), committed, 1.0).isEmpty)
+    // a slower WINDOW is not a burst: ratios near the median pass
+    assert(HarnessConf.retimeSuspects(
+      Seq("a" -> 1.5, "b" -> 1.4, "d" -> 2.9), committed, 1.45).isEmpty)
+    // worst first, capped
+    assert(HarnessConf.retimeSuspects(
+      Seq("a" -> 3.0, "b" -> 4.0), committed, 1.0, cap = 1) == Seq("b"))
+    // no committed artifact (sentinel median) -> never retime
+    assert(HarnessConf.retimeSuspects(Seq("a" -> 9.0), committed, -1.0).isEmpty)
+    // keys without a committed twin never select
+    assert(HarnessConf.retimeSuspects(Seq("new" -> 9.0), committed, 1.0).isEmpty)
+  }
+
   test("stealFrac attributes a window and guards degenerate brackets") {
     assert(HarnessConf.stealFrac((100L, 1000L), (520L, 2000L)) == 0.42)
     assert(HarnessConf.stealFrac((-1L, -1L), (520L, 2000L)) == -1.0)

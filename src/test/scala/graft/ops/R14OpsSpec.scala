@@ -267,6 +267,43 @@ class R14OpsSpec extends SparkSpec {
     assert(got("orders.o_custkey->o_orderpriority") == e)
   }
 
+  test("eval_retrieval_mrr matches a driver-side brute-force recomputation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      // replicate graft_cosine's exact tree: per-element float→double
+      // widening, DOUBLE accumulation in index order, one division,
+      // then fcosine's round-6 (Spark Round = HALF_UP)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val queries = vecs.filter(v => md5hex(v._1.toString).head == '0')
+    assert(queries.nonEmpty)
+    val expect = queries.map { case (qid, qlab, qemb) =>
+      val ranked = vecs.filter(_._1 != qid)
+        .map(v => (v._1, v._2, cos(v._3, qemb)))
+        .sortBy { case (id, _, s) => (-s, id) }
+      val first = ranked.indexWhere(_._2 == qlab)
+      (qlab, if (first < 0) 0L else 1000000L / (first + 1))
+    }.groupBy(_._1).map { case (lab, xs) =>
+      lab.toLong -> (xs.length.toLong, xs.map(_._2).sum,
+        Math.floorDiv(xs.map(_._2).sum, xs.length.toLong))
+    }
+    val got = R14Ops.evalRetrievalMrr.run(spark, sf).collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (lab, e) =>
+      assert(got(lab) == e, s"label $lab: got ${got(lab)}, recomputed $e")
+    }
+  }
+
   test("profile_split_drift matches a driver-side profile") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"),
