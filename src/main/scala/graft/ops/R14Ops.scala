@@ -709,8 +709,144 @@ object R14Ops {
       .orderBy(col("label"))
   }
 
+  /** Stream-static enrichment, graded batch twin (r14e) — the
+    * codebook-lookup join of streaming pipelines: the events fact
+    * LEFT-broadcast-joins the customer→nation dimension (orphan
+    * user_ids — the fixture's real cross-domain gap — map to
+    * 'unknown' instead of dropping), then hourly tumbling windows per
+    * nation. The streaming execution is
+    * `graft.streaming.StreamOps.enrichWithDim` (dim re-read and
+    * re-broadcast per micro-batch — Spark's stream-static join
+    * contract), MemoryStream-covered in StreamOpsSpec; this batch
+    * twin is what the oracle grades, per the §2.9 convention. Scale:
+    * dim is nation-wide-per-customer (broadcast at graded scale, SMJ
+    * beyond); the window agg carries (hour × nation) combined
+    * partials. */
+  val streamStaticEnrich: QDef = q(
+    "stream_static_enrich",
+    """WITH dim AS (
+      |  SELECT c_custkey AS user_id, n_name
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+      |e AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+      |    COALESCE(d.n_name, 'unknown') AS nation, value
+      |  FROM events ev LEFT JOIN dim d ON ev.user_id = d.user_id)
+      |SELECT w_start, nation, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM e GROUP BY 1, 2
+      |ORDER BY w_start, nation""") { (s, d) =>
+    val dim = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("dim_user"), col("n_name"))
+    graft.streaming.StreamOps
+      .enrichWithDim(Tables.events(s, d)
+          .withColumnRenamed("user_id", "dim_user"), dim, "dim_user")
+      .groupBy(window(col("ts"), "1 hour"),
+        coalesce(col("n_name"), lit("unknown")).as("nation"))
+      .agg(count(lit(1)).as("n"), graft.Protocol.sumMoney(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("nation"), col("n"),
+        col("sum_value"))
+      .orderBy(col("w_start"), col("nation"))
+  }
+
+  /** Dedup threshold impact curve (r14e) — the pre-commit sweep an
+    * operator reads before picking the near-dup VERIFY threshold
+    * (the verify-side companion to `dedup_band_tuning`'s banding
+    * sweep): ONE signature build + ONE candidate join + ONE exact
+    * Jaccard pass, then pair counts and affected-doc counts at
+    * thresholds 0.50/0.70/0.90 from a broadcast 3-row threshold
+    * table. Cost is the candidate set ONCE regardless of how many
+    * thresholds are swept — at 100 TB re-running the pipeline per
+    * candidate threshold is the naive alternative this key deletes. */
+  val corpusDedupImpactCurve: QDef = q(
+    "corpus_dedup_impact_curve",
+    s"""WITH ${LlmExtras.lshCtes},
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |      / len(list_distinct(x.s || y.s)) AS jacc
+      |  FROM cand JOIN sets x ON x.doc_id = doc_a
+      |    JOIN sets y ON y.doc_id = doc_b),
+      |th AS (SELECT unnest([50, 70, 90]) AS t),
+      |sel AS (
+      |  SELECT t, doc_a, doc_b FROM pairs JOIN th ON jacc >= t / 100.0),
+      |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sel GROUP BY t),
+      |docs AS (
+      |  SELECT t, doc_a AS d FROM sel UNION ALL SELECT t, doc_b FROM sel),
+      |nd AS (SELECT t, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_affected
+      |  FROM docs GROUP BY t)
+      |SELECT CAST(np.t AS BIGINT) AS threshold_pct, np.n_pairs,
+      |  nd.n_docs_affected
+      |FROM np JOIN nd ON np.t = nd.t
+      |ORDER BY threshold_pct""") { (s, d) =>
+    val base = LlmExtras.shingleBase(s, d)
+    val pairs = LlmExtras.exactJaccard(LlmExtras.bandCandidates(base), base)
+    val th = Seq(50, 70, 90).foldLeft(Option.empty[DataFrame]) { (acc, t) =>
+      val one = s.range(1).select(lit(t).as("t"))
+      Some(acc.fold(one)(_.unionAll(one)))
+    }.get
+    val sel = pairs.crossJoin(broadcast(th))
+      .filter(col("jacc") >= col("t") / 100.0)
+      .select(col("t"), col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val np = sel.groupBy(col("t")).agg(count(lit(1)).as("n_pairs"))
+    val nd = sel.select(col("t"), col("doc_a").as("d"))
+      .unionAll(sel.select(col("t"), col("doc_b").as("d")))
+      .groupBy(col("t").as("t2"))
+      .agg(countDistinct(col("d")).as("n_docs_affected"))
+    np.join(nd, col("t") === col("t2"))
+      .select(col("t").cast(LongType).as("threshold_pct"), col("n_pairs"),
+        col("n_docs_affected"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  /** Time-weighted average value per user (r14e) — the TWAP/
+    * time-weighted-gauge statistic monitoring and finance both read
+    * (a value that held for 50 minutes must outweigh one that held
+    * for 2 seconds — the plain AVG the events family already grades
+    * cannot say that): each event's cents weighted by the EXACT µs
+    * until the user's next event (lead over the user-partitioned
+    * (ts, event_id) order), TWAP = Σ cents·dt ÷ Σ dt by floor
+    * division. Pure BIGINT: Σ cents·dt ≤ max_cents × observed span
+    * regardless of row count, so int64 holds at any corpus scale.
+    * Last event per user carries no interval (standard convention).
+    * One user-partitioned window + one user agg. */
+  val winTimeWeightedAvg: QDef = q(
+    "win_time_weighted_avg",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, cents,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dt
+      |  FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(dt) AS BIGINT) AS span_us,
+      |  CAST(SUM(cents * dt) AS BIGINT) // CAST(SUM(dt) AS BIGINT)
+      |    AS twap_cents
+      |FROM g WHERE dt IS NOT NULL AND dt > 0
+      |GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"),
+        (graft.Protocol.money(col("value")) * 100).cast(LongType).as("cents"))
+      .select(col("user_id"), col("cents"),
+        (lead(col("t"), 1).over(w) - col("t")).as("dt"))
+      .filter(col("dt").isNotNull && col("dt") > 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt")).as("span_us"),
+        expr("CAST(sum(cents * dt) div sum(dt) AS BIGINT)").as("twap_cents"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QDef] = Seq(dedupIncrementalSnapshot, tokenizerBpeMerges,
     aggIncrementalMerge, multimodalAvAlign, textPerplexityHeldout,
     profileSplitDrift, shardRangeBoundaries, dqFunctionalDependency,
-    evalRetrievalMrr)
+    evalRetrievalMrr, streamStaticEnrich, corpusDedupImpactCurve,
+    winTimeWeightedAvg)
 }

@@ -304,6 +304,56 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  test("stream_static_enrich: totals conserve events, orphans land in 'unknown'") {
+    val rows = R14Ops.streamStaticEnrich.run(spark, sf).collect()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents, "every event lands in one cell")
+    val known = Tables.customer(spark, sf).select(col("c_custkey")).collect()
+      .map(_.getLong(0)).toSet
+    val nOrphans = Tables.events(spark, sf).select(col("user_id")).collect()
+      .map(_.getLong(0)).count(u => !known(u)).toLong
+    assert(rows.filter(_.getString(1) == "unknown").map(_.getLong(2)).sum == nOrphans,
+      "orphan user_ids map to the 'unknown' nation")
+  }
+
+  test("corpus_dedup_impact_curve: monotone in the threshold, consistent with the graded LSH pairs") {
+    val rows = R14Ops.corpusDedupImpactCurve.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(50L, 70L, 90L))
+    assert(rows(50L)._1 >= rows(70L)._1 && rows(70L)._1 >= rows(90L)._1)
+    assert(rows(50L)._2 >= rows(70L)._2 && rows(70L)._2 >= rows(90L)._2)
+    // the 0.50 cell must agree with the graded dedup_minhash_lsh pairs
+    val lshPairs = LlmExtras.dedupMinhashLsh.run(spark, sf).count()
+    assert(rows(50L)._1 == lshPairs, "threshold-0.50 pair count == dedup_minhash_lsh")
+    rows.values.foreach { case (np, ndocs) =>
+      assert(ndocs <= 2 * np, "a pair affects at most 2 docs")
+      assert(np == 0 || ndocs >= 2, "any pair affects at least 2 distinct docs")
+    }
+  }
+
+  test("win_time_weighted_avg matches a driver-side recomputation") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        (graft.Protocol.money(col("value")) * 100)
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = events.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val ivs = sorted.zip(sorted.drop(1))
+        .map { case (a, b) => (a._4, b._3 - a._3) }.filter(_._2 > 0)
+      if (ivs.isEmpty) None
+      else {
+        val span = ivs.map(_._2).sum
+        val wsum = ivs.map { case (c, dt) => c * dt }.sum
+        Some(u -> (ivs.length.toLong, span, Math.floorDiv(wsum, span)))
+      }
+    }
+    val got = R14Ops.winTimeWeightedAvg.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (u, e) => assert(got(u) == e, s"user $u: ${got(u)} vs $e") }
+  }
+
   test("profile_split_drift matches a driver-side profile") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"),
