@@ -31,7 +31,6 @@ import org.apache.spark.sql.types._
   */
 class DecimalCastBoundsSpec extends SparkSpec {
 
-  private val sfStatic = "/root/testdata/sf0.001"
   private val sfRun = "/root/testdata/sf0.1"
   private val two53 = BigDecimal(2).pow(53)
 
@@ -65,8 +64,8 @@ class DecimalCastBoundsSpec extends SparkSpec {
   }
 
   private def flaggedQueries: Seq[(String, Int)] =
-    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val (_, n) = guarded(fn(spark, sfStatic).queryExecution.analyzed)
+    SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val (_, n) = guarded(StaticPlans.analyzed(spark, name))
       if (n > 0) Some(name -> n) else None
     }
 

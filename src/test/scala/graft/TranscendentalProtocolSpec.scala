@@ -32,8 +32,6 @@ import org.apache.spark.sql.types._
   * unprotected probes pin that both scanners actually trip. */
 class TranscendentalProtocolSpec extends SparkSpec {
 
-  private val sfStatic = "/root/testdata/sf0.001"
-
   // ---- oracle-SQL scanner -------------------------------------------------
 
   private val transcendentals =
@@ -131,9 +129,8 @@ class TranscendentalProtocolSpec extends SparkSpec {
   }
 
   test("every Spark plan's transcendentals are quantize-protected") {
-    val viol = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (key, fn) =>
-      planViolations(fn(spark, sfStatic).queryExecution.analyzed)
-        .map(v => s"$key: $v")
+    val viol = SparkEntry.queries.keys.toSeq.sorted.flatMap { key =>
+      planViolations(StaticPlans.analyzed(spark, key)).map(v => s"$key: $v")
     }
     assert(viol.isEmpty,
       s"unprotected transcendental expressions in Spark plans:\n${viol.mkString("\n")}")
