@@ -844,9 +844,74 @@ object R14Ops {
       .orderBy(col("user_id"))
   }
 
+  /** Chunk→document embedding pooling audit (r14f) — the RAG-index
+    * build step that mean-pools chunk embeddings into a document
+    * vector, graded as the audit a pipeline reads after pooling:
+    * chunks group 4-per-doc (vec_id div 4), the pooled vector is the
+    * per-dimension FLOOR-MEAN of milli-quantized components (the
+    * `drift_embedding_centroid` range-safe spelling — |component| ≤
+    * 1000 regardless of chunk count, exact at any scale), and per doc
+    * the report carries the pooled norm² (exact BIGINT) and the
+    * cosine between the pooled vector and chunk 0 — the "how
+    * representative is the first chunk" signal that decides whether
+    * cheap first-chunk indexing suffices. One positional explode +
+    * one (doc, pos) agg + one broadcast-scale join; sqrt/division is
+    * the single shared float finish. */
+  val embedChunkMeanPool: QDef = q(
+    "embed_chunk_mean_pool",
+    """WITH m AS (
+      |  SELECT vec_id, vec_id // 4 AS doc, t.pos AS pos,
+      |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |      AS milli
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)),
+      |p AS (
+      |  SELECT doc, pos, CAST(SUM(milli) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM m GROUP BY doc, pos),
+      |cm AS (
+      |  SELECT doc, pos, n, (s - ((s % n) + n) % n) // n AS c
+      |  FROM p),
+      |f AS (SELECT vec_id // 4 AS fdoc, pos, milli FROM m WHERE vec_id % 4 = 0),
+      |dots AS (
+      |  SELECT cm.doc, CAST(MIN(cm.n) AS BIGINT) AS n_chunks,
+      |    CAST(SUM(cm.c * cm.c) AS BIGINT) AS norm2,
+      |    CAST(SUM(cm.c * f.milli) AS DOUBLE) AS dot,
+      |    CAST(SUM(cm.c * cm.c) AS DOUBLE) AS cc,
+      |    CAST(SUM(f.milli * f.milli) AS DOUBLE) AS ff
+      |  FROM cm JOIN f ON f.fdoc = cm.doc AND f.pos = cm.pos
+      |  GROUP BY cm.doc)
+      |SELECT doc, n_chunks, norm2,
+      |  dot / (sqrt(cc) * sqrt(ff)) AS cos_first_chunk
+      |FROM dots ORDER BY doc""") { (s, d) =>
+    val m = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), expr("vec_id div 4").as("doc"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), col("doc"), (col("pos0") + 1).as("pos"),
+        floor(col("x").cast(DoubleType) * 1000 + 0.5).cast(LongType).as("milli"))
+    val p = m.groupBy(col("doc"), col("pos"))
+      .agg(sum(col("milli")).as("s"), count(lit(1)).as("n"))
+    val cm = p.select(col("doc"), col("pos"), col("n"),
+      expr("(s - pmod(s, n)) div n").as("c"))
+    val f = m.filter(col("vec_id") % 4 === 0)
+      .select(expr("vec_id div 4").as("fdoc"), col("pos").as("fpos"),
+        col("milli").as("fm"))
+    cm.join(f, col("fdoc") === col("doc") && col("fpos") === col("pos"))
+      .groupBy(col("doc"))
+      .agg(min(col("n")).as("n_chunks"),
+        sum(col("c") * col("c")).as("norm2"),
+        sum(col("c") * col("fm")).cast(DoubleType).as("dot"),
+        sum(col("c") * col("c")).cast(DoubleType).as("cc"),
+        sum(col("fm") * col("fm")).cast(DoubleType).as("ff"))
+      .select(col("doc"), col("n_chunks"), col("norm2"),
+        (col("dot") / (sqrt(col("cc")) * sqrt(col("ff"))))
+          .as("cos_first_chunk"))
+      .orderBy(col("doc"))
+  }
+
   val all: Seq[QDef] = Seq(dedupIncrementalSnapshot, tokenizerBpeMerges,
     aggIncrementalMerge, multimodalAvAlign, textPerplexityHeldout,
     profileSplitDrift, shardRangeBoundaries, dqFunctionalDependency,
     evalRetrievalMrr, streamStaticEnrich, corpusDedupImpactCurve,
-    winTimeWeightedAvg)
+    winTimeWeightedAvg, embedChunkMeanPool)
 }

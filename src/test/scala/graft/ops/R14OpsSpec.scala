@@ -354,6 +354,31 @@ class R14OpsSpec extends SparkSpec {
     expect.foreach { case (u, e) => assert(got(u) == e, s"user $u: ${got(u)} vs $e") }
   }
 
+  test("embed_chunk_mean_pool matches a driver-side pooling recomputation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def milli(x: Float): Long = math.floor(x.toDouble * 1000 + 0.5).toLong
+    val expect = vecs.groupBy(_._1 / 4).map { case (doc, ch) =>
+      val dims = ch.head._2.indices
+      val n = ch.length.toLong
+      val pooled = dims.map(i =>
+        Math.floorDiv(ch.map(c => milli(c._2(i))).sum, n))
+      val first = ch.minBy(_._1)._2.map(milli)
+      val norm2 = pooled.map(c => c * c).sum
+      val dot = dims.map(i => pooled(i) * first(i)).sum
+      val ff = first.map(m => m * m).sum
+      val cos = dot.toDouble / (math.sqrt(norm2.toDouble) * math.sqrt(ff.toDouble))
+      doc -> (n, norm2, cos)
+    }
+    val got = R14Ops.embedChunkMeanPool.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (doc, e) =>
+      assert(got(doc) == e, s"doc $doc: ${got(doc)} vs $e")
+    }
+  }
+
   test("profile_split_drift matches a driver-side profile") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"),
