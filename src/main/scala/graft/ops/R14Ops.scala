@@ -909,9 +909,187 @@ object R14Ops {
       .orderBy(col("doc"))
   }
 
+  /** Two-phase anneal mixture (r14g) — the midtraining curriculum
+    * every modern LLM run schedules: phase 1 trains on the whole
+    * corpus, phase 2 (the anneal) restricts to documents passing the
+    * quality bar and re-normalizes source weights over the surviving
+    * token mass. The bar reuses the EXACT `curation_rule_overlap`
+    * rule spellings (NOT short: ntok ≥ 30; NOT low-diversity:
+    * 10·nuniq ≥ 4·ntok) so the anneal's admission set is consistent
+    * with the graded curation funnel. Pure integers, floor-ppm
+    * weights, one row-local flag pass + two group-sized folds. */
+  val mixAnnealTwoPhase: QDef = q(
+    "mix_anneal_two_phase",
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nuniq
+      |  FROM documents),
+      |u AS (
+      |  SELECT CAST(1 AS BIGINT) AS phase, source, ntok FROM t
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), source, ntok FROM t
+      |  WHERE ntok >= 30 AND 10 * nuniq >= 4 * ntok),
+      |f AS (
+      |  SELECT phase, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      |  FROM u GROUP BY phase, source),
+      |tot AS (SELECT phase, CAST(SUM(n_tokens) AS BIGINT) AS t
+      |  FROM f GROUP BY phase)
+      |SELECT f.phase, f.source, f.n_docs, f.n_tokens,
+      |  (f.n_tokens * 1000000) // tot.t AS weight_ppm
+      |FROM f JOIN tot ON f.phase = tot.phase
+      |ORDER BY f.phase, f.source""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("ntok"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType).as("nuniq"))
+    val u = t.select(lit(1L).as("phase"), col("source"), col("ntok"))
+      .unionAll(t.filter(col("ntok") >= 30 && col("nuniq") * 10 >= col("ntok") * 4)
+        .select(lit(2L).as("phase"), col("source"), col("ntok")))
+    val f = u.groupBy(col("phase"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val tot = f.groupBy(col("phase").as("t_phase"))
+      .agg(sum(col("n_tokens")).as("t"))
+    f.join(broadcast(tot), col("phase") === col("t_phase"))
+      .select(col("phase"), col("source"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div t").as("weight_ppm"))
+      .orderBy(col("phase"), col("source"))
+  }
+
+  /** Alert-storm suppression report (r14g) — the monitoring dedup
+    * every pager pipeline runs: high-value events (value > 150 ≈ the
+    * fixture's top ~5%) collapse per event type into STORMS via
+    * 10-minute gap islands in exact µs (the `sessionize_events`
+    * gaps-and-islands shape on the alert sub-stream), and the report
+    * says how many pages suppression saves: alerts, storms, worst
+    * storm length, suppression rate in floor-ppm. Type-partitioned
+    * windows only (5 types — at higher alert cardinality the
+    * partition key stays the type+day composite, the standard
+    * storm-window shard). */
+  val eventsAlertStormSuppression: QDef = q(
+    "events_alert_storm_suppression",
+    """WITH a AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE value > 150),
+      |g AS (
+      |  SELECT event_type, t, event_id,
+      |    CASE WHEN t - lag(t) OVER (PARTITION BY event_type
+      |      ORDER BY t, event_id) > 600000000 OR
+      |      lag(t) OVER (PARTITION BY event_type
+      |      ORDER BY t, event_id) IS NULL THEN 1 ELSE 0 END AS new_storm
+      |  FROM a),
+      |st AS (
+      |  SELECT event_type,
+      |    SUM(new_storm) OVER (PARTITION BY event_type ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS storm_id
+      |  FROM g),
+      |sz AS (
+      |  SELECT event_type, storm_id, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM st GROUP BY event_type, storm_id)
+      |SELECT event_type, CAST(SUM(len) AS BIGINT) AS n_alerts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_storms,
+      |  CAST(MAX(len) AS BIGINT) AS max_storm_len,
+      |  CAST(((SUM(len) - COUNT(*)) * 1000000) // SUM(len) AS BIGINT)
+      |    AS suppression_ppm
+      |FROM sz GROUP BY event_type
+      |ORDER BY event_type""") { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("t"), col("event_id"))
+    // tie-deterministic running sum: ORDER BY (t, event_id) in BOTH
+    // engines — with t-only ordering, same-µs alerts could land in
+    // different storms per physical row order
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val a = Tables.events(s, d)
+      .filter(col("value") > 150)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val g = a.select(col("event_type"), col("t"), col("event_id"),
+      when(lag(col("t"), 1).over(w).isNull ||
+        col("t") - lag(col("t"), 1).over(w) > 600000000L, 1L)
+        .otherwise(0L).as("new_storm"))
+    val sz = g.select(col("event_type"),
+        sum(col("new_storm")).over(wRun).as("storm_id"))
+      .groupBy(col("event_type"), col("storm_id"))
+      .agg(count(lit(1)).as("len"))
+    sz.groupBy(col("event_type"))
+      .agg(sum(col("len")).as("n_alerts"), count(lit(1)).as("n_storms"),
+        max(col("len")).as("max_storm_len"))
+      .select(col("event_type"), col("n_alerts"), col("n_storms"),
+        col("max_storm_len"),
+        expr("((n_alerts - n_storms) * 1000000) div n_alerts")
+          .as("suppression_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Enum-domain conformance audit (r14g) — the remaining data-
+    * contract leg next to `dq_functional_dependency` (keys) and
+    * `profile_split_drift` (ranges): per declared categorical column,
+    * rows, observed distinct values, and rows OUTSIDE the declared
+    * domain. The documents.lang contract is deliberately declared
+    * WITHOUT 'zh' — documenting the fixture's real domain drift the
+    * way `dq_referential_orphans` documents its FK gap — so the audit
+    * provably counts nonconformance instead of rubber-stamping. One
+    * conditional agg per column, group-sized everything. */
+  val dqValueSetConformance: QDef = q(
+    "dq_value_set_conformance",
+    """WITH a1 AS (
+      |  SELECT 'orders.o_orderpriority' AS column_name,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+      |      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS n_nonconforming
+      |  FROM orders),
+      |a2 AS (
+      |  SELECT 'lineitem.l_returnflag',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+      |    CAST(SUM(CASE WHEN l_returnflag IN ('R', 'A', 'N')
+      |      THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM lineitem),
+      |a3 AS (
+      |  SELECT 'documents.lang',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT),
+      |    CAST(SUM(CASE WHEN lang IN ('de', 'en', 'es', 'fr')
+      |      THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM documents),
+      |a4 AS (
+      |  SELECT 'events.event_type',
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COUNT(DISTINCT event_type) AS BIGINT),
+      |    CAST(SUM(CASE WHEN event_type IN ('click', 'view', 'purchase',
+      |      'signup', 'error') THEN 0 ELSE 1 END) AS BIGINT)
+      |  FROM events)
+      |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+      |UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+      |ORDER BY column_name""") { (s, d) =>
+    def audit(df: DataFrame, name: String, c: String,
+        domain: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(c)).as("n_distinct"),
+          count_if(!col(c).isin(domain: _*)).as("n_nonconforming"))
+        .select(lit(name).as("column_name"), col("n_rows"),
+          col("n_distinct"), col("n_nonconforming"))
+    audit(Tables.orders(s, d), "orders.o_orderpriority", "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .unionAll(audit(Tables.lineitem(s, d), "lineitem.l_returnflag",
+        "l_returnflag", Seq("R", "A", "N")))
+      .unionAll(audit(Tables.documents(s, d), "documents.lang", "lang",
+        Seq("de", "en", "es", "fr")))
+      .unionAll(audit(Tables.events(s, d), "events.event_type", "event_type",
+        Seq("click", "view", "purchase", "signup", "error")))
+      .orderBy(col("column_name"))
+  }
+
   val all: Seq[QDef] = Seq(dedupIncrementalSnapshot, tokenizerBpeMerges,
     aggIncrementalMerge, multimodalAvAlign, textPerplexityHeldout,
     profileSplitDrift, shardRangeBoundaries, dqFunctionalDependency,
     evalRetrievalMrr, streamStaticEnrich, corpusDedupImpactCurve,
-    winTimeWeightedAvg, embedChunkMeanPool)
+    winTimeWeightedAvg, embedChunkMeanPool, mixAnnealTwoPhase,
+    eventsAlertStormSuppression, dqValueSetConformance)
 }

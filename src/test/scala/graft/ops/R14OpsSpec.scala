@@ -379,6 +379,72 @@ class R14OpsSpec extends SparkSpec {
     }
   }
 
+  test("mix_anneal_two_phase: phase 1 covers the corpus, phase 2 admits by the curation rules") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def ntok(t: String): Long = t.split(" ", -1).length.toLong
+    def nuniq(t: String): Long = t.split(" ", -1).distinct.length.toLong
+    val p2 = docs.filter { case (_, t) => ntok(t) >= 30 && 10 * nuniq(t) >= 4 * ntok(t) }
+    val got = R14Ops.mixAnnealTwoPhase.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def expectPhase(ds: Array[(String, String)], phase: Long): Unit = {
+      val tot = ds.map(d => ntok(d._2)).sum
+      ds.groupBy(_._1).foreach { case (src, xs) =>
+        val tks = xs.map(d => ntok(d._2)).sum
+        assert(got((phase, src)) ==
+          (xs.length.toLong, tks, tks * 1000000L / tot), s"phase $phase $src")
+      }
+    }
+    expectPhase(docs, 1L); expectPhase(p2, 2L)
+    assert(p2.length < docs.length, "the anneal bar must actually filter")
+    // phase weights renormalize: ppm sums to ~1e6 (floor slack is
+    // strictly below the number of sources in the phase)
+    Seq(1L, 2L).foreach { ph =>
+      val srcs = got.keys.count(_._1 == ph)
+      val s = got.collect { case ((p, _), (_, _, w)) if p == ph => w }.sum
+      assert(s > 1000000L - srcs && s <= 1000000L, s"phase $ph ppm sum $s")
+    }
+  }
+
+  test("events_alert_storm_suppression matches a driver-side island recomputation") {
+    val alerts = Tables.events(spark, sf)
+      .filter(col("value") > 150)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = alerts.groupBy(_._1).map { case (tp, xs) =>
+      val ts = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      val lens = scala.collection.mutable.ListBuffer[Long]()
+      var prev = Long.MinValue
+      ts.foreach { t0 =>
+        if (prev == Long.MinValue || t0 - prev > 600000000L) lens += 1L
+        else lens(lens.length - 1) += 1L
+        prev = t0
+      }
+      tp -> (ts.length.toLong, lens.length.toLong, lens.max,
+        (ts.length.toLong - lens.length) * 1000000L / ts.length)
+    }
+    val got = R14Ops.eventsAlertStormSuppression.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (tp, e) => assert(got(tp) == e, s"$tp: ${got(tp)} vs $e") }
+  }
+
+  test("dq_value_set_conformance: clean contracts audit zero, the narrow lang contract counts zh") {
+    val got = R14Ops.dqValueSetConformance.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 4)
+    assert(got("orders.o_orderpriority")._3 == 0L)
+    assert(got("lineitem.l_returnflag")._3 == 0L)
+    assert(got("events.event_type")._3 == 0L)
+    val nZh = Tables.documents(spark, sf).filter(col("lang") === "zh").count()
+    assert(got("documents.lang")._3 == nZh && nZh > 0,
+      "the deliberately-narrow lang contract must count the zh drift")
+    assert(got("documents.lang")._1 == Tables.documents(spark, sf).count())
+  }
+
   test("profile_split_drift matches a driver-side profile") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"),
