@@ -162,9 +162,12 @@ object R14Ops {
     * symbol's POSITION differs (" aa a aa " here vs " aa aa a "
     * greedy) — positions never reach the graded output, which reports
     * per-round pair statistics only. */
-  val tokenizerBpeMerges: QDef = q(
-    "tokenizer_bpe_merges",
-    """WITH wf AS (
+  /** Shared DuckDB CTE chain for the 3-round BPE merge loop — one
+    * text for `tokenizer_bpe_merges` AND `vocab_subword_fertility`
+    * (which appends the round-3 vocabulary rewrite), zero drift
+    * between them (the LlmExtras.mhCtes convention). */
+  private[ops] val bpeChainCtes: String =
+    """wf AS (
       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
       |  WHERE length(tok) >= 2 GROUP BY tok),
@@ -206,34 +209,39 @@ object R14Ops {
       |    unnest(generate_series(1, len(a) - 1)) AS t(i)
       |  GROUP BY 1, 2),
       |t3 AS (SELECT l, r, n_occurrences, n_words FROM p3
-      |  ORDER BY n_occurrences DESC, l, r LIMIT 1)
-      |SELECT CAST(1 AS BIGINT) AS merge_round, l AS pair_left,
-      |  r AS pair_right, n_occurrences, n_words FROM t1
-      |UNION ALL SELECT CAST(2 AS BIGINT), l, r, n_occurrences, n_words FROM t2
-      |UNION ALL SELECT CAST(3 AS BIGINT), l, r, n_occurrences, n_words FROM t3
-      |ORDER BY merge_round""") { (s, d) =>
-    def pairs(w: DataFrame): DataFrame =
-      w.select(col("tok"), col("wc"), split(trim(col("seq")), " ").as("a"))
-        // fully-merged single-symbol words have no pairs; the filter
-        // also keeps sequence() ascending (sequence(1,0) would count
-        // DOWN in Spark, not return empty like generate_series)
-        .filter(size(col("a")) >= 2)
-        .select(col("tok"), col("wc"), col("a"),
-          explode(sequence(lit(1), size(col("a")) - 1)).as("i"))
-        .select(col("tok"), col("wc"),
-          expr("a[i - 1]").as("l"), expr("a[i]").as("r"))
-        .groupBy(col("l"), col("r"))
-        .agg(sum(col("wc")).as("n_occurrences"),
-          countDistinct(col("tok")).as("n_words"))
-    def top(p: DataFrame): DataFrame =
-      p.orderBy(col("n_occurrences").desc, col("l"), col("r")).limit(1)
-    def merged(w: DataFrame, t: DataFrame): DataFrame =
-      w.crossJoin(broadcast(t.select(col("l").as("ml"), col("r").as("mr"))))
-        .select(col("tok"), col("wc"), expr(
-          """replace(replace(seq,
-            |    concat(' ', ml, ' ', mr, ' '), concat(' ', ml, mr, ' ')),
-            |    concat(' ', ml, ' ', mr, ' '), concat(' ', ml, mr, ' '))"""
-            .stripMargin).as("seq"))
+      |  ORDER BY n_occurrences DESC, l, r LIMIT 1)""".stripMargin
+
+  private def bpePairs(w: DataFrame): DataFrame =
+    w.select(col("tok"), col("wc"), split(trim(col("seq")), " ").as("a"))
+      // fully-merged single-symbol words have no pairs; the filter
+      // also keeps sequence() ascending (sequence(1,0) would count
+      // DOWN in Spark, not return empty like generate_series)
+      .filter(size(col("a")) >= 2)
+      .select(col("tok"), col("wc"), col("a"),
+        explode(sequence(lit(1), size(col("a")) - 1)).as("i"))
+      .select(col("tok"), col("wc"),
+        expr("a[i - 1]").as("l"), expr("a[i]").as("r"))
+      .groupBy(col("l"), col("r"))
+      .agg(sum(col("wc")).as("n_occurrences"),
+        countDistinct(col("tok")).as("n_words"))
+
+  private def bpeTop(p: DataFrame): DataFrame =
+    p.orderBy(col("n_occurrences").desc, col("l"), col("r")).limit(1)
+
+  private def bpeMerged(w: DataFrame, t: DataFrame): DataFrame =
+    w.crossJoin(broadcast(t.select(col("l").as("ml"), col("r").as("mr"))))
+      .select(col("tok"), col("wc"), expr(
+        """replace(replace(seq,
+          |    concat(' ', ml, ' ', mr, ' '), concat(' ', ml, mr, ' ')),
+          |    concat(' ', ml, ' ', mr, ' '), concat(' ', ml, mr, ' '))"""
+          .stripMargin).as("seq"))
+
+  /** The 3-round merge chain shared by both BPE keys: per-round top
+    * pairs (t1, t2, t3) plus the vocabulary AFTER all three merges.
+    * Each intermediate vocabulary persists (tiny, vocab-sized) since
+    * two consumers fork from it. */
+  private[ops] def bpeChain(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w0 = Tables.documents(s, d)
       .repartition(32)
       .select(explode(split(col("text"), " ")).as("tok"))
@@ -242,18 +250,111 @@ object R14Ops {
       .select(col("tok"), col("wc"),
         concat(lit(" "), regexp_replace(col("tok"), "(.)", "$1 ")).as("seq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val t1 = top(pairs(w0))
-    val w1 = merged(w0, t1)
+    val t1 = bpeTop(bpePairs(w0))
+    val w1 = bpeMerged(w0, t1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val t2 = top(pairs(w1))
-    val w2 = merged(w1, t2)
+    val t2 = bpeTop(bpePairs(w1))
+    val w2 = bpeMerged(w1, t2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val t3 = top(pairs(w2))
+    val t3 = bpeTop(bpePairs(w2))
+    val w3 = bpeMerged(w2, t3)
+    (t1, t2, t3, w3)
+  }
+
+  val tokenizerBpeMerges: QDef = q(
+    "tokenizer_bpe_merges",
+    s"""WITH $bpeChainCtes
+      |SELECT CAST(1 AS BIGINT) AS merge_round, l AS pair_left,
+      |  r AS pair_right, n_occurrences, n_words FROM t1
+      |UNION ALL SELECT CAST(2 AS BIGINT), l, r, n_occurrences, n_words FROM t2
+      |UNION ALL SELECT CAST(3 AS BIGINT), l, r, n_occurrences, n_words FROM t3
+      |ORDER BY merge_round""".stripMargin) { (s, d) =>
+    val (t1, t2, t3, _) = bpeChain(s, d)
     def row(t: DataFrame, r: Int): DataFrame =
       t.select(lit(r.toLong).as("merge_round"), col("l").as("pair_left"),
         col("r").as("pair_right"), col("n_occurrences"), col("n_words"))
     row(t1, 1).unionAll(row(t2, 2)).unionAll(row(t3, 3))
       .orderBy(col("merge_round"))
+  }
+
+  /** Subword fertility after 3 BPE merges (r14h) — THE tokenizer
+    * quality metric: how many symbols a word still splits into under
+    * the current merge table, as an occurrence-weighted histogram
+    * (15+ tail bucket). Fertility near 1 means the vocabulary covers
+    * the corpus; a fat tail says train more merges. Reuses the exact
+    * `tokenizer_bpe_merges` chain (same CTE text, same persisted
+    * Spark vocabulary) plus one row-local symbol count and a 15-cell
+    * fold. */
+  val vocabSubwordFertility: QDef = q(
+    "vocab_subword_fertility",
+    s"""WITH $bpeChainCtes,
+      |w3 AS (SELECT tok, wc,
+      |  replace(replace(seq,
+      |      ' ' || t3.l || ' ' || t3.r || ' ', ' ' || t3.l || t3.r || ' '),
+      |      ' ' || t3.l || ' ' || t3.r || ' ', ' ' || t3.l || t3.r || ' ') AS seq
+      |  FROM w2 CROSS JOIN t3),
+      |f AS (SELECT least(CAST(len(string_split(trim(seq), ' ')) AS BIGINT), 15)
+      |  AS n_symbols, wc FROM w3)
+      |SELECT n_symbols, CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(wc) AS BIGINT) AS n_occurrences
+      |FROM f GROUP BY n_symbols
+      |ORDER BY n_symbols""".stripMargin) { (s, d) =>
+    val (_, _, _, w3) = bpeChain(s, d)
+    w3.select(least(size(split(trim(col("seq")), " ")).cast(LongType), lit(15L))
+        .as("n_symbols"), col("wc"))
+      .groupBy(col("n_symbols"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wc")).as("n_occurrences"))
+      .orderBy(col("n_symbols"))
+  }
+
+  /** Revenue contribution waterfall (r14h) — the YoY bridge chart's
+    * data: per customer nation, 1997 vs 1998 gross revenue, the
+    * delta, and the running cumulative delta in contribution order
+    * (delta DESC, nation — the waterfall's bar order). Cumulative via
+    * the nation-sized broadcast self-join (the `report_lorenz_deciles`
+    * pattern) — no unpartitioned window even on the 25-row table, so
+    * the shape survives any group cardinality. Exact BIGINT cents. */
+  val reportContributionWaterfall: QDef = q(
+    "report_contribution_waterfall",
+    """WITH r AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(SUM(CASE WHEN year(CAST(o.o_orderdate AS TIMESTAMP)) = 1997
+      |      THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev_prev,
+      |    CAST(SUM(CASE WHEN year(CAST(o.o_orderdate AS TIMESTAMP)) = 1998
+      |      THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS rev_curr
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1),
+      |d AS (SELECT nation, rev_prev, rev_curr,
+      |  rev_curr - rev_prev AS delta FROM r)
+      |SELECT a.nation, a.rev_prev, a.rev_curr, a.delta,
+      |  CAST(SUM(b.delta) AS BIGINT) AS running_delta
+      |FROM d a JOIN d b
+      |  ON b.delta > a.delta OR (b.delta = a.delta AND b.nation <= a.nation)
+      |GROUP BY a.nation, a.rev_prev, a.rev_curr, a.delta
+      |ORDER BY a.delta DESC, a.nation""") { (s, d) =>
+    val cents = expr(
+      "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    val yr = year(col("o_orderdate").cast(TimestampType))
+    val r = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(when(yr === 1997, cents).otherwise(0L)).cast(LongType).as("rev_prev"),
+        sum(when(yr === 1998, cents).otherwise(0L)).cast(LongType).as("rev_curr"))
+      .withColumn("delta", col("rev_curr") - col("rev_prev"))
+    val b = r.select(col("nation").as("b_nation"), col("delta").as("b_delta"))
+    r.join(broadcast(b),
+        col("b_delta") > col("delta") ||
+          (col("b_delta") === col("delta") && col("b_nation") <= col("nation")))
+      .groupBy(col("nation"), col("rev_prev"), col("rev_curr"), col("delta"))
+      .agg(sum(col("b_delta")).as("running_delta"))
+      .orderBy(col("delta").desc, col("nation"))
   }
 
   /** Incremental rollup maintenance (r14b) — the partial-aggregate
@@ -1091,5 +1192,6 @@ object R14Ops {
     profileSplitDrift, shardRangeBoundaries, dqFunctionalDependency,
     evalRetrievalMrr, streamStaticEnrich, corpusDedupImpactCurve,
     winTimeWeightedAvg, embedChunkMeanPool, mixAnnealTwoPhase,
-    eventsAlertStormSuppression, dqValueSetConformance)
+    eventsAlertStormSuppression, dqValueSetConformance,
+    vocabSubwordFertility, reportContributionWaterfall)
 }

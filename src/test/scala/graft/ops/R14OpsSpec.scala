@@ -445,6 +445,48 @@ class R14OpsSpec extends SparkSpec {
     assert(got("documents.lang")._1 == Tables.documents(spark, sf).count())
   }
 
+  test("vocab_subword_fertility matches the 3-merge simulation's vocabulary") {
+    // reuse the BPE simulation from the merges test: apply the three
+    // simulated top pairs, then histogram symbols-per-word
+    val toks = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.length >= 2)
+    var vocab: Map[String, Long] = toks.groupBy(identity)
+      .map { case (t, a) => (" " + t.map(c => s"$c ").mkString) -> a.length.toLong }
+    for (_ <- 1 to 3) {
+      val st = vocab.toSeq.flatMap { case (seq, wc) =>
+        val a = seq.trim.split(" ")
+        (1 until a.length).map(i => (seq, (a(i - 1), a(i)), wc))
+      }.groupBy(_._2).map { case (p, xs) =>
+        p -> (xs.map(_._3).sum, xs.map(_._1).distinct.length.toLong) }
+      val ((l, r), _) = st.toSeq.sortBy { case ((l0, r0), (n, _)) => (-n, l0, r0) }.head
+      vocab = vocab.toSeq.map { case (seq, wc) =>
+        seq.replace(s" $l $r ", s" $l$r ").replace(s" $l $r ", s" $l$r ") -> wc
+      }.toMap
+    }
+    val expect = vocab.toSeq
+      .map { case (seq, wc) => (math.min(seq.trim.split(" ").length.toLong, 15L), wc) }
+      .groupBy(_._1).map { case (k, xs) =>
+        k -> (xs.length.toLong, xs.map(_._2).sum) }
+    val got = R14Ops.vocabSubwordFertility.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, s"got $got\nexpected $expect")
+  }
+
+  test("report_contribution_waterfall: running deltas telescope in bar order") {
+    val rows = R14Ops.reportContributionWaterfall.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 25, "one bar per nation")
+    // output order IS contribution order, and running is its prefix sum
+    var run = 0L
+    rows.foreach { case (nation, prev, curr, delta, running) =>
+      assert(delta == curr - prev, s"$nation delta")
+      run += delta
+      assert(running == run, s"$nation running")
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(d => -d).toSeq,
+      "bars ordered by contribution")
+  }
+
   test("profile_split_drift matches a driver-side profile") {
     val orders = Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"),
