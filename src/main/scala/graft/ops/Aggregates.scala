@@ -305,13 +305,14 @@ object Aggregates {
       |      / CAST(n AS DOUBLE), 6) AS intercept
       |FROM sums
       |ORDER BY event_type""") { (s, d) =>
-    // sign-safe FLOOR division (ADVICE r13): the oracle's `// 1000`
-    // floors while Spark's `div` truncates toward zero — they diverge
-    // for pre-epoch (negative-second) events. pmod keeps the two
-    // spellings identical on every sign, not just the fixtures' 2024+
-    // domain.
-    val x = expr("(unix_timestamp(ts) - 1704067200L" +
-        " - pmod(unix_timestamp(ts) - 1704067200L, 1000)) div 1000")
+    // sign-safe by MEASUREMENT (r15, corrects the ADVICE-r13 premise):
+    // DuckDB 1.0.0's `//` on integer types TRUNCATES toward zero
+    // exactly like Spark's `div` (probed: SELECT -7 // 2 → -3; floats
+    // differ, integers don't), so the bare `div` IS the identical
+    // spelling on every sign — the r13 pmod-floor rewrite made Spark
+    // floor where the oracle truncates and was itself the latent
+    // divergence for pre-epoch (negative-second) events.
+    val x = expr("(unix_timestamp(ts) - 1704067200L) div 1000")
       .cast(DecimalType(8, 0))
     val y0 = (money(col("value")) * 100).cast(DecimalType(14, 0))
     val sums = Tables.events(s, d)

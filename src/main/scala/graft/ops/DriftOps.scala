@@ -52,10 +52,11 @@ object DriftOps {
     val e = Tables.events(s, d).select(
       (qty(col("value")) * 100).cast(LongType).as("cents"),
       when(dayofmonth(col("ts")) <= 15, "ref").otherwise("cur").as("cohort"))
-    // GREATEST(0, ·) clamp (ADVICE r11): `div` truncates while `//`
-    // floors, so a negative cent value would bin differently across
-    // engines — the clamp makes the sub-zero bin impossible on both
-    // sides instead of relying on a non-negative-value data contract.
+    // GREATEST(0, ·) clamp (ADVICE r11; premise corrected r15: DuckDB
+    // 1.0.0's integer `//` truncates exactly like `div`, so the
+    // engines agree even on negatives) — kept because trunc division
+    // would fold negative cents into bin 0 silently; the clamp makes
+    // the sub-zero bin an explicit, documented decision on both sides.
     val b = e.groupBy(col("cohort"),
         least(lit(9L), greatest(lit(0L), expr("cents div 5000"))).as("bin"))
       .agg(count(lit(1)).as("n"))

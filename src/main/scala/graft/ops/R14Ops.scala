@@ -243,7 +243,7 @@ object R14Ops {
   private[ops] def bpeChain(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val w0 = Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
@@ -941,7 +941,13 @@ object R14Ops {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("dt")).as("span_us"),
-        expr("CAST(sum(cents * dt) div sum(dt) AS BIGINT)").as("twap_cents"))
+        // sign-safe by MEASUREMENT (r15, corrects the ADVICE-r14
+        // premise): DuckDB 1.0.0's `//` on BIGINT TRUNCATES toward
+        // zero exactly like Spark's `div` (probed: -7 // 2 → -3), so
+        // the bare `div` is already the identical spelling on every
+        // sign — no pmod rewrite needed, for ANY cents sign.
+        expr("CAST(sum(cents * dt) div sum(dt) AS BIGINT)")
+          .as("twap_cents"))
       .orderBy(col("user_id"))
   }
 
@@ -1173,7 +1179,13 @@ object R14Ops {
         domain: Seq[String]): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
           countDistinct(col(c)).as("n_distinct"),
-          count_if(!col(c).isin(domain: _*)).as("n_nonconforming"))
+          // NULL-safe (ADVICE r14): the oracle's CASE WHEN col IN (…)
+          // THEN 0 ELSE 1 counts a NULL value as NONconforming, but a
+          // bare !isin is NULL for NULL input and count_if would skip
+          // the row — spell the NULL branch explicitly so a future
+          // fixture with NULLs can't silently diverge the audit.
+          count_if(col(c).isNull || !col(c).isin(domain: _*))
+            .as("n_nonconforming"))
         .select(lit(name).as("column_name"), col("n_rows"),
           col("n_distinct"), col("n_nonconforming"))
     audit(Tables.orders(s, d), "orders.o_orderpriority", "o_orderpriority",

@@ -46,7 +46,9 @@ class ClusterProfileSpec extends SparkSpec {
   test("every graded query returns identical results under the cluster profile") {
     val s2 = profiled
     val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val base = fn(spark, sf).collect().map(_.toString).sorted
+      // base side from the shared StaticResults execution pass (r15):
+      // QueryRegistrySpec's smoke needs the same 360 executions
+      val base = StaticResults.rows(spark, name)
       val prof = fn(s2, sf).collect().map(_.toString).sorted
       if (base.sameElements(prof)) None
       else Some(s"$name (${base.length} vs ${prof.length} rows, first diff: " +

@@ -31,8 +31,10 @@ class OutputTypesSpec extends SparkSpec {
   }
 
   test("no graded query's output schema contains a non-hash-safe type") {
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val offending = fn(spark, sf).schema.fields
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, _) =>
+      // shared analysis pass (r15): schema is a property of the
+      // analyzed plan StaticPlans already caches for the gates
+      val offending = StaticPlans.analyzed(spark, name).schema.fields
         .filterNot(f => hashSafe(f.dataType))
         .map(f => s"${f.name}:${f.dataType.simpleString}")
       if (offending.nonEmpty) Some(s"$name(${offending.mkString(", ")})") else None

@@ -17,14 +17,15 @@ import org.apache.spark.sql.execution.window.WindowExec
   */
 class PlanInvariantsSpec extends SparkSpec with SerialSuite {
 
-  private val sf = "/root/testdata/sf0.001"
 
   private def offenders(pred: org.apache.spark.sql.execution.SparkPlan => Boolean,
       except: Set[String] = Set.empty): Seq[String] =
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => except(name) }
-      .flatMap { case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.sparkPlan
+      .flatMap { case (name, _) =>
+        // shared cold-cache physical pass (r15): four structural
+        // sweeps over 360 keys read ONE planning pass per JVM
+        val plan = StaticPlans.physical(spark, name).sparkPlan
         if (plan.exists(pred)) Some(name) else None
       }
 
@@ -55,8 +56,8 @@ class PlanInvariantsSpec extends SparkSpec with SerialSuite {
     // tree of every graded plan; InterpretedParitySpec proves the
     // eval twin agrees, this proves the codegen twin exists.
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.sparkPlan
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, _) =>
+      val plan = StaticPlans.physical(spark, name).sparkPlan
       val offending = plan.flatMap(_.expressions.flatMap(_.collect {
         case e if e.getClass.getName.startsWith("graft.") &&
             e.isInstanceOf[CodegenFallback] => e.getClass.getSimpleName

@@ -66,7 +66,7 @@ class QueryRegistrySpec extends SparkSpec {
     // lost this way). Serialize nested values with array_join/to_json.
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val offenders = SparkEntry.defs.filter(_.oracle.isDefined).flatMap { d =>
-      val nested = d.run(spark, sf).schema.fields.collect {
+      val nested = StaticPlans.analyzed(spark, d.key).schema.fields.collect {
         case f if f.dataType.isInstanceOf[ArrayType]
           || f.dataType.isInstanceOf[MapType]
           || f.dataType.isInstanceOf[StructType] => f.name
@@ -87,11 +87,14 @@ class QueryRegistrySpec extends SparkSpec {
   }
 
   test("every declared query runs at sf0.001") {
-    // noop sink, NOT count(): count() lets Catalyst prune projections,
-    // hiding per-column expression errors that Verify's parquet write
-    // would hit (this exact gap shipped a broken regexp once).
+    // full-row materialization, NOT count(): count() lets Catalyst
+    // prune projections, hiding per-column expression errors that
+    // Verify's parquet write would hit (this exact gap shipped a
+    // broken regexp once). StaticResults collects every output column
+    // — same coverage — and shares the execution pass with
+    // ClusterProfileSpec's base side (r15, VERDICT r14 item 1).
     val failures = SparkEntry.defs.flatMap { d =>
-      try { d.run(spark, sf).write.format("noop").mode("overwrite").save(); None }
+      try { StaticResults.rows(spark, d.key); None }
       catch { case e: Throwable => Some(s"${d.key}: ${e.getMessage.linesIterator.next()}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))

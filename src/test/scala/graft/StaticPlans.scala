@@ -2,15 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.QueryExecution
 
-/** Shared per-JVM cache of every graded query's ANALYZED plan at the
-  * static fixture tier (r14) — the two registry-wide expression gates
-  * (DecimalCastBoundsSpec, TranscendentalProtocolSpec) each need all
-  * ~354 analyzed plans, and analysis costs ~100–200 ms per key;
-  * computing the pass once per JVM instead of once per suite keeps
-  * the suite-wall-time line flat as the registry grows. Analyzed
-  * plans are immutable trees, so sharing across concurrently-running
-  * suites in the parallel group is safe. */
+/** Shared per-JVM caches of every graded query's plans/results at the
+  * static fixture tier — all four registry-wide sweeps scale linearly
+  * with the registry, and each independently re-planning (or
+  * re-executing) all ~360 keys is the dominant suite-wall-time term
+  * (VERDICT r14 item 1). One pass per JVM per representation instead:
+  *
+  *  - `analyzed` (parallel JVM): the expression gates
+  *    (DecimalCastBoundsSpec, TranscendentalProtocolSpec) plus the
+  *    schema lints (OutputTypesSpec, QueryRegistrySpec D12) walk one
+  *    shared analysis pass. Analyzed plans are immutable trees, so
+  *    sharing across concurrently-running suites is safe.
+  *  - `physical` (plan-serial JVM): GoldenShufflesSpec (executedPlan
+  *    exchange counts) and PlanInvariantsSpec (sparkPlan structure ×4
+  *    tests) read one QueryExecution per key, built in ONE
+  *    deterministic pass with exactly the audited golden-count
+  *    context: AQE off (the adaptive wrapper hides children from
+  *    collect()), cold cache (a persisting key constructed earlier
+  *    would substitute InMemoryRelations into later plans), keys in
+  *    sorted order. Callers are all SerialSuite, so the pass runs
+  *    under the suite lock; the builder's own synchronized guards the
+  *    first-toucher race regardless.
+  *  - `StaticResults` (parallel JVM): ClusterProfileSpec's base side
+  *    and QueryRegistrySpec's runs-at-sf0.001 smoke both need every
+  *    key EXECUTED once at the static tier on the base session —
+  *    collect once, share the sorted row strings.
+  */
 object StaticPlans {
   val sfStatic = "/root/testdata/sf0.001"
   private val cache =
@@ -19,4 +38,47 @@ object StaticPlans {
   def analyzed(spark: SparkSession, key: String): LogicalPlan =
     cache.computeIfAbsent(key,
       _ => SparkEntry.queries(key)(spark, sfStatic).queryExecution.analyzed)
+
+  // ---- physical pass (plan-serial JVM) ------------------------------------
+
+  private val physCache =
+    new java.util.concurrent.ConcurrentHashMap[String, QueryExecution]()
+  @volatile private var physBuilt = false
+
+  /** The key's QueryExecution from the shared AQE-off cold-cache
+    * pass; `.sparkPlan` and `.executedPlan` are both already forced
+    * (inside the AQE-off window — they are lazy vals that would
+    * otherwise capture whatever conf is active at first touch). */
+  def physical(spark: SparkSession, key: String): QueryExecution = {
+    ensurePhysical(spark)
+    physCache.get(key)
+  }
+
+  private def ensurePhysical(spark: SparkSession): Unit = synchronized {
+    if (!physBuilt) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.catalog.clearCache()
+      try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (k, fn) =>
+        val qe = fn(spark, sfStatic).queryExecution
+        qe.sparkPlan
+        qe.executedPlan
+        physCache.put(k, qe)
+      } finally spark.conf.unset("spark.sql.adaptive.enabled")
+      physBuilt = true
+    }
+  }
+}
+
+/** Shared per-JVM cache of every graded query's EXECUTED result at
+  * the static tier on the base session (see [[StaticPlans]] scaladoc;
+  * sorted row strings are the comparison currency both consumers
+  * already used). */
+object StaticResults {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  def rows(spark: SparkSession, key: String): Array[String] =
+    cache.computeIfAbsent(key,
+      _ => SparkEntry.queries(key)(spark, StaticPlans.sfStatic)
+        .collect().map(_.toString).sorted)
 }

@@ -93,9 +93,20 @@ class TranscendentalProtocolSpec extends SparkSpec {
     val bad = scala.collection.mutable.Buffer[String]()
     def walkE(e: Expression, prot: Boolean): Unit = {
       val name = e.getClass.getSimpleName
-      val dyadic = name == "Pow" && (e.children.headOption match {
-        case Some(Literal(v: Double, DoubleType)) => v == 2.0
-        case _ => false
+      // base accepted as dyadic when it FOLDS to 2.0 (ADVICE r14): an
+      // analyzed expr("pow(2, x)") carries Cast(Literal(2, Int)) as
+      // the first child, not a bare double literal — evaluating the
+      // foldable child covers both spellings without widening the
+      // whitelist past constants.
+      val dyadic = name == "Pow" && (e.children.headOption.exists { c =>
+        c.foldable && (c.eval(null) match {
+          case d: Double => d == 2.0
+          case f: Float => f == 2.0f
+          case i: Int => i == 2
+          case l: Long => l == 2L
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble == 2.0
+          case _ => false
+        })
       })
       if (transcendentalNodes(name) && !prot && !dyadic)
         bad += s"$name(${e.sql.take(80)})"
@@ -168,5 +179,11 @@ class TranscendentalProtocolSpec extends SparkSpec {
     assert(planViolations(base.select(pow(col("x"), lit(2.0)).as("p"))
       .queryExecution.analyzed).nonEmpty,
       "pow with non-dyadic BASE must flag")
+    // ADVICE r14: a SQL-spelled base-2 power analyzes to
+    // Pow(Cast(Literal(2, Int), Double), …) — the foldable-eval
+    // whitelist must accept it, not just a bare double literal.
+    assert(planViolations(base.selectExpr("pow(2, x) AS p")
+      .queryExecution.analyzed).isEmpty,
+      "SQL-spelled pow(2, x) is exact dyadic and must NOT flag")
   }
 }
