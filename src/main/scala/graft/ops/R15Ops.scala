@@ -1,0 +1,705 @@
+package graft.ops
+
+import graft.{QDef, Tables}
+import graft.QDef.q
+import graft.Protocol.{money, qty, rate}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-15 additions: the mergeable-sketch audits VERDICT r14 asked
+  * for (a sharded KMV quantile sketch and a sharded heavy-hitters
+  * candidate merge — the two sketch legs a 100 TB rollup relies on
+  * that nothing graded yet), two classic deep-join report shapes
+  * (adapted TPC-H Q9/Q21 over the fixture's tables), and audit/eval
+  * operators for privacy, experimentation, calibration and
+  * sessionization — all under the house determinism protocol (exact
+  * integers end to end, md5/modulo-deterministic shards, floor-ppm
+  * ratios spelled identically in both engines). */
+object R15Ops {
+
+  /** Mergeable quantile sketch audit (r15, VERDICT r14 item 2) — the
+    * sharded-percentile property a 100 TB rollup actually relies on:
+    * percentile STATES built independently per shard must merge into
+    * the same state one pass over the whole table would build.
+    *
+    * The sketch is a KMV (bottom-k by hash order) uniform sample —
+    * the exact-dyadic formulation the verdict asked for: each of 8
+    * shards (o_orderkey mod 8 — stand-in for 8 executors' partials)
+    * keeps its 64 rows of smallest md5-prefix hash; the MERGE is
+    * "bottom-64 of the union", which equals the one-pass global
+    * bottom-64 because bottom-k is associative/commutative/idempotent
+    * under union (the spec pins that equality row-for-row). Quantile
+    * estimate at p = the sample's value at rank ⌊(k−1)·p/100⌋+1 (the
+    * `agg_quantiles_exact` rank convention), graded against the EXACT
+    * percentile from full-table ranks via the shared bucketed
+    * two-pass exclusive-prefix (never an unpartitioned window on the
+    * big side; the ≤512-row merged state ranks through broadcast
+    * self-joins). err_ppm uses the sign-split floor spelling so
+    * Spark `div` and DuckDB `//` agree on every sign. Scale: the
+    * per-shard state is 64 rows regardless of input; only the exact
+    * ground-truth side (the audit's honest cost) touches full-table
+    * ranks. */
+  val sketchQuantileMerge: QDef = q(
+    "sketch_quantile_merge",
+    """WITH u AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+      |    o_orderkey % 8 AS shard
+      |  FROM orders),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+      |ps AS (
+      |  SELECT k, cents, h FROM (
+      |    SELECT k, cents, h,
+      |      row_number() OVER (PARTITION BY shard ORDER BY h, k) AS rn
+      |    FROM u) WHERE rn <= 64),
+      |mg AS (
+      |  SELECT k, cents FROM (
+      |    SELECT k, cents, row_number() OVER (ORDER BY h, k) AS rn FROM ps)
+      |  WHERE rn <= 64),
+      |sr AS (
+      |  SELECT a.cents, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM mg a JOIN mg b
+      |    ON b.cents < a.cents OR (b.cents = a.cents AND b.k <= a.k)
+      |  GROUP BY a.cents, a.k),
+      |pct AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) AS t(p)),
+      |est AS (
+      |  SELECT p, MAX(CASE WHEN r = (64 - 1) * p // 100 + 1 THEN cents END)
+      |    AS est_cents
+      |  FROM sr CROSS JOIN pct GROUP BY p),
+      |rk AS (
+      |  SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents, k) AS BIGINT) AS rank
+      |  FROM u),
+      |ex AS (
+      |  SELECT p, MAX(CASE WHEN rank = (n - 1) * p // 100 + 1 THEN cents END)
+      |    AS exact_cents
+      |  FROM rk CROSS JOIN n CROSS JOIN pct GROUP BY p)
+      |SELECT CAST(p AS BIGINT) AS pct, n.n AS n_rows,
+      |  CAST(64 AS BIGINT) AS sample_k, est_cents, exact_cents,
+      |  est_cents - exact_cents AS err_cents,
+      |  CASE WHEN est_cents >= exact_cents
+      |    THEN CAST((est_cents - exact_cents) * 1000000 // exact_cents
+      |      AS BIGINT)
+      |    ELSE -CAST((exact_cents - est_cents) * 1000000 // exact_cents
+      |      AS BIGINT) END AS err_ppm
+      |FROM est JOIN ex USING (p) CROSS JOIN n
+      |ORDER BY pct""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"),
+        conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType).as("h"),
+        expr("o_orderkey % 8").as("shard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = u.agg(count(lit(1)).as("n"))
+    // per-shard bottom-64 states (shard-partitioned window), merged by
+    // taking the bottom-64 of the ≤512-row union (TakeOrdered — the
+    // merge a rollup runs over stored per-shard sketch tables)
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("k"))
+    val ps = u.select(col("k"), col("cents"), col("h"),
+        row_number().over(wShard).as("rn"))
+      .filter(col("rn") <= 64).select(col("k"), col("cents"), col("h"))
+    val mg = ps.orderBy(col("h"), col("k")).limit(64)
+      .select(col("k"), col("cents"))
+    // sample ranks by VALUE: 64×64 broadcast rank self-join
+    val sr = mg.as("a")
+      .join(broadcast(mg.select(col("k").as("bk"), col("cents").as("bc"))),
+        col("bc") < col("a.cents") ||
+          (col("bc") === col("a.cents") && col("bk") <= col("a.k")))
+      .groupBy(col("a.cents").as("cents"), col("a.k").as("k"))
+      .agg(count(lit(1)).as("r"))
+    import s.implicits._
+    val pcts = Seq(25, 50, 75, 90, 99).toDF("p")
+    val est = sr.crossJoin(broadcast(pcts))
+      .groupBy(col("p"))
+      .agg(max(when(col("r") === expr("(64 - 1) * p div 100 + 1"),
+        col("cents"))).as("est_cents"))
+    // exact side: full-table ranks via the shared bucketed two-pass
+    // exclusive-prefix (shard_range_boundaries' machinery)
+    val xc = u.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
+    val pre = DriftOps.exclusivePrefix(xc, expr("v div 10000000"))
+      .select(col("v"), col("pre"))
+    val wTie = Window.partitionBy(col("cents")).orderBy(col("k"))
+    val rk = u.join(pre, col("v") === col("cents"))
+      .select(col("cents"), (col("pre") + row_number().over(wTie)).as("rank"))
+    val ex = rk.crossJoin(broadcast(n)).crossJoin(broadcast(pcts))
+      .groupBy(col("p").as("ep"))
+      .agg(max(when(col("rank") === expr("(n - 1) * p div 100 + 1"),
+        col("cents"))).as("exact_cents"))
+    est.join(broadcast(ex), col("p") === col("ep"))
+      .crossJoin(broadcast(n))
+      .select(col("p").cast(LongType).as("pct"), col("n").as("n_rows"),
+        lit(64L).as("sample_k"), col("est_cents"), col("exact_cents"),
+        (col("est_cents") - col("exact_cents")).as("err_cents"),
+        when(col("est_cents") >= col("exact_cents"),
+          expr("CAST((est_cents - exact_cents) * 1000000 div exact_cents" +
+            " AS BIGINT)"))
+          .otherwise(-expr("CAST((exact_cents - est_cents) * 1000000" +
+            " div exact_cents AS BIGINT)")).as("err_ppm"))
+      .orderBy(col("pct"))
+  }
+
+  /** Mergeable heavy-hitters audit (r15) — the frequent-items leg of
+    * the sketch-merge family: per-shard top-8 token candidate lists
+    * (the Misra-Gries/SpaceSaving summary's exact-spellable core)
+    * merged by candidate-set union, then audited against the exact
+    * global top-8. The pigeonhole guarantee this grades: any token
+    * with global count > N_shard_max·8 must enter at least one
+    * shard's top-8, so a merged candidate set can only miss tail
+    * items — `found_by_merge` is the per-rank witness and
+    * `n_candidates` the merged state's size (≤64 rows regardless of
+    * corpus size; the exact global count side is the audit's honest
+    * cost, not the production path). Ties break by token text in both
+    * engines. */
+  val sketchHeavyHittersMerge: QDef = q(
+    "sketch_heavy_hitters_merge",
+    """WITH tok AS (
+      |  SELECT doc_id % 8 AS shard, tok FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)),
+      |sc AS (
+      |  SELECT shard, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY shard, tok),
+      |cand AS (
+      |  SELECT DISTINCT tok FROM (
+      |    SELECT tok,
+      |      row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, tok)
+      |        AS rn
+      |    FROM sc) WHERE rn <= 8),
+      |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+      |gc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM tok GROUP BY tok),
+      |top8 AS (SELECT tok, cnt FROM gc ORDER BY cnt DESC, tok LIMIT 8),
+      |rt AS (
+      |  SELECT a.tok, a.cnt, CAST(COUNT(*) AS BIGINT) AS rank
+      |  FROM top8 a JOIN top8 b
+      |    ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.tok <= a.tok)
+      |  GROUP BY a.tok, a.cnt)
+      |SELECT rt.rank, rt.tok, rt.cnt,
+      |  cand.tok IS NOT NULL AS found_by_merge, nc.n_candidates
+      |FROM rt LEFT JOIN cand ON cand.tok = rt.tok CROSS JOIN nc
+      |ORDER BY rt.rank""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(expr("doc_id % 8").as("shard"),
+        explode(split(col("text"), " ")).as("tok"))
+    val sc = tok.groupBy(col("shard"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val wShard = Window.partitionBy(col("shard"))
+      .orderBy(col("cnt").desc, col("tok"))
+    val cand = sc.select(col("tok"), row_number().over(wShard).as("rn"))
+      .filter(col("rn") <= 8).select(col("tok")).distinct()
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val gc = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top8 = gc.orderBy(col("cnt").desc, col("tok")).limit(8)
+    val rt = top8.as("a")
+      .join(broadcast(top8.select(col("tok").as("bt"), col("cnt").as("bc"))),
+        col("bc") > col("a.cnt") ||
+          (col("bc") === col("a.cnt") && col("bt") <= col("a.tok")))
+      .groupBy(col("a.tok").as("tok"), col("a.cnt").as("cnt"))
+      .agg(count(lit(1)).as("rank"))
+    rt.join(broadcast(cand.select(col("tok").as("ct"))),
+        col("tok") === col("ct"), "left")
+      .crossJoin(broadcast(nc))
+      .select(col("rank"), col("tok"), col("cnt"),
+        col("ct").isNotNull.as("found_by_merge"), col("n_candidates"))
+      .orderBy(col("rank"))
+  }
+
+  /** Adapted TPC-H Q9 "product type profit" (r15) — the classic
+    * 5-table deep-join report over the fixture's tables: profit per
+    * (supplier nation, order year). The fixture has no partsupp, so
+    * supply cost is proxied as half the part's retail price per unit
+    * quantity (an exact DECIMAL(1,1) factor — no rounding anywhere):
+    * amount = extprice·(1−disc) − retail·qty·0.5, every operand at
+    * its natural scale, summed as exact decimals and emitted once as
+    * DOUBLE. Plan shape: lineitem keeps the only fact-sized shuffle
+    * (join to orders on orderkey); part, supplier+nation are
+    * broadcast dims. */
+  val q9ProductProfit: QDef = q(
+    "q9_product_profit",
+    """SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(6,2)))
+      |    - CAST(p_retailprice AS DECIMAL(12,2))
+      |      * CAST(l_quantity AS DECIMAL(12,4)) * 0.5) AS DOUBLE)
+      |    AS profit,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year""") { (s, d) =>
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), money(col("p_retailprice")).as("retail"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .as("gross"),
+        qty(col("l_quantity")).as("q"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), col("o_year"),
+        (col("gross") - col("retail") * col("q") * lit(BigDecimal("0.5"))
+          .cast(DecimalType(1, 1))).as("amount"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("amount")).cast(DoubleType).as("profit"),
+        count(lit(1)).as("n_items"))
+      .select(col("n_name").as("nation"), col("o_year"), col("profit"),
+        col("n_items"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** Adapted TPC-H Q21 "suppliers who kept orders waiting" (r15) —
+    * the classic EXISTS/NOT-EXISTS double correlation, spelled as
+    * semi + anti joins: for finished orders, count each supplier's
+    * LATE lineitems (ship > 90 days after order date) on
+    * multi-supplier orders where it was the ONLY late supplier. The
+    * fixture has no commit/receipt dates, so lateness is
+    * ship-vs-order lag — same join topology as the original. Spark
+    * plan: one fact self-semi and one fact self-anti on orderkey
+    * (both carry only (orderkey, suppkey) pairs), supplier+nation
+    * broadcast at the end. */
+  val q21WaitingSuppliers: QDef = q(
+    "q21_waiting_suppliers",
+    """WITH lo AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) > 90 AS late
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |l1 AS (SELECT l_orderkey, l_suppkey FROM lo WHERE late)
+      |SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM l1
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lo l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lo l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name""") { (s, d) =>
+    val lo = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (datediff(col("l_shipdate").cast(DateType),
+          col("o_orderdate").cast(DateType)) > 90).as("late"))
+    val l1 = lo.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val other = lo.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
+      col("late").as("late2"))
+    val waited = l1
+      .join(other, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(other.filter(col("late2")),
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_anti")
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    waited.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("n_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** Inline k-row integer table (the R14 threshold-table idiom):
+    * union of 1-row ranges — broadcast-sized, no implicits. */
+  private def intTable(s: SparkSession, name: String, vs: Seq[Int]): DataFrame =
+    vs.map(v => s.range(1).select(lit(v).as(name))).reduce(_ unionAll _)
+
+  /** k-anonymity audit (r15) — the privacy gate a training-data
+    * release runs before shipping user-derived tables: how many
+    * quasi-identifier groups would re-identify members at k. QI =
+    * (nation, market segment, $1000 account-balance bucket) over
+    * customer; for k ∈ {2, 5, 10} (broadcast 3-row table) the audit
+    * reports group counts, sub-k groups, and rows at re-identification
+    * risk in floor-ppm. The balance bucket is TRUNC division on both
+    * sides (balances go negative; measured: DuckDB 1.0.0 integer `//`
+    * truncates toward zero exactly like Spark `div`, so the bare
+    * spellings are identical on every sign — negative balances land
+    * in trunc buckets, a documented bucketing decision). One
+    * group-sized agg; the k-sweep rides a broadcast. */
+  val privacyKAnonymity: QDef = q(
+    "privacy_k_anonymity",
+    """WITH qi AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000
+      |      AS bal_bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS grp_n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |ks AS (SELECT * FROM (VALUES (2), (5), (10)) AS t(k))
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(CASE WHEN grp_n < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_small_groups,
+      |  CAST(SUM(CASE WHEN grp_n < k THEN grp_n ELSE 0 END) AS BIGINT)
+      |    AS n_rows_at_risk,
+      |  CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN grp_n < k THEN grp_n ELSE 0 END) * 1000000
+      |    // SUM(grp_n) AS BIGINT) AS risk_ppm
+      |FROM qi CROSS JOIN ks
+      |GROUP BY k ORDER BY k""") { (s, d) =>
+    val qi = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " div 100000 AS BIGINT)").as("bal_bucket"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+      .agg(count(lit(1)).as("grp_n"))
+    qi.crossJoin(broadcast(intTable(s, "k", Seq(2, 5, 10))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_groups"),
+        count_if(col("grp_n") < col("k")).as("n_small_groups"),
+        sum(when(col("grp_n") < col("k"), col("grp_n")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        sum(col("grp_n")).as("n_rows"))
+      .select(col("k").cast(LongType).as("k"), col("n_groups"),
+        col("n_small_groups"), col("n_rows_at_risk"), col("n_rows"),
+        expr("CAST(n_rows_at_risk * 1000000 div n_rows AS BIGINT)")
+          .as("risk_ppm"))
+      .orderBy(col("k"))
+  }
+
+  /** l-diversity audit (r15) — k-anonymity's companion: a group can
+    * be large yet leak if every member shares the same SENSITIVE
+    * value. QI = (nation, market segment); sensitive = the order
+    * priorities the group's members place. The report is the
+    * distribution of l (distinct sensitive values per QI group, over
+    * groups with ≥1 order): groups and order volume at each l, so the
+    * "l = 1 means the group is fully disclosed" line is readable
+    * directly. One fact join on custkey + two group-sized aggs. */
+  val privacyLDiversity: QDef = q(
+    "privacy_l_diversity",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(n_orders) AS BIGINT) AS n_orders
+      |FROM g GROUP BY l ORDER BY l""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(countDistinct(col("o_orderpriority")).as("l"),
+        count(lit(1)).as("n_orders"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_orders")).as("n_orders"))
+      .orderBy(col("l"))
+  }
+
+  /** Sample-ratio-mismatch check (r15) — the first audit any A/B
+    * readout runs: did the 50/50 randomization actually deliver
+    * 50/50 units? Units are distinct event users; the variant is the
+    * house md5-parity split (first hex digit ≤ '7' → A — exactly
+    * 8/16 of hash space). χ² for the two-cell 50/50 test reduces to
+    * (2a−n)²/n — graded in exact floor-micro units with the standard
+    * 3.841459 (df=1, α=.05) threshold flag. n²·10⁶ stays far inside
+    * int64 at any realistic unit count (10⁶ units → 10¹⁸); beyond
+    * that the spelling swaps to the DECIMAL(38) fold like the stats
+    * family. One distinct + one two-row agg. */
+  val abSrmCheck: QDef = q(
+    "ab_srm_check",
+    """WITH u AS (
+      |  SELECT DISTINCT user_id,
+      |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+      |      THEN 'A' ELSE 'B' END AS variant
+      |  FROM events),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM u)
+      |SELECT v.variant,
+      |  CASE WHEN v.variant = 'A' THEN a ELSE n - a END AS n_units,
+      |  n AS n_total,
+      |  CAST((2 * a - n) * (2 * a - n) * 1000000 // n AS BIGINT)
+      |    AS chi2_micro,
+      |  (2 * a - n) * (2 * a - n) * 1000000 // n > 3841459 AS srm_flag
+      |FROM c CROSS JOIN (SELECT 'A' AS variant UNION ALL SELECT 'B') v
+      |ORDER BY v.variant""") { (s, d) =>
+    val u = Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .select(when(substring(md5(col("user_id").cast(StringType)), 1, 1) <= "7",
+        "A").otherwise("B").as("variant"))
+    val c = u.agg(
+      count_if(col("variant") === "A").as("a"),
+      count(lit(1)).as("n"))
+    val vs = s.range(1).select(lit("A").as("variant"))
+      .unionAll(s.range(1).select(lit("B").as("variant")))
+    c.crossJoin(broadcast(vs))
+      .select(col("variant"),
+        when(col("variant") === "A", col("a"))
+          .otherwise(col("n") - col("a")).as("n_units"),
+        col("n").as("n_total"),
+        expr("CAST((2*a - n) * (2*a - n) * 1000000 div n AS BIGINT)")
+          .as("chi2_micro"),
+        (expr("(2*a - n) * (2*a - n) * 1000000 div n") > 3841459L)
+          .as("srm_flag"))
+      .orderBy(col("variant"))
+  }
+
+  /** One-way ANOVA (r15) — the omnibus "do the group means differ"
+    * test the stats family lacked (chi²/KS/U cover categorical and
+    * two-sample shapes; ANOVA covers k-group means): value cents by
+    * event type. Everything up to the final two ratios is exact:
+    * per-group (n, Σx, Σx²) in BIGINT, SSW = Σ_g (n_g·Q_g − S_g²)/n_g
+    * and SSB = Σ_g S_g²/n_g − T²/n graded in per-term FLOOR-milli
+    * (every term nonnegative — Cauchy-Schwarz — so `div` ≡ `//`; the
+    * one subtraction is clamped at 0 with greatest() in BOTH engines
+    * since flooring can push an SSB≈0 a few milli negative). The big
+    * products ride DECIMAL(38) (the stats-family fold) and F/η² come
+    * out in floor-ppm. One group agg + one k-row fold. */
+  val statsAnovaF: QDef = q(
+    "stats_anova_f",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS ng,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS sg,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS qg
+      |  FROM events GROUP BY event_type),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(ng) AS BIGINT) AS n,
+      |    CAST(SUM(sg) AS BIGINT) AS t,
+      |    CAST(SUM((CAST(ng AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg)
+      |      * 1000 // ng) AS BIGINT) AS ssw_milli,
+      |    CAST(SUM(CAST(sg AS HUGEINT) * sg * 1000 // ng) AS BIGINT)
+      |      AS sb_milli
+      |  FROM g)
+      |SELECT k, n, ssw_milli,
+      |  greatest(sb_milli - CAST(CAST(t AS HUGEINT) * t * 1000 // n
+      |    AS BIGINT), 0) AS ssb_milli,
+      |  CAST(CAST(greatest(sb_milli - CAST(CAST(t AS HUGEINT) * t * 1000
+      |        // n AS BIGINT), 0) AS HUGEINT)
+      |      * (n - k) * 1000000 // (CAST(ssw_milli AS HUGEINT) * (k - 1))
+      |    AS BIGINT) AS f_ppm,
+      |  CAST(CAST(greatest(sb_milli - CAST(CAST(t AS HUGEINT) * t * 1000
+      |        // n AS BIGINT), 0) AS HUGEINT) * 1000000
+      |      // (greatest(sb_milli - CAST(CAST(t AS HUGEINT) * t * 1000
+      |          // n AS BIGINT), 0) + ssw_milli)
+      |    AS BIGINT) AS eta2_ppm
+      |FROM f""") { (s, d) =>
+    val cents = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    val g = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"),
+        sum(expr(cents)).as("sg"),
+        sum(expr(s"$cents * $cents")).as("qg"))
+    val f = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).as("t"),
+      sum(expr("(CAST(ng AS DECIMAL(38,0)) * qg - CAST(sg AS DECIMAL(38,0))" +
+        " * sg) * 1000 div ng")).cast(LongType).as("ssw_milli"),
+      sum(expr("CAST(sg AS DECIMAL(38,0)) * sg * 1000 div ng"))
+        .cast(LongType).as("sb_milli"))
+    f.select(col("k"), col("n"), col("ssw_milli"),
+        expr("greatest(sb_milli - CAST(CAST(t AS DECIMAL(38,0)) * t * 1000" +
+          " div n AS BIGINT), 0)").as("ssb_milli"))
+      .select(col("k"), col("n"), col("ssw_milli"), col("ssb_milli"),
+        expr("CAST(CAST(ssb_milli AS DECIMAL(38,0)) * (n - k) * 1000000" +
+          " div (CAST(ssw_milli AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)")
+          .as("f_ppm"),
+        expr("CAST(CAST(ssb_milli AS DECIMAL(38,0)) * 1000000" +
+          " div (ssb_milli + ssw_milli) AS BIGINT)").as("eta2_ppm"))
+  }
+
+  /** Score-calibration bins (r15) — the model-monitoring reliability
+    * table: a monotone "predicted probability" (order-date position
+    * inside the observed date span, exact floor-ppm — a stand-in for
+    * any model score already materialized as a column) binned into 10
+    * fixed-width buckets against the binary outcome "order finished"
+    * (status F). Per bin: volume, mean score, observed positive rate,
+    * signed calibration gap (no division — exact), and the Brier
+    * contribution in (ppm)² scale. Span bounds come from a 1-row
+    * broadcast agg, so the pass is one scan + one 10-row agg;
+    * `eval_gains_capture` grades ranking power, this grades
+    * probability CALIBRATION — the two failure modes are
+    * independent. */
+  val evalCalibrationBins: QDef = q(
+    "eval_calibration_bins",
+    """WITH b AS (
+      |  SELECT CAST(MIN(o_orderdate) AS DATE) AS mn,
+      |    date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+      |      CAST(MAX(o_orderdate) AS DATE)) AS span
+      |  FROM orders),
+      |sc AS (
+      |  SELECT
+      |    date_diff('day', mn, CAST(o_orderdate AS DATE)) * 1000000 // span
+      |      AS p_ppm,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders CROSS JOIN b)
+      |SELECT least(p_ppm // 100000, 9) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+      |  CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+      |  CAST(SUM(p_ppm) // COUNT(*)
+      |    - SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS gap_ppm,
+      |  CAST(SUM((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+      |    // COUNT(*) AS BIGINT) AS brier_ppm2
+      |FROM sc GROUP BY bin ORDER BY bin""") { (s, d) =>
+    val b = Tables.orders(s, d)
+      .agg(min(col("o_orderdate").cast(DateType)).as("mn"),
+        datediff(max(col("o_orderdate").cast(DateType)),
+          min(col("o_orderdate").cast(DateType))).as("span"))
+    val sc = Tables.orders(s, d)
+      .crossJoin(broadcast(b))
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), mn) AS BIGINT)" +
+          " * 1000000 div span").as("p_ppm"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    sc.groupBy(expr("least(p_ppm div 100000, 9)").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p_ppm")).as("sp"), sum(col("y")).as("sy"),
+        sum(expr("(p_ppm - y * 1000000) * (p_ppm - y * 1000000)")).as("sb"))
+      .select(col("bin"), col("n"),
+        expr("CAST(sp div n AS BIGINT)").as("mean_p_ppm"),
+        expr("CAST(sy * 1000000 div n AS BIGINT)").as("pos_rate_ppm"),
+        expr("CAST(sp div n - sy * 1000000 div n AS BIGINT)").as("gap_ppm"),
+        expr("CAST(sb div n AS BIGINT)").as("brier_ppm2"))
+      .orderBy(col("bin"))
+  }
+
+  /** Conditional-reset running sum (r15) — the window shape ledgers
+    * and battery/quota meters need that no graded win_ key had: a
+    * per-user running cents total that RESETS after every purchase
+    * event. Segment number = count of purchases strictly BEFORE the
+    * row (unbounded-preceding-to-1-preceding frame, so the purchase
+    * row itself closes its segment), then the running sum restarts
+    * inside each (user, segment) partition. Both windows are
+    * user-partitioned — per-user state at any scale, never a global
+    * funnel. */
+  val winCumulativeReset: QDef = q(
+    "win_cumulative_reset",
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+      |  FROM events),
+      |seg AS (
+      |  SELECT event_id, user_id, ts, cents,
+      |    COALESCE(SUM(is_p) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_no
+      |  FROM e)
+      |SELECT event_id, user_id, CAST(seg_no AS BIGINT) AS seg_no,
+      |  CAST(SUM(cents) OVER (PARTITION BY user_id, seg_no
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS run_cents
+      |FROM seg ORDER BY user_id, event_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (money(col("value")) * 100).cast(LongType).as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("cents"),
+        coalesce(sum(col("is_p")).over(wPrev), lit(0L)).as("seg_no"))
+    val wRun = Window.partitionBy(col("user_id"), col("seg_no"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg.select(col("event_id"), col("user_id"),
+        col("seg_no").cast(LongType).as("seg_no"),
+        sum(col("cents")).over(wRun).cast(LongType).as("run_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Session-gap sensitivity sweep (r15) — the tuning table behind
+    * `sessionize_events`' fixed 30-minute gap: session counts at gap
+    * = 10/30/60 minutes from ONE user-partitioned lag+lead pass (a
+    * session STARTS where the backward gap exceeds g; it is
+    * single-event where the forward gap does too), swept via a
+    * broadcast 3-row threshold table — the `corpus_dedup_impact_
+    * curve` shape applied to sessionization. Events-per-session in
+    * floor-milli. One window exchange total; the sweep multiplies
+    * rows only inside the final group-sized agg. */
+  val eventsSessionGapSweep: QDef = q(
+    "events_session_gap_sweep",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |      AS dtp,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+      |      AS dtn
+      |  FROM e),
+      |gaps AS (SELECT * FROM (VALUES (600), (1800), (3600)) AS t(gap_s))
+      |SELECT CAST(gap_s AS BIGINT) AS gap_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN dtp IS NULL OR dtp > CAST(gap_s AS BIGINT) * 1000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(CASE WHEN (dtp IS NULL OR dtp > CAST(gap_s AS BIGINT) * 1000000)
+      |    AND (dtn IS NULL OR dtn > CAST(gap_s AS BIGINT) * 1000000)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_single_event,
+      |  CAST(COUNT(*) * 1000 // SUM(CASE WHEN dtp IS NULL
+      |    OR dtp > CAST(gap_s AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS events_per_session_milli
+      |FROM g CROSS JOIN gaps
+      |GROUP BY gap_s ORDER BY gap_s""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val g = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .select(col("user_id"),
+        (col("t") - lag(col("t"), 1).over(w)).as("dtp"),
+        (lead(col("t"), 1).over(w) - col("t")).as("dtn"))
+    g.crossJoin(broadcast(intTable(s, "gap_s", Seq(600, 1800, 3600))))
+      .groupBy(col("gap_s"))
+      .agg(count(lit(1)).as("n_events"),
+        count_if(col("dtp").isNull || col("dtp") > col("gap_s") * 1000000L)
+          .as("n_sessions"),
+        count_if((col("dtp").isNull || col("dtp") > col("gap_s") * 1000000L)
+            && (col("dtn").isNull || col("dtn") > col("gap_s") * 1000000L))
+          .as("n_single_event"))
+      .select(col("gap_s").cast(LongType).as("gap_s"), col("n_events"),
+        col("n_sessions"), col("n_single_event"),
+        expr("CAST(n_events * 1000 div n_sessions AS BIGINT)")
+          .as("events_per_session_milli"))
+      .orderBy(col("gap_s"))
+  }
+
+  /** All round-15 graded queries, in registry order. */
+  val all: Seq[QDef] = Seq(
+    sketchQuantileMerge, sketchHeavyHittersMerge,
+    q9ProductProfit, q21WaitingSuppliers,
+    privacyKAnonymity, privacyLDiversity, abSrmCheck, statsAnovaF,
+    evalCalibrationBins, winCumulativeReset, eventsSessionGapSweep)
+}

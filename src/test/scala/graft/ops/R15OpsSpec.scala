@@ -1,0 +1,330 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-15 batch, checked by FULL
+  * driver-side recomputation at sf0.001 — independent of the DuckDB
+  * oracle: the two mergeable sketches are rebuilt from raw keys via
+  * java MessageDigest md5 (including the merge==one-pass equality the
+  * family exists to certify), the TPC-H shapes from scala collection
+  * joins, and every audit stat from exact BigInt/floorDiv algebra. */
+class R15OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h32(k: Long): Long =
+    java.lang.Long.parseLong(md5hex(k.toString).substring(0, 8), 16)
+
+  private def cents(d: Double): Long =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(100)).toLongExact
+
+  private lazy val ordersRows: Array[(Long, Long)] =
+    Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), cents(r.getDouble(1))))
+
+  test("r15 keys are partition-count invariant (the 100 TB correctness property)") {
+    def results(parts: Int): Map[String, Seq[String]] = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      R15Ops.all.map(_.key).map { k =>
+        k -> graft.SparkEntry.queries(k)(s2, sf).collect()
+          .map(_.toString).toSeq.sorted
+      }.toMap
+    }
+    val a = results(3); val b = results(17)
+    a.keys.foreach { k =>
+      assert(a(k) == b(k), s"$k: result depends on the shuffle partition count")
+      assert(a(k).nonEmpty, s"$k: empty result cannot certify anything")
+    }
+  }
+
+  test("sketch_quantile_merge: merged state EQUALS the one-pass state, " +
+      "estimates come from it, exact side is truly exact") {
+    // the property the key exists to certify: per-shard bottom-64
+    // states merged by "bottom-64 of the union" == one global pass
+    val byHash = ordersRows.map { case (k, c) => (h32(k), k, c) }
+      .sortBy(t => (t._1, t._2))
+    val onePass = byHash.take(64)
+    val merged = ordersRows.groupBy(_._1 % 8).values
+      .flatMap(_.map { case (k, c) => (h32(k), k, c) }
+        .sortBy(t => (t._1, t._2)).take(64))
+      .toArray.sortBy(t => (t._1, t._2)).take(64)
+    assert(merged.toSeq == onePass.toSeq,
+      "bottom-64 of per-shard bottom-64s must equal the one-pass bottom-64")
+
+    val sample = onePass.map(t => (t._3, t._2)).sortBy(identity).map(_._1)
+    val exactSorted = ordersRows.map { case (k, c) => (c, k) }
+      .sortBy(identity).map(_._1)
+    val n = exactSorted.length
+    val got = R15Ops.sketchQuantileMerge.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == Set(25L, 50L, 75L, 90L, 99L))
+    got.foreach { case (p, (nRows, est, exact)) =>
+      assert(nRows == n)
+      assert(est == sample(((64 - 1) * p / 100).toInt),
+        s"p$p: estimate must be the sample's rank-selected value")
+      assert(exact == exactSorted((((n - 1) * p) / 100).toInt),
+        s"p$p: exact side must be the true rank-selected percentile")
+    }
+  }
+
+  test("sketch_heavy_hitters_merge matches a driver-side recomputation " +
+      "and the merged candidates cover the exact top-8") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.flatMap { case (id, t) => t.split(" ", -1).map((id % 8, _)) }
+    val global = toks.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val top8 = global.toSeq.sortBy { case (t, c) => (-c, t) }.take(8)
+    val cand = toks.groupBy(_._1).values.flatMap { sh =>
+      sh.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+        .toSeq.sortBy { case (t, c) => (-c, t) }.take(8).map(_._1)
+    }.toSet
+    val got = R15Ops.sketchHeavyHittersMerge.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4)))
+    assert(got.length == 8)
+    got.foreach { case (rank, tok, cnt, found, nCand) =>
+      assert((tok, cnt) == top8(rank.toInt - 1), s"rank $rank mismatch")
+      assert(found == cand.contains(tok))
+      assert(nCand == cand.size.toLong)
+    }
+    // the merge-guarantee this family ships for: every exact top-8
+    // token is in the merged candidate set at this fixture
+    assert(got.forall(_._4), "merged candidates must cover the exact top-8")
+  }
+
+  test("q9_product_profit matches an exact BigDecimal recomputation") {
+    val nation = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supp = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => r.getLong(0) -> nation(r.getInt(1))).toMap
+    val retail = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice")).collect()
+      .map(r => r.getLong(0) ->
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .toMap
+    val oYear = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      .collect()
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val expect = li.groupBy(r =>
+        (supp(r.getLong(2)), oYear(r.getLong(0)))).map { case (k, rs) =>
+      val profit = rs.map { r =>
+        d2(r.getDouble(3)) * (BigDecimal(1) - d2(r.getDouble(4))) -
+          retail(r.getLong(1)) * d4(r.getDouble(5)) * BigDecimal("0.5")
+      }.sum
+      k -> (profit.toDouble, rs.length.toLong)
+    }
+    val got = R15Ops.q9ProductProfit.run(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, e) => assert(got(k) == e, s"$k: ${got(k)} vs $e") }
+  }
+
+  test("q21_waiting_suppliers matches a collection-join recomputation") {
+    val oMeta = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDate(2).toLocalDate))
+      .toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val lo = li.filter(l => oMeta(l._1)._1 == "F").map { l =>
+      val lag = java.time.temporal.ChronoUnit.DAYS
+        .between(oMeta(l._1)._2, l._3)
+      (l._1, l._2, lag > 90)
+    }
+    val byOrder = lo.groupBy(_._1)
+    val counted = lo.filter(_._3).filter { case (ok, sk, _) =>
+      val others = byOrder(ok).filter(_._2 != sk)
+      others.nonEmpty && !others.exists(_._3)
+    }
+    val sName = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = counted.groupBy(_._2)
+      .map { case (sk, rs) => sName(sk) -> rs.length.toLong }
+    val got = R15Ops.q21WaitingSuppliers.run(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+  }
+
+  test("privacy_k_anonymity matches an exact recomputation at every k") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), cents(r.getDouble(2)) / 100000))
+    val sizes = rows.groupBy(identity).values.map(_.length.toLong).toSeq
+    val got = R15Ops.privacyKAnonymity.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    Seq(2L, 5L, 10L).foreach { k =>
+      val atRisk = sizes.filter(_ < k).sum
+      val e = (sizes.length.toLong, sizes.count(_ < k).toLong, atRisk,
+        sizes.sum, atRisk * 1000000L / sizes.sum)
+      assert(got(k) == e, s"k=$k: ${got(k)} vs $e")
+    }
+    // trunc-bucket semantics really exercised: scala / on nonnegative
+    // longs above matches both engines' trunc division, and the
+    // fixture must carry at least one negative balance for the
+    // sign-semantics to be graded at all
+    assert(rows.exists(_._3 <= 0), "fixture lost its negative balances")
+  }
+
+  test("privacy_l_diversity matches an exact recomputation") {
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    val ords = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderpriority")).collect()
+      .map(r => (cust(r.getLong(0)), r.getString(1)))
+    val expect = ords.groupBy(_._1).values
+      .map(g => (g.map(_._2).distinct.length.toLong, g.length.toLong))
+      .groupBy(_._1)
+      .map { case (l, gs) => l -> (gs.size.toLong, gs.map(_._2).sum) }
+    val got = R15Ops.privacyLDiversity.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+  }
+
+  test("ab_srm_check matches the exact chi-square recomputation") {
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct()
+      .collect().map(_.getLong(0))
+    val a = users.count(u => md5hex(u.toString).head <= '7').toLong
+    val n = users.length.toLong
+    val chi2 = (2 * a - n) * (2 * a - n) * 1000000L / n
+    val got = R15Ops.abSrmCheck.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("A") == (a, n, chi2, chi2 > 3841459L))
+    assert(got("B") == (n - a, n, chi2, chi2 > 3841459L))
+  }
+
+  test("stats_anova_f matches an exact BigInt recomputation") {
+    val xs = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), BigInt(cents(r.getDouble(1)))))
+    val groups = xs.groupBy(_._1).values.toSeq
+    val k = groups.length
+    val n = xs.length
+    val t = xs.map(_._2).sum
+    def fdiv(a: BigInt, b: BigInt): BigInt = a / b // nonneg operands
+    val ssw = groups.map { g =>
+      val ng = BigInt(g.length); val sg = g.map(_._2).sum
+      val qg = g.map(x => x._2 * x._2).sum
+      fdiv((ng * qg - sg * sg) * 1000, ng)
+    }.sum
+    val sb = groups.map { g =>
+      val ng = BigInt(g.length); val sg = g.map(_._2).sum
+      fdiv(sg * sg * 1000, ng)
+    }.sum
+    val ssb = (sb - fdiv(t * t * 1000, BigInt(n))).max(BigInt(0))
+    val fPpm = ssb * BigInt(n - k) * 1000000 / (ssw * BigInt(k - 1))
+    val eta2 = ssb * 1000000 / (ssb + ssw)
+    val r = R15Ops.statsAnovaF.run(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1)) == (k.toLong, n.toLong))
+    assert(r.getLong(2) == ssw.toLong && r.getLong(3) == ssb.toLong)
+    assert(r.getLong(4) == fPpm.toLong && r.getLong(5) == eta2.toLong)
+  }
+
+  test("eval_calibration_bins matches an exact recomputation and bins " +
+      "conserve all orders") {
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderdate").cast("date"), col("o_orderstatus")).collect()
+      .map(r => (r.getDate(0).toLocalDate, if (r.getString(1) == "F") 1L else 0L))
+    val mn = rows.map(_._1).min
+    val span = java.time.temporal.ChronoUnit.DAYS
+      .between(mn, rows.map(_._1).max)
+    val sc = rows.map { case (dt, y) =>
+      val p = java.time.temporal.ChronoUnit.DAYS.between(mn, dt) * 1000000L / span
+      (math.min(p / 100000, 9), p, y)
+    }
+    val expect = sc.groupBy(_._1).map { case (bin, g) =>
+      val nb = g.length.toLong
+      val sp = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val brier = g.map(x => (x._2 - x._3 * 1000000L) * (x._2 - x._3 * 1000000L)).sum
+      bin -> (nb, sp / nb, sy * 1000000L / nb,
+        sp / nb - sy * 1000000L / nb, brier / nb)
+    }
+    val got = R15Ops.evalCalibrationBins.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == rows.length.toLong,
+      "bins must conserve every order")
+  }
+
+  test("win_cumulative_reset: segments advance exactly after purchases " +
+      "and running sums telescope per (user, segment)") {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        cents(r.getDouble(4))))
+    val expect = evs.groupBy(_._2).toSeq.flatMap { case (u, es) =>
+      val sorted = es.toSeq.sortBy(e => (e._3, e._1))
+      var seg = 0L; var run = 0L; var prevSeg = -1L
+      sorted.map { e =>
+        if (seg != prevSeg) { run = 0L; prevSeg = seg }
+        run += e._5
+        val out = (e._1, u, seg, run)
+        if (e._4 == "purchase") seg += 1
+        out
+      }
+    }.map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val got = R15Ops.winCumulativeReset.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("events_session_gap_sweep matches an exact recomputation and is " +
+      "monotone in the gap") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1).values.map(_.sortBy(e => (e._3, e._2)))
+    def stats(gapUs: Long): (Long, Long) = {
+      var sessions = 0L; var singles = 0L
+      byUser.foreach { es =>
+        val ts = es.map(_._3)
+        ts.indices.foreach { i =>
+          val startB = i == 0 || ts(i) - ts(i - 1) > gapUs
+          val endB = i == ts.length - 1 || ts(i + 1) - ts(i) > gapUs
+          if (startB) sessions += 1
+          if (startB && endB) singles += 1
+        }
+      }
+      (sessions, singles)
+    }
+    val got = R15Ops.eventsSessionGapSweep.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val n = evs.length.toLong
+    Seq(600L, 1800L, 3600L).foreach { g =>
+      val (se, si) = stats(g * 1000000L)
+      assert(got(g) == (n, se, si, n * 1000L / se), s"gap $g")
+    }
+    assert(got(600L)._2 >= got(1800L)._2 && got(1800L)._2 >= got(3600L)._2,
+      "session count must be monotone non-increasing in the gap")
+  }
+}
