@@ -696,10 +696,187 @@ object R15Ops {
       .orderBy(col("gap_s"))
   }
 
+  /** Generalization ladder to k-anonymity (r15c) — the REMEDIATION
+    * plan `privacy_k_anonymity` stops short of: per customer, the
+    * minimal QI generalization level at which their group reaches
+    * k = 5. Levels drop the most-identifying attribute in turn:
+    * 0 = (nation, segment, $1000 trunc balance bucket), 1 = (nation,
+    * segment), 2 = (nation), 3 = fully suppressed. The report is the
+    * row distribution over minimal safe levels with floor-ppm shares
+    * — the table a release reviewer reads to decide how much
+    * generalization the export actually needs. Three group-sized
+    * aggs, each joined back as a broadcast. */
+  val privacyGeneralizationLadder: QDef = q(
+    "privacy_generalization_ladder",
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) // 100000
+      |      AS bkt
+      |  FROM customer),
+      |g0 AS (SELECT nat, seg, bkt, CAST(COUNT(*) AS BIGINT) AS n0
+      |  FROM c GROUP BY 1, 2, 3),
+      |g1 AS (SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n1
+      |  FROM c GROUP BY 1, 2),
+      |g2 AS (SELECT nat, CAST(COUNT(*) AS BIGINT) AS n2
+      |  FROM c GROUP BY 1),
+      |lv AS (
+      |  SELECT CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+      |    WHEN n2 >= 5 THEN 2 ELSE 3 END AS level
+      |  FROM c
+      |  JOIN g0 USING (nat, seg, bkt)
+      |  JOIN g1 USING (nat, seg)
+      |  JOIN g2 USING (nat)),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM customer)
+      |SELECT CAST(level AS BIGINT) AS level,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(COUNT(*) * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM lv CROSS JOIN t
+      |GROUP BY level, total ORDER BY level""") { (s, d) =>
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+          " div 100000 AS BIGINT)").as("bkt"))
+    val g0 = c.groupBy(col("nat"), col("seg"), col("bkt"))
+      .agg(count(lit(1)).as("n0"))
+    val g1 = c.groupBy(col("nat").as("n1nat"), col("seg").as("n1seg"))
+      .agg(count(lit(1)).as("n1"))
+    val g2 = c.groupBy(col("nat").as("n2nat")).agg(count(lit(1)).as("n2"))
+    val lv = c
+      .join(broadcast(g0), Seq("nat", "seg", "bkt"))
+      .join(broadcast(g1),
+        col("nat") === col("n1nat") && col("seg") === col("n1seg"))
+      .join(broadcast(g2), col("nat") === col("n2nat"))
+      .select(when(col("n0") >= 5, 0).when(col("n1") >= 5, 1)
+        .when(col("n2") >= 5, 2).otherwise(3).as("level"))
+    // total from the BASE table, not from lv: the inner joins preserve
+    // every customer row (group keys come from the same table), and a
+    // count over lv would re-run the whole three-agg join tree a
+    // second time just to produce one number
+    val t = Tables.customer(s, d).agg(count(lit(1)).as("total"))
+    lv.crossJoin(broadcast(t))
+      .groupBy(col("level"), col("total"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(col("level").cast(LongType).as("level"), col("n_customers"),
+        expr("CAST(n_customers * 1000000 div total AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("level"))
+  }
+
+  /** Multimodal pyramid plan (r15c) — the pre-decode resolution
+    * ladder an image-ingest pipeline materializes BEFORE touching
+    * pixels: for each image's (w, h) metadata (the
+    * `multimodal_image_tiles` synthetic meta), how many ceil-halvings
+    * until max(w, h) ≤ 64, and every level's exact dimensions and
+    * pixel count. The level count is EXACT dyadic arithmetic, no
+    * transcendentals: ceil-halving composes (ceil(ceil(a/2)/2) =
+    * ceil(a/4)), so n_levels = len(bin((max-1) div 64)) and level-l
+    * dims are ceil(w / 2^l) via shift-left — spellable identically in
+    * both engines. Row-local throughout: one explode of ≤6 levels per
+    * image, no shuffle until the presentation sort. */
+  val multimodalPyramidPlan: QDef = q(
+    "multimodal_pyramid_plan",
+    """WITH meta AS (
+      |  SELECT doc_id,
+      |    CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS w,
+      |    CAST(480 + (doc_id % 7) * 120 AS BIGINT) AS h
+      |  FROM documents),
+      |m2 AS (
+      |  SELECT doc_id, w, h,
+      |    CASE WHEN greatest(w, h) <= 64 THEN 0
+      |      ELSE length(bin((greatest(w, h) - 1) // 64)) END AS n_levels
+      |  FROM meta),
+      |lv AS (
+      |  SELECT doc_id, w, h, n_levels, t.l AS level
+      |  FROM m2, UNNEST(range(0, n_levels + 1)) AS t(l))
+      |SELECT doc_id, CAST(level AS BIGINT) AS level,
+      |  CAST(n_levels AS BIGINT) AS n_levels,
+      |  (w + (1 << level) - 1) // (1 << level) AS lw,
+      |  (h + (1 << level) - 1) // (1 << level) AS lh,
+      |  ((w + (1 << level) - 1) // (1 << level))
+      |    * ((h + (1 << level) - 1) // (1 << level)) AS px
+      |FROM lv ORDER BY doc_id, level""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (lit(640L) + (col("doc_id") % 5) * 160).as("w"),
+        (lit(480L) + (col("doc_id") % 7) * 120).as("h"))
+      .withColumn("n_levels",
+        expr("CASE WHEN greatest(w, h) <= 64 THEN 0L" +
+          " ELSE CAST(length(bin((greatest(w, h) - 1) div 64)) AS BIGINT)" +
+          " END"))
+      .select(col("doc_id"), col("w"), col("h"), col("n_levels"),
+        explode(expr("sequence(0L, n_levels)")).as("level"))
+      .select(col("doc_id"), col("level"), col("n_levels"),
+        expr("(w + shiftleft(CAST(1 AS BIGINT), CAST(level AS INT)) - 1)" +
+          " div shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))").as("lw"),
+        expr("(h + shiftleft(CAST(1 AS BIGINT), CAST(level AS INT)) - 1)" +
+          " div shiftleft(CAST(1 AS BIGINT), CAST(level AS INT))").as("lh"))
+      .withColumn("px", col("lw") * col("lh"))
+      .select(col("doc_id"), col("level"), col("n_levels"), col("lw"),
+        col("lh"), col("px"))
+      .orderBy(col("doc_id"), col("level"))
+  }
+
+  /** Discount-cap what-if (r15c) — the pricing-policy simulation a
+    * revenue team runs before changing discount ceilings: gross
+    * revenue under caps of 0%/4%/8% (each line's discount clamped at
+    * the cap) vs actual, from ONE lineitem pass swept by a broadcast
+    * 3-row cap table. All-decimal exact tree (least() of two
+    * DECIMAL(6,2)s, the q8 volume spelling) emitted once as DOUBLE;
+    * recovered = capped − actual is computed on the exact decimals
+    * BEFORE the float cast so the delta is itself exact. */
+  val reportDiscountWhatif: QDef = q(
+    "report_discount_whatif",
+    """WITH caps AS (
+      |  SELECT CAST(cap AS DECIMAL(6,2)) AS cap FROM (
+      |    VALUES (0.00), (0.04), (0.08)) t(cap)),
+      |x AS (
+      |  -- CASE, not least(): DuckDB 1.0.0's least() over two DECIMALs
+      |  -- returns DOUBLE (measured), which would break the exact tree
+      |  SELECT CAST(cap * 100 AS BIGINT) AS cap_centi,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CASE WHEN CAST(l_discount AS DECIMAL(6,2)) < cap
+      |          THEN CAST(l_discount AS DECIMAL(6,2)) ELSE cap END))
+      |      AS rev_capped,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS rev_actual,
+      |    CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(6,2)) > cap
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+      |  FROM lineitem CROSS JOIN caps
+      |  GROUP BY cap)
+      |SELECT cap_centi, CAST(rev_capped AS DOUBLE) AS revenue_capped,
+      |  CAST(rev_actual AS DOUBLE) AS revenue_actual,
+      |  CAST(rev_capped - rev_actual AS DOUBLE) AS recovered,
+      |  n_capped
+      |FROM x ORDER BY cap_centi""") { (s, d) =>
+    val caps = Seq("0.00", "0.04", "0.08")
+      .map(v => s.range(1).select(
+        lit(BigDecimal(v)).cast(DecimalType(6, 2)).as("cap")))
+      .reduce(_ unionAll _)
+    Tables.lineitem(s, d)
+      .select(money(col("l_extendedprice")).as("price"),
+        rate(col("l_discount")).as("disc"))
+      .crossJoin(broadcast(caps))
+      .groupBy((col("cap") * 100).cast(LongType).as("cap_centi"))
+      .agg(sum(col("price") * (lit(1) - least(col("disc"), col("cap"))))
+          .as("rev_capped"),
+        sum(col("price") * (lit(1) - col("disc"))).as("rev_actual"),
+        count_if(col("disc") > col("cap")).as("n_capped"))
+      .select(col("cap_centi"),
+        col("rev_capped").cast(DoubleType).as("revenue_capped"),
+        col("rev_actual").cast(DoubleType).as("revenue_actual"),
+        (col("rev_capped") - col("rev_actual")).cast(DoubleType)
+          .as("recovered"),
+        col("n_capped"))
+      .orderBy(col("cap_centi"))
+  }
+
   /** All round-15 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     sketchQuantileMerge, sketchHeavyHittersMerge,
     q9ProductProfit, q21WaitingSuppliers,
     privacyKAnonymity, privacyLDiversity, abSrmCheck, statsAnovaF,
-    evalCalibrationBins, winCumulativeReset, eventsSessionGapSweep)
+    evalCalibrationBins, winCumulativeReset, eventsSessionGapSweep,
+    privacyGeneralizationLadder, multimodalPyramidPlan,
+    reportDiscountWhatif)
 }

@@ -297,6 +297,82 @@ class R15OpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("privacy_generalization_ladder matches an exact recomputation " +
+      "and conserves all customers") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), cents(r.getDouble(2)) / 100000))
+    val c0 = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    val c1 = rows.groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.length }
+    val c2 = rows.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val levels = rows.map { r =>
+      if (c0(r) >= 5) 0L else if (c1((r._1, r._2)) >= 5) 1L
+      else if (c2(r._1) >= 5) 2L else 3L
+    }
+    val expect = levels.groupBy(identity).map { case (l, v) =>
+      l -> (v.length.toLong, v.length.toLong * 1000000L / rows.length)
+    }
+    val got = R15Ops.privacyGeneralizationLadder.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == rows.length.toLong)
+  }
+
+  test("multimodal_pyramid_plan matches a ceil-halving simulation for " +
+      "every image") {
+    val got = R15Ops.multimodalPyramidPlan.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = Tables.documents(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val expect = docs.flatMap { id =>
+      val (w0, h0) = (640 + (id % 5) * 160, 480 + (id % 7) * 120)
+      // levels 0..L where L = first level with max(w,h) <= 64
+      var dims = Seq((w0, h0))
+      while (dims.last._1.max(dims.last._2) > 64)
+        dims = dims :+ ((dims.last._1 + 1) / 2, (dims.last._2 + 1) / 2)
+      dims.zipWithIndex.map { case ((w, h), l) =>
+        (id, l.toLong) -> ((dims.length - 1).toLong, w, h, w * h)
+      }
+    }.toMap
+    assert(got == expect)
+    // the plan's own contract: the last level fits, the one before not
+    docs.foreach { id =>
+      val n = got((id, 0L))._1
+      val (_, lw, lh, _) = got((id, n))
+      assert(lw.max(lh) <= 64, s"doc $id: final level does not fit")
+      if (n > 0) {
+        val (_, pw, ph, _) = got((id, n - 1))
+        assert(pw.max(ph) > 64, s"doc $id: ladder is longer than needed")
+      }
+    }
+  }
+
+  test("report_discount_whatif matches an exact BigDecimal recomputation " +
+      "and is monotone in the cap") {
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice"), col("l_discount")).collect()
+      .map(r => (d2(r.getDouble(0)), d2(r.getDouble(1))))
+    val got = R15Ops.reportDiscountWhatif.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    val actual = li.map { case (p, dd) => p * (BigDecimal(1) - dd) }.sum
+    Seq(0L, 4L, 8L).foreach { c =>
+      val cap = BigDecimal(c) / 100
+      val capped = li.map { case (p, dd) =>
+        p * (BigDecimal(1) - (if (dd < cap) dd else cap))
+      }.sum
+      val nCapped = li.count(_._2 > cap).toLong
+      val e = (capped.toDouble, actual.toDouble, (capped - actual).toDouble,
+        nCapped)
+      assert(got(c) == e, s"cap $c: ${got(c)} vs $e")
+    }
+    assert(got(0L)._1 >= got(4L)._1 && got(4L)._1 >= got(8L)._1,
+      "capped revenue must be monotone non-increasing in the cap")
+  }
+
   test("events_session_gap_sweep matches an exact recomputation and is " +
       "monotone in the gap") {
     val evs = Tables.events(spark, sf)
