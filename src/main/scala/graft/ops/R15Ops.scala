@@ -871,6 +871,253 @@ object R15Ops {
       .orderBy(col("cap_centi"))
   }
 
+  /** Dedup-threshold PR curve (r15d) — the eval that connects the
+    * dedup and eval families: treat "LSH candidate with Jaccard ≥ t"
+    * as a CLASSIFIER for the corpus's constructed duplication (same
+    * 64-char text prefix — `dedup_prefix_cluster`'s notion, the
+    * fixture's actual near-dup generator; exact md5 dups don't exist
+    * below sf0.1) and grade its precision/recall/F1 at t = 50/70/90%
+    * from ONE shared signature+candidate+verify pass (the
+    * `corpus_dedup_impact_curve` machinery pointed at ground truth).
+    * Truth-pair counts come from prefix group sizes (Σ C(n,2) —
+    * never enumerated), true positives from the prefix-equality join
+    * on the already-verified candidate pairs. Recall < 1 exposes
+    * exactly the pairs banding+jaccard miss (prefix-dups whose tails
+    * diverged); precision < 1 counts near-dups that do not share the
+    * prefix — both are the honest numbers a dedup rollout reads.
+    * F1 in floor-ppm via 2TP/(pred+truth) (no float division). */
+  val evalDedupPrCurve: QDef = q(
+    "eval_dedup_pr_curve",
+    s"""WITH ${LlmExtras.lshCtes},
+      |dg AS (SELECT doc_id, substr(text, 1, 64) AS pfx FROM documents),
+      |truth AS (
+      |  SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_truth FROM (
+      |    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY pfx)),
+      |scored AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+      |      / len(list_distinct(x.s || y.s)) AS jacc,
+      |    da.pfx = db.pfx AS is_dup
+      |  FROM cand c
+      |  JOIN sets x ON x.doc_id = c.doc_a JOIN sets y ON y.doc_id = c.doc_b
+      |  JOIN dg da ON da.doc_id = c.doc_a JOIN dg db ON db.doc_id = c.doc_b),
+      |th AS (SELECT * FROM (VALUES (50), (70), (90)) t(t)),
+      |pr AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pred,
+      |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+      |  FROM scored CROSS JOIN th
+      |  WHERE jacc >= t / 100.0
+      |  GROUP BY t)
+      |SELECT CAST(t AS BIGINT) AS threshold_pct, n_pred, n_tp, n_truth,
+      |  CAST(n_tp * 1000000 // n_pred AS BIGINT) AS precision_ppm,
+      |  CAST(n_tp * 1000000 // n_truth AS BIGINT) AS recall_ppm,
+      |  CAST(2 * n_tp * 1000000 // (n_pred + n_truth) AS BIGINT) AS f1_ppm
+      |FROM pr CROSS JOIN truth
+      |ORDER BY threshold_pct""") { (s, d) =>
+    val base = LlmExtras.shingleBase(s, d)
+    val pairs = LlmExtras.exactJaccard(LlmExtras.bandCandidates(base), base)
+    val dg = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("pfx"))
+    val truth = dg.groupBy(col("pfx")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2")).as("n_truth"))
+    val scored = pairs
+      .join(dg.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")),
+        "doc_a")
+      .join(dg.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")),
+        "doc_b")
+      .select(col("jacc"), (col("pfx_a") === col("pfx_b")).as("is_dup"))
+    scored.crossJoin(broadcast(intTable(s, "t", Seq(50, 70, 90))))
+      .filter(col("jacc") >= col("t") / 100.0)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_pred"), count_if(col("is_dup")).as("n_tp"))
+      .crossJoin(broadcast(truth))
+      .select(col("t").cast(LongType).as("threshold_pct"), col("n_pred"),
+        col("n_tp"), col("n_truth"),
+        expr("CAST(n_tp * 1000000 div n_pred AS BIGINT)").as("precision_ppm"),
+        expr("CAST(n_tp * 1000000 div n_truth AS BIGINT)").as("recall_ppm"),
+        expr("CAST(2 * n_tp * 1000000 div (n_pred + n_truth) AS BIGINT)")
+          .as("f1_ppm"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  /** Capacity-backlog ledger (r15d) — the queueing simulation an ops
+    * team runs against order arrivals: daily arrivals vs a per-year
+    * ceil-mean daily capacity K, backlog via the LINDLEY recursion
+    * b_d = max(0, b_{d−1} + a_d − K) — which is NOT windowable as
+    * written, but its closed form b_d = S_d − K·d − min(0, min_{j≤d}
+    * (S_j − K·j)) is: S jumps only on arrival days and S_j − K·j
+    * falls by K on every empty day, so the inner min over ALL days is
+    * the running min over arrival rows of (S_i − K·(next_day_i − 1)),
+    * merged with the current row's own S_i − K·d_i AND the zero-sum
+    * prefix run before the year's first arrival (slack −K·(first_d −
+    * 1), which also subsumes the j=0 base case). Four
+    * year-partitioned windows (running sum, lead, partition min,
+    * running min) in one exchange — the
+    * year boundary is the ledger reset, so no global funnel at any
+    * scale. Pure BIGINT; the spec replays the recursion day by
+    * day. */
+  val opsCapacityBacklog: QDef = q(
+    "ops_capacity_backlog",
+    """WITH a AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    CAST(date_diff('day',
+      |      CAST(CAST(year(o_orderdate) AS VARCHAR) || '-01-01' AS DATE),
+      |      CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS arrivals
+      |  FROM orders GROUP BY 1, 2),
+      |yk AS (
+      |  SELECT yr,
+      |    CAST((SUM(arrivals) + CAST(date_diff('day',
+      |        CAST(CAST(yr AS VARCHAR) || '-01-01' AS DATE),
+      |        CAST(CAST(yr + 1 AS VARCHAR) || '-01-01' AS DATE)) AS BIGINT)
+      |      - 1) // CAST(date_diff('day',
+      |        CAST(CAST(yr AS VARCHAR) || '-01-01' AS DATE),
+      |        CAST(CAST(yr + 1 AS VARCHAR) || '-01-01' AS DATE)) AS BIGINT)
+      |      AS BIGINT) AS k
+      |  FROM a GROUP BY yr),
+      |w AS (
+      |  SELECT a.yr, d, arrivals, k,
+      |    SUM(arrivals) OVER (PARTITION BY a.yr ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    lead(d) OVER (PARTITION BY a.yr ORDER BY d) AS next_d,
+      |    min(d) OVER (PARTITION BY a.yr) AS first_d
+      |  FROM a JOIN yk ON yk.yr = a.yr),
+      |m AS (
+      |  SELECT yr, d, arrivals, k, s, first_d,
+      |    min(s - k * (COALESCE(next_d, d + 1) - 1)) OVER (
+      |      PARTITION BY yr ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_min
+      |  FROM w)
+      |SELECT yr, d AS day_of_year, arrivals, k AS capacity,
+      |  CAST(s - k * d - least(-k * (first_d - 1),
+      |    CASE WHEN prev_min IS NULL OR s - k * d < prev_min
+      |      THEN s - k * d ELSE prev_min END) AS BIGINT) AS backlog
+      |FROM m ORDER BY yr, d""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val a = Tables.orders(s, d)
+      .select(year(col("o_orderdate")).cast("int").as("yr"),
+        (datediff(col("o_orderdate").cast(DateType),
+          expr("CAST(CAST(year(o_orderdate) AS STRING) || '-01-01' AS DATE)"))
+          + 1).cast(LongType).as("d"))
+      .groupBy(col("yr"), col("d")).agg(count(lit(1)).as("arrivals"))
+    val yk = a.groupBy(col("yr").as("kyr"))
+      .agg(sum(col("arrivals")).as("tot"))
+      .select(col("kyr"),
+        expr("CAST((tot + CAST(datediff(" +
+          "CAST(CAST(kyr + 1 AS STRING) || '-01-01' AS DATE)," +
+          "CAST(CAST(kyr AS STRING) || '-01-01' AS DATE)) AS BIGINT) - 1)" +
+          " div CAST(datediff(" +
+          "CAST(CAST(kyr + 1 AS STRING) || '-01-01' AS DATE)," +
+          "CAST(CAST(kyr AS STRING) || '-01-01' AS DATE)) AS BIGINT)" +
+          " AS BIGINT)").as("k"))
+    val wOrd = Window.partitionBy(col("yr")).orderBy(col("d"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    a.join(broadcast(yk), col("yr") === col("kyr"))
+      .select(col("yr"), col("d"), col("arrivals"), col("k"),
+        sum(col("arrivals")).over(wRun).as("s"),
+        lead(col("d"), 1).over(wOrd).as("next_d"),
+        // the empty prefix before the year's FIRST arrival is itself
+        // a zero-sum run whose end slack -k*(first_d - 1) must join
+        // the min, or a late first arrival under-reports its backlog
+        min(col("d")).over(Window.partitionBy(col("yr"))).as("first_d"))
+      .select(col("yr"), col("d"), col("arrivals"), col("k"), col("s"),
+        col("first_d"),
+        min(col("s") - col("k") * (coalesce(col("next_d"), col("d") + 1) - 1))
+          .over(wPrev).as("prev_min"))
+      .select(col("yr"), col("d").as("day_of_year"), col("arrivals"),
+        col("k").as("capacity"),
+        expr("s - k * d - least(-k * (first_d - 1)," +
+          " CASE WHEN prev_min IS NULL OR s - k * d < prev_min" +
+          " THEN s - k * d ELSE prev_min END)").as("backlog"))
+      .orderBy(col("yr"), col("day_of_year"))
+  }
+
+  /** Brown–Forsythe / Levene test (r15d) — `stats_anova_f` asks "do
+    * the means differ", this asks "do the SPREADS differ" (the
+    * variance-homogeneity check that decides whether ANOVA's
+    * assumption even holds): the same F statistic computed over
+    * z = |x − median_g|, with the group median rank-selected exactly
+    * (lower median, the `agg_quantiles_exact` convention) so z stays
+    * pure BIGINT. Identical DECIMAL(38)/HUGEINT fold as the ANOVA
+    * key; one extra group-partitioned rank window to select
+    * medians. */
+  val statsLeveneBf: QDef = q(
+    "stats_levene_bf",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY x, event_id)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |med AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n - 1) * 5 // 10 + 1 THEN x END) AS med
+      |  FROM r GROUP BY event_type),
+      |z AS (
+      |  SELECT e.event_type, abs(e.x - med) AS z
+      |  FROM e JOIN med ON med.event_type = e.event_type),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+      |    CAST(SUM(z) AS BIGINT) AS sg,
+      |    CAST(SUM(z * z) AS BIGINT) AS qg
+      |  FROM z GROUP BY event_type),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(ng) AS BIGINT) AS n,
+      |    CAST(SUM(sg) AS BIGINT) AS t,
+      |    CAST(SUM((CAST(ng AS HUGEINT) * qg - CAST(sg AS HUGEINT) * sg)
+      |      * 1000 // ng) AS BIGINT) AS ssw_milli,
+      |    CAST(SUM(CAST(sg AS HUGEINT) * sg * 1000 // ng) AS BIGINT)
+      |      AS sb_milli
+      |  FROM g)
+      |SELECT k, n, ssw_milli,
+      |  greatest(sb_milli - CAST(CAST(t AS HUGEINT) * t * 1000 // n
+      |    AS BIGINT), 0) AS ssb_milli,
+      |  CAST(CAST(greatest(sb_milli - CAST(CAST(t AS HUGEINT) * t * 1000
+      |        // n AS BIGINT), 0) AS HUGEINT)
+      |      * (n - k) * 1000000 // (CAST(ssw_milli AS HUGEINT) * (k - 1))
+      |    AS BIGINT) AS f_ppm
+      |FROM f""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        (money(col("value")) * 100).cast(LongType).as("x"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val med = e
+      .select(col("event_type"), col("x"),
+        row_number().over(wOrd).as("rn"), count(lit(1)).over(wAll).as("n"))
+      .groupBy(col("event_type").as("met"))
+      .agg(max(when(col("rn") === expr("(n - 1) * 5 div 10 + 1"),
+        col("x"))).as("med"))
+    val g = e.join(broadcast(med), col("event_type") === col("met"))
+      .select(col("event_type"), abs(col("x") - col("med")).as("z"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
+        sum(expr("z * z")).as("qg"))
+    val f = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).as("t"),
+      sum(expr("(CAST(ng AS DECIMAL(38,0)) * qg - CAST(sg AS DECIMAL(38,0))" +
+        " * sg) * 1000 div ng")).cast(LongType).as("ssw_milli"),
+      sum(expr("CAST(sg AS DECIMAL(38,0)) * sg * 1000 div ng"))
+        .cast(LongType).as("sb_milli"))
+    f.select(col("k"), col("n"), col("ssw_milli"),
+        expr("greatest(sb_milli - CAST(CAST(t AS DECIMAL(38,0)) * t * 1000" +
+          " div n AS BIGINT), 0)").as("ssb_milli"))
+      .select(col("k"), col("n"), col("ssw_milli"), col("ssb_milli"),
+        expr("CAST(CAST(ssb_milli AS DECIMAL(38,0)) * (n - k) * 1000000" +
+          " div (CAST(ssw_milli AS DECIMAL(38,0)) * (k - 1)) AS BIGINT)")
+          .as("f_ppm"))
+  }
+
   /** All round-15 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     sketchQuantileMerge, sketchHeavyHittersMerge,
@@ -878,5 +1125,6 @@ object R15Ops {
     privacyKAnonymity, privacyLDiversity, abSrmCheck, statsAnovaF,
     evalCalibrationBins, winCumulativeReset, eventsSessionGapSweep,
     privacyGeneralizationLadder, multimodalPyramidPlan,
-    reportDiscountWhatif)
+    reportDiscountWhatif,
+    evalDedupPrCurve, opsCapacityBacklog, statsLeveneBf)
 }

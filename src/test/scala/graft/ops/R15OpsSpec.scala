@@ -373,6 +373,119 @@ class R15OpsSpec extends SparkSpec {
       "capped revenue must be monotone non-increasing in the cap")
   }
 
+  test("eval_dedup_pr_curve matches a driver-side shingle/band/jaccard " +
+      "replica at every threshold") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // truth: the corpus's constructed duplication — shared 64-char
+    // prefix (dedup_prefix_cluster's notion)
+    val nTruth = docs.groupBy(d => d._2.take(64)).values
+      .map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(nTruth > 0, "fixture lost its prefix-duplicate construction")
+    // replica of the graded minhash pipeline (R14OpsSpec's spellings)
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      if (t.length < 3) Set.empty
+      else (2 until t.length).map(i => s"${t(i - 2)} ${t(i - 1)} ${t(i)}").toSet
+    }
+    def sig(sh: Set[String]): Seq[String] = {
+      val hs = sh.toSeq.map(md5hex)
+      (0 until 8).map(i => hs.map(_.substring(3 * i, 3 * i + 8)).min)
+    }
+    val withSig = docs.filter(d => shingles(d._2).nonEmpty)
+      .map(d => (d._1, shingles(d._2), sig(shingles(d._2))))
+    val byBand = withSig.flatMap(d =>
+      (0 until 4).map(b => (b, s"${d._3(2 * b)}|${d._3(2 * b + 1)}") -> d._1))
+      .groupBy(_._1).values.map(_.map(_._2).toSeq)
+    val cand = byBand.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    val shingleOf = withSig.map(d => d._1 -> d._2).toMap
+    val pfxOf = docs.map(d => d._1 -> d._2.take(64)).toMap
+    val scored = cand.toSeq.map { case (a, b) =>
+      val (sa, sb) = (shingleOf(a), shingleOf(b))
+      (sa.intersect(sb).size.toDouble / sa.union(sb).size,
+        pfxOf(a) == pfxOf(b))
+    }
+    val got = R15Ops.evalDedupPrCurve.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    got.keys.foreach { t =>
+      val pred = scored.filter(_._1 >= t / 100.0)
+      val tp = pred.count(_._2).toLong
+      val e = (pred.length.toLong, tp, nTruth,
+        tp * 1000000L / pred.length, tp * 1000000L / nTruth,
+        2 * tp * 1000000L / (pred.length + nTruth))
+      assert(got(t) == e, s"t=$t: ${got(t)} vs $e")
+    }
+    assert(got.contains(50L) && got.contains(90L))
+    // prediction sets nest as t rises, so TP is monotone non-increasing
+    assert(got(50L)._2 >= got(90L)._2)
+  }
+
+  test("ops_capacity_backlog matches a day-by-day Lindley replay") {
+    val arr = Tables.orders(spark, sf)
+      .select(year(col("o_orderdate")).cast("int"),
+        col("o_orderdate").cast("date")).collect()
+      .map(r => (r.getInt(0), r.getDate(1).toLocalDate))
+    val got = R15Ops.opsCapacityBacklog.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val byYear = arr.groupBy(_._1)
+    var checked = 0
+    byYear.foreach { case (yr, rows) =>
+      val start = java.time.LocalDate.of(yr, 1, 1)
+      val nDays = start.plusYears(1).toEpochDay - start.toEpochDay
+      val counts = rows.groupBy(r =>
+        r._2.toEpochDay - start.toEpochDay + 1)
+        .map { case (d, v) => d -> v.length.toLong }
+      val k = (counts.values.sum + nDays - 1) / nDays
+      // the independent check: replay b_d = max(0, b_{d-1} + a_d - K)
+      // over EVERY day of the year, including empty ones
+      var b = 0L
+      (1L to nDays).foreach { d =>
+        val a = counts.getOrElse(d, 0L)
+        b = math.max(0L, b + a - k)
+        if (a > 0) {
+          assert(got((yr, d)) == (a, k, b),
+            s"yr $yr day $d: ${got((yr, d))} vs ($a, $k, $b)")
+          checked += 1
+        }
+      }
+    }
+    assert(checked == got.size, "every graded row was replayed")
+  }
+
+  test("stats_levene_bf matches an exact BigInt recomputation over " +
+      "median deviations") {
+    val xs = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), BigInt(cents(r.getDouble(2)))))
+    val meds = xs.groupBy(_._1).map { case (g, v) =>
+      val sorted = v.sortBy(e => (e._3, e._2)).map(_._3)
+      g -> sorted(((sorted.length - 1) * 5 / 10).toInt)
+    }
+    val zs = xs.map(e => (e._1, (e._3 - meds(e._1)).abs))
+    val groups = zs.groupBy(_._1).values.toSeq
+    val k = groups.length; val n = zs.length
+    val t = zs.map(_._2).sum
+    val ssw = groups.map { g =>
+      val ng = BigInt(g.length); val sg = g.map(_._2).sum
+      val qg = g.map(x => x._2 * x._2).sum
+      (ng * qg - sg * sg) * 1000 / ng
+    }.sum
+    val sb = groups.map { g =>
+      val ng = BigInt(g.length); val sg = g.map(_._2).sum
+      sg * sg * 1000 / ng
+    }.sum
+    val ssb = (sb - t * t * 1000 / BigInt(n)).max(BigInt(0))
+    val fPpm = ssb * BigInt(n - k) * 1000000 / (ssw * BigInt(k - 1))
+    val r = R15Ops.statsLeveneBf.run(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1)) == (k.toLong, n.toLong))
+    assert(r.getLong(2) == ssw.toLong && r.getLong(3) == ssb.toLong)
+    assert(r.getLong(4) == fPpm.toLong)
+  }
+
   test("events_session_gap_sweep matches an exact recomputation and is " +
       "monotone in the gap") {
     val evs = Tables.events(spark, sf)
