@@ -1118,6 +1118,112 @@ object R15Ops {
           .as("f_ppm"))
   }
 
+  /** Shard planning FROM the sketch (r15e) — the production half of
+    * the pair: `shard_range_boundaries` computes exact boundaries
+    * from full-table ranks (the audit-tier pass); at 100 TB a layout
+    * writer plans from the merged KMV sample instead and never ranks
+    * the table. This key does exactly that — boundaries = the merged
+    * bottom-64 sample's every-4th-rank (cents, key) pairs → 16
+    * intervals broadcast onto one scan (map-side-combining 16-group
+    * agg; no full-cardinality shuffle anywhere) — and then audits the
+    * resulting shard balance EXACTLY: rows per planned shard,
+    * floor-ppm share, signed deviation from the ideal 1/16. The
+    * deviation column IS the sketch-quality number a writer reads
+    * before trusting approximate planning. Interval bounds are
+    * lexicographic (cents, key) pairs so ties split exactly as the
+    * sample ranks did. */
+  val shardPlanFromSketch: QDef = q(
+    "shard_plan_from_sketch",
+    """WITH u AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+      |    o_orderkey % 8 AS shard
+      |  FROM orders),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+      |ps AS (
+      |  SELECT k, cents, h FROM (
+      |    SELECT k, cents, h,
+      |      row_number() OVER (PARTITION BY shard ORDER BY h, k) AS rn
+      |    FROM u) WHERE rn <= 64),
+      |mg AS (
+      |  SELECT k, cents FROM (
+      |    SELECT k, cents, row_number() OVER (ORDER BY h, k) AS rn FROM ps)
+      |  WHERE rn <= 64),
+      |sr AS (
+      |  SELECT a.cents, a.k, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM mg a JOIN mg b
+      |    ON b.cents < a.cents OR (b.cents = a.cents AND b.k <= a.k)
+      |  GROUP BY a.cents, a.k),
+      |bd AS (SELECT r // 4 AS i, cents AS bc, k AS bk FROM sr
+      |  WHERE r % 4 = 0 AND r < 64),
+      |sh AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7),
+      |  (8), (9), (10), (11), (12), (13), (14), (15)) t(s)),
+      |iv AS (
+      |  SELECT CAST(s AS BIGINT) AS shard_no,
+      |    lo.bc AS lo_c, lo.bk AS lo_k, hi.bc AS hi_c, hi.bk AS hi_k
+      |  FROM sh
+      |  LEFT JOIN bd lo ON lo.i = s
+      |  LEFT JOIN bd hi ON hi.i = s + 1),
+      |asg AS (
+      |  SELECT shard_no, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |  FROM u JOIN iv
+      |    ON (lo_c IS NULL OR lo_c < cents OR (lo_c = cents AND lo_k <= k))
+      |    AND (hi_c IS NULL OR cents < hi_c OR (cents = hi_c AND k < hi_k))
+      |  GROUP BY shard_no)
+      |SELECT shard_no, n_rows, min_cents, max_cents,
+      |  CAST(n_rows * 1000000 // n AS BIGINT) AS share_ppm,
+      |  CAST(n_rows * 1000000 // n AS BIGINT) - 62500 AS dev_ppm
+      |FROM asg CROSS JOIN n
+      |ORDER BY shard_no""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"),
+        conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType).as("h"),
+        expr("o_orderkey % 8").as("shard"))
+    val nDf = u.agg(count(lit(1)).as("n"))
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("k"))
+    val ps = u.select(col("k"), col("cents"), col("h"),
+        row_number().over(wShard).as("rn"))
+      .filter(col("rn") <= 64).select(col("k"), col("cents"), col("h"))
+    val mg = ps.orderBy(col("h"), col("k")).limit(64)
+      .select(col("k"), col("cents"))
+    val sr = mg.as("a")
+      .join(broadcast(mg.select(col("k").as("bk0"), col("cents").as("bc0"))),
+        col("bc0") < col("a.cents") ||
+          (col("bc0") === col("a.cents") && col("bk0") <= col("a.k")))
+      .groupBy(col("a.cents").as("cents"), col("a.k").as("k"))
+      .agg(count(lit(1)).as("r"))
+    val bd = sr.filter(expr("r % 4 = 0 AND r < 64"))
+      .select(expr("r div 4").as("i"), col("cents").as("bc"), col("k").as("bk"))
+    val iv = intTable(s, "s", 0 to 15)
+      .join(broadcast(bd.select(col("i").as("lo_i"), col("bc").as("lo_c"),
+        col("bk").as("lo_k"))), col("lo_i") === col("s"), "left")
+      .join(broadcast(bd.select(col("i").as("hi_i"), col("bc").as("hi_c"),
+        col("bk").as("hi_k"))), col("hi_i") === col("s") + 1, "left")
+      .select(col("s").cast(LongType).as("shard_no"), col("lo_c"),
+        col("lo_k"), col("hi_c"), col("hi_k"))
+    u.join(broadcast(iv),
+        (col("lo_c").isNull || col("lo_c") < col("cents") ||
+          (col("lo_c") === col("cents") && col("lo_k") <= col("k"))) &&
+        (col("hi_c").isNull || col("cents") < col("hi_c") ||
+          (col("cents") === col("hi_c") && col("k") < col("hi_k"))))
+      .groupBy(col("shard_no"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .crossJoin(broadcast(nDf))
+      .select(col("shard_no"), col("n_rows"), col("min_cents"),
+        col("max_cents"),
+        expr("CAST(n_rows * 1000000 div n AS BIGINT)").as("share_ppm"),
+        (expr("CAST(n_rows * 1000000 div n AS BIGINT)") - 62500)
+          .as("dev_ppm"))
+      .orderBy(col("shard_no"))
+  }
+
   /** All round-15 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     sketchQuantileMerge, sketchHeavyHittersMerge,
@@ -1126,5 +1232,6 @@ object R15Ops {
     evalCalibrationBins, winCumulativeReset, eventsSessionGapSweep,
     privacyGeneralizationLadder, multimodalPyramidPlan,
     reportDiscountWhatif,
-    evalDedupPrCurve, opsCapacityBacklog, statsLeveneBf)
+    evalDedupPrCurve, opsCapacityBacklog, statsLeveneBf,
+    shardPlanFromSketch)
 }

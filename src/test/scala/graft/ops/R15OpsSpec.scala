@@ -486,6 +486,37 @@ class R15OpsSpec extends SparkSpec {
     assert(r.getLong(4) == fPpm.toLong)
   }
 
+  test("shard_plan_from_sketch: boundaries come from the merged sample, " +
+      "shards partition every row, balance recomputes exactly") {
+    // same merged sample as the quantile-merge replica
+    val byHash = ordersRows.map { case (k, c) => (h32(k), k, c) }
+    val merged = ordersRows.groupBy(_._1 % 8).values
+      .flatMap(_.map { case (k, c) => (h32(k), k, c) }
+        .sortBy(t => (t._1, t._2)).take(64))
+      .toArray.sortBy(t => (t._1, t._2)).take(64)
+    val sample = merged.map(t => (t._3, t._2)).sortBy(identity)
+    val bounds = (1 to 15).map(i => sample(4 * i - 1)) // ranks 4,8,...,60
+    def shardOf(c: Long, k: Long): Int =
+      bounds.count(b => b._1 < c || (b._1 == c && b._2 <= k))
+    val expect = ordersRows.groupBy { case (k, c) => shardOf(c, k) }
+      .map { case (sh, rs) =>
+        sh.toLong -> (rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max)
+      }
+    val n = ordersRows.length.toLong
+    val got = R15Ops.shardPlanFromSketch.run(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.keySet == (0L to 15L).toSet, "all 16 planned shards present")
+    assert(got.values.map(_._1).sum == n, "shards must partition every row")
+    expect.foreach { case (sh, (cnt, mn, mx)) =>
+      val g = got(sh)
+      assert((g._1, g._2, g._3) == (cnt, mn, mx), s"shard $sh")
+      assert(g._4 == cnt * 1000000L / n && g._5 == g._4 - 62500L)
+    }
+    assert(byHash.nonEmpty)
+  }
+
   test("events_session_gap_sweep matches an exact recomputation and is " +
       "monotone in the gap") {
     val evs = Tables.events(spark, sf)
