@@ -12,7 +12,8 @@ package graft
   * (spark.sql.shuffle.partitions = 32 / 4 / 1, same code, same host
   * trough): 67.1 / 56.5 / 60.7 s. Four partitions is the global sweet
   * spot — map-side parallelism is untouched (scan splits and explicit
-  * `repartition(32)` calls keep the heavy compute 32-wide; only the
+  * `repartition(defaultParallelism)` calls keep the heavy compute
+  * session-wide; only the
   * reduce sides shrink), while 1 partition over-serializes the ~25
   * queries whose reduce stages still carry real rows (window families
   * over user_id, pair-join verifies, multi-join evolution keys).

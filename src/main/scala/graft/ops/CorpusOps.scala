@@ -66,7 +66,7 @@ object CorpusOps {
       boilerMode: String = "auto",
       broadcastMaxRows: Long = 5000000L): org.apache.spark.sql.DataFrame = {
     val toks = Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
     // r7: the DISTINCT (doc, 5-gram) set deduplicates ROW-LOCALLY —
@@ -139,7 +139,7 @@ object CorpusOps {
       |FROM top, tot
       |ORDER BY rank""") { (s, d) =>
     val freq = Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -219,7 +219,7 @@ object CorpusOps {
       |FROM n JOIN ent ON n.doc_id = ent.doc_id
       |ORDER BY n.doc_id""") { (s, d) =>
     val cf = Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
       .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
@@ -278,7 +278,7 @@ object CorpusOps {
       |FROM ch
       |ORDER BY doc_id, chunk_no""") { (s, d) =>
     Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 1)
       .withColumn("n_chunks",
@@ -334,7 +334,7 @@ object CorpusOps {
     // DECIMAL(35,18), exact integer multiple, so SUM(tf·lp) is
     // bit-equal to the oracle's per-occurrence decimal sum.
     val bg = Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
@@ -788,7 +788,7 @@ object CorpusOps {
       |ORDER BY n_occurrences DESC, pair
       |LIMIT 40""") { (s, d) =>
     val wf = Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) >= 2)
       .groupBy(col("tok")).agg(count(lit(1)).as("wc"))

@@ -138,7 +138,7 @@ object HarmonizeQueries {
     val c = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_mktsegment"))
-    val a = c.toDF("k_a", "name_a", "nat", "seg").repartition(32, col("nat"), col("seg"))
+    val a = c.toDF("k_a", "name_a", "nat", "seg").repartition(s.sparkContext.defaultParallelism, col("nat"), col("seg"))
     val b = c.toDF("k_b", "name_b", "nat", "seg")
     a.join(b, Seq("nat", "seg"))
       .filter(col("k_a") < col("k_b"))

@@ -121,7 +121,7 @@ object LlmExtras {
     // seed-42 function and substr(md5hex, 3i+1, 8) exactly —
     // ShingleExpressionsSpec pins both against the SQL forms).
     Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
@@ -306,7 +306,7 @@ object LlmExtras {
     // spread the probe side: one parquet file → one scan partition,
     // and the broadcast join adds no shuffle (same fix as
     // dedup_near_jaccard — without it pair evaluation is single-core)
-    val b = e.repartition(32).crossJoin(s.range(nSalts).toDF("salt_b"))
+    val b = e.repartition(s.sparkContext.defaultParallelism).crossJoin(s.range(nSalts).toDF("salt_b"))
       .select(col("vec_id").as("vec_b"), col("label").as("label_b"),
         col("embedding").as("emb_b"), col("nrm").as("nrm_b"), col("salt_b"))
     a.join(b, col("salt") === col("salt_b") && col("label") === col("label_b")
@@ -368,7 +368,7 @@ object LlmExtras {
     // Same row semantics at the edges: a doc with <2 chars yields an
     // empty bigram array and explode drops it, exactly like the
     // length guard + empty sequence did.
-    val bg = docs.repartition(32)
+    val bg = docs.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(graft.functions.VectorFunctions.termCounts(
           graft.functions.VectorFunctions.charBigrams(col("text")))).as("tc"))
@@ -848,7 +848,7 @@ object LlmExtras {
     val qs = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("label").as("actual"),
         col("embedding").as("q_emb"))
-    val cand = e.filter(col("vec_id") % 50 =!= 0).repartition(32)
+    val cand = e.filter(col("vec_id") % 50 =!= 0).repartition(s.sparkContext.defaultParallelism)
     val simW = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     val top = cand.crossJoin(broadcast(qs))

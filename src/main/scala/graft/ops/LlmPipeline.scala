@@ -143,7 +143,7 @@ object LlmPipeline {
     // join leaves broadcast range and becomes a shuffle join on
     // (salt, lang) — 16×5 groups — which is exactly what the salt
     // replication is for.)
-    val b = dd.repartition(32).crossJoin(s.range(nSalts).toDF("salt_b"))
+    val b = dd.repartition(s.sparkContext.defaultParallelism).crossJoin(s.range(nSalts).toDF("salt_b"))
       .select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
         col("ts").as("ts_b"), col("sz").as("sz_b"), col("salt_b"))
     // codegen'd merge-walk intersection over primitive longs — no
@@ -268,7 +268,7 @@ object LlmPipeline {
     // and its recompute branch contains the repartition shuffle (the
     // persist-when-the-branch-reshuffles rule; caller unpersists via
     // clearCache, same convention as the dedup prep tables).
-    val tf = docs.repartition(32)
+    val tf = docs.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(graft.functions.VectorFunctions.termCounts(
           split(col("text"), " "))).as("tc"))
@@ -494,7 +494,7 @@ object LlmPipeline {
     val a = dd.select(col("doc_id").as("doc_a"), col("lang"),
       col("ts").as("ts_a"), col("sz").as("sz_a"),
       pmod(col("doc_id"), lit(nSalts)).as("salt"))
-    val b = dd.repartition(32).crossJoin(s.range(nSalts).toDF("salt_b"))
+    val b = dd.repartition(s.sparkContext.defaultParallelism).crossJoin(s.range(nSalts).toDF("salt_b"))
       .select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
         col("ts").as("ts_b"), col("sz").as("sz_b"), col("salt_b"))
     val inter = graft.functions.VectorFunctions.sortedIntersectLong(col("ts_a"), col("ts_b"))

@@ -55,7 +55,7 @@ object PipelineOps {
     def toks(src: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       Tables.documents(s, d)
         .filter(src(col("source")))
-        .repartition(32)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .filter(size(col("t")) >= 3)
     // Corpus: per-doc sorted distinct shingle-hash array in ONE
@@ -164,7 +164,7 @@ object PipelineOps {
       |FROM tf GROUP BY doc_id
       |ORDER BY doc_id""") { (s, d) =>
     Tables.documents(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       .groupBy(col("doc_id"))
@@ -205,7 +205,7 @@ object PipelineOps {
          |FROM raw
          |ORDER BY c_custkey""") { (s, d) =>
       Tables.customer(s, d)
-        .repartition(32)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("c_custkey"),
           concat(col("c_name"), lit(" <"),
             lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", "")),
@@ -257,7 +257,7 @@ object PipelineOps {
     // sort/hash list cells, so the quantized vector ships as a
     // '|'-joined string; scale/max_err stay scalars.
     Tables.embeddings(s, d)
-      .repartition(32)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
