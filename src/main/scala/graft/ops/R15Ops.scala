@@ -1224,6 +1224,138 @@ object R15Ops {
       .orderBy(col("shard_no"))
   }
 
+  /** Order-independent table checksums (r15f) — the replication /
+    * migration reconciliation primitive: per table, a checksum that
+    * any replica can recompute without ordering guarantees. Row hash
+    * = first 15 md5 hex digits of the '|'-joined canonical column
+    * rendering (ints, strings, cents, ISO dates — every piece
+    * engine-identical), table checksum = Σ row-hash mod the largest
+    * prime < 2^63 (the sum rides DECIMAL(38)/HUGEINT so the spelling
+    * holds at ANY row count, and modular addition is the MERGE: shard
+    * partials sum to the same value in any grouping — the property a
+    * cross-cluster reconciliation actually uses). One scan + one
+    * 1-row fold per table. */
+  val dqTableChecksum: QDef = q(
+    "dq_table_checksum",
+    """WITH o AS (
+      |  SELECT ('0x' || substr(md5(
+      |      CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+      |      || '|' || o_orderstatus || '|' || o_orderpriority || '|'
+      |      || CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |           AS VARCHAR)
+      |      || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+      |    ), 1, 15))::BIGINT AS h
+      |  FROM orders),
+      |c AS (
+      |  SELECT ('0x' || substr(md5(
+      |      CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+      |      || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+      |    ), 1, 15))::BIGINT AS h
+      |  FROM customer),
+      |s AS (
+      |  SELECT ('0x' || substr(md5(
+      |      CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
+      |      || CAST(s_nationkey AS VARCHAR)
+      |    ), 1, 15))::BIGINT AS h
+      |  FROM supplier),
+      |u AS (
+      |  SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(h AS HUGEINT)) % 9223372036854775783 AS BIGINT)
+      |      AS checksum FROM o
+      |  UNION ALL SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CAST(h AS HUGEINT)) % 9223372036854775783 AS BIGINT)
+      |    FROM c
+      |  UNION ALL SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(CAST(h AS HUGEINT)) % 9223372036854775783 AS BIGINT)
+      |    FROM s)
+      |SELECT table_name, n_rows, checksum FROM u ORDER BY table_name""") {
+    (s, d) =>
+    val P = "9223372036854775783"
+    def ck(df: DataFrame, name: String, rendering: String): DataFrame =
+      df.select(conv(substring(md5(expr(rendering)), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr(s"CAST(CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))" +
+            s" % $P AS BIGINT)").as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    ck(Tables.orders(s, d), "orders",
+        "CAST(o_orderkey AS STRING) || '|' || CAST(o_custkey AS STRING)" +
+        " || '|' || o_orderstatus || '|' || o_orderpriority || '|'" +
+        " || CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+        " AS STRING)" +
+        " || '|' || CAST(CAST(o_orderdate AS DATE) AS STRING)")
+      .unionAll(ck(Tables.customer(s, d), "customer",
+        "CAST(c_custkey AS STRING) || '|' || c_name || '|'" +
+        " || CAST(c_nationkey AS STRING) || '|' || c_mktsegment"))
+      .unionAll(ck(Tables.supplier(s, d), "supplier",
+        "CAST(s_suppkey AS STRING) || '|' || s_name || '|'" +
+        " || CAST(s_nationkey AS STRING)"))
+      .orderBy(col("table_name"))
+  }
+
+  /** XML ingestion surface (r15f) — the `fn_map_json` twin for XML:
+    * per-order XML fragments (built from base columns — the fixture
+    * has no XML source, so the op grades the PARSE path round-trip)
+    * parsed back with Spark's native from_xml, fields extracted and
+    * re-aggregated. The oracle computes the identical aggregate from
+    * the base columns directly (DuckDB 1.0.0 has no XML reader) —
+    * any from_xml extraction drift (type coercion, whitespace,
+    * escaping) breaks the hash. Escape-sensitive content included
+    * deliberately: priority strings carry '-' and digits. */
+  val fnXmlParse: QDef = q(
+    "fn_xml_parse",
+    """SELECT o_orderpriority AS priority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents
+      |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val xml = Tables.orders(s, d)
+      .select(concat(lit("<o><k>"), col("o_orderkey"),
+        lit("</k><p>"), col("o_orderpriority"),
+        lit("</p><c>"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType),
+        lit("</c></o>")).as("x"))
+    val parsed = xml.select(from_xml(col("x"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", LongType),
+        org.apache.spark.sql.types.StructField("p", StringType),
+        org.apache.spark.sql.types.StructField("c", LongType)))).as("v"))
+    parsed.groupBy(col("v.p").as("priority"))
+      .agg(count(lit(1)).as("n"), sum(col("v.k")).as("sum_keys"),
+        sum(col("v.c")).as("sum_cents"))
+      .orderBy(col("priority"))
+  }
+
+  /** VARIANT ingestion surface (r15f) — Spark 4's semi-structured
+    * type, graded end-to-end: events.props JSON parsed to VARIANT
+    * with parse_json, the 'k' field extracted back with variant_get
+    * (typed path), aggregated per event type. `fn_map_json` grades
+    * the from_json/schema path; this grades the schemaless VARIANT
+    * path a lakehouse ingest actually uses for evolving payloads. The
+    * oracle reads the same field with DuckDB's json_extract. Output
+    * is flat scalars only (VARIANT itself never reaches the
+    * output). */
+  val fnVariantJson: QDef = q(
+    "fn_variant_json",
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS min_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** All round-15 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     sketchQuantileMerge, sketchHeavyHittersMerge,
@@ -1233,5 +1365,6 @@ object R15Ops {
     privacyGeneralizationLadder, multimodalPyramidPlan,
     reportDiscountWhatif,
     evalDedupPrCurve, opsCapacityBacklog, statsLeveneBf,
-    shardPlanFromSketch)
+    shardPlanFromSketch,
+    dqTableChecksum, fnXmlParse, fnVariantJson)
 }

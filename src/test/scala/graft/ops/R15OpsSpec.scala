@@ -517,6 +517,76 @@ class R15OpsSpec extends SparkSpec {
     assert(byHash.nonEmpty)
   }
 
+  test("dq_table_checksum matches a driver-side recomputation and the " +
+      "modular sum merges across arbitrary shardings") {
+    val P = BigInt("9223372036854775783")
+    def h15(canon: String): Long =
+      java.lang.Long.parseLong(md5hex(canon).substring(0, 15), 16)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderdate").cast("date")).collect()
+      .map(r => h15(s"${r.getLong(0)}|${r.getLong(1)}|${r.getString(2)}|" +
+        s"${r.getString(3)}|${cents(r.getDouble(4))}|${r.getDate(5)}"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment")).collect()
+      .map(r => h15(s"${r.getLong(0)}|${r.getString(1)}|${r.getInt(2)}|" +
+        s"${r.getString(3)}"))
+    val supp = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey")).collect()
+      .map(r => h15(s"${r.getLong(0)}|${r.getString(1)}|${r.getInt(2)}"))
+    def sumMod(hs: Array[Long]): Long =
+      (hs.map(BigInt(_)).sum mod P).toLong
+    val got = R15Ops.dqTableChecksum.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("orders") == (orders.length.toLong, sumMod(orders)))
+    assert(got("customer") == (cust.length.toLong, sumMod(cust)))
+    assert(got("supplier") == (supp.length.toLong, sumMod(supp)))
+    // the merge contract: per-shard partial sums mod P recombine to
+    // the same checksum under ANY sharding
+    val sharded = orders.grouped(37).map(g => BigInt(sumMod(g))).sum.mod(P)
+    assert(sharded.toLong == sumMod(orders))
+  }
+
+  test("fn_xml_parse: the XML round trip loses nothing vs the base columns") {
+    val expect = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), cents(r.getDouble(2))))
+      .groupBy(_._1)
+      .map { case (p, rs) =>
+        p -> (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum)
+      }
+    val got = R15Ops.fnXmlParse.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("fn_variant_json: variant_get extraction matches a driver-side " +
+      "JSON parse") {
+    val re = """\{\s*"k"\s*:\s*(-?\d+)\s*\}""".r
+    val expect = Tables.events(spark, sf)
+      .select(col("event_type"), col("props")).collect()
+      .map { r =>
+        val k = r.getString(1) match {
+          case re(v) => v.toLong
+          case other => fail(s"unexpected props shape: $other")
+        }
+        (r.getString(0), k)
+      }
+      .groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> (rs.length.toLong, rs.map(_._2).sum, rs.map(_._2).min,
+          rs.map(_._2).max)
+      }
+    val got = R15Ops.fnVariantJson.run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect)
+  }
+
   test("events_session_gap_sweep matches an exact recomputation and is " +
       "monotone in the gap") {
     val evs = Tables.events(spark, sf)
