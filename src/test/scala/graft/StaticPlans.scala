@@ -76,9 +76,22 @@ object StaticPlans {
 object StaticResults {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  @volatile private var boundSession: SparkSession = null
 
-  def rows(spark: SparkSession, key: String): Array[String] =
+  /** Results are always computed on the FIRST session any caller
+    * passed (the base session, by convention) — the cache is keyed by
+    * query key only. A caller handing a different session (e.g. a
+    * conf-profiled newSession) would silently read base-session rows,
+    * so that is a loud failure instead (ADVICE r15): profiled runs
+    * must execute their own side directly, as ClusterProfileSpec
+    * does. */
+  def rows(spark: SparkSession, key: String): Array[String] = {
+    synchronized { if (boundSession == null) boundSession = spark }
+    require(spark eq boundSession,
+      "StaticResults.rows is bound to the first (base) session; " +
+        "execute profiled-session queries directly instead")
     cache.computeIfAbsent(key,
-      _ => SparkEntry.queries(key)(spark, StaticPlans.sfStatic)
+      _ => SparkEntry.queries(key)(boundSession, StaticPlans.sfStatic)
         .collect().map(_.toString).sorted)
+  }
 }
