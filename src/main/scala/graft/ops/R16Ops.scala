@@ -242,7 +242,723 @@ object R16Ops {
       .orderBy(col("doc_id"))
   }
 
+  /** Welch's two-sample t test (r16) — the unequal-variance mean
+    * comparison the stats family lacked (`stats_anova_f` is k-group
+    * pooled-variance; `stats_mannwhitney_u` is rank-based): purchase
+    * vs click value cents. Per-arm (n, Σx, Σx²) exact with the
+    * per-row square in DECIMAL(38)/HUGEINT, means and variances in
+    * floor-micro, t² = Δmean²/se² in floor-micro via the DECIMAL(38)
+    * fold (Δ can be negative; its square is not), Welch–Satterthwaite
+    * df in floor-milli with its per-arm quotients floored to milli
+    * BEFORE squaring (Spark's IntegralDivide returns BIGINT, so an
+    * intermediate quotient must stay sub-int64 — DuckDB's HUGEINT //
+    * is matched by flooring the same nonneg operands). `significant` uses the
+    * df→∞ 95% bound z² = 3.841459 (the `ab_srm_check` constant) —
+    * exact at event-table arm sizes. Operand bound: the 1e6 scaling
+    * caps |value| at ~$3·10²³ before the DECIMAL(38) products clip —
+    * any-scale for money. One 2-group agg + one 1-row fold. */
+  val statsWelchT: QDef = q(
+    "stats_welch_t",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s,
+      |    SUM(CAST(x AS HUGEINT) * x) AS q
+      |  FROM e GROUP BY event_type),
+      |w AS (
+      |  SELECT
+      |    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN s END) AS s1,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN q END) AS q1,
+      |    MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+      |    MAX(CASE WHEN event_type = 'click' THEN s END) AS s2,
+      |    MAX(CASE WHEN event_type = 'click' THEN q END) AS q2
+      |  FROM g),
+      |m AS (
+      |  SELECT n1, n2,
+      |    CAST(s1 * 1000000 // n1 AS BIGINT) AS mean1_micro,
+      |    CAST(s2 * 1000000 // n2 AS BIGINT) AS mean2_micro,
+      |    CAST((CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+      |      * 1000000 // (CAST(n1 AS HUGEINT) * (n1 - 1)) AS BIGINT)
+      |      AS var1_micro,
+      |    CAST((CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+      |      * 1000000 // (CAST(n2 AS HUGEINT) * (n2 - 1)) AS BIGINT)
+      |      AS var2_micro
+      |  FROM w),
+      |t AS (
+      |  SELECT *,
+      |    var1_micro // n1 + var2_micro // n2 AS se2_micro,
+      |    mean1_micro - mean2_micro AS dm_micro,
+      |    var1_micro // n1 // 1000 AS a1_milli,
+      |    var2_micro // n2 // 1000 AS a2_milli
+      |  FROM m),
+      |f AS (
+      |  SELECT n1, n2, mean1_micro, mean2_micro, var1_micro, var2_micro,
+      |    se2_micro,
+      |    CAST(CAST(dm_micro AS HUGEINT) * dm_micro // se2_micro AS BIGINT)
+      |      AS t2_micro,
+      |    CAST(CAST(se2_micro // 1000 AS HUGEINT) * (se2_micro // 1000)
+      |      * 1000
+      |      // (CAST(a1_milli AS HUGEINT) * a1_milli // (n1 - 1)
+      |        + CAST(a2_milli AS HUGEINT) * a2_milli // (n2 - 1))
+      |      AS BIGINT) AS df_milli
+      |  FROM t)
+      |SELECT *, t2_micro > 3841459 AS significant FROM f""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("x"))
+    val g = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+    val w = g.agg(
+      max(when(col("event_type") === "purchase", col("n"))).as("n1"),
+      max(when(col("event_type") === "purchase", col("s"))).as("s1"),
+      max(when(col("event_type") === "purchase", col("q"))).as("q1"),
+      max(when(col("event_type") === "click", col("n"))).as("n2"),
+      max(when(col("event_type") === "click", col("s"))).as("s2"),
+      max(when(col("event_type") === "click", col("q"))).as("q2"))
+    val m = w.select(col("n1"), col("n2"),
+      expr("CAST(s1 * 1000000 div n1 AS BIGINT)").as("mean1_micro"),
+      expr("CAST(s2 * 1000000 div n2 AS BIGINT)").as("mean2_micro"),
+      expr("CAST((CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0))"
+        + " * s1) * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1))"
+        + " AS BIGINT)").as("var1_micro"),
+      expr("CAST((CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0))"
+        + " * s2) * 1000000 div (CAST(n2 AS DECIMAL(38,0)) * (n2 - 1))"
+        + " AS BIGINT)").as("var2_micro"))
+    // Welch df intermediates rescaled to milli BEFORE squaring: Spark's
+    // IntegralDivide always returns BIGINT, so a quotient like
+    // (var/n)²/(n−1) (~7e19 here) would overflow where DuckDB's
+    // HUGEINT `//` sails through — flooring the SAME nonneg operands
+    // to milli first keeps every quotient sub-int64 in BOTH engines.
+    val t = m
+      .withColumn("se2_micro",
+        expr("var1_micro div n1 + var2_micro div n2"))
+      .withColumn("dm_micro", col("mean1_micro") - col("mean2_micro"))
+      .withColumn("a1_milli", expr("var1_micro div n1 div 1000"))
+      .withColumn("a2_milli", expr("var2_micro div n2 div 1000"))
+    val f = t.select(col("n1"), col("n2"), col("mean1_micro"),
+      col("mean2_micro"), col("var1_micro"), col("var2_micro"),
+      col("se2_micro"),
+      expr("CAST(CAST(dm_micro AS DECIMAL(38,0)) * dm_micro div se2_micro"
+        + " AS BIGINT)").as("t2_micro"),
+      expr("CAST(CAST(se2_micro div 1000 AS DECIMAL(38,0))"
+        + " * (se2_micro div 1000) * 1000"
+        + " div (CAST(a1_milli AS DECIMAL(38,0)) * a1_milli div (n1 - 1)"
+        + " + CAST(a2_milli AS DECIMAL(38,0)) * a2_milli div (n2 - 1))"
+        + " AS BIGINT)").as("df_milli"))
+    f.withColumn("significant", col("t2_micro") > 3841459L)
+  }
+
+  /** Experiment power analysis (r16) — the design-time companion to
+    * `stats_welch_t`/`ab_test_metrics`: per event type, the per-arm
+    * sample size a 50/50 A/B test needs to detect a 5% lift of the
+    * observed mean at alpha = 0.05 (two-sided) and power = 0.80. The
+    * classic n = 2·(z_a + z_b)²·sigma²/delta² with (z_a + z_b)² as the
+    * integer micro constant 7848879 ((1.959964 + 0.841621)²·1e6 — a
+    * DOCUMENTED literal, the same convention as ab_srm_check's
+    * 3.841459), variance from exact sums (per-row square in
+    * DECIMAL(38)/HUGEINT), delta in floor-micro cents, and the
+    * ceiling spelled (a + b − 1) // b on nonnegative operands. One
+    * group agg, row-local math. */
+  val abPowerSampleSize: QDef = q(
+    "ab_power_sample_size",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s,
+      |    SUM(CAST(x AS HUGEINT) * x) AS q
+      |  FROM e GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n,
+      |    CAST(s * 1000000 // n AS BIGINT) AS mean_micro,
+      |    CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000
+      |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS var_micro
+      |  FROM g),
+      |d AS (SELECT *, CAST(mean_micro // 20 AS BIGINT) AS delta_micro FROM m)
+      |SELECT event_type, n, mean_micro, var_micro, delta_micro,
+      |  CAST((2 * 7848879 * CAST(var_micro AS HUGEINT)
+      |      + CAST(delta_micro AS HUGEINT) * delta_micro - 1)
+      |    // (CAST(delta_micro AS HUGEINT) * delta_micro) AS BIGINT)
+      |    AS n_required
+      |FROM d ORDER BY event_type""") { (s, d) =>
+    val g = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+    g.select(col("event_type"), col("n"),
+        expr("CAST(s * 1000000 div n AS BIGINT)").as("mean_micro"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0))"
+          + " * s) * 1000000 div (CAST(n AS DECIMAL(38,0)) * (n - 1))"
+          + " AS BIGINT)").as("var_micro"))
+      .withColumn("delta_micro", expr("CAST(mean_micro div 20 AS BIGINT)"))
+      .select(col("event_type"), col("n"), col("mean_micro"),
+        col("var_micro"), col("delta_micro"),
+        expr("CAST((2 * 7848879 * CAST(var_micro AS DECIMAL(38,0))"
+          + " + CAST(delta_micro AS DECIMAL(38,0)) * delta_micro - 1)"
+          + " div (CAST(delta_micro AS DECIMAL(38,0)) * delta_micro)"
+          + " AS BIGINT)").as("n_required"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Rolling correlation window (r16) — "is this customer's spend
+    * trending with time": per customer, the Pearson correlation
+    * between order date (day number) and order value over the last
+    * <= 8 orders, from six integer window sums over ONE
+    * user-partitioned ROWS frame (n, Σx, Σy, Σx², Σy², Σxy — the same
+    * frame, so one exchange). Reported as the SIGNED squared
+    * correlation in floor-ppm: corr²·sign(cov), with Sxy² and Sxx·Syy
+    * ridden through DECIMAL(38)/HUGEINT and the division split on the
+    * sign so both engines floor nonnegative operands only; NULL when
+    * either marginal variance is 0 (constant window). The 8-row frame
+    * bounds every operand at any corpus scale. */
+  val winRollingCorr: QDef = q(
+    "win_rolling_corr",
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS x,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM orders),
+      |w AS (
+      |  SELECT o_custkey, o_orderkey, x, y,
+      |    CAST(COUNT(*) OVER win AS BIGINT) AS n,
+      |    CAST(SUM(x) OVER win AS BIGINT) AS sx,
+      |    CAST(SUM(y) OVER win AS BIGINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) OVER win AS syy,
+      |    SUM(CAST(x AS HUGEINT) * y) OVER win AS sxy
+      |  FROM o
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY x, o_orderkey
+      |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+      |c AS (
+      |  SELECT o_custkey, o_orderkey, n,
+      |    n * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+      |    n * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+      |    n * syy - CAST(sy AS HUGEINT) * sy AS vy
+      |  FROM w)
+      |SELECT o_custkey, o_orderkey, n, CAST(cxy AS BIGINT) AS cov_num,
+      |  CASE WHEN vx = 0 OR vy = 0 THEN CAST(NULL AS BIGINT)
+      |    WHEN cxy >= 0 THEN CAST(cxy * cxy * 1000000 // (vx * vy) AS BIGINT)
+      |    ELSE -CAST(cxy * cxy * 1000000 // (vx * vy) AS BIGINT) END
+      |    AS corr2_signed_ppm
+      |FROM c ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+          + " AS BIGINT)").as("x"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("y"))
+    val win = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("x"), col("o_orderkey")).rowsBetween(-7, 0)
+    val w = o.select(col("o_custkey"), col("o_orderkey"), col("x"), col("y"),
+      count(lit(1)).over(win).as("n"),
+      sum(col("x")).over(win).as("sx"),
+      sum(col("y")).over(win).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(win).as("sxx"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).over(win).as("syy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).over(win).as("sxy"))
+    val c = w.select(col("o_custkey"), col("o_orderkey"), col("n"),
+      expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").as("cxy"),
+      expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("vx"),
+      expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").as("vy"))
+    c.select(col("o_custkey"), col("o_orderkey"), col("n"),
+        col("cxy").cast(LongType).as("cov_num"),
+        expr("CASE WHEN vx = 0 OR vy = 0 THEN CAST(NULL AS BIGINT)"
+          + " WHEN cxy >= 0 THEN CAST(cxy * cxy * 1000000 div (vx * vy)"
+          + " AS BIGINT)"
+          + " ELSE -CAST(cxy * cxy * 1000000 div (vx * vy) AS BIGINT) END")
+          .as("corr2_signed_ppm"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Mergeable Bloom-filter states (r16) — the third sketch-merge leg
+    * after quantiles and heavy hitters: `sketch_bloom_fpr` grades the
+    * filter's FPR as a sparse bit-position set; THIS key grades the
+    * PACKED-WORD register representation a 100 TB rollup ships — 1024
+    * BIGINT words × 63 bits (the sign bit never set), 3 md5-derived
+    * hashes per key, per-shard filter = BIT_OR of element words,
+    * merged filter = BIT_OR over the 8 shard states. The graded
+    * witness: every word's shard-merged value EQUALS the one-pass
+    * value (BIT_OR associativity/commutativity/idempotence — the
+    * exact-spellable merge property), plus per-word popcounts and the
+    * number of shard states contributing. Fixed-width state (≤1024
+    * rows per shard) regardless of corpus size. */
+  val sketchBloomMerge: QDef = q(
+    "sketch_bloom_merge",
+    """WITH el AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |js AS (SELECT unnest([0, 1, 2]) AS j),
+      |hs AS (
+      |  SELECT k, k % 8 AS shard,
+      |    CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#'
+      |      || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 64512 AS BIGINT) AS h
+      |  FROM el CROSS JOIN js),
+      |sf AS (
+      |  SELECT shard, h // 63 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INT)) AS bits
+      |  FROM hs GROUP BY shard, h // 63),
+      |mg AS (
+      |  SELECT w, bit_or(bits) AS merged,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shard_states
+      |  FROM sf GROUP BY w),
+      |op AS (
+      |  SELECT h // 63 AS w,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(h % 63 AS INT)) AS onepass
+      |  FROM hs GROUP BY h // 63)
+      |SELECT mg.w AS word_idx, merged,
+      |  CAST(bit_count(merged) AS BIGINT) AS bits_set,
+      |  n_shard_states, merged = onepass AS merge_equals_onepass
+      |FROM mg JOIN op ON op.w = mg.w
+      |ORDER BY word_idx""") { (s, d) =>
+    val el = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val js = s.range(3).select(col("id").cast(IntegerType).as("j"))
+    val hs = el.crossJoin(broadcast(js))
+      .select(col("k"), expr("k % 8").as("shard"),
+        expr("CAST(conv(substring(md5(CAST(k AS STRING) || '#'"
+          + " || CAST(j AS STRING)), 1, 8), 16, 10) % 64512 AS BIGINT)")
+          .as("h"))
+    val sf = hs.groupBy(col("shard"), expr("h div 63").as("w"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT))"))
+        .as("bits"))
+    val mg = sf.groupBy(col("w"))
+      .agg(bit_or(col("bits")).as("merged"),
+        count(lit(1)).as("n_shard_states"))
+    val op = hs.groupBy(expr("h div 63").as("ow"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(h % 63 AS INT))"))
+        .as("onepass"))
+    mg.join(op, col("ow") === col("w"))
+      .select(col("w").as("word_idx"), col("merged"),
+        bit_count(col("merged")).cast(LongType).as("bits_set"),
+        col("n_shard_states"),
+        (col("merged") === col("onepass")).as("merge_equals_onepass"))
+      .orderBy(col("word_idx"))
+  }
+
+  /** Per-user contribution capping audit (r16) — the
+    * differential-privacy PREP step every DP release pipeline runs
+    * before adding noise: bound each user's contribution so the
+    * query's sensitivity is finite. Per event type: raw rows vs rows
+    * surviving a keep-first-8-per-(user, type) cap (deterministic
+    * survivors — the user's earliest events by (ts, event_id), never
+    * an arbitrary sample), raw vs capped value mass, the observed
+    * worst-case user contribution (the UNCAPPED L1 sensitivity) and
+    * its capped bound, and the dropped mass in floor-ppm. One
+    * user-partitioned window + one group agg; the cap is row-local
+    * after the window. */
+  val privacyContributionCapping: QDef = q(
+    "privacy_contribution_capping",
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |u AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_user
+      |  FROM e GROUP BY event_type, user_id),
+      |caps AS (
+      |  SELECT event_type, MAX(n_user) AS max_user_rows
+      |  FROM u GROUP BY event_type)
+      |SELECT e.event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  MAX(caps.max_user_rows) AS max_user_rows,
+      |  LEAST(MAX(caps.max_user_rows), 8) AS capped_max_rows,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END) AS BIGINT)
+      |    AS kept_sum_cents,
+      |  CAST((SUM(cents) - SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END))
+      |    * 1000000 // SUM(cents) AS BIGINT) AS dropped_ppm
+      |FROM e JOIN caps ON caps.event_type = e.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        row_number().over(Window.partitionBy(col("user_id"),
+          col("event_type")).orderBy(col("ts"), col("event_id"))).as("rn"))
+    // group keys in the WINDOW's partition order (user_id, event_type)
+    // so the per-user count rides the window exchange instead of
+    // re-shuffling
+    val caps = e.groupBy(col("user_id"), col("event_type").as("ct"))
+      .agg(count(lit(1)).as("n_user"))
+      .groupBy(col("ct")).agg(max(col("n_user")).as("max_user_rows"))
+    e.join(broadcast(caps), col("ct") === col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("rn") <= 8, 1L).otherwise(0L)).as("n_kept"),
+        max(col("max_user_rows")).as("max_user_rows"),
+        least(max(col("max_user_rows")), lit(8L)).as("capped_max_rows"),
+        sum(col("cents")).as("sum_cents"),
+        sum(when(col("rn") <= 8, col("cents")).otherwise(0L))
+          .as("kept_sum_cents"))
+      .select(col("event_type"), col("n_rows"), col("n_kept"),
+        col("max_user_rows"), col("capped_max_rows"), col("sum_cents"),
+        col("kept_sum_cents"),
+        expr("CAST((sum_cents - kept_sum_cents) * 1000000 div sum_cents"
+          + " AS BIGINT)").as("dropped_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Time-based train/test split audit (r16) — the temporal twin of
+    * `split_by_user_leakfree`: train = events before 2024-01-22, test
+    * = the rest (the forecasting/backtest split). Per split: volume,
+    * users, value mass — plus the LEAKAGE the time cut permits and a
+    * user-keyed split would not: users present on both sides, and the
+    * share of each split's rows belonging to them in floor-ppm (the
+    * number an evaluator reads before claiming the test set is
+    * unseen-user generalization). One (split, user) agg + a 2-group
+    * fold; the overlap set is user-cardinality. */
+  val splitTimeBased: QDef = q(
+    "split_time_based",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+      |      ELSE 'test' END AS split
+      |  FROM events),
+      |su AS (
+      |  SELECT split, user_id, CAST(COUNT(*) AS BIGINT) AS nu,
+      |    CAST(SUM(cents) AS BIGINT) AS cu
+      |  FROM e GROUP BY split, user_id),
+      |ov AS (
+      |  SELECT user_id FROM su GROUP BY user_id HAVING COUNT(*) = 2)
+      |SELECT split,
+      |  CAST(SUM(nu) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(cu) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(ov.user_id) AS BIGINT) AS n_leaky_users,
+      |  CAST(SUM(CASE WHEN ov.user_id IS NOT NULL THEN nu ELSE 0 END)
+      |    AS BIGINT) AS n_leaky_rows,
+      |  CAST(SUM(CASE WHEN ov.user_id IS NOT NULL THEN nu ELSE 0 END)
+      |    * 1000000 // SUM(nu) AS BIGINT) AS leaky_rows_ppm
+      |FROM su LEFT JOIN ov ON ov.user_id = su.user_id
+      |GROUP BY split ORDER BY split""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        when(col("ts") < lit("2024-01-22 00:00:00").cast(TimestampType),
+          "train").otherwise("test").as("split"))
+    val su = e.groupBy(col("split"), col("user_id"))
+      .agg(count(lit(1)).as("nu"), sum(col("cents")).as("cu"))
+    val ov = su.groupBy(col("user_id").as("ouid"))
+      .agg(count(lit(1)).as("nsplits"))
+      .filter(col("nsplits") === 2).select(col("ouid"))
+    su.join(broadcast(ov), col("ouid") === col("user_id"), "left")
+      .groupBy(col("split"))
+      .agg(sum(col("nu")).as("n_rows"),
+        count(lit(1)).as("n_users"),
+        sum(col("cu")).as("sum_cents"),
+        count(col("ouid")).as("n_leaky_users"),
+        sum(when(col("ouid").isNotNull, col("nu")).otherwise(0L))
+          .as("n_leaky_rows"))
+      .select(col("split"), col("n_rows"), col("n_users"), col("sum_cents"),
+        col("n_leaky_users"), col("n_leaky_rows"),
+        expr("CAST(n_leaky_rows * 1000000 div n_rows AS BIGINT)")
+          .as("leaky_rows_ppm"))
+      .orderBy(col("split"))
+  }
+
+  /** NDCG@10 retrieval eval (r16) — position-weighted retrieval
+    * quality next to `eval_retrieval_mrr` (first-hit only) and
+    * `eval_ann_recall` (set overlap, position-blind): same md5-sampled
+    * query set, same brute-force cosine ranks (the shared quantized
+    * float tree, spec-pinned bit-identical across engines), relevance
+    * = same label. The log2 discounts are a 10-row LITERAL table
+    * (floor(1e6/log2(i+1)), documented constants — the transcendental
+    * never runs at query time, the D6 discipline), ideal DCG from the
+    * same table capped at min(n_rel, 10), per-query NDCG in
+    * floor-micro, label-level floor mean. Queries with no same-label
+    * candidate contribute 0. Eval-tier brute force by design —
+    * production retrieval routes through `ann_ivf_label`. */
+  val evalNdcgAt10: QDef = q(
+    "eval_ndcg_at10",
+    s"""WITH q AS (
+      |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+      |  FROM embeddings
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+      |cand AS (
+      |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+      |    ${VecMath.sqlCosine("e.embedding", "q.q_emb")} AS sim
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+      |r AS (
+      |  SELECT q_id, q_label, label,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM cand),
+      |disc AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929),
+      |  (3, 500000), (4, 430676), (5, 386852), (6, 356207), (7, 333333),
+      |  (8, 315464), (9, 301029), (10, 289064)) t(i, dmicro)),
+      |qd AS (
+      |  SELECT r.q_id, r.q_label,
+      |    CAST(SUM(CASE WHEN r.label = r.q_label AND r.rnk <= 10
+      |      THEN d.dmicro ELSE 0 END) AS BIGINT) AS dcg_micro,
+      |    CAST(SUM(CASE WHEN r.label = r.q_label THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_rel
+      |  FROM r LEFT JOIN disc d ON d.i = r.rnk
+      |  GROUP BY r.q_id, r.q_label),
+      |qn AS (
+      |  SELECT qd.q_id, qd.q_label, qd.dcg_micro,
+      |    CAST(SUM(CASE WHEN d.i <= LEAST(qd.n_rel, 10) THEN d.dmicro
+      |      ELSE 0 END) AS BIGINT) AS idcg_micro
+      |  FROM qd CROSS JOIN disc d
+      |  GROUP BY qd.q_id, qd.q_label, qd.dcg_micro),
+      |nq AS (
+      |  SELECT q_label,
+      |    CASE WHEN idcg_micro = 0 THEN 0
+      |      ELSE CAST(dcg_micro * 1000000 // idcg_micro AS BIGINT) END
+      |      AS ndcg_micro
+      |  FROM qn)
+      |SELECT q_label AS label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(SUM(ndcg_micro) AS BIGINT) AS sum_ndcg_micro,
+      |  CAST(SUM(ndcg_micro) AS BIGINT) // COUNT(*) AS mean_ndcg_micro
+      |FROM nq GROUP BY q_label ORDER BY label""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val discRows = Seq((1, 1000000L), (2, 630929L), (3, 500000L),
+      (4, 430676L), (5, 386852L), (6, 356207L), (7, 333333L),
+      (8, 315464L), (9, 301029L), (10, 289064L))
+    val disc = discRows.toDF("i", "dmicro")
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter(
+        substring(md5(col("vec_id").cast(StringType)), 1, 1) === "0")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val cand = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        VecMath.fcosine(col("embedding"), col("q_emb")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val qd = cand
+      .select(col("q_id"), col("q_label"), col("label"),
+        row_number().over(w).cast(LongType).as("rnk"))
+      .join(broadcast(disc), col("i") === col("rnk"), "left")
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(sum(when(col("label") === col("q_label") && col("rnk") <= 10,
+          col("dmicro")).otherwise(0L)).as("dcg_micro"),
+        sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_rel"))
+    val qn = qd.crossJoin(broadcast(disc.select(col("i").as("ii"),
+        col("dmicro").as("dd"))))
+      .groupBy(col("q_id"), col("q_label"), col("dcg_micro"))
+      .agg(sum(when(col("ii") <= least(col("n_rel"), lit(10L)), col("dd"))
+        .otherwise(0L)).as("idcg_micro"))
+    qn.select(col("q_label"),
+        when(col("idcg_micro") === 0, 0L)
+          .otherwise(expr("CAST(dcg_micro * 1000000 div idcg_micro"
+            + " AS BIGINT)")).as("ndcg_micro"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("ndcg_micro")).as("sum_ndcg_micro"))
+      .select(col("label"), col("n_queries"), col("sum_ndcg_micro"),
+        expr("sum_ndcg_micro div n_queries").as("mean_ndcg_micro"))
+      .orderBy(col("label"))
+  }
+
+  /** Tukey IQR-fence outlier audit (r16) — the boxplot rule next to
+    * `anomaly_mad` (median/MAD) and `agg_zscore_outliers` (mean/σ):
+    * per event type, exact Q1/Q3 by rank select (the
+    * `agg_quantiles_exact` lower-quantile convention), fences at
+    * 1.5·IQR spelled 3·IQR // 2 (IQR nonnegative, so floor agrees),
+    * and the out-of-fence row counts the boxplot would flag. One rank
+    * window + the fence table broadcast back onto the same scan —
+    * the `stats_levene_bf` median machinery pointed at quartiles. */
+  val dqIqrOutliers: QDef = q(
+    "dq_iqr_outliers",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, x,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY x, event_id)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e),
+      |qs AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN rn = (n - 1) * 25 // 100 + 1 THEN x END) AS q1,
+      |    MAX(CASE WHEN rn = (n - 1) * 75 // 100 + 1 THEN x END) AS q3
+      |  FROM r GROUP BY event_type),
+      |f AS (
+      |  SELECT event_type, q1, q3, q3 - q1 AS iqr,
+      |    q1 - 3 * (q3 - q1) // 2 AS lo_fence,
+      |    q3 + 3 * (q3 - q1) // 2 AS hi_fence
+      |  FROM qs)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(q1) AS q1_cents, MAX(q3) AS q3_cents, MAX(iqr) AS iqr_cents,
+      |  MAX(lo_fence) AS lo_fence, MAX(hi_fence) AS hi_fence,
+      |  CAST(SUM(CASE WHEN x < lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_below,
+      |  CAST(SUM(CASE WHEN x > hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above,
+      |  CAST(SUM(CASE WHEN x < lo_fence OR x > hi_fence THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
+      |FROM e JOIN f ON f.event_type = e.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("x"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("event_id"))
+    val r = e.select(col("event_type"), col("x"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
+    val f = r.groupBy(col("event_type").as("ft"))
+      .agg(max(when(col("rn") === expr("(n - 1) * 25 div 100 + 1"),
+          col("x"))).as("q1"),
+        max(when(col("rn") === expr("(n - 1) * 75 div 100 + 1"),
+          col("x"))).as("q3"))
+      .select(col("ft"), col("q1"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"),
+        expr("q1 - 3 * (q3 - q1) div 2").as("lo_fence"),
+        expr("q3 + 3 * (q3 - q1) div 2").as("hi_fence"))
+    e.join(broadcast(f), col("ft") === col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("q1")).as("q1_cents"), max(col("q3")).as("q3_cents"),
+        max(col("iqr")).as("iqr_cents"),
+        max(col("lo_fence")).as("lo_fence"),
+        max(col("hi_fence")).as("hi_fence"),
+        sum(when(col("x") < col("lo_fence"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("x") > col("hi_fence"), 1L).otherwise(0L))
+          .as("n_above"),
+        sum(when(col("x") < col("lo_fence") || col("x") > col("hi_fence"),
+          1L).otherwise(0L)).as("n_out"))
+      .select(col("event_type"), col("n"), col("q1_cents"), col("q3_cents"),
+        col("iqr_cents"), col("lo_fence"), col("hi_fence"), col("n_below"),
+        col("n_above"),
+        expr("CAST(n_out * 1000000 div n AS BIGINT)").as("outlier_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-node local clustering coefficient (r16) — the node-level
+    * companion to `graph_triangle_count`'s single global number, over
+    * the SAME 1996 part co-purchase graph: per part, its degree,
+    * incident-triangle count (each oriented a<b<c triangle exploded
+    * row-locally to its three corners), and 2·tri/(deg·(deg−1)) in
+    * floor-ppm (NULL for degree-1 nodes — no possible wedge). The
+    * per-node view is what a graph-health monitor actually plots: a
+    * bimodal LCC histogram is the classic clique-flood symptom the
+    * global coefficient averages away. Same oriented 3-way edge join
+    * as the global kernel, one extra corner explode + node agg. */
+  val graphLocalClustering: QDef = q(
+    "graph_local_clustering",
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS degree
+      |  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      |  GROUP BY node),
+      |tc AS (
+      |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tcn
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |nt AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |  FROM (SELECT ta AS node FROM tc UNION ALL SELECT tb FROM tc
+      |        UNION ALL SELECT tcn FROM tc)
+      |  GROUP BY node)
+      |SELECT deg.node AS part_key, degree,
+      |  COALESCE(n_tri, 0) AS n_triangles,
+      |  CASE WHEN degree < 2 THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST(COALESCE(n_tri, 0) * 2000000
+      |      // (degree * (degree - 1)) AS BIGINT) END AS lcc_ppm
+      |FROM deg LEFT JOIN nt ON nt.node = deg.node
+      |ORDER BY part_key""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >=
+          lit("1996-01-01 00:00:00").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tc = e.select(col("a").as("a1"), col("b").as("b1"))
+      .join(e.select(col("a").as("a2"), col("b").as("b2")),
+        col("b1") === col("a2"))
+      .join(e.select(col("a").as("a3"), col("b").as("b3")),
+        col("a3") === col("a1") && col("b3") === col("b2"))
+      .select(col("a1").as("ta"), col("b1").as("tb"), col("b2").as("tcn"))
+    val nt = tc.select(explode(array(col("ta"), col("tb"), col("tcn")))
+        .as("tnode"))
+      .groupBy(col("tnode")).agg(count(lit(1)).as("n_tri"))
+    deg.join(nt, col("tnode") === col("node"), "left")
+      .select(col("node").as("part_key"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        expr("CASE WHEN degree < 2 THEN CAST(NULL AS BIGINT)"
+          + " ELSE CAST(COALESCE(n_tri, 0) * 2000000"
+          + " div (degree * (degree - 1)) AS BIGINT) END").as("lcc_ppm"))
+      .orderBy(col("part_key"))
+  }
+
+  /** Monthly seasonality index (r16) — the classic seasonal-index
+    * report: per calendar month (pooled across years), order volume,
+    * revenue mass, and the index revenue_share·12 in floor-ppm
+    * (1000000 = a perfectly uniform month; the DECIMAL(38)/HUGEINT
+    * fold keeps the ×12e6 product safe at any revenue scale). One
+    * 12-group agg + a broadcast 1-row total. */
+  val reportSeasonalityIndex: QDef = q(
+    "report_seasonality_index",
+    """WITH m AS (
+      |  SELECT CAST(month(o_orderdate) AS BIGINT) AS mth,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(SUM(sum_cents) AS BIGINT) AS tot FROM m)
+      |SELECT mth AS month, n_orders, sum_cents,
+      |  CAST(CAST(sum_cents AS HUGEINT) * 12000000 // tot AS BIGINT)
+      |    AS seasonal_index_ppm
+      |FROM m CROSS JOIN t ORDER BY month""") { (s, d) =>
+    val m = Tables.orders(s, d)
+      .groupBy(month(col("o_orderdate")).cast(LongType).as("mth"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100"
+          + " AS BIGINT)")).as("sum_cents"))
+    val t = m.agg(sum(col("sum_cents")).as("tot"))
+    m.crossJoin(broadcast(t))
+      .select(col("mth").as("month"), col("n_orders"),
+        col("sum_cents").cast(LongType).as("sum_cents"),
+        expr("CAST(CAST(sum_cents AS DECIMAL(38,0)) * 12000000 div tot"
+          + " AS BIGINT)").as("seasonal_index_ppm"))
+      .orderBy(col("month"))
+  }
+
   /** All round-16 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
-    dedupClusterIncremental)
+    dedupClusterIncremental, statsWelchT, abPowerSampleSize,
+    winRollingCorr, sketchBloomMerge, privacyContributionCapping,
+    splitTimeBased, evalNdcgAt10, dqIqrOutliers, graphLocalClustering,
+    reportSeasonalityIndex)
 }

@@ -94,6 +94,311 @@ class R16OpsSpec extends SparkSpec {
     }
   }
 
+  private def cents(d: Double): Long =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .*(BigDecimal(100)).toLongExact
+
+  private lazy val eventRows: Array[(Long, Long, String, Long, java.sql.Timestamp)] =
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        cents(r.getDouble(3)), r.getTimestamp(4)))
+
+  /** floor division on BigInt (both engines' `div`/`//` on nonneg). */
+  private def fdiv(a: BigInt, b: BigInt): BigInt = {
+    require(a >= 0 && b > 0, "fdiv replay only spells nonneg operands")
+    a / b
+  }
+
+  test("stats_welch_t: exact BigInt replay of every output column") {
+    def arm(t: String): (BigInt, BigInt, BigInt) = {
+      val xs = eventRows.filter(_._3 == t).map(_._4)
+      (BigInt(xs.length), BigInt(xs.map(BigInt(_)).sum.toString),
+        xs.map(x => BigInt(x) * x).sum)
+    }
+    val (n1, s1, q1) = arm("purchase"); val (n2, s2, q2) = arm("click")
+    val mean1 = fdiv(s1 * 1000000, n1); val mean2 = fdiv(s2 * 1000000, n2)
+    val v1 = fdiv((n1 * q1 - s1 * s1) * 1000000, n1 * (n1 - 1))
+    val v2 = fdiv((n2 * q2 - s2 * s2) * 1000000, n2 * (n2 - 1))
+    val se2 = fdiv(v1, n1) + fdiv(v2, n2)
+    val dm = mean1 - mean2
+    val t2 = fdiv(dm * dm, se2)
+    val a1 = fdiv(fdiv(v1, n1), 1000); val a2 = fdiv(fdiv(v2, n2), 1000)
+    val df = fdiv(fdiv(se2, 1000) * fdiv(se2, 1000) * 1000,
+      fdiv(a1 * a1, n1 - 1) + fdiv(a2 * a2, n2 - 1))
+    val r = graft.SparkEntry.queries("stats_welch_t")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) == n1.toLong && r.getLong(1) == n2.toLong)
+    assert(r.getLong(2) == mean1.toLong && r.getLong(3) == mean2.toLong)
+    assert(r.getLong(4) == v1.toLong && r.getLong(5) == v2.toLong)
+    assert(r.getLong(6) == se2.toLong)
+    assert(r.getLong(7) == t2.toLong, "t2_micro")
+    assert(r.getLong(8) == df.toLong, "df_milli")
+    assert(r.getBoolean(9) == (t2 > 3841459), "significant")
+  }
+
+  test("ab_power_sample_size: replay + the ceiling really is the minimal n") {
+    val rows = graft.SparkEntry.queries("ab_power_sample_size")(spark, sf)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = eventRows.filter(_._3 == t).map(_._4)
+      val n = BigInt(xs.length); val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      val mean = fdiv(s * 1000000, n)
+      val v = fdiv((n * q - s * s) * 1000000, n * (n - 1))
+      val delta = fdiv(mean, 20)
+      val nReq = fdiv(2 * BigInt(7848879) * v + delta * delta - 1,
+        delta * delta)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == mean.toLong)
+      assert(r.getLong(3) == v.toLong && r.getLong(4) == delta.toLong)
+      assert(r.getLong(5) == nReq.toLong, s"$t: n_required")
+      // ceiling property: n_required arms suffice, one fewer does not
+      assert(nReq * delta * delta >= 2 * BigInt(7848879) * v, s"$t: suffices")
+      assert((nReq - 1) * delta * delta < 2 * BigInt(7848879) * v,
+        s"$t: not minimal")
+    }
+  }
+
+  test("win_rolling_corr: sliding-window BigInt replay per customer") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+          + " AS BIGINT)"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        cents(r.getDouble(3))))
+    val expected = orders.groupBy(_._1).flatMap { case (ck, rows) =>
+      val sorted = rows.sortBy(t => (t._3, t._2))
+      sorted.indices.map { i =>
+        val fr = sorted.slice(math.max(0, i - 7), i + 1)
+        val n = BigInt(fr.length)
+        val sx = fr.map(t => BigInt(t._3)).sum
+        val sy = fr.map(t => BigInt(t._4)).sum
+        val sxx = fr.map(t => BigInt(t._3) * t._3).sum
+        val syy = fr.map(t => BigInt(t._4) * t._4).sum
+        val sxy = fr.map(t => BigInt(t._3) * t._4).sum
+        val cxy = n * sxy - sx * sy
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        val corr2 = if (vx == 0 || vy == 0) None
+          else Some((if (cxy >= 0) BigInt(1) else BigInt(-1)) *
+            fdiv(cxy * cxy * 1000000, vx * vy))
+        (ck, sorted(i)._2) -> (n.toLong, cxy.toLong, corr2.map(_.toLong))
+      }
+    }
+    val got = graft.SparkEntry.queries("win_rolling_corr")(spark, sf)
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (n, cov, c2) = expected(k)
+      assert(r.getLong(2) == n && r.getLong(3) == cov, s"$k: window sums")
+      val gotC2 = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(gotC2 == c2, s"$k: corr2_signed_ppm")
+    }
+  }
+
+  test("sketch_bloom_merge: scala bit replay; every word's merge equals " +
+      "one-pass (the property the key certifies)") {
+    val keys = Tables.orders(spark, sf).select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0))
+    val hs = keys.flatMap(k => (0 to 2).map(j =>
+      (k % 8, java.lang.Long.parseLong(
+        md5hex(s"$k#$j").substring(0, 8), 16) % 64512)))
+    val shardWords = hs.groupBy { case (sh, h) => (sh, h / 63) }
+      .map { case ((sh, w), xs) =>
+        (sh, w) -> xs.map { case (_, h) => 1L << (h % 63).toInt }
+          .reduce(_ | _) }
+    val merged = shardWords.groupBy(_._1._2)
+      .map { case (w, m) => w -> m.values.reduce(_ | _) }
+    val onePass = hs.groupBy(_._2 / 63)
+      .map { case (w, xs) => w -> xs.map { case (_, h) =>
+        1L << (h % 63).toInt }.reduce(_ | _) }
+    assert(merged == onePass, "BIT_OR merge must equal the one-pass build")
+    val rows = graft.SparkEntry.queries("sketch_bloom_merge")(spark, sf)
+      .collect()
+    assert(rows.length == merged.size)
+    rows.foreach { r =>
+      val w = r.getLong(0)
+      assert(r.getLong(1) == merged(w), s"word $w bits")
+      assert(r.getLong(2) == java.lang.Long.bitCount(merged(w)).toLong)
+      assert(r.getBoolean(4), s"word $w: merge_equals_onepass must hold")
+    }
+  }
+
+  test("privacy_contribution_capping + split_time_based: scala replays") {
+    // capping: keep-first-8 per (user, type) by (ts, event_id)
+    val capRows = graft.SparkEntry
+      .queries("privacy_contribution_capping")(spark, sf).collect()
+    capRows.foreach { r =>
+      val t = r.getString(0)
+      val ofType = eventRows.filter(_._3 == t)
+      val byUser = ofType.groupBy(_._2)
+      val kept = byUser.values.flatMap(
+        _.sortBy(e => (e._5.getTime, e._1)).take(8)).toSeq
+      val sum = ofType.map(e => BigInt(e._4)).sum
+      val keptSum = kept.map(e => BigInt(e._4)).sum
+      assert(r.getLong(1) == ofType.length.toLong, s"$t rows")
+      assert(r.getLong(2) == kept.size.toLong, s"$t kept")
+      assert(r.getLong(3) == byUser.values.map(_.length).max.toLong)
+      assert(r.getLong(4) == math.min(
+        byUser.values.map(_.length).max.toLong, 8L))
+      assert(r.getLong(5) == sum.toLong && r.getLong(6) == keptSum.toLong)
+      assert(r.getLong(7) == fdiv((sum - keptSum) * 1000000, sum).toLong)
+    }
+    // time split: boundary 2024-01-22, leakage = users on both sides
+    val bound = java.sql.Timestamp.valueOf("2024-01-22 00:00:00")
+    val withSplit = eventRows.map(e =>
+      (if (e._5.before(bound)) "train" else "test", e._2, e._4))
+    val leaky = withSplit.groupBy(_._2)
+      .filter(_._2.map(_._1).distinct.length == 2).keySet
+    val splitRows = graft.SparkEntry.queries("split_time_based")(spark, sf)
+      .collect()
+    assert(splitRows.map(_.getString(0)).toSeq == Seq("test", "train"))
+    splitRows.foreach { r =>
+      val sp = r.getString(0)
+      val rows = withSplit.filter(_._1 == sp)
+      val leakyRows = rows.count(e => leaky(e._2))
+      assert(r.getLong(1) == rows.length.toLong, s"$sp rows")
+      assert(r.getLong(2) == rows.map(_._2).distinct.length.toLong)
+      assert(r.getLong(3) == rows.map(e => BigInt(e._3)).sum.toLong)
+      assert(r.getLong(4) == rows.filter(e => leaky(e._2))
+        .map(_._2).distinct.length.toLong, s"$sp leaky users")
+      assert(r.getLong(5) == leakyRows.toLong)
+      assert(r.getLong(6) == fdiv(BigInt(leakyRows) * 1000000,
+        BigInt(rows.length)).toLong)
+    }
+  }
+
+  test("eval_ndcg_at10: brute-force scala replay with the literal discounts") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val disc = Array(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val queries = vecs.filter(v => md5hex(v._1.toString).head == '0')
+    assert(queries.nonEmpty)
+    val expect = queries.map { case (qid, qlab, qemb) =>
+      val ranked = vecs.filter(_._1 != qid)
+        .map(v => (v._1, v._2, cos(v._3, qemb)))
+        .sortBy { case (id, _, s) => (-s, id) }
+      val dcg = ranked.take(10).zipWithIndex
+        .collect { case ((_, l, _), i) if l == qlab => disc(i) }.sum
+      val nRel = ranked.count(_._2 == qlab)
+      val idcg = disc.take(math.min(nRel, 10)).sum
+      (qlab, if (idcg == 0) 0L else Math.floorDiv(dcg * 1000000L, idcg))
+    }.groupBy(_._1).map { case (lab, xs) =>
+      lab.toLong -> (xs.length.toLong, xs.map(_._2).sum,
+        Math.floorDiv(xs.map(_._2).sum, xs.length.toLong))
+    }
+    val got = graft.SparkEntry.queries("eval_ndcg_at10")(spark, sf)
+      .collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (lab, e) =>
+      assert(got(lab) == e, s"label $lab: got ${got(lab)}, recomputed $e")
+    }
+  }
+
+  test("dq_iqr_outliers: quartile + fence replay per event type") {
+    val rows = graft.SparkEntry.queries("dq_iqr_outliers")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val xs = eventRows.filter(_._3 == t)
+        .sortBy(e => (e._4, e._1)).map(_._4)
+      val n = xs.length
+      val q1 = xs(((n - 1) * 25 / 100).toInt)
+      val q3 = xs(((n - 1) * 75 / 100).toInt)
+      val iqr = q3 - q1
+      val lo = q1 - 3 * iqr / 2; val hi = q3 + 3 * iqr / 2
+      val below = xs.count(_ < lo); val above = xs.count(_ > hi)
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == q1 &&
+        r.getLong(3) == q3 && r.getLong(4) == iqr, s"$t quartiles")
+      assert(r.getLong(5) == lo && r.getLong(6) == hi, s"$t fences")
+      assert(r.getLong(7) == below.toLong && r.getLong(8) == above.toLong)
+      assert(r.getLong(9) ==
+        Math.floorDiv((below + above).toLong * 1000000L, n.toLong))
+    }
+  }
+
+  test("graph_local_clustering: adjacency-set replay; node totals tie out " +
+      "to the global triangle kernel") {
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(
+          org.apache.spark.sql.types.DateType).cast(
+          org.apache.spark.sql.types.TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(
+          org.apache.spark.sql.types.DateType).cast(
+          org.apache.spark.sql.types.TimestampType))
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val rows = graft.SparkEntry.queries("graph_local_clustering")(spark, sf)
+      .collect()
+    assert(rows.length == adj.size, "one row per graph node")
+    var triSum = 0L
+    rows.foreach { r =>
+      val node = r.getLong(0); val nb = adj(node)
+      assert(r.getLong(1) == nb.size.toLong, s"node $node degree")
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(u, v) => adj(u)(v) }.toLong
+      assert(r.getLong(2) == tri, s"node $node triangles")
+      triSum += tri
+      val expLcc = if (nb.size < 2) None
+        else Some(Math.floorDiv(tri * 2000000L,
+          nb.size.toLong * (nb.size - 1)))
+      val gotLcc = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(gotLcc == expLcc, s"node $node lcc_ppm")
+    }
+    // each triangle counted once per corner — 3× the global kernel
+    val global = graft.SparkEntry.queries("graph_triangle_count")(spark, sf)
+      .collect().head.getLong(3)
+    assert(triSum == 3 * global, "corner sum must be 3x the triangle count")
+  }
+
+  test("report_seasonality_index: replay + the 12 indices sum to ~12e6") {
+    val orders = Tables.orders(spark, sf)
+      .select(month(col("o_orderdate")).cast(
+        org.apache.spark.sql.types.LongType), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), cents(r.getDouble(1))))
+    val tot = orders.map(e => BigInt(e._2)).sum
+    val rows = graft.SparkEntry.queries("report_seasonality_index")(spark, sf)
+      .collect()
+    assert(rows.length == 12)
+    var idxSum = BigInt(0)
+    rows.foreach { r =>
+      val m = r.getLong(0)
+      val ofM = orders.filter(_._1 == m)
+      val c = ofM.map(e => BigInt(e._2)).sum
+      assert(r.getLong(1) == ofM.length.toLong && r.getLong(2) == c.toLong)
+      val idx = fdiv(c * 12000000, tot)
+      assert(r.getLong(3) == idx.toLong, s"month $m index")
+      idxSum += idx
+    }
+    assert((BigInt(12000000) - idxSum) >= 0 && (BigInt(12000000) - idxSum) < 12,
+      "floor indices must sum to 12e6 minus at most 11 ppm of flooring")
+  }
+
   test("dedup_cluster_incremental == dedup_cluster_cc on the shared columns " +
       "(merge equals from-scratch recompute)") {
     val inc = graft.SparkEntry.queries("dedup_cluster_incremental")(spark, sf)
