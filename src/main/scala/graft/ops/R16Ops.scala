@@ -955,10 +955,133 @@ object R16Ops {
       .orderBy(col("month"))
   }
 
+  /** Markov stationary distribution (r16) — the chain-level readout
+    * over `event_transition_matrix`'s row-stochastic floor-ppm matrix:
+    * three unrolled integer power-iteration rounds from the uniform
+    * start (1e6 // k ppm), each round one broadcast join of the
+    * ≤k²-row matrix against the k-row vector (the `graph_pagerank`
+    * fixed-iteration discipline — no driver-side convergence probe,
+    * no float accumulation). Output shows the convergence path
+    * (pi0..pi3) per event type; flooring leaks ≤1 ppm per cell per
+    * round, deterministically in both engines. The matrix build is
+    * the one user-partitioned lead window; everything after is
+    * k-sized. */
+  val eventsMarkovStationary: QDef = q(
+    "events_markov_stationary",
+    """WITH s AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM s WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |m AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+      |  FROM c GROUP BY from_type),
+      |p AS MATERIALIZED (
+      |  SELECT c.from_type, c.to_type, (c.n * 1000000) // m.tot AS p_ppm
+      |  FROM c JOIN m ON c.from_type = m.from_type),
+      |t0 AS (SELECT DISTINCT event_type AS ty FROM events),
+      |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM t0),
+      |pi0 AS (SELECT ty, CAST(1000000 // nk AS BIGINT) AS pi
+      |  FROM t0 CROSS JOIN k),
+      |pi1 AS MATERIALIZED (
+      |  SELECT p.to_type AS ty, CAST(SUM(pi * p_ppm) // 1000000 AS BIGINT)
+      |    AS pi
+      |  FROM p JOIN pi0 ON pi0.ty = p.from_type GROUP BY p.to_type),
+      |pi2 AS MATERIALIZED (
+      |  SELECT p.to_type AS ty, CAST(SUM(pi * p_ppm) // 1000000 AS BIGINT)
+      |    AS pi
+      |  FROM p JOIN pi1 ON pi1.ty = p.from_type GROUP BY p.to_type),
+      |pi3 AS (
+      |  SELECT p.to_type AS ty, CAST(SUM(pi * p_ppm) // 1000000 AS BIGINT)
+      |    AS pi
+      |  FROM p JOIN pi2 ON pi2.ty = p.from_type GROUP BY p.to_type)
+      |SELECT t0.ty AS event_type, pi0.pi AS pi0_ppm,
+      |  COALESCE(pi1.pi, 0) AS pi1_ppm, COALESCE(pi2.pi, 0) AS pi2_ppm,
+      |  COALESCE(pi3.pi, 0) AS pi3_ppm
+      |FROM t0 JOIN pi0 ON pi0.ty = t0.ty
+      |LEFT JOIN pi1 ON pi1.ty = t0.ty
+      |LEFT JOIN pi2 ON pi2.ty = t0.ty
+      |LEFT JOIN pi3 ON pi3.ty = t0.ty
+      |ORDER BY event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val c = Tables.events(s, d)
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val m = c.groupBy(col("from_type").as("m_from"))
+      .agg(sum(col("n")).as("tot"))
+    val p = c.join(broadcast(m), col("from_type") === col("m_from"))
+      .select(col("from_type"), col("to_type"),
+        expr("(n * 1000000) div tot").as("p_ppm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val t0 = Tables.events(s, d).select(col("event_type").as("ty"))
+      .distinct()
+    val k = t0.agg(count(lit(1)).as("nk"))
+    val pi0 = t0.crossJoin(broadcast(k))
+      .select(col("ty"), expr("CAST(1000000 div nk AS BIGINT)").as("pi"))
+    def step(pi: DataFrame): DataFrame =
+      p.join(broadcast(pi.select(col("ty").as("fty"), col("pi"))),
+          col("fty") === col("from_type"))
+        .groupBy(col("to_type").as("ty"))
+        .agg(expr("CAST(SUM(pi * p_ppm) div 1000000 AS BIGINT)").as("pi"))
+    val pi1 = step(pi0); val pi2 = step(pi1); val pi3 = step(pi2)
+    t0.join(broadcast(pi0.select(col("ty").as("t0k"), col("pi").as("p0"))),
+        col("t0k") === col("ty"))
+      .join(broadcast(pi1.select(col("ty").as("t1k"), col("pi").as("p1"))),
+        col("t1k") === col("ty"), "left")
+      .join(broadcast(pi2.select(col("ty").as("t2k"), col("pi").as("p2"))),
+        col("t2k") === col("ty"), "left")
+      .join(broadcast(pi3.select(col("ty").as("t3k"), col("pi").as("p3"))),
+        col("t3k") === col("ty"), "left")
+      .select(col("ty").as("event_type"), col("p0").as("pi0_ppm"),
+        coalesce(col("p1"), lit(0L)).as("pi1_ppm"),
+        coalesce(col("p2"), lit(0L)).as("pi2_ppm"),
+        coalesce(col("p3"), lit(0L)).as("pi3_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Max-inner-product top-k (r16) — the recommender-scoring twin of
+    * `sim_search_topk`: UNNORMALIZED dot products against the query
+    * vector (MIPS — cosine's normalization is exactly what a trained
+    * scoring model's magnitude encodes, so recommenders rank by raw
+    * dot), top-10 under (dot DESC, vec_id) total order. The dot is
+    * the shared sequential float→double fold rounded to 6 (D10);
+    * TakeOrdered physical top-k, query side a 1-row broadcast. At
+    * scale MIPS routes through the same IVF/LSH structures with the
+    * norm folded into an extra dimension — this is the eval-tier
+    * exact pass. */
+  val simMipsTopk: QDef = q(
+    "sim_mips_topk",
+    s"""WITH q AS (
+      |  SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |    ROUND(${VecMath.sqlDot("e.embedding", "q_emb")}, 6) AS dot
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> 0)
+      |SELECT vec_id, label, dot FROM d
+      |ORDER BY dot DESC, vec_id LIMIT 10""") { (s, d) =>
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    Tables.embeddings(s, d).crossJoin(broadcast(q0))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        round(VecMath.fdot(col("embedding"), col("q_emb")), 6).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** All round-16 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     dedupClusterIncremental, statsWelchT, abPowerSampleSize,
     winRollingCorr, sketchBloomMerge, privacyContributionCapping,
     splitTimeBased, evalNdcgAt10, dqIqrOutliers, graphLocalClustering,
-    reportSeasonalityIndex)
+    reportSeasonalityIndex, eventsMarkovStationary, simMipsTopk)
 }

@@ -399,6 +399,61 @@ class R16OpsSpec extends SparkSpec {
       "floor indices must sum to 12e6 minus at most 11 ppm of flooring")
   }
 
+  test("events_markov_stationary: BigInt power-iteration replay") {
+    val trans = eventRows.groupBy(_._2).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._5.getTime, e._1))
+      sorted.map(_._3).toSeq.sliding(2).collect { case Seq(a, b) => (a, b) }
+    }.toSeq
+    val counts = trans.groupBy(identity).map { case (k, v) => k -> v.size }
+    val tot = counts.groupBy(_._1._1)
+      .map { case (f, m) => f -> m.values.sum }
+    val p = counts.map { case ((f, t), n) =>
+      (f, t) -> fdiv(BigInt(n) * 1000000, BigInt(tot(f))) }
+    val types = eventRows.map(_._3).distinct.sorted
+    var pi: Map[String, BigInt] =
+      types.map(_ -> fdiv(BigInt(1000000), BigInt(types.length))).toMap
+    val path = Seq.newBuilder[Map[String, BigInt]]
+    path += pi
+    (1 to 3).foreach { _ =>
+      pi = types.map { t =>
+        t -> fdiv(types.map(f =>
+          pi(f) * p.getOrElse((f, t), BigInt(0))).sum, BigInt(1000000))
+      }.toMap
+      path += pi
+    }
+    val exp = path.result()
+    val rows = graft.SparkEntry.queries("events_markov_stationary")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == types.toSeq)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      (0 to 3).foreach { i =>
+        assert(r.getLong(i + 1) == exp(i)(t).toLong, s"$t pi$i")
+      }
+    }
+    // mass conservation up to flooring: each round leaks < k ppm
+    assert(exp(3).values.sum > 1000000 - 4 * types.length,
+      "stationary mass must survive flooring")
+  }
+
+  test("sim_mips_topk: scala brute-force dot replay") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val qEmb = vecs.find(_._1 == 0L).get._3
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      for (i <- a.indices) acc += a(i).toDouble * b(i).toDouble
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exp = vecs.filter(_._1 != 0L)
+      .map(v => (v._1, v._2, dot(v._3, qEmb)))
+      .sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = graft.SparkEntry.queries("sim_mips_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == exp.toSeq, "MIPS top-10 must match the exact scan")
+  }
+
   test("dedup_cluster_incremental == dedup_cluster_cc on the shared columns " +
       "(merge equals from-scratch recompute)") {
     val inc = graft.SparkEntry.queries("dedup_cluster_incremental")(spark, sf)
