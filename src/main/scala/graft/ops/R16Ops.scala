@@ -1078,10 +1078,226 @@ object R16Ops {
       .limit(10)
   }
 
+  /** Grid-blocked spatial radius join (r16) — the geospatial blocking
+    * pattern the registry lacked: points on a 1000×1000 grid
+    * (deterministic synthetic coordinates from customer key and
+    * balance — the fixture has no lat/lon; the OPERATOR is the
+    * graded thing), radius-25 neighbor search via cell size = radius:
+    * each point joins only its 3×3 neighboring cells (a 9-row
+    * broadcast offset table — never a cartesian), then the exact
+    * integer distance² filter. Graded output is the per-point
+    * neighbor-count histogram plus the total pair count — the density
+    * profile a spatial index designer reads. At scale this is exactly
+    * the geohash/S2 bucketed join: candidate cost follows cell
+    * occupancy, not n². */
+  val joinSpatialGrid: QDef = q(
+    "join_spatial_grid",
+    """WITH pt AS (
+      |  SELECT c_custkey AS k,
+      |    (c_custkey * 37) % 1000 AS x,
+      |    ((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) % 1000)
+      |      + 1000) % 1000 AS y
+      |  FROM customer),
+      |pc AS (SELECT k, x, y, x // 25 AS cx, y // 25 AS cy FROM pt),
+      |os AS (SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx)
+      |  CROSS JOIN (VALUES (-1), (0), (1)) b(dy)),
+      |cand AS (
+      |  SELECT a.k AS ka, b.k AS kb,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM pc a CROSS JOIN os
+      |  JOIN pc b ON b.cx = a.cx + os.dx AND b.cy = a.cy + os.dy
+      |    AND a.k < b.k),
+      |pairs AS (SELECT ka, kb FROM cand WHERE d2 <= 625),
+      |ends AS (SELECT ka AS k FROM pairs UNION ALL SELECT kb FROM pairs),
+      |nb AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+      |  FROM ends GROUP BY k),
+      |pn AS (
+      |  SELECT pt.k, COALESCE(nb.n_neighbors, 0) AS n_neighbors
+      |  FROM pt LEFT JOIN nb ON nb.k = pt.k),
+      |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs)
+      |SELECT n_neighbors, CAST(COUNT(*) AS BIGINT) AS n_points, np.n_pairs
+      |FROM pn CROSS JOIN np
+      |GROUP BY n_neighbors, np.n_pairs
+      |ORDER BY n_neighbors""") { (s, d) =>
+    import s.implicits._
+    val pt = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"),
+        expr("(c_custkey * 37) % 1000").as("x"),
+        expr("((CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+          + " % 1000) + 1000) % 1000").as("y"))
+    val pc = pt.select(col("k"), col("x"), col("y"),
+      expr("x div 25").as("cx"), expr("y div 25").as("cy"))
+    val os = (for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy))
+      .toDF("dx", "dy")
+    val pairs = pc.as("a").crossJoin(broadcast(os))
+      .join(pc.select(col("k").as("kb"), col("x").as("xb"),
+          col("y").as("yb"), col("cx").as("cxb"), col("cy").as("cyb")),
+        col("cxb") === col("a.cx") + col("dx") &&
+          col("cyb") === col("a.cy") + col("dy") &&
+          col("a.k") < col("kb"))
+      .filter(expr("(a.x - xb) * (a.x - xb) + (a.y - yb) * (a.y - yb)"
+        + " <= 625"))
+      .select(col("a.k").as("ka"), col("kb"))
+    val nb = pairs.select(explode(array(col("ka"), col("kb"))).as("ek"))
+      .groupBy(col("ek")).agg(count(lit(1)).as("n_neighbors"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    pt.join(nb, col("ek") === col("k"), "left")
+      .select(coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"))
+      .crossJoin(broadcast(np))
+      .groupBy(col("n_neighbors"), col("n_pairs"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("n_neighbors"), col("n_points"), col("n_pairs"))
+      .orderBy(col("n_neighbors"))
+  }
+
+  /** Two-proportion z-test (r16) — the conversion-rate comparison
+    * completing the experimentation triplet: `ab_srm_check` gates the
+    * SPLIT, `stats_welch_t` compares continuous MEANS, this compares
+    * RATES between the md5-parity arms. Conversion = the user made a
+    * HIGH-VALUE purchase (≥ $180) — deliberately rare enough that
+    * neither p̂ = 0 nor p̂ = 1 degenerates the pooled variance at any
+    * fixture tier (plain "any purchase" converts EVERY user at
+    * sf0.001); the all-converted/none-converted edges still guard to
+    * NULL identically in both engines. The pooled z² collapses to
+    * pure integers:
+    * z² = (c1·n2 − c2·n1)²·(n1+n2) / (n1·n2·(c1+c2)·(n1+n2−c1−c2)),
+    * ridden through DECIMAL(38)/HUGEINT, reported in floor-micro with
+    * the df=1 95% bound 3.841459. One distinct-user agg + a 1-row
+    * fold. */
+  val statsPropZtest: QDef = q(
+    "stats_prop_ztest",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <= '7'
+      |      THEN 0 ELSE 1 END AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase'
+      |      AND CAST(value AS DECIMAL(12,2)) >= 180 THEN 1 ELSE 0 END)
+      |      AS conv
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+      |  FROM u),
+      |f AS (
+      |  SELECT n1, c1, n2, c2,
+      |    CAST(c1 * 1000000 // n1 AS BIGINT) AS p1_ppm,
+      |    CAST(c2 * 1000000 // n2 AS BIGINT) AS p2_ppm,
+      |    CASE WHEN c1 + c2 = 0 OR n1 + n2 - c1 - c2 = 0
+      |      THEN CAST(NULL AS BIGINT)
+      |      ELSE CAST(CAST(c1 * n2 - c2 * n1 AS HUGEINT)
+      |          * (c1 * n2 - c2 * n1) * (n1 + n2) * 1000000
+      |        // (CAST(n1 AS HUGEINT) * n2 * (c1 + c2)
+      |          * (n1 + n2 - c1 - c2)) AS BIGINT) END AS z2_micro
+      |  FROM c)
+      |SELECT *, z2_micro > 3841459 AS significant FROM f""") { (s, d) =>
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          expr("CAST(value AS DECIMAL(12,2)) >= 180"), 1).otherwise(0))
+        .as("conv"))
+      .select(
+        when(substring(md5(col("user_id").cast(StringType)), 1, 1) <= "7",
+          0).otherwise(1).as("arm"), col("conv"))
+    val c = u.agg(
+      count_if(col("arm") === 0).as("n1"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast(LongType)
+        .as("c1"),
+      count_if(col("arm") === 1).as("n2"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast(LongType)
+        .as("c2"))
+    c.select(col("n1"), col("c1"), col("n2"), col("c2"),
+        expr("CAST(c1 * 1000000 div n1 AS BIGINT)").as("p1_ppm"),
+        expr("CAST(c2 * 1000000 div n2 AS BIGINT)").as("p2_ppm"),
+        expr("CASE WHEN c1 + c2 = 0 OR n1 + n2 - c1 - c2 = 0"
+          + " THEN CAST(NULL AS BIGINT)"
+          + " ELSE CAST(CAST(c1 * n2 - c2 * n1 AS DECIMAL(38,0))"
+          + " * (c1 * n2 - c2 * n1) * (n1 + n2) * 1000000"
+          + " div (CAST(n1 AS DECIMAL(38,0)) * n2 * (c1 + c2)"
+          + " * (n1 + n2 - c1 - c2)) AS BIGINT) END").as("z2_micro"))
+      .withColumn("significant", col("z2_micro") > 3841459L)
+  }
+
+  /** Multi-lag autocorrelation table (r16) — `ts_autocorr_daily`
+    * generalized from lag 1 to the full weekly ACF (lags 1..7), the
+    * table a seasonality analyst actually reads (a lag-7 spike = the
+    * weekly cycle `ts_seasonal_naive_error` exploits). Daily totals
+    * are aggregated ONCE (day-cardinality table), then one broadcast
+    * self-join per the 7-row lag table pairs (x_d, x_{d+lag});
+    * integer sums per (type, lag), the final Pearson ratio spelled as
+    * the one-float-op-per-operand chain the lag-1 key already grades
+    * (exact integer inputs → identical doubles in both engines). */
+  val tsAcfLags: QDef = q(
+    "ts_acf_lags",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, day),
+      |lg AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7))
+      |  t(lag)),
+      |p AS (
+      |  SELECT a.event_type, lg.lag, a.cents AS x, b.cents AS y
+      |  FROM dtot a CROSS JOIN lg
+      |  JOIN dtot b ON b.event_type = a.event_type
+      |    AND b.day = a.day + CAST(lg.lag AS INTEGER)),
+      |s AS (
+      |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |  FROM p GROUP BY event_type, lag),
+      |t AS (
+      |  SELECT event_type, lag, n, CAST(sx AS DOUBLE) AS dx,
+      |    CAST(sy AS DOUBLE) AS dy, CAST(sxx AS DOUBLE) AS dxx,
+      |    CAST(syy AS DOUBLE) AS dyy, CAST(sxy AS DOUBLE) AS dxy
+      |  FROM s)
+      |SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+      |  (n * dxy - dx * dy)
+      |    / (sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy)) AS acf
+      |FROM t ORDER BY event_type, lag""") { (s, d) =>
+    import s.implicits._
+    val dtot = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).cast(LongType).as("cents"))
+    val lg = (1 to 7).toDF("lag")
+    val p = dtot.as("a").crossJoin(broadcast(lg))
+      .join(dtot.select(col("event_type").as("bt"), col("day").as("bd"),
+          col("cents").as("y")),
+        col("bt") === col("a.event_type") &&
+          col("bd") === expr("date_add(a.day, lag)"))
+      .select(col("a.event_type").as("event_type"), col("lag"),
+        col("a.cents").as("x"), col("y"))
+    val st = p.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+    st.select(col("event_type"), col("lag").cast(LongType).as("lag"),
+        col("n"),
+        expr("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
+          + " * CAST(sy AS DOUBLE))"
+          + " / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+          + " * CAST(sx AS DOUBLE)) * sqrt(n * CAST(syy AS DOUBLE)"
+          + " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))").as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** All round-16 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     dedupClusterIncremental, statsWelchT, abPowerSampleSize,
     winRollingCorr, sketchBloomMerge, privacyContributionCapping,
     splitTimeBased, evalNdcgAt10, dqIqrOutliers, graphLocalClustering,
-    reportSeasonalityIndex, eventsMarkovStationary, simMipsTopk)
+    reportSeasonalityIndex, eventsMarkovStationary, simMipsTopk,
+    joinSpatialGrid, statsPropZtest, tsAcfLags)
 }

@@ -454,6 +454,86 @@ class R16OpsSpec extends SparkSpec {
     assert(got.toSeq == exp.toSeq, "MIPS top-10 must match the exact scan")
   }
 
+  test("join_spatial_grid: the grid join finds EXACTLY the all-pairs " +
+      "radius result (cell=radius completeness) + histogram replay") {
+    val pts = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal")).collect()
+      .map { r =>
+        val k = r.getLong(0)
+        val x = (k * 37) % 1000
+        val y = ((cents(r.getDouble(1)) % 1000) + 1000) % 1000
+        (k, x, y)
+      }
+    val pairs = (for {
+      a <- pts; b <- pts
+      if a._1 < b._1 &&
+        (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) <= 625
+    } yield (a._1, b._1)).toSet
+    val nb = pairs.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val hist = pts.map(p => nb.getOrElse(p._1, 0L))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rows = graft.SparkEntry.queries("join_spatial_grid")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(r => r._1 -> r._2).toMap == hist,
+      "grid-blocked candidates must reproduce the exact all-pairs histogram")
+    assert(rows.forall(_._3 == pairs.size.toLong), "total pair count")
+  }
+
+  test("stats_prop_ztest: BigInt replay, arms interior (not degenerate)") {
+    val conv = eventRows.groupBy(_._2).map { case (uid, es) =>
+      uid -> es.exists(e => e._3 == "purchase" && e._4 >= 18000)
+    }
+    val (arm0, arm1) = conv.keys.toSeq.partition(u => isPrior(u))
+    val n1 = BigInt(arm0.size); val c1 = BigInt(arm0.count(conv))
+    val n2 = BigInt(arm1.size); val c2 = BigInt(arm1.count(conv))
+    assert(c1 + c2 > 0 && c1 + c2 < n1 + n2,
+      "fixture must keep the pooled proportion interior or the key " +
+        "certifies nothing")
+    val num = (c1 * n2 - c2 * n1).pow(2) * (n1 + n2) * 1000000
+    val den = n1 * n2 * (c1 + c2) * (n1 + n2 - c1 - c2)
+    val r = graft.SparkEntry.queries("stats_prop_ztest")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) == n1.toLong && r.getLong(1) == c1.toLong)
+    assert(r.getLong(2) == n2.toLong && r.getLong(3) == c2.toLong)
+    assert(r.getLong(4) == fdiv(c1 * 1000000, n1).toLong)
+    assert(r.getLong(5) == fdiv(c2 * 1000000, n2).toLong)
+    assert(r.getLong(6) == fdiv(num, den).toLong, "z2_micro")
+    assert(r.getBoolean(7) == (fdiv(num, den) > 3841459))
+  }
+
+  test("ts_acf_lags: BigInt sums + one-float-chain replay; lag 1 agrees " +
+      "with the graded ts_autocorr_daily") {
+    val daily = eventRows.groupBy(e => (e._3,
+        e._5.toLocalDateTime.toLocalDate))
+      .map { case (k, es) => k -> es.map(e => BigInt(e._4)).sum }
+    val rows = graft.SparkEntry.queries("ts_acf_lags")(spark, sf).collect()
+    assert(rows.length == 35, "5 types x 7 lags")
+    rows.foreach { r =>
+      val (t, lag) = (r.getString(0), r.getLong(1).toInt)
+      val ofT = daily.collect { case ((tt, d), c) if tt == t => (d, c) }
+      val ps = ofT.toSeq.flatMap { case (d, x) =>
+        ofT.get(d.plusDays(lag.toLong)).map(y => (x, y)) }
+      val n = BigInt(ps.length)
+      val sx = ps.map(_._1).sum; val sy = ps.map(_._2).sum
+      val sxx = ps.map(p => p._1 * p._1).sum
+      val syy = ps.map(p => p._2 * p._2).sum
+      val sxy = ps.map(p => p._1 * p._2).sum
+      assert(r.getLong(2) == n.toLong, s"$t lag $lag: n")
+      val acf = (n.toLong * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n.toLong * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          math.sqrt(n.toLong * syy.toDouble - sy.toDouble * sy.toDouble))
+      assert(r.getDouble(3) == acf, s"$t lag $lag: acf")
+    }
+    val lag1 = rows.filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    graft.SparkEntry.queries("ts_autocorr_daily")(spark, sf).collect()
+      .foreach { r =>
+        assert(lag1(r.getString(0)) == r.getDouble(2),
+          s"${r.getString(0)}: lag-1 must equal the graded lag-1 key")
+      }
+  }
+
   test("dedup_cluster_incremental == dedup_cluster_cc on the shared columns " +
       "(merge equals from-scratch recompute)") {
     val inc = graft.SparkEntry.queries("dedup_cluster_incremental")(spark, sf)
