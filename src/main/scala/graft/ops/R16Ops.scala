@@ -1293,11 +1293,189 @@ object R16Ops {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Cryptographic digest surface (r16) — the hash functions a
+    * pipeline keys provenance, sharding and dedup on, graded
+    * end-to-end across engines: md5 and SHA-256 hex digests of a
+    * canonical '|'-joined rendering (the `dq_table_checksum` row
+    * spelling), plus first-hex-digit bucket counts per digest — the
+    * uniformity a hash-partitioner relies on. Row-local; one 16-group
+    * agg per digest. Spark `sha2(x, 256)` ≡ DuckDB `sha256(x)`
+    * (lowercase hex both). xxhash64 has no DuckDB twin — it stays
+    * covered by ShingleExpressionsSpec, not an oracle. */
+  val fnHashDigests: QDef = q(
+    "fn_hash_digests",
+    """WITH h AS (
+      |  SELECT c_custkey,
+      |    md5(c_name || '|' || CAST(c_custkey AS VARCHAR)) AS d_md5,
+      |    sha256(c_name || '|' || CAST(c_custkey AS VARCHAR)) AS d_sha
+      |  FROM customer)
+      |SELECT substr(d_md5, 1, 1) AS md5_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_md5,
+      |  CAST(SUM(CASE WHEN substr(d_sha, 1, 1) = substr(d_md5, 1, 1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sha_same_bucket,
+      |  MIN(d_md5) AS min_md5, MIN(d_sha) AS min_sha
+      |FROM h GROUP BY md5_bucket
+      |ORDER BY md5_bucket""") { (s, d) =>
+    val h = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        md5(concat_ws("|", col("c_name"),
+          col("c_custkey").cast(StringType))).as("d_md5"),
+        sha2(concat_ws("|", col("c_name"),
+          col("c_custkey").cast(StringType)), 256).as("d_sha"))
+    h.groupBy(substring(col("d_md5"), 1, 1).as("md5_bucket"))
+      .agg(count(lit(1)).as("n_md5"),
+        sum(when(substring(col("d_sha"), 1, 1) ===
+          substring(col("d_md5"), 1, 1), 1L).otherwise(0L))
+          .as("n_sha_same_bucket"),
+        min(col("d_md5")).as("min_md5"), min(col("d_sha")).as("min_sha"))
+      .orderBy(col("md5_bucket"))
+  }
+
+  /** Clustering-depth layout audit (r16) — the metric a table-layout
+    * optimizer (Delta OPTIMIZE / ZORDER) reports: how many zone-stat
+    * intervals OVERLAP under a given row order. 64-row zones of
+    * `orders` under (a) natural key order and (b) value-sorted order;
+    * per zone the [min,max] of order cents, then the overlapping
+    * zone-PAIR count — value-sorted zones only overlap where a tie
+    * straddles a boundary, natural order overlaps almost everywhere,
+    * and the ppm gap is exactly the row-group-skipping benefit a sort
+    * would buy (`layout_zorder_skipping` grades the scan BILL; this
+    * grades the STAT-OVERLAP structure that causes it). Zones are
+    * metadata-scale (n/64 rows), so the pair check is a broadcast
+    * zone×zone join — at 100 TB zone stats ARE the parquet footer
+    * stats, still metadata. */
+  val layoutClusteringDepth: QDef = q(
+    "layout_clustering_depth",
+    """WITH v AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders),
+      |zr AS (
+      |  SELECT 'natural' AS layout,
+      |    (row_number() OVER (ORDER BY k) - 1) // 64 AS zone, cents
+      |  FROM v
+      |  UNION ALL
+      |  SELECT 'sorted' AS layout,
+      |    (row_number() OVER (ORDER BY cents, k) - 1) // 64 AS zone, cents
+      |  FROM v),
+      |zs AS (
+      |  SELECT layout, zone, MIN(cents) AS mn, MAX(cents) AS mx
+      |  FROM zr GROUP BY layout, zone),
+      |ov AS (
+      |  SELECT a.layout, CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+      |  FROM zs a JOIN zs b
+      |    ON a.layout = b.layout AND a.zone < b.zone
+      |    AND a.mx >= b.mn AND b.mx >= a.mn
+      |  GROUP BY a.layout),
+      |nz AS (
+      |  SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_zones
+      |  FROM zs GROUP BY layout)
+      |SELECT nz.layout, nz.n_zones,
+      |  COALESCE(ov.n_overlap_pairs, 0) AS n_overlap_pairs,
+      |  CAST(COALESCE(ov.n_overlap_pairs, 0) * 1000000
+      |    // (nz.n_zones * (nz.n_zones - 1) // 2) AS BIGINT)
+      |    AS overlap_ppm
+      |FROM nz LEFT JOIN ov ON ov.layout = nz.layout
+      |ORDER BY nz.layout""") { (s, d) =>
+    // Spark side never runs an unpartitioned window: both global
+    // ranks ride the shared bucketed two-pass exclusive-prefix
+    // (DriftOps.exclusivePrefix — the shard_range_boundaries
+    // machinery). The oracle's plain row_number() produces the
+    // IDENTICAL ranks on DuckDB's side.
+    val v = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kc = v.select(col("k").as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val kpre = DriftOps.exclusivePrefix(kc, expr("v div 10000"))
+      .select(col("v").as("nk"), col("pre").as("npre"))
+    val nat = v.join(kpre, col("nk") === col("k"))
+      .select(lit("natural").as("layout"),
+        expr("npre div 64").as("zone"), col("cents"))
+    val cc = v.groupBy(col("cents").as("v")).agg(count(lit(1)).as("cnt"))
+    val cpre = DriftOps.exclusivePrefix(cc, expr("v div 10000000"))
+      .select(col("v").as("sv"), col("pre").as("spre"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cents")).orderBy(col("k"))
+    val srt = v.join(cpre, col("sv") === col("cents"))
+      .select(lit("sorted").as("layout"),
+        ((col("spre") + row_number().over(wTie) - 1)).as("r"), col("cents"))
+      .select(col("layout"), expr("r div 64").as("zone"), col("cents"))
+    val zs = nat.unionAll(srt)
+      .groupBy(col("layout"), col("zone"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ov = zs.as("a")
+      .join(broadcast(zs.select(col("layout").as("bl"), col("zone").as("bz"),
+          col("mn").as("bmn"), col("mx").as("bmx"))),
+        col("bl") === col("a.layout") && col("a.zone") < col("bz") &&
+          col("a.mx") >= col("bmn") && col("bmx") >= col("a.mn"))
+      .groupBy(col("a.layout").as("ol")).agg(count(lit(1))
+        .as("n_overlap_pairs"))
+    val nz = zs.groupBy(col("layout")).agg(count(lit(1)).as("n_zones"))
+    nz.join(broadcast(ov), col("ol") === col("layout"), "left")
+      .select(col("layout"), col("n_zones"),
+        coalesce(col("n_overlap_pairs"), lit(0L)).as("n_overlap_pairs"),
+        expr("CAST(COALESCE(n_overlap_pairs, 0) * 1000000"
+          + " div (n_zones * (n_zones - 1) div 2) AS BIGINT)")
+          .as("overlap_ppm"))
+      .orderBy(col("layout"))
+  }
+
+  /** Parquet bloom-filter source (r16) — the point-lookup layout
+    * option the source matrix lacked: events re-written with a
+    * parquet BLOOM FILTER on user_id (and stat-sorted rows so
+    * min/max can't do the work instead), then a point predicate read
+    * back and aggregated. The graded values prove the
+    * bloom-decorated file round-trips losslessly (the oracle
+    * aggregates the ORIGINAL fixture); SourcesSpec asserts the
+    * footer actually carries the bloom offset — at scale the bloom
+    * is what skips row groups for high-cardinality point predicates
+    * where min/max zones are useless. */
+  val sourceParquetBloom: QDef = q(
+    "source_parquet_bloom",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(MIN(event_id) AS BIGINT) AS min_event_id
+      |FROM events
+      |WHERE user_id = 7
+      |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val out = graft.TempDirs.create("graft_bloomsrc")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .sort(col("event_type"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#user_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#user_id", "1000")
+      // dictionary OFF for the bloom column: parquet-mr skips the
+      // bloom when every page is dictionary-encoded (the dictionary
+      // already is an exact membership filter), so a low-cardinality
+      // fixture would silently ship no bloom at all — disabling the
+      // dictionary is the production pairing for a bloom column
+      .option("parquet.enable.dictionary#user_id", "false")
+      .parquet(out)
+    s.read.parquet(out)
+      .filter(col("user_id") === 7)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+          .cast(LongType).as("sum_cents"),
+        min(col("event_id")).as("min_event_id"))
+      .orderBy(col("event_type"))
+  }
+
   /** All round-16 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     dedupClusterIncremental, statsWelchT, abPowerSampleSize,
     winRollingCorr, sketchBloomMerge, privacyContributionCapping,
     splitTimeBased, evalNdcgAt10, dqIqrOutliers, graphLocalClustering,
     reportSeasonalityIndex, eventsMarkovStationary, simMipsTopk,
-    joinSpatialGrid, statsPropZtest, tsAcfLags)
+    joinSpatialGrid, statsPropZtest, tsAcfLags,
+    fnHashDigests, layoutClusteringDepth, sourceParquetBloom)
 }

@@ -534,6 +534,95 @@ class R16OpsSpec extends SparkSpec {
       }
   }
 
+  test("fn_hash_digests: JVM MessageDigest replay of both digests") {
+    def sha256hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hs = custs.map { case (k, n) =>
+      (md5hex(s"$n|$k"), sha256hex(s"$n|$k")) }
+    val exp = hs.groupBy(_._1.head).map { case (b, xs) =>
+      b.toString -> (xs.length.toLong,
+        xs.count(x => x._2.head == x._1.head).toLong,
+        xs.map(_._1).min, xs.map(_._2).min) }
+    val got = graft.SparkEntry.queries("fn_hash_digests")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(got == exp)
+  }
+
+  test("layout_clustering_depth: zone replay; sorting collapses overlap") {
+    val vs = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1))))
+    def zones(ordered: Seq[Long]): Seq[(Long, Long)] =
+      ordered.grouped(64).map(g => (g.min, g.max)).toSeq
+    def overlaps(zs: Seq[(Long, Long)]): Long =
+      (for (i <- zs.indices; j <- (i + 1) until zs.length
+        if zs(i)._2 >= zs(j)._1 && zs(j)._2 >= zs(i)._1) yield 1).size.toLong
+    val natural = zones(vs.sortBy(_._1).map(_._2).toSeq)
+    val sorted = zones(vs.sortBy(v => (v._2, v._1)).map(_._2).toSeq)
+    val got = graft.SparkEntry.queries("layout_clustering_depth")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val natPairs = overlaps(natural); val srtPairs = overlaps(sorted)
+    assert(got("natural") == (natural.length.toLong, natPairs,
+      Math.floorDiv(natPairs * 1000000L,
+        natural.length.toLong * (natural.length - 1) / 2)))
+    assert(got("sorted") == (sorted.length.toLong, srtPairs,
+      Math.floorDiv(srtPairs * 1000000L,
+        sorted.length.toLong * (sorted.length - 1) / 2)))
+    assert(srtPairs < natPairs,
+      "sorting must strictly reduce zone-stat overlap or the metric is dead")
+  }
+
+  test("source_parquet_bloom: replay + the footer really carries a bloom " +
+      "filter on user_id") {
+    val rows = graft.SparkEntry.queries("source_parquet_bloom")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val of = eventRows.filter(e => e._3 == t && e._2 == 7L)
+      assert(r.getLong(1) == of.length.toLong, s"$t n")
+      assert(r.getLong(2) == of.map(e => BigInt(e._4)).sum.toLong, s"$t sum")
+      assert(r.getLong(3) == of.map(_._1).min, s"$t min_event_id")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      eventRows.count(_._2 == 7L).toLong, "user 7's events all covered")
+    // footer check: write with the same options, read the metadata
+    val out = graft.TempDirs.create("graft_bloomspec")
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#user_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#user_id", "1000")
+      .option("parquet.enable.dictionary#user_id", "false")
+      .parquet(out)
+    val file = new java.io.File(out).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+      val userCol = cols.filter(
+        _.getPath.toDotString == "user_id")
+      assert(userCol.nonEmpty)
+      assert(userCol.forall(_.getBloomFilterOffset >= 0),
+        "user_id column chunks must carry a bloom filter offset")
+      val otherCol = cols.filter(_.getPath.toDotString == "event_type")
+      assert(otherCol.forall(_.getBloomFilterOffset < 0),
+        "non-enabled columns must NOT carry bloom filters")
+    } finally reader.close()
+  }
+
   test("dedup_cluster_incremental == dedup_cluster_cc on the shared columns " +
       "(merge equals from-scratch recompute)") {
     val inc = graft.SparkEntry.queries("dedup_cluster_incremental")(spark, sf)
