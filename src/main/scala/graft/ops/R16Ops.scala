@@ -1470,6 +1470,184 @@ object R16Ops {
       .orderBy(col("event_type"))
   }
 
+  /** Matryoshka truncation audit (r16) — the modern embedding-compression
+    * question (MRL): if the index stores only the first k dimensions,
+    * how often does the TRUNCATED inner product still pick the same
+    * top-1 as the full vector, and how big is the score gap? Per dim
+    * budget 16/32/64 over the md5-sampled query set: truncated and
+    * full dots are the shared sequential float fold over the SLICED
+    * arrays (round-6, D10), top-1 under (dot DESC, vec_id), the gap
+    * floored to exact integer micro per pair so sums stay
+    * order-independent (negative sums divide by bare truncating
+    * div — identical in both engines per the r15 measurement). The
+    * eval-tier answer to "can we ship the 16-dim index". */
+  val embedMatryoshkaTruncation: QDef = q(
+    "embed_matryoshka_truncation",
+    s"""WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+      |bud AS (SELECT * FROM (VALUES (16), (32), (64)) t(kd)),
+      |pair AS (
+      |  SELECT bud.kd, q.q_id, e.vec_id,
+      |    ROUND(list_reduce(list_transform(range(1, bud.kd + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)),
+      |      (x, y) -> x + y), 6) AS dk,
+      |    ROUND(list_reduce(list_transform(range(1, 65),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)),
+      |      (x, y) -> x + y), 6) AS d64
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id CROSS JOIN bud),
+      |r AS (
+      |  SELECT kd, q_id, vec_id,
+      |    row_number() OVER (PARTITION BY kd, q_id
+      |      ORDER BY dk DESC, vec_id) AS rk,
+      |    row_number() OVER (PARTITION BY kd, q_id
+      |      ORDER BY d64 DESC, vec_id) AS rf,
+      |    CAST(floor((d64 - dk) * 1000000) AS BIGINT) AS gap_micro
+      |  FROM pair),
+      |t1 AS (
+      |  SELECT kd, q_id,
+      |    MAX(CASE WHEN rk = 1 THEN vec_id END) AS top_k,
+      |    MAX(CASE WHEN rf = 1 THEN vec_id END) AS top_full,
+      |    CAST(SUM(gap_micro) AS BIGINT) AS sum_gap,
+      |    CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM r GROUP BY kd, q_id)
+      |SELECT CAST(kd AS BIGINT) AS dim_budget,
+      |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(SUM(CASE WHEN top_k = top_full THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_top1_agree,
+      |  CAST(SUM(CASE WHEN top_k = top_full THEN 1 ELSE 0 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS agree_ppm,
+      |  CAST(SUM(sum_gap) AS BIGINT) AS sum_gap_micro,
+      |  CAST(SUM(sum_gap) // SUM(np) AS BIGINT) AS mean_gap_micro
+      |FROM t1 GROUP BY kd ORDER BY dim_budget""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter(
+        substring(md5(col("vec_id").cast(StringType)), 1, 1) === "0")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val bud = Seq(16, 32, 64).toDF("kd")
+    val pair = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .crossJoin(broadcast(bud))
+      .select(col("kd"), col("q_id"), col("vec_id"),
+        round(VecMath.fdot(expr("slice(embedding, 1, kd)"),
+          expr("slice(q_emb, 1, kd)")), 6).as("dk"),
+        round(VecMath.fdot(col("embedding"), col("q_emb")), 6).as("d64"))
+    val wk = Window.partitionBy(col("kd"), col("q_id"))
+      .orderBy(col("dk").desc, col("vec_id"))
+    val wf = Window.partitionBy(col("kd"), col("q_id"))
+      .orderBy(col("d64").desc, col("vec_id"))
+    val r = pair.select(col("kd"), col("q_id"), col("vec_id"),
+      row_number().over(wk).as("rk"), row_number().over(wf).as("rf"),
+      expr("CAST(floor((d64 - dk) * 1000000) AS BIGINT)").as("gap_micro"))
+    val t1 = r.groupBy(col("kd"), col("q_id"))
+      .agg(max(when(col("rk") === 1, col("vec_id"))).as("top_k"),
+        max(when(col("rf") === 1, col("vec_id"))).as("top_full"),
+        sum(col("gap_micro")).as("sum_gap"), count(lit(1)).as("np"))
+    t1.groupBy(col("kd"))
+      .agg(count(lit(1)).as("n_queries"),
+        count_if(col("top_k") === col("top_full")).as("n_top1_agree"),
+        sum(col("sum_gap")).cast(LongType).as("sum_gap_micro"),
+        sum(col("np")).as("tot_np"))
+      .select(col("kd").cast(LongType).as("dim_budget"), col("n_queries"),
+        col("n_top1_agree"),
+        expr("CAST(n_top1_agree * 1000000 div n_queries AS BIGINT)")
+          .as("agree_ppm"),
+        col("sum_gap_micro"),
+        expr("CAST(sum_gap_micro div tot_np AS BIGINT)")
+          .as("mean_gap_micro"))
+      .orderBy(col("dim_budget"))
+  }
+
+  /** Cohen's kappa inter-rater agreement (r16) — the eval-ops metric
+    * behind every "do our two quality classifiers agree beyond
+    * chance" readout: two deterministic binary raters over documents
+    * (length rule n_chars ≥ 450; lexical-diversity rule distinct
+    * tokens ≥ 70% of tokens — both verified non-degenerate at every
+    * fixture tier), their 2×2 confusion, observed/expected agreement
+    * in floor-ppm, and kappa in ppm via the all-integer
+    * (n·(a+d) − E) / (n² − E) spelling (negative kappa divides by
+    * bare truncating div — identical both engines; NULL-guarded if a
+    * rater is constant). One scan + a 1-row fold. */
+  val evalCohensKappa: QDef = q(
+    "eval_cohens_kappa",
+    """WITH r AS (
+      |  SELECT CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END AS ra,
+      |    CASE WHEN len(list_distinct(string_split(text, ' '))) * 10
+      |      >= len(string_split(text, ' ')) * 7 THEN 1 ELSE 0 END AS rb
+      |  FROM documents),
+      |c AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ra * rb) AS BIGINT) AS a,
+      |    CAST(SUM(ra * (1 - rb)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS c2,
+      |    CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS d2
+      |  FROM r)
+      |SELECT n, a, b, c2 AS c, d2 AS d,
+      |  CAST((a + d2) * 1000000 // n AS BIGINT) AS po_ppm,
+      |  CAST(((a + b) * (a + c2) + (c2 + d2) * (b + d2)) * 1000000
+      |    // (n * n) AS BIGINT) AS pe_ppm,
+      |  CASE WHEN n * n = (a + b) * (a + c2) + (c2 + d2) * (b + d2)
+      |    THEN CAST(NULL AS BIGINT)
+      |    ELSE CAST((n * (a + d2)
+      |        - ((a + b) * (a + c2) + (c2 + d2) * (b + d2))) * 1000000
+      |      // (n * n - ((a + b) * (a + c2) + (c2 + d2) * (b + d2)))
+      |      AS BIGINT) END AS kappa_ppm
+      |FROM c""") { (s, d) =>
+    val r = Tables.documents(s, d)
+      .select(
+        when(col("n_chars") >= 450, 1L).otherwise(0L).as("ra"),
+        when(size(array_distinct(split(col("text"), " "))) * 10 >=
+          size(split(col("text"), " ")) * 7, 1L).otherwise(0L).as("rb"))
+    val c = r.agg(count(lit(1)).as("n"),
+      sum(col("ra") * col("rb")).as("a"),
+      sum(col("ra") * (lit(1L) - col("rb"))).as("b"),
+      sum((lit(1L) - col("ra")) * col("rb")).as("c2"),
+      sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("d2"))
+    c.select(col("n"), col("a"), col("b"), col("c2").as("c"),
+        col("d2").as("d"),
+        expr("CAST((a + d2) * 1000000 div n AS BIGINT)").as("po_ppm"),
+        expr("CAST(((a + b) * (a + c2) + (c2 + d2) * (b + d2)) * 1000000"
+          + " div (n * n) AS BIGINT)").as("pe_ppm"),
+        expr("CASE WHEN n * n = (a + b) * (a + c2) + (c2 + d2) * (b + d2)"
+          + " THEN CAST(NULL AS BIGINT)"
+          + " ELSE CAST((n * (a + d2)"
+          + " - ((a + b) * (a + c2) + (c2 + d2) * (b + d2))) * 1000000"
+          + " div (n * n - ((a + b) * (a + c2) + (c2 + d2) * (b + d2)))"
+          + " AS BIGINT) END").as("kappa_ppm"))
+  }
+
+  /** Embedding-coverage data-quality audit (r16) — the multimodal
+    * JOIN contract made visible: per language, how many documents
+    * actually HAVE an embedding row (the fixture's defined behavior
+    * is an inner join that silently drops the rest — this key is the
+    * audit that says how much), coverage in floor-ppm and the first
+    * uncovered doc id as the debugging pointer. One broadcast-able
+    * left join + language agg. */
+  val dqEmbeddingCoverage: QDef = q(
+    "dq_embedding_coverage",
+    """SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(e.vec_id) AS BIGINT) AS n_with_vec,
+      |  CAST(COUNT(e.vec_id) * 1000000 // COUNT(*) AS BIGINT)
+      |    AS coverage_ppm,
+      |  CAST(MIN(CASE WHEN e.vec_id IS NULL THEN d.doc_id END) AS BIGINT)
+      |    AS first_uncovered_doc
+      |FROM documents d
+      |LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""") { (s, d) =>
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d).select(col("vec_id")),
+        col("vec_id") === col("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("vec_id")).as("n_with_vec"),
+        expr("CAST(COUNT(vec_id) * 1000000 div COUNT(*) AS BIGINT)")
+          .as("coverage_ppm"),
+        min(when(col("vec_id").isNull, col("doc_id"))).as("first_uncovered_doc"))
+      .orderBy(col("lang"))
+  }
+
   /** All round-16 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     dedupClusterIncremental, statsWelchT, abPowerSampleSize,
@@ -1477,5 +1655,6 @@ object R16Ops {
     splitTimeBased, evalNdcgAt10, dqIqrOutliers, graphLocalClustering,
     reportSeasonalityIndex, eventsMarkovStationary, simMipsTopk,
     joinSpatialGrid, statsPropZtest, tsAcfLags,
-    fnHashDigests, layoutClusteringDepth, sourceParquetBloom)
+    fnHashDigests, layoutClusteringDepth, sourceParquetBloom,
+    embedMatryoshkaTruncation, evalCohensKappa, dqEmbeddingCoverage)
 }

@@ -623,6 +623,95 @@ class R16OpsSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("embed_matryoshka_truncation: prefix-dot replay; budget 64 is the " +
+      "identity") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dotK(a: Array[Float], b: Array[Float], k: Int): Double = {
+      var acc = 0.0
+      for (i <- 0 until k) acc += a(i).toDouble * b(i).toDouble
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val queries = vecs.filter(v => md5hex(v._1.toString).head == '0')
+    val expect = Seq(16, 32, 64).map { kd =>
+      val per = queries.map { case (qid, qemb) =>
+        val cands = vecs.filter(_._1 != qid)
+        val dk = cands.map(v => (v._1, dotK(v._2, qemb, kd)))
+        val d64 = cands.map(v => (v._1, dotK(v._2, qemb, 64)))
+        val topK = dk.minBy { case (id, s) => (-s, id) }._1
+        val topF = d64.minBy { case (id, s) => (-s, id) }._1
+        val gaps = cands.indices.map(i =>
+          math.floor((d64(i)._2 - dk(i)._2) * 1000000).toLong)
+        (topK == topF, gaps.sum, gaps.length.toLong)
+      }
+      val agree = per.count(_._1).toLong
+      val sumGap = per.map(_._2).sum
+      val np = per.map(_._3).sum
+      kd.toLong -> (queries.length.toLong, agree,
+        Math.floorDiv(agree * 1000000L, queries.length.toLong),
+        sumGap, sumGap / np)
+    }.toMap
+    val got = graft.SparkEntry
+      .queries("embed_matryoshka_truncation")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+    assert(got(64L)._3 == 1000000L && got(64L)._4 == 0L,
+      "budget 64 must agree with itself with zero gap")
+  }
+
+  test("eval_cohens_kappa: BigInt replay, raters non-degenerate") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        (if (r.getLong(0) >= 450) 1 else 0,
+          if (toks.distinct.length * 10 >= toks.length * 7) 1 else 0)
+      }
+    val n = BigInt(docs.length)
+    val a = BigInt(docs.count(p => p._1 == 1 && p._2 == 1))
+    val b = BigInt(docs.count(p => p._1 == 1 && p._2 == 0))
+    val c = BigInt(docs.count(p => p._1 == 0 && p._2 == 1))
+    val dd = BigInt(docs.count(p => p._1 == 0 && p._2 == 0))
+    assert(a + b > 0 && c + dd > 0 && a + c > 0 && b + dd > 0,
+      "both raters must split the corpus or kappa certifies nothing")
+    val e = (a + b) * (a + c) + (c + dd) * (b + dd)
+    val r = graft.SparkEntry.queries("eval_cohens_kappa")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == a.toLong &&
+      r.getLong(2) == b.toLong && r.getLong(3) == c.toLong &&
+      r.getLong(4) == dd.toLong)
+    assert(r.getLong(5) == fdiv((a + dd) * 1000000, n).toLong)
+    assert(r.getLong(6) == fdiv(e * 1000000, n * n).toLong)
+    // truncating division (matches both engines' div/// on any sign)
+    val kap = ((n * (a + dd) - e) * 1000000) / (n * n - e)
+    assert(r.getLong(7) == kap.toLong, "kappa_ppm")
+  }
+
+  test("dq_embedding_coverage: replay; the audit sees the real join gap") {
+    val vecIds = Tables.embeddings(spark, sf).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = graft.SparkEntry.queries("dq_embedding_coverage")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val ofL = docs.filter(_._2 == lang)
+      val withV = ofL.filter(d => vecIds(d._1))
+      assert(r.getLong(1) == ofL.length.toLong)
+      assert(r.getLong(2) == withV.length.toLong)
+      assert(r.getLong(3) == Math.floorDiv(withV.length.toLong * 1000000L,
+        ofL.length.toLong))
+      val firstUn = ofL.filterNot(d => vecIds(d._1)).map(_._1)
+        .sorted.headOption
+      val gotUn = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(gotUn == firstUn, s"$lang first_uncovered_doc")
+    }
+  }
+
   test("dedup_cluster_incremental == dedup_cluster_cc on the shared columns " +
       "(merge equals from-scratch recompute)") {
     val inc = graft.SparkEntry.queries("dedup_cluster_incremental")(spark, sf)
