@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QDef, Tables}
 import graft.QDef.q
 import graft.Protocol._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1912,22 +1913,13 @@ object EventAnalytics {
       .orderBy(col("arm"))
   }
 
-  /** Additive seasonal decomposition (r12s) — revenue(t) = trend +
-    * seasonal + residual over the order book's monthly series, the
-    * classical-decomposition shape (the moving-average step of STL
-    * without loess): trend = centered 13-month MA computed from
-    * CUMULATIVE sums ((cumIncl(t+6) − cumExcl(t−6)) div 13 — two
-    * broadcast shifted self-joins against the ≤84-row month table,
-    * with NULL at the 6-month edges where the window is incomplete);
-    * seasonal = the calendar month's mean detrended value
-    * (sign-decomposed floor division — rev−trend goes negative);
-    * residual = the exact remainder. The cumulative sums come from
-    * the shared bucketed two-pass prefix (year buckets) — never an
-    * unpartitioned window; everything after the one fact agg is
-    * ≤84-row broadcast algebra. */
-  val tsDecomposeAdditive: QDef = q(
-    "ts_decompose_additive",
-    """WITH m AS (
+  /** Shared classical-decomposition core (r16 extraction — the
+    * kmvSample pattern): the m/cum/tr/se CTE chain of
+    * `ts_decompose_additive`, also consumed by
+    * `R16Ops.ts_seasonal_strength` so the two keys cannot drift. One
+    * text, one Spark builder ([[decomposeMonthly]]). */
+  private[ops] val decomposeCtes: String =
+    """m AS (
       |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
       |      AS t,
       |    CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -1953,13 +1945,14 @@ object EventAnalytics {
       |      THEN SUM(rev - trend) // COUNT(*)
       |      ELSE -((-SUM(rev - trend)) // COUNT(*)) END AS BIGINT)
       |      AS seasonal
-      |  FROM tr WHERE trend IS NOT NULL GROUP BY mo)
-      |SELECT tr.yr, tr.mo, tr.rev AS rev_cents, tr.trend AS trend_cents,
-      |  CAST(CASE WHEN tr.trend IS NULL THEN NULL ELSE se.seasonal END
-      |    AS BIGINT) AS seasonal_cents,
-      |  CAST(tr.rev - tr.trend - se.seasonal AS BIGINT) AS residual_cents
-      |FROM tr LEFT JOIN se ON se.mo = tr.mo
-      |ORDER BY tr.yr, tr.mo""") { (s, d) =>
+      |  FROM tr WHERE trend IS NOT NULL GROUP BY mo)"""
+
+  /** Spark twin of [[decomposeCtes]]: per-month rows (t, yr, mo, rev,
+    * trend, seasonal) — trend NULL at the 6-month edges, seasonal the
+    * calendar-month constant (consumers decide how to NULL it on edge
+    * rows). cum and tr are persisted exactly as the graded key always
+    * did. */
+  private[ops] def decomposeMonthly(s: SparkSession, d: String): DataFrame = {
     val m = Tables.orders(s, d)
       .groupBy(((year(col("o_orderdate")) - 1995) * 12
           + month(col("o_orderdate")) - 1).as("v"),
@@ -1987,6 +1980,35 @@ object EventAnalytics {
           .otherwise(expr("CAST(-((-sdt) div c) AS BIGINT)"))
           .as("seasonal"))
     tr.join(broadcast(se), col("smo") === col("mo"), "left")
+      .select(col("t"), col("yr"), col("mo"), col("rev"), col("trend"),
+        col("seasonal"))
+  }
+
+  /** Additive seasonal decomposition (r12s) — revenue(t) = trend +
+    * seasonal + residual over the order book's monthly series, the
+    * classical-decomposition shape (the moving-average step of STL
+    * without loess): trend = centered 13-month MA computed from
+    * CUMULATIVE sums ((cumIncl(t+6) − cumExcl(t−6)) div 13 — two
+    * broadcast shifted self-joins against the ≤84-row month table,
+    * with NULL at the 6-month edges where the window is incomplete);
+    * seasonal = the calendar month's mean detrended value
+    * (sign-decomposed floor division — rev−trend goes negative);
+    * residual = the exact remainder. The cumulative sums come from
+    * the shared bucketed two-pass prefix (year buckets) — never an
+    * unpartitioned window; everything after the one fact agg is
+    * ≤84-row broadcast algebra. The m/cum/tr/se chain is the shared
+    * [[decomposeCtes]]/[[decomposeMonthly]] core (r16), also feeding
+    * `ts_seasonal_strength`. */
+  val tsDecomposeAdditive: QDef = q(
+    "ts_decompose_additive",
+    s"""WITH $decomposeCtes
+      |SELECT tr.yr, tr.mo, tr.rev AS rev_cents, tr.trend AS trend_cents,
+      |  CAST(CASE WHEN tr.trend IS NULL THEN NULL ELSE se.seasonal END
+      |    AS BIGINT) AS seasonal_cents,
+      |  CAST(tr.rev - tr.trend - se.seasonal AS BIGINT) AS residual_cents
+      |FROM tr LEFT JOIN se ON se.mo = tr.mo
+      |ORDER BY tr.yr, tr.mo""") { (s, d) =>
+    decomposeMonthly(s, d)
       .select(col("yr"), col("mo"), col("rev").as("rev_cents"),
         col("trend").as("trend_cents"),
         when(col("trend").isNull, lit(null).cast(LongType))

@@ -1648,6 +1648,145 @@ object R16Ops {
       .orderBy(col("lang"))
   }
 
+  /** Seasonality / trend strength (r16) — Hyndman's STL strength
+    * measures over the SHARED decomposition core
+    * (`EventAnalytics.decomposeCtes`/`decomposeMonthly` — the
+    * kmvSample extraction pattern, so this key and
+    * `ts_decompose_additive` cannot drift): F_trend = 1 −
+    * Var(resid)/Var(deseasonalized), F_seasonal = 1 −
+    * Var(resid)/Var(detrended), both clamped at 0 and reported in
+    * floor-ppm from exact DECIMAL(38)/HUGEINT sum-of-squares over the
+    * interior (trend-complete) months. THE one-number answer to "is
+    * this series worth a seasonal model" that the decomposition table
+    * itself doesn't state. ≤84-row algebra after the one fact agg. */
+  val tsSeasonalStrength: QDef = q(
+    "ts_seasonal_strength",
+    s"""WITH ${EventAnalytics.decomposeCtes},
+      |x AS (
+      |  SELECT tr.rev - tr.trend - se.seasonal AS r,
+      |    tr.rev - tr.trend AS dt, tr.rev - se.seasonal AS ds
+      |  FROM tr JOIN se ON se.mo = tr.mo
+      |  WHERE tr.trend IS NOT NULL),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(r AS HUGEINT)) AS sr, SUM(CAST(r AS HUGEINT) * r) AS qr,
+      |    SUM(CAST(dt AS HUGEINT)) AS sdt,
+      |    SUM(CAST(dt AS HUGEINT) * dt) AS qdt,
+      |    SUM(CAST(ds AS HUGEINT)) AS sds,
+      |    SUM(CAST(ds AS HUGEINT) * ds) AS qds
+      |  FROM x)
+      |SELECT n,
+      |  CASE WHEN n * qds - sds * sds = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE GREATEST(CAST(1000000 - (n * qr - sr * sr) * 1000000
+      |      // (n * qds - sds * sds) AS BIGINT), 0) END
+      |    AS strength_trend_ppm,
+      |  CASE WHEN n * qdt - sdt * sdt = 0 THEN CAST(NULL AS BIGINT)
+      |    ELSE GREATEST(CAST(1000000 - (n * qr - sr * sr) * 1000000
+      |      // (n * qdt - sdt * sdt) AS BIGINT), 0) END
+      |    AS strength_seasonal_ppm
+      |FROM f""") { (s, d) =>
+    val x = EventAnalytics.decomposeMonthly(s, d)
+      .filter(col("trend").isNotNull)
+      .select((col("rev") - col("trend") - col("seasonal")).as("r"),
+        (col("rev") - col("trend")).as("dt"),
+        (col("rev") - col("seasonal")).as("ds"))
+    val f = x.agg(count(lit(1)).as("n"),
+      sum(expr("CAST(r AS DECIMAL(38,0))")).as("sr"),
+      sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("qr"),
+      sum(expr("CAST(dt AS DECIMAL(38,0))")).as("sdt"),
+      sum(expr("CAST(dt AS DECIMAL(38,0)) * dt")).as("qdt"),
+      sum(expr("CAST(ds AS DECIMAL(38,0))")).as("sds"),
+      sum(expr("CAST(ds AS DECIMAL(38,0)) * ds")).as("qds"))
+    f.select(col("n"),
+      expr("CASE WHEN n * qds - sds * sds = 0 THEN CAST(NULL AS BIGINT)"
+        + " ELSE GREATEST(CAST(1000000 - (n * qr - sr * sr) * 1000000"
+        + " div (n * qds - sds * sds) AS BIGINT), 0) END")
+        .as("strength_trend_ppm"),
+      expr("CASE WHEN n * qdt - sdt * sdt = 0 THEN CAST(NULL AS BIGINT)"
+        + " ELSE GREATEST(CAST(1000000 - (n * qr - sr * sr) * 1000000"
+        + " div (n * qdt - sdt * sdt) AS BIGINT), 0) END")
+        .as("strength_seasonal_ppm"))
+  }
+
+  /** Column-profile matrix (r16) — the DESCRIBE-style profiler output
+    * `profile_orders` (one wide row) never surfaced as a per-column
+    * TABLE: for each of the six orders columns, row count, distinct
+    * count and canonical min/max renderings (decimals via
+    * DECIMAL(12,2), dates via DATE — spellings both engines render
+    * identically). ONE pass: a single aggregate computes every
+    * distinct count (Catalyst Expand fan-out = #columns — the
+    * standard profiler plan) and the matrix rows are row-local
+    * projections unioned after it. */
+  val profileColumnMatrix: QDef = q(
+    "profile_column_matrix",
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
+      |    CAST(MIN(o_orderkey) AS VARCHAR) AS mn_ok,
+      |    CAST(MAX(o_orderkey) AS VARCHAR) AS mx_ok,
+      |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+      |    CAST(MIN(o_custkey) AS VARCHAR) AS mn_ck,
+      |    CAST(MAX(o_custkey) AS VARCHAR) AS mx_ck,
+      |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+      |    MIN(o_orderstatus) AS mn_st, MAX(o_orderstatus) AS mx_st,
+      |    CAST(COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(12,2)))
+      |      AS BIGINT) AS nd_tp,
+      |    CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+      |      AS mn_tp,
+      |    CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+      |      AS mx_tp,
+      |    CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+      |      AS nd_od,
+      |    CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mn_od,
+      |    CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS mx_od,
+      |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_op,
+      |    MIN(o_orderpriority) AS mn_op, MAX(o_orderpriority) AS mx_op
+      |  FROM orders)
+      |SELECT col_name, n, n_distinct, min_repr, max_repr FROM (
+      |  SELECT 'o_orderkey' AS col_name, n, nd_ok AS n_distinct,
+      |    mn_ok AS min_repr, mx_ok AS max_repr FROM a
+      |  UNION ALL SELECT 'o_custkey', n, nd_ck, mn_ck, mx_ck FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n, nd_st, mn_st, mx_st FROM a
+      |  UNION ALL SELECT 'o_totalprice', n, nd_tp, mn_tp, mx_tp FROM a
+      |  UNION ALL SELECT 'o_orderdate', n, nd_od, mn_od, mx_od FROM a
+      |  UNION ALL SELECT 'o_orderpriority', n, nd_op, mn_op, mx_op FROM a)
+      |ORDER BY col_name""") { (s, d) =>
+    val a = Tables.orders(s, d).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("nd_ok"),
+      min(col("o_orderkey")).cast(StringType).as("mn_ok"),
+      max(col("o_orderkey")).cast(StringType).as("mx_ok"),
+      countDistinct(col("o_custkey")).as("nd_ck"),
+      min(col("o_custkey")).cast(StringType).as("mn_ck"),
+      max(col("o_custkey")).cast(StringType).as("mx_ck"),
+      countDistinct(col("o_orderstatus")).as("nd_st"),
+      min(col("o_orderstatus")).as("mn_st"),
+      max(col("o_orderstatus")).as("mx_st"),
+      countDistinct(col("o_totalprice").cast(DecimalType(12, 2)))
+        .as("nd_tp"),
+      min(col("o_totalprice").cast(DecimalType(12, 2))).cast(StringType)
+        .as("mn_tp"),
+      max(col("o_totalprice").cast(DecimalType(12, 2))).cast(StringType)
+        .as("mx_tp"),
+      countDistinct(col("o_orderdate").cast(DateType)).as("nd_od"),
+      min(col("o_orderdate").cast(DateType)).cast(StringType).as("mn_od"),
+      max(col("o_orderdate").cast(DateType)).cast(StringType).as("mx_od"),
+      countDistinct(col("o_orderpriority")).as("nd_op"),
+      min(col("o_orderpriority")).as("mn_op"),
+      max(col("o_orderpriority")).as("mx_op"))
+    def row(name: String, nd: String, mn: String, mx: String) =
+      a.select(lit(name).as("col_name"), col("n"),
+        col(nd).as("n_distinct"), col(mn).as("min_repr"),
+        col(mx).as("max_repr"))
+    row("o_orderkey", "nd_ok", "mn_ok", "mx_ok")
+      .unionAll(row("o_custkey", "nd_ck", "mn_ck", "mx_ck"))
+      .unionAll(row("o_orderstatus", "nd_st", "mn_st", "mx_st"))
+      .unionAll(row("o_totalprice", "nd_tp", "mn_tp", "mx_tp"))
+      .unionAll(row("o_orderdate", "nd_od", "mn_od", "mx_od"))
+      .unionAll(row("o_orderpriority", "nd_op", "mn_op", "mx_op"))
+      .orderBy(col("col_name"))
+  }
+
   /** All round-16 graded queries, in registry order. */
   val all: Seq[QDef] = Seq(
     dedupClusterIncremental, statsWelchT, abPowerSampleSize,
@@ -1656,5 +1795,6 @@ object R16Ops {
     reportSeasonalityIndex, eventsMarkovStationary, simMipsTopk,
     joinSpatialGrid, statsPropZtest, tsAcfLags,
     fnHashDigests, layoutClusteringDepth, sourceParquetBloom,
-    embedMatryoshkaTruncation, evalCohensKappa, dqEmbeddingCoverage)
+    embedMatryoshkaTruncation, evalCohensKappa, dqEmbeddingCoverage,
+    tsSeasonalStrength, profileColumnMatrix)
 }

@@ -712,6 +712,64 @@ class R16OpsSpec extends SparkSpec {
     }
   }
 
+  test("ts_seasonal_strength: BigInt replay FROM the graded decomposition " +
+      "output (shared-core tie)") {
+    val dec = graft.SparkEntry.queries("ts_decompose_additive")(spark, sf)
+      .collect().filter(r => !r.isNullAt(3))
+      .map(r => (BigInt(r.getLong(2)), BigInt(r.getLong(3)),
+        BigInt(r.getLong(4))))
+    val rs = dec.map { case (rev, tr, se) => rev - tr - se }
+    val dts = dec.map { case (rev, tr, _) => rev - tr }
+    val dss = dec.map { case (rev, _, se) => rev - se }
+    val n = BigInt(dec.length)
+    def ss(xs: Array[BigInt]): BigInt =
+      n * xs.map(x => x * x).sum - xs.sum * xs.sum
+    def strength(num: BigInt, den: BigInt): Option[BigInt] =
+      if (den == 0) None
+      else Some((BigInt(1000000) - fdiv(num * 1000000, den)).max(BigInt(0)))
+    val r = graft.SparkEntry.queries("ts_seasonal_strength")(spark, sf)
+      .collect().head
+    assert(r.getLong(0) == n.toLong)
+    def got(i: Int): Option[BigInt] =
+      if (r.isNullAt(i)) None else Some(BigInt(r.getLong(i)))
+    assert(got(1) == strength(ss(rs), ss(dss)), "strength_trend_ppm")
+    assert(got(2) == strength(ss(rs), ss(dts)), "strength_seasonal_ppm")
+  }
+
+  test("profile_column_matrix: collected-orders replay of every cell") {
+    val os = Tables.orders(spark, sf).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+        col("o_orderpriority"))
+      .collect()
+    val n = os.length.toLong
+    def rend2(d: Double): String =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val exp = Map(
+      "o_orderkey" -> (os.map(_.getLong(0)).distinct.length.toLong,
+        os.map(_.getLong(0)).min.toString, os.map(_.getLong(0)).max.toString),
+      "o_custkey" -> (os.map(_.getLong(1)).distinct.length.toLong,
+        os.map(_.getLong(1)).min.toString, os.map(_.getLong(1)).max.toString),
+      "o_orderstatus" -> (os.map(_.getString(2)).distinct.length.toLong,
+        os.map(_.getString(2)).min, os.map(_.getString(2)).max),
+      "o_totalprice" -> (os.map(r => rend2(r.getDouble(3)))
+          .distinct.length.toLong,
+        rend2(os.map(_.getDouble(3)).min), rend2(os.map(_.getDouble(3)).max)),
+      "o_orderdate" -> (os.map(_.getDate(4).toString).distinct.length.toLong,
+        os.map(_.getDate(4).toString).min, os.map(_.getDate(4).toString).max),
+      "o_orderpriority" -> (os.map(_.getString(5)).distinct.length.toLong,
+        os.map(_.getString(5)).min, os.map(_.getString(5)).max))
+    val rows = graft.SparkEntry.queries("profile_column_matrix")(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (nd, mn, mx) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == nd, s"${r.getString(0)}")
+      assert(r.getString(3) == mn && r.getString(4) == mx,
+        s"${r.getString(0)} min/max renderings")
+    }
+  }
+
   test("dedup_cluster_incremental == dedup_cluster_cc on the shared columns " +
       "(merge equals from-scratch recompute)") {
     val inc = graft.SparkEntry.queries("dedup_cluster_incremental")(spark, sf)
