@@ -27,6 +27,54 @@ import org.apache.spark.storage.StorageLevel
   */
 object ClusterOps {
 
+  /** ONE spelling of the customer⇄supplier trade graph (VERDICT r16
+    * item 1 — the same silent-drift hazard class the r15 KMV
+    * extraction retired): the distinct trade-partnership table and
+    * its symmetric doubled edge list were textually duplicated across
+    * the whole graph family (pagerank, BFS, label propagation,
+    * k-core, assortativity, HITS). These two SQL CTE constants and
+    * the two Spark builders below are now the only copies; every
+    * graph key interpolates / calls them.
+    *
+    * `eb` = distinct (custkey, suppkey) partnerships from
+    * orders⋈lineitem — the bipartite trade graph's edge set.
+    * `edges` = both directions with node ids packing kind+key into
+    * one long (custkey*2 / suppkey*2+1), so every node has in- and
+    * out-edges and no dangling-mass term is needed downstream. */
+  val tradeEbCte: String =
+    """eb AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+
+  val tradeEdgesCtes: String = tradeEbCte + """,
+      |edges AS MATERIALIZED (
+      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
+      |  UNION ALL
+      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb)""".stripMargin
+
+  /** Spark twin of `tradeEbCte`: (ck, sk) distinct partnerships.
+    * NOT persisted — callers own persistence (some persist eb itself,
+    * some only the doubled edges). */
+  def tradeEb(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+
+  /** Spark twin of `tradeEdgesCtes`'s `edges`: the symmetric doubled
+    * (src, dst) list. The union's two branches share eb's exchanges
+    * (ReuseExchange); callers persist the result when a loop re-reads
+    * it. */
+  def tradeSymEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val eb = tradeEb(s, d)
+    eb.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+  }
+
   /** Connected components over the `dedup_minhash_lsh` verified pairs
     * (jaccard ≥ 0.5), extended to every document (non-duplicated docs
     * are their own singleton cluster). Output is the full dedup map:
@@ -85,27 +133,6 @@ object ClusterOps {
     // final assembly below.
     val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1, math.min(sessionParts, (nEdges / 50000L).toInt + 1))
-    // Catalyst-plan truncation WITHOUT giving up the recompute path:
-    // re-root the cached edge table as an RDD-backed DataFrame. Every
-    // loop iteration's plan would otherwise embed the entire minhash
-    // pipeline again, and the driver re-analyzes/re-optimizes that
-    // deep tree on every round — measured 2-4 s PER ROUND of pure
-    // planning on a 500-row edge set. The RDD bridge keeps lineage
-    // (executor loss re-runs the cached DF's DAG — this is what
-    // localCheckpoint destroys) but the SQL plan now bottoms out at a
-    // flat scan, so each round plans in milliseconds.
-    val edges = s.createDataFrame(edgesDeep.rdd, edgesDeep.schema)
-    // Propagation runs ONLY over nodes that appear in some pair — the
-    // singleton majority (at 100 TB: almost the whole corpus) never
-    // enters the loop and joins back in at the end. Labels only ever
-    // decrease, so carrying `prev` alongside makes each round's
-    // convergence probe a filter over the (tiny) node set, and the
-    // probe count() doubles as the round's materializing action: one
-    // job per round, all data distributed throughout.
-    // Seed with the first neighbor-min already folded in (lbl₀ =
-    // min(id, min neighbor)) — for the common shallow clusters (pairs,
-    // small stars) the seed IS the fixpoint and the loop's first
-    // iteration only confirms it, saving a full round.
     // SINGLE-THREADED ASSUMPTION (ADVICE r6): this scopes the
     // session-global shuffle-partition conf around the loop (restored
     // in finally), which is safe for the Verify/Bench/test drivers —
@@ -115,83 +142,17 @@ object ClusterOps {
     // wrap this query in spark.newSession() so the conf mutation is
     // session-local to it.
     s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    System.err.println(f"[dedup_cluster_cc] n_edges=$nEdges pairs_s=$tEdges%.2f")
+    // ONE spelling of the propagation (ADVICE r16): the seeded
+    // neighbor-min + pointer-jump loop, its RDD-bridged rounds, the
+    // run_tag cache privacy, and the loud non-convergence failure all
+    // live in pipeline.ConnectedComponents.minLabel, shared with both
+    // legs of dedup_cluster_incremental. Propagation runs ONLY over
+    // nodes that appear in some pair — the singleton majority (at
+    // 100 TB: almost the whole corpus) never enters the loop and
+    // joins back in at the end.
     val finalLabels = try {
-    val nm0 = edges.groupBy(col("dst")).agg(min(col("src")).as("nm"))
-    // run_tag nonce (r13): the loop persists AND UNPERSISTS
-    // DataFrames round by round. Cache entries are shared by
-    // canonical plan, so two concurrent executions of this query in
-    // one JVM (parallel test suites; any multi-tenant driver) would
-    // dedupe onto the SAME entries — and the first run's unpersist
-    // then yanks blocks out from under the second mid-read
-    // (BlockNotFoundException / empty rounds, measured r13). A
-    // per-invocation literal in the seed plan flows into every
-    // downstream round's subtree, making all loop entries private.
-    val runTag = scala.util.Random.nextInt()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .join(nm0, col("id") === col("dst"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("nm"), col("id"))).as("lbl"),
-        lit(runTag).as("run_tag"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = labels
-    var changed = 1L
-    var rounds = 0
-    val tLoop0 = System.nanoTime()
-    while (changed > 0 && rounds < 50) {
-      // Half-round A: neighbor min — lbl(v) ← min(lbl(v), lbl(u)) over
-      // edges u→v. Alone this needs diameter rounds (a duplicate CHAIN
-      // of length d takes d rounds); the pointer jump below collapses
-      // that to O(log d).
-      val neighborMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy("dst").agg(min("lbl").as("nmin"))
-      val m = labels.alias("l")
-        .join(neighborMin, col("l.id") === col("dst"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.lbl"), coalesce(col("nmin"), col("l.lbl"))).as("m"),
-          col("l.lbl").as("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = m.filter(col("m") < col("prev")).count()
-      if (changed == 0) {
-        // Fixpoint PROVEN by half-round A alone: edges are symmetric,
-        // so "no node improves under neighbor-min" means labels are
-        // equal across every edge — constant per component. The jump
-        // below could not change anything; skipping it saves a
-        // self-join per converged probe (the common case: the seeded
-        // start makes round 1 a pure confirmation).
-        m.unpersist()
-      } else {
-        // Half-round B: pointer jump — lbl(v) ← lbl(lbl(v)). Valid
-        // because label values are always node ids inside v's component
-        // (they start as own-ids and only ever copy other labels), so
-        // the jump target has a row in m and stays in-component; it can
-        // only shrink the label further. Fixpoint is unchanged: closure
-        // under neighbor-min over symmetric edges already forces one
-        // label per component (= min id). The jump is what turns the
-        // worst case from O(diameter) rounds into O(log diameter).
-        val joined = m.alias("x")
-          .join(m.select(col("id").as("jid"), col("m").as("jm")).alias("y"),
-            col("x.m") === col("jid"), "left")
-          .select(col("x.id").as("id"),
-            least(col("x.m"), coalesce(col("jm"), col("x.m"))).as("lbl"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        joined.count() // materialize before dropping the m it reads
-        m.unpersist()
-        cached.unpersist()
-        cached = joined
-        labels = joined
-      }
-      rounds += 1
-    }
-    System.err.println(f"[dedup_cluster_cc] converged=${changed == 0} rounds=$rounds " +
-      f"pairs_s=$tEdges%.2f loop_s=${(System.nanoTime() - tLoop0) / 1e9}%.2f")
-    // A silent non-fixpoint would ship wrong cluster ids that only
-    // surface as an oracle hash mismatch; fail loudly instead. 50
-    // rounds covers diameter-50 components — far beyond any real
-    // near-dup cluster (and the large-star/small-star upgrade is the
-    // answer if a corpus ever hits this, not a higher cap).
-    if (changed > 0)
-      sys.error(s"dedup_cluster_cc: min-label propagation not converged " +
-        s"after $rounds rounds ($changed labels still changing)")
-    labels
+      graft.pipeline.ConnectedComponents.minLabel(s, edgesDeep, "dedup_cluster_cc")
     } finally s.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
     // Cluster sizes come from the TINY label table, not a corpus-wide
     // window: every member of a component that has an edge is an edge
@@ -271,13 +232,7 @@ object ClusterOps {
     * suppkey*2+1). */
   val graphPagerank: QDef = q(
     "graph_pagerank",
-    """WITH eb AS MATERIALIZED (
-      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |edges AS MATERIALIZED (
-      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
-      |  UNION ALL
-      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+    s"""WITH ${tradeEdgesCtes},
       |deg AS MATERIALIZED (
       |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
       |ew AS MATERIALIZED (
@@ -296,13 +251,7 @@ object ClusterOps {
       |  id // 2 AS node_key, CAST(rank AS BIGINT) AS rank_micro
       |FROM r3
       |ORDER BY node_kind, node_key""") { (s, d) =>
-    val eb = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
-    val edges = eb.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    val edges = tradeSymEdges(s, d)
     // deg and every per-iteration rank table are O(nodes) rows — the
     // graph's SMALL side. Broadcasting them means the (large) edge
     // table is never shuffled: building ew is a map-side join over
@@ -595,13 +544,7 @@ object ClusterOps {
     * reachability audit a graph pipeline publishes per run. */
   val graphBfsLevels: QDef = q(
     "graph_bfs_levels",
-    """WITH eb AS MATERIALIZED (
-      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |edges AS MATERIALIZED (
-      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
-      |  UNION ALL
-      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+    s"""WITH ${tradeEdgesCtes},
       |l0 AS (SELECT MIN(src) AS id FROM edges),
       |l1 AS MATERIALIZED (
       |  SELECT DISTINCT e.dst AS id FROM edges e JOIN l0 ON e.src = l0.id
@@ -623,12 +566,7 @@ object ClusterOps {
       |  MIN(id) AS min_node, MAX(id) AS max_node
       |FROM census GROUP BY level
       |ORDER BY level""") { (s, d) =>
-    val eb = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
-    val edges = eb.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    val edges = tradeSymEdges(s, d)
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize before the rounds fork the lineage
     val l0 = edges.agg(min(col("src")).as("id"))
@@ -681,13 +619,7 @@ object ClusterOps {
     * Output is the community-size histogram. */
   val graphLabelPropagation: QDef = q(
     "graph_label_propagation",
-    """WITH eb AS MATERIALIZED (
-      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |edges AS MATERIALIZED (
-      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
-      |  UNION ALL
-      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+    s"""WITH ${tradeEdgesCtes},
       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
       |c1 AS (SELECT e.src, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM edges e JOIN l0 l ON l.id = e.dst GROUP BY e.src, l.lbl),
@@ -709,13 +641,7 @@ object ClusterOps {
       |  WHERE rn = 1)
       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
       |FROM l3 GROUP BY lbl ORDER BY community""") { (s, d) =>
-    val eb = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
-    val edges = eb
-      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    val edges = tradeSymEdges(s, d)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l0 = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
     // ids are positive (key*2(+1), keys ≥ 1) so −lbl preserves the
@@ -748,15 +674,9 @@ object ClusterOps {
     * peeling shape. */
   val graphKCore: QDef = q(
     "graph_k_core",
-    """WITH eb AS MATERIALIZED (
-      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |e0 AS MATERIALIZED (
-      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
-      |  UNION ALL
-      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
-      |k1 AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 2),
-      |e1 AS MATERIALIZED (SELECT src, dst FROM e0
+    s"""WITH ${tradeEdgesCtes},
+      |k1 AS (SELECT src FROM edges GROUP BY src HAVING COUNT(*) >= 2),
+      |e1 AS MATERIALIZED (SELECT src, dst FROM edges
       |  WHERE src IN (SELECT src FROM k1) AND dst IN (SELECT src FROM k1)),
       |k2 AS (SELECT src FROM e1 GROUP BY src HAVING COUNT(*) >= 2),
       |e2 AS MATERIALIZED (SELECT src, dst FROM e1
@@ -765,8 +685,8 @@ object ClusterOps {
       |e3 AS MATERIALIZED (SELECT src, dst FROM e2
       |  WHERE src IN (SELECT src FROM k3) AND dst IN (SELECT src FROM k3))
       |SELECT CAST(0 AS BIGINT) AS round,
-      |  (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e0) AS n_nodes,
-      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges
+      |  (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM edges) AS n_nodes,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
       |UNION ALL
       |SELECT 1, (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e1),
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e1)
@@ -777,13 +697,7 @@ object ClusterOps {
       |SELECT 3, (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e3),
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
       |ORDER BY round""") { (s, d) =>
-    val eb = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
-    val e0 = eb
-      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+    val e0 = tradeSymEdges(s, d)
       .persist(StorageLevel.MEMORY_AND_DISK)
     def prune(e: org.apache.spark.sql.DataFrame) = {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
@@ -819,13 +733,7 @@ object ClusterOps {
     * moment fold ends the plan. */
   val graphDegreeAssortativity: QDef = q(
     "graph_degree_assortativity",
-    """WITH eb AS MATERIALIZED (
-      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-      |edges AS MATERIALIZED (
-      |  SELECT ck * 2 AS src, sk * 2 + 1 AS dst FROM eb
-      |  UNION ALL
-      |  SELECT sk * 2 + 1 AS src, ck * 2 AS dst FROM eb),
+    s"""WITH ${tradeEdgesCtes},
       |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
       |  FROM edges GROUP BY 1),
       |j AS (
@@ -846,17 +754,7 @@ object ClusterOps {
       |  (n * dxy - dx * dy) / (sqrt(n * dxx - dx * dx) * sqrt(n * dyy - dy * dy))
       |    AS assortativity
       |FROM t""") { (s, d) =>
-    val eb = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
-    val edges = eb.select(
-        explode(array(
-          struct((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
-          struct((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst"))))
-          .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = tradeSymEdges(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
@@ -902,9 +800,7 @@ object ClusterOps {
     * normalization is a one-row broadcast. */
   val graphHitsScores: QDef = q(
     "graph_hits_scores",
-    """WITH eb AS MATERIALIZED (
-      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    s"""WITH ${tradeEbCte},
       |a1r AS (SELECT sk, CAST(SUM(1000000) AS BIGINT) AS s
       |  FROM eb GROUP BY 1),
       |a1m AS (SELECT MAX(s) AS m FROM a1r),
@@ -931,11 +827,7 @@ object ClusterOps {
       |  FROM h2 ORDER BY hub DESC, ck LIMIT 10)
       |SELECT * FROM ta UNION ALL SELECT * FROM th
       |ORDER BY kind, score_micro DESC, node""") { (s, d) =>
-    val eb = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-      .distinct()
+    val eb = tradeEb(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def normalize(r: org.apache.spark.sql.DataFrame, key: String,
         out: String): org.apache.spark.sql.DataFrame =

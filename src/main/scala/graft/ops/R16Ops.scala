@@ -17,69 +17,6 @@ import org.apache.spark.storage.StorageLevel
   * identically in both engines). */
 object R16Ops {
 
-  /** Distributed min-label connected components over a SYMMETRIC
-    * (src, dst) edge list — the `dedup_cluster_cc` loop (neighbor-min
-    * half-round + pointer jump, O(log diameter) rounds, convergence
-    * probed per round and failed loudly at 50) extracted generic so
-    * `dedup_cluster_incremental` can run it twice: once over the
-    * prior-prior edges (the "stored map" stand-in) and once over the
-    * CONTRACTED increment graph. Caller must pass a persisted,
-    * materialized edge DataFrame; the helper re-roots it as an
-    * RDD-backed scan (plan truncation — each round would otherwise
-    * re-analyze the whole upstream pipeline) and returns the
-    * persisted (id, lbl) fixpoint over edge-touched nodes. The
-    * run_tag nonce keeps concurrent executions' cache entries
-    * private (the dedup_cluster_cc precedent, r13). */
-  private def minLabelCC(s: SparkSession, edgesIn: DataFrame): DataFrame = {
-    val edges = s.createDataFrame(edgesIn.rdd, edgesIn.schema)
-    val runTag = scala.util.Random.nextInt()
-    val nm0 = edges.groupBy(col("dst")).agg(min(col("src")).as("nm"))
-    // seed with the first neighbor-min folded in: for shallow
-    // components (pairs, small stars) the seed IS the fixpoint
-    var labels = edges.select(col("src").as("id")).distinct()
-      .join(nm0, col("id") === col("dst"), "left")
-      .select(col("id"),
-        least(col("id"), coalesce(col("nm"), col("id"))).as("lbl"),
-        lit(runTag).as("run_tag"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = labels
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val neighborMin = edges.join(labels, edges("src") === labels("id"))
-        .groupBy("dst").agg(min("lbl").as("nmin"))
-      val m = labels.alias("l")
-        .join(neighborMin, col("l.id") === col("dst"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.lbl"), coalesce(col("nmin"), col("l.lbl"))).as("m"),
-          col("l.lbl").as("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = m.filter(col("m") < col("prev")).count()
-      if (changed == 0) {
-        // fixpoint proven by neighbor-min alone (symmetric edges)
-        m.unpersist()
-      } else {
-        // pointer jump: lbl(v) <- lbl(lbl(v)) — turns O(diameter)
-        // rounds into O(log diameter)
-        val joined = m.alias("x")
-          .join(m.select(col("id").as("jid"), col("m").as("jm")).alias("y"),
-            col("x.m") === col("jid"), "left")
-          .select(col("x.id").as("id"),
-            least(col("x.m"), coalesce(col("jm"), col("x.m"))).as("lbl"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        joined.count()
-        m.unpersist()
-        cached.unpersist()
-        cached = joined
-        labels = joined
-      }
-      rounds += 1
-    }
-    if (changed > 0)
-      sys.error(s"minLabelCC: not converged after $rounds rounds " +
-        s"($changed labels still changing)")
-    labels.select(col("id"), col("lbl"))
-  }
 
   /** md5-parity prior-snapshot membership — the
     * `dedup_incremental_snapshot` convention: ~half the corpus is the
@@ -182,7 +119,8 @@ object R16Ops {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       pe.count()
-      val pmap = minLabelCC(s, pe)
+      val pmap = graft.pipeline.ConnectedComponents
+        .minLabel(s, pe, "dedup_cluster_incremental/prior")
       // 2.+3. increment edges contracted through the stored map
       // (increment ids never appear in pmap, so a bare coalesce maps
       // prior endpoints to their root and leaves increment ids alone)
@@ -202,7 +140,8 @@ object R16Ops {
         .persist(StorageLevel.MEMORY_AND_DISK)
       ce.count()
       // 4. the merge loop over the contracted graph
-      val upd = minLabelCC(s, ce)
+      val upd = graft.pipeline.ConnectedComponents
+        .minLabel(s, ce, "dedup_cluster_incremental/merge")
       // 5. expand to every edge-touched doc: contracted id -> new root
       val ends = pairs
         .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
@@ -281,12 +220,14 @@ object R16Ops {
       |  SELECT n1, n2,
       |    CAST(s1 * 1000000 // n1 AS BIGINT) AS mean1_micro,
       |    CAST(s2 * 1000000 // n2 AS BIGINT) AS mean2_micro,
-      |    CAST((CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+      |    CASE WHEN n1 <= 1 THEN NULL ELSE
+      |      CAST((CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
       |      * 1000000 // (CAST(n1 AS HUGEINT) * (n1 - 1)) AS BIGINT)
-      |      AS var1_micro,
-      |    CAST((CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
+      |      END AS var1_micro,
+      |    CASE WHEN n2 <= 1 THEN NULL ELSE
+      |      CAST((CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2)
       |      * 1000000 // (CAST(n2 AS HUGEINT) * (n2 - 1)) AS BIGINT)
-      |      AS var2_micro
+      |      END AS var2_micro
       |  FROM w),
       |t AS (
       |  SELECT *,
@@ -298,13 +239,16 @@ object R16Ops {
       |f AS (
       |  SELECT n1, n2, mean1_micro, mean2_micro, var1_micro, var2_micro,
       |    se2_micro,
-      |    CAST(CAST(dm_micro AS HUGEINT) * dm_micro // se2_micro AS BIGINT)
-      |      AS t2_micro,
-      |    CAST(CAST(se2_micro // 1000 AS HUGEINT) * (se2_micro // 1000)
+      |    CASE WHEN se2_micro = 0 THEN NULL ELSE
+      |      CAST(CAST(dm_micro AS HUGEINT) * dm_micro // se2_micro AS BIGINT)
+      |      END AS t2_micro,
+      |    CASE WHEN CAST(a1_milli AS HUGEINT) * a1_milli // (n1 - 1)
+      |        + CAST(a2_milli AS HUGEINT) * a2_milli // (n2 - 1) = 0 THEN NULL
+      |      ELSE CAST(CAST(se2_micro // 1000 AS HUGEINT) * (se2_micro // 1000)
       |      * 1000
       |      // (CAST(a1_milli AS HUGEINT) * a1_milli // (n1 - 1)
       |        + CAST(a2_milli AS HUGEINT) * a2_milli // (n2 - 1))
-      |      AS BIGINT) AS df_milli
+      |      AS BIGINT) END AS df_milli
       |  FROM t)
       |SELECT *, t2_micro > 3841459 AS significant FROM f""") { (s, d) =>
     val e = Tables.events(s, d)
@@ -324,12 +268,14 @@ object R16Ops {
     val m = w.select(col("n1"), col("n2"),
       expr("CAST(s1 * 1000000 div n1 AS BIGINT)").as("mean1_micro"),
       expr("CAST(s2 * 1000000 div n2 AS BIGINT)").as("mean2_micro"),
-      expr("CAST((CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0))"
+      expr("CASE WHEN n1 <= 1 THEN NULL ELSE"
+        + " CAST((CAST(n1 AS DECIMAL(38,0)) * q1 - CAST(s1 AS DECIMAL(38,0))"
         + " * s1) * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * (n1 - 1))"
-        + " AS BIGINT)").as("var1_micro"),
-      expr("CAST((CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0))"
+        + " AS BIGINT) END").as("var1_micro"),
+      expr("CASE WHEN n2 <= 1 THEN NULL ELSE"
+        + " CAST((CAST(n2 AS DECIMAL(38,0)) * q2 - CAST(s2 AS DECIMAL(38,0))"
         + " * s2) * 1000000 div (CAST(n2 AS DECIMAL(38,0)) * (n2 - 1))"
-        + " AS BIGINT)").as("var2_micro"))
+        + " AS BIGINT) END").as("var2_micro"))
     // Welch df intermediates rescaled to milli BEFORE squaring: Spark's
     // IntegralDivide always returns BIGINT, so a quotient like
     // (var/n)²/(n−1) (~7e19 here) would overflow where DuckDB's
@@ -344,13 +290,17 @@ object R16Ops {
     val f = t.select(col("n1"), col("n2"), col("mean1_micro"),
       col("mean2_micro"), col("var1_micro"), col("var2_micro"),
       col("se2_micro"),
-      expr("CAST(CAST(dm_micro AS DECIMAL(38,0)) * dm_micro div se2_micro"
-        + " AS BIGINT)").as("t2_micro"),
-      expr("CAST(CAST(se2_micro div 1000 AS DECIMAL(38,0))"
+      expr("CASE WHEN se2_micro = 0 THEN NULL ELSE"
+        + " CAST(CAST(dm_micro AS DECIMAL(38,0)) * dm_micro div se2_micro"
+        + " AS BIGINT) END").as("t2_micro"),
+      expr("CASE WHEN CAST(a1_milli AS DECIMAL(38,0)) * a1_milli div (n1 - 1)"
+        + " + CAST(a2_milli AS DECIMAL(38,0)) * a2_milli div (n2 - 1) = 0"
+        + " THEN NULL ELSE"
+        + " CAST(CAST(se2_micro div 1000 AS DECIMAL(38,0))"
         + " * (se2_micro div 1000) * 1000"
         + " div (CAST(a1_milli AS DECIMAL(38,0)) * a1_milli div (n1 - 1)"
         + " + CAST(a2_milli AS DECIMAL(38,0)) * a2_milli div (n2 - 1))"
-        + " AS BIGINT)").as("df_milli"))
+        + " AS BIGINT) END").as("df_milli"))
     f.withColumn("significant", col("t2_micro") > 3841459L)
   }
 
@@ -379,14 +329,16 @@ object R16Ops {
       |m AS (
       |  SELECT event_type, n,
       |    CAST(s * 1000000 // n AS BIGINT) AS mean_micro,
-      |    CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000
-      |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS var_micro
+      |    CASE WHEN n <= 1 THEN NULL ELSE
+      |      CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000
+      |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) END AS var_micro
       |  FROM g),
       |d AS (SELECT *, CAST(mean_micro // 20 AS BIGINT) AS delta_micro FROM m)
       |SELECT event_type, n, mean_micro, var_micro, delta_micro,
-      |  CAST((2 * 7848879 * CAST(var_micro AS HUGEINT)
+      |  CASE WHEN delta_micro = 0 THEN NULL ELSE
+      |    CAST((2 * 7848879 * CAST(var_micro AS HUGEINT)
       |      + CAST(delta_micro AS HUGEINT) * delta_micro - 1)
-      |    // (CAST(delta_micro AS HUGEINT) * delta_micro) AS BIGINT)
+      |    // (CAST(delta_micro AS HUGEINT) * delta_micro) AS BIGINT) END
       |    AS n_required
       |FROM d ORDER BY event_type""") { (s, d) =>
     val g = Tables.events(s, d)
@@ -397,16 +349,18 @@ object R16Ops {
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
     g.select(col("event_type"), col("n"),
         expr("CAST(s * 1000000 div n AS BIGINT)").as("mean_micro"),
-        expr("CAST((CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0))"
+        expr("CASE WHEN n <= 1 THEN NULL ELSE"
+          + " CAST((CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0))"
           + " * s) * 1000000 div (CAST(n AS DECIMAL(38,0)) * (n - 1))"
-          + " AS BIGINT)").as("var_micro"))
+          + " AS BIGINT) END").as("var_micro"))
       .withColumn("delta_micro", expr("CAST(mean_micro div 20 AS BIGINT)"))
       .select(col("event_type"), col("n"), col("mean_micro"),
         col("var_micro"), col("delta_micro"),
-        expr("CAST((2 * 7848879 * CAST(var_micro AS DECIMAL(38,0))"
+        expr("CASE WHEN delta_micro = 0 THEN NULL ELSE"
+          + " CAST((2 * 7848879 * CAST(var_micro AS DECIMAL(38,0))"
           + " + CAST(delta_micro AS DECIMAL(38,0)) * delta_micro - 1)"
           + " div (CAST(delta_micro AS DECIMAL(38,0)) * delta_micro)"
-          + " AS BIGINT)").as("n_required"))
+          + " AS BIGINT) END").as("n_required"))
       .orderBy(col("event_type"))
   }
 
@@ -577,8 +531,9 @@ object R16Ops {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
       |  CAST(SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END) AS BIGINT)
       |    AS kept_sum_cents,
-      |  CAST((SUM(cents) - SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END))
-      |    * 1000000 // SUM(cents) AS BIGINT) AS dropped_ppm
+      |  CASE WHEN SUM(cents) = 0 THEN NULL ELSE
+      |    CAST((SUM(cents) - SUM(CASE WHEN rn <= 8 THEN cents ELSE 0 END))
+      |    * 1000000 // SUM(cents) AS BIGINT) END AS dropped_ppm
       |FROM e JOIN caps ON caps.event_type = e.event_type
       |GROUP BY e.event_type
       |ORDER BY e.event_type""") { (s, d) =>
@@ -607,8 +562,9 @@ object R16Ops {
       .select(col("event_type"), col("n_rows"), col("n_kept"),
         col("max_user_rows"), col("capped_max_rows"), col("sum_cents"),
         col("kept_sum_cents"),
-        expr("CAST((sum_cents - kept_sum_cents) * 1000000 div sum_cents"
-          + " AS BIGINT)").as("dropped_ppm"))
+        expr("CASE WHEN sum_cents = 0 THEN NULL ELSE"
+          + " CAST((sum_cents - kept_sum_cents) * 1000000 div sum_cents"
+          + " AS BIGINT) END").as("dropped_ppm"))
       .orderBy(col("event_type"))
   }
 
