@@ -3,6 +3,7 @@ package graft.ops
 import graft.{QDef, Tables}
 import graft.QDef.q
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -395,44 +396,52 @@ object CorpusOps {
     * sum s0+s1+s2 of double terms on identical operands in both
     * engines — no group-order exposure at all; graded as a micro-unit
     * floor. */
-  val bm25TopDocs: QDef = q(
-    "bm25_topdocs",
-    """WITH base AS (
+  /** ONE spelling of the 3-term BM25 scorer — the CTE chain
+    * (per-doc term frequencies, corpus stats, the floor-micro scored
+    * table `bm25`) and its Spark twin, shared by `bm25_topdocs` and
+    * `eval_rrf_fusion`'s lexical leg (VERDICT r16 item 4: per-leg
+    * reuse, the tradeGraphEdges / kmvSample extraction pattern). */
+  private[ops] val bm25Ctes: String =
+    """bm25base AS (
       |  SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf_0,
       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf_1,
       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS BIGINT) AS tf_2
       |  FROM documents),
-      |stats AS (
+      |bm25stats AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
       |    CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl,
       |    CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
       |    CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
       |    CAST(SUM(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_2
-      |  FROM base)
-      |SELECT doc_id,
-      |  CAST((CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)
-      |     + (CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)
-      |     + (CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
-      |  CAST(floor((
-      |      (CASE WHEN tf_0 > 0 THEN
-      |        ln((CAST(n_docs - df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
-      |        * ((CAST(tf_0 AS DOUBLE) * 2.2) / (CAST(tf_0 AS DOUBLE)
-      |           + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
-      |    + (CASE WHEN tf_1 > 0 THEN
-      |        ln((CAST(n_docs - df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
-      |        * ((CAST(tf_1 AS DOUBLE) * 2.2) / (CAST(tf_1 AS DOUBLE)
-      |           + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
-      |    + (CASE WHEN tf_2 > 0 THEN
-      |        ln((CAST(n_docs - df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
-      |        * ((CAST(tf_2 AS DOUBLE) * 2.2) / (CAST(tf_2 AS DOUBLE)
-      |           + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
-      |    ) * 1000000 + 0.5) AS BIGINT) AS score_micro
-      |FROM base CROSS JOIN stats
-      |WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
-      |ORDER BY score_micro DESC, doc_id
-      |LIMIT 20""") { (s, d) =>
+      |  FROM bm25base),
+      |bm25 AS (
+      |  SELECT doc_id,
+      |    CAST((CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+      |    CAST(floor((
+      |        (CASE WHEN tf_0 > 0 THEN
+      |          ln((CAST(n_docs - df_0 AS DOUBLE) + 0.5) / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
+      |          * ((CAST(tf_0 AS DOUBLE) * 2.2) / (CAST(tf_0 AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
+      |      + (CASE WHEN tf_1 > 0 THEN
+      |          ln((CAST(n_docs - df_1 AS DOUBLE) + 0.5) / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
+      |          * ((CAST(tf_1 AS DOUBLE) * 2.2) / (CAST(tf_1 AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
+      |      + (CASE WHEN tf_2 > 0 THEN
+      |          ln((CAST(n_docs - df_2 AS DOUBLE) + 0.5) / (CAST(df_2 AS DOUBLE) + 0.5) + 1.0)
+      |          * ((CAST(tf_2 AS DOUBLE) * 2.2) / (CAST(tf_2 AS DOUBLE)
+      |             + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)))) ELSE 0.0 END)
+      |      ) * 1000000 + 0.5) AS BIGINT) AS score_micro
+      |  FROM bm25base CROSS JOIN bm25stats
+      |  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0)""".stripMargin
+
+  /** Spark twin of `bm25Ctes`'s `bm25`: unsorted (doc_id, n_terms,
+    * score_micro) over docs matching >= 1 query term. One doc scan +
+    * one 1-row broadcast stats fold. */
+  private[ops] def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "join", "vector")
     val base = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -463,6 +472,15 @@ object CorpusOps {
       .select(col("doc_id"), nTerms.as("n_terms"),
         floor((term(0) + term(1) + term(2)) * 1000000 + 0.5).cast(LongType)
           .as("score_micro"))
+  }
+
+  val bm25TopDocs: QDef = q(
+    "bm25_topdocs",
+    s"""WITH $bm25Ctes
+      |SELECT doc_id, n_terms, score_micro FROM bm25
+      |ORDER BY score_micro DESC, doc_id
+      |LIMIT 20""") { (s, d) =>
+    bm25Scores(s, d)
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(20)
   }

@@ -1,0 +1,526 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-17 batch, checked by FULL
+  * driver-side recomputation at sf0.001 — independent of the DuckDB
+  * oracle: the minhash store/classify legs and the b-bit audit are
+  * replayed from raw text through a plain-Scala MD5 minhash, the
+  * retrieval evals (RRF / AUC / MAP) re-rank from the replicated
+  * float-cosine tree, and every exact-integer fold (DiD, changepoint,
+  * t-closeness, bootstrap, salt plan, KN bigrams) is recomputed with
+  * BigInt / floorDiv arithmetic that shares no code with the product.
+  */
+class R17OpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def isPrior(id: Long): Boolean = md5hex(id.toString).charAt(0) <= '7'
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cents(v: Double): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+
+  /** Replicates graft_cosine's exact tree (the R14OpsSpec spelling):
+    * per-element float→double widening, DOUBLE accumulation in index
+    * order, one division, round-6 HALF_UP. */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Plain-Scala replay of the shingleBase signature: distinct token
+    * 3-gram shingles, h_i = min over shingles of md5hex.substring(3i,
+    * 3i+8), for docs with >= 3 tokens. */
+  private lazy val sigs: Map[Long, Array[String]] =
+    Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        if (toks.length < 3) None
+        else {
+          val shingles = toks.sliding(3).map(_.mkString(" ")).toSet
+          val sig = (0 until 8).map { i =>
+            shingles.map(sh => md5hex(sh).substring(3 * i, 3 * i + 8)).min
+          }.toArray
+          Some(r.getLong(0) -> sig)
+        }
+      }.toMap
+
+  private lazy val shingleSets: Map[Long, Set[String]] =
+    Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        if (toks.length < 3) None
+        else Some(r.getLong(0) -> toks.sliding(3).map(_.mkString(" ")).toSet)
+      }.toMap
+
+  private def bandsOf(sig: Array[String]): Seq[(Int, String)] =
+    (0 until 4).map(b => b -> s"${sig(2 * b)}|${sig(2 * b + 1)}")
+
+  test("r17 keys are partition-count invariant (the 100 TB correctness property)") {
+    def results(parts: Int): Map[String, Seq[String]] = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      R17Ops.all.map(_.key).map { k =>
+        k -> graft.SparkEntry.queries(k)(s2, sf).collect()
+          .map(_.toString).toSeq.sorted
+      }.toMap
+    }
+    val a = results(3); val b = results(17)
+    a.keys.foreach { k =>
+      assert(a(k) == b(k), s"$k: result depends on the shuffle partition count")
+      assert(a(k).nonEmpty, s"$k: empty result cannot certify anything")
+    }
+  }
+
+  test("dedup_signature_store_roundtrip: plain-Scala minhash replay of " +
+      "store + classification, and the roundtrip really is lossless") {
+    val prior = sigs.filter { case (id, _) => isPrior(id) }
+    val inc = sigs.filter { case (id, _) => !isPrior(id) }
+    val priorBands = prior.toSeq.flatMap { case (_, s) => bandsOf(s) }.toSet
+    val dup = inc.count { case (_, s) => bandsOf(s).exists(priorBands) }
+    val row = graft.SparkEntry.queries("dedup_signature_store_roundtrip")(
+      spark, sf).collect()
+    assert(row.length == 1)
+    val r = row.head
+    assert(r.getLong(0) == prior.size.toLong, "n_prior")
+    assert(r.getLong(1) == prior.size.toLong, "n_stored == n_prior")
+    assert(r.getLong(2) == 0L, "parquet roundtrip must be lossless")
+    assert(r.getLong(3) == inc.size.toLong, "n_increment")
+    assert(r.getLong(4) == dup.toLong, "n_inc_band_dup")
+    assert(r.getLong(5) == (inc.size - dup).toLong, "n_inc_new")
+    assert(dup > 0 && inc.size - dup > 0,
+      "fixture must exercise both classification outcomes")
+  }
+
+  test("eval_rrf_fusion: rank + fusion replayed in plain Scala over " +
+      "the two legs") {
+    val lex = CorpusOps.bm25Scores(spark, sf)
+      .select(col("doc_id"), col("score_micro")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(50)
+    val lexRank = lex.zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qEmb = vecs.find(_._1 == 0L).get._2
+    val den = vecs.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cos(e, qEmb)) }
+      .sortBy { case (id, s) => (-s, id) }.take(50)
+    val denRank = den.zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val fusedIds = (lexRank.keySet ++ denRank.keySet).toSeq
+    val expect = fusedIds.map { id =>
+      val rl = lexRank.get(id); val rd = denRank.get(id)
+      val rrf = rl.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        rd.map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (id, rl, rd, rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(20)
+    val got = graft.SparkEntry.queries("eval_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(expect.exists(_._2.isEmpty) || expect.exists(_._3.isEmpty) ||
+      expect.exists(t => t._2.isDefined && t._3.isDefined),
+      "fusion should mix legs")
+  }
+
+  private lazy val vecsFull: Array[(Long, Int, Array[Float])] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+
+  test("eval_auc_roc: mid-rank Mann-Whitney AUC replayed in plain Scala") {
+    val queries = vecsFull.filter(v => md5hex(v._1.toString).head == '0')
+    val perQ = queries.map { case (qid, qlab, qemb) =>
+      val cand = vecsFull.filter(_._1 != qid)
+        .map(v => (cos(v._3, qemb), if (v._2 == qlab) 1L else 0L))
+      // ascending by sim; tie groups share a mid-rank
+      val groups = cand.groupBy(_._1).toSeq.sortBy(_._1)
+      var seen = 0L; var s2 = BigInt(0); var nPos = 0L
+      groups.foreach { case (_, xs) =>
+        val cnt = xs.length.toLong
+        val pos = xs.map(_._2).sum
+        val minRank = seen + 1
+        s2 += BigInt(pos) * (2 * minRank + cnt - 1)
+        nPos += pos; seen += cnt
+      }
+      val n = cand.length.toLong
+      val auc =
+        if (nPos == 0 || n - nPos == 0) None
+        else Some(((s2 - BigInt(nPos) * (nPos + 1)) * 1000000 /
+          (BigInt(2) * nPos * (n - nPos))).toLong)
+      (qlab, auc)
+    }
+    val expect = perQ.groupBy(_._1).map { case (lab, xs) =>
+      val defined = xs.flatMap(_._2)
+      lab -> (xs.length.toLong,
+        if (defined.isEmpty) None
+        else Some(Math.floorDiv(defined.sum, defined.length.toLong)),
+        if (defined.isEmpty) None else Some(defined.min),
+        if (defined.isEmpty) None else Some(defined.max))
+    }
+    val got = graft.SparkEntry.queries("eval_auc_roc")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(got == expect)
+    assert(expect.values.exists(_._2.exists(_ > 500000L)),
+      "same-label retrieval should beat coin-flip AUC somewhere")
+  }
+
+  test("eval_map_at_k: AP@10 / P@10 / R@10 replayed in plain Scala " +
+      "(floor-per-term convention)") {
+    val queries = vecsFull.filter(v => md5hex(v._1.toString).head == '0')
+    val perQ = queries.map { case (qid, qlab, qemb) =>
+      val ranked = vecsFull.filter(_._1 != qid)
+        .map(v => (v._1, if (v._2 == qlab) 1L else 0L, cos(v._3, qemb)))
+        .sortBy { case (id, _, s) => (-s, id) }
+      val nRel = ranked.map(_._2).sum
+      var cum = 0L; var apSum = 0L; var hits10 = 0L
+      ranked.zipWithIndex.foreach { case ((_, rel, _), i) =>
+        val rnk = i + 1L
+        cum += rel
+        if (rnk <= 10 && rel == 1) { apSum += cum * 1000000L / rnk; hits10 += 1 }
+      }
+      val ap = if (nRel == 0) 0L else apSum / math.min(nRel, 10L)
+      val p10 = hits10 * 100000L
+      val r10 = if (nRel == 0) 0L else hits10 * 1000000L / nRel
+      (qlab, ap, p10, r10)
+    }
+    val expect = perQ.groupBy(_._1).map { case (lab, xs) =>
+      val n = xs.length.toLong
+      lab -> (n, Math.floorDiv(xs.map(_._2).sum, n),
+        Math.floorDiv(xs.map(_._3).sum, n), Math.floorDiv(xs.map(_._4).sum, n))
+    }
+    val got = graft.SparkEntry.queries("eval_map_at_k")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect)
+  }
+
+  private lazy val eventRows: Array[(Long, java.sql.Timestamp, Long, String, Double)] =
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+
+  test("stats_wilson_ci: the float chain replayed operand-for-operand") {
+    val byType = eventRows.groupBy(_._4)
+    val expect = byType.map { case (t, xs) =>
+      val n = xs.length.toLong
+      val x = xs.count(e => cents(e._5) > 10000L).toLong
+      val ph = x.toDouble / n.toDouble
+      val nd = n.toDouble
+      val z2 = 3.841459
+      val lo = round6((ph + z2 / (2.0 * nd)
+        - math.sqrt(z2) * math.sqrt(ph * (1.0 - ph) / nd + z2 / (4.0 * nd * nd)))
+        / (1.0 + z2 / nd))
+      val hi = round6((ph + z2 / (2.0 * nd)
+        + math.sqrt(z2) * math.sqrt(ph * (1.0 - ph) / nd + z2 / (4.0 * nd * nd)))
+        / (1.0 + z2 / nd))
+      t -> (n, x, x * 1000000L / n, lo, hi)
+    }
+    val got = graft.SparkEntry.queries("stats_wilson_ci")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got == expect)
+    expect.values.foreach { case (_, _, pppm, lo, hi) =>
+      assert(lo < pppm / 1e6 && pppm / 1e6 < hi, "CI brackets the point estimate")
+    }
+  }
+
+  test("ab_diff_in_diff: cell means and the DiD fold replayed exactly") {
+    val cut = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+    val expect = eventRows.groupBy(_._4).map { case (t, xs) =>
+      def cell(tr: Boolean, post: Boolean) = {
+        val c = xs.filter(e => (md5hex(e._3.toString).head <= '7') == tr &&
+          (e._2.getTime >= cut) == post)
+        (c.length.toLong, c.map(e => cents(e._5)).sum)
+      }
+      val (ncc, scc) = cell(tr = false, post = false)
+      val (ncp, scp) = cell(tr = false, post = true)
+      val (ntc, stc) = cell(tr = true, post = false)
+      val (ntp, stp) = cell(tr = true, post = true)
+      def mean(n: Long, s: Long) = if (n == 0) None else Some(s * 1000000L / n)
+      val did = for {
+        mtp <- mean(ntp, stp); mtc <- mean(ntc, stc)
+        mcp <- mean(ncp, scp); mcc <- mean(ncc, scc)
+      } yield (mtp - mtc) - (mcp - mcc)
+      t -> (ncc, ncp, ntc, ntp, mean(ncc, scc), mean(ncp, scp),
+        mean(ntc, stc), mean(ntp, stp), did)
+    }
+    val got = graft.SparkEntry.queries("ab_diff_in_diff")(spark, sf).collect()
+      .map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), opt(5), opt(6), opt(7), opt(8), opt(9))
+      }.toMap
+    assert(got == expect)
+  }
+
+  private lazy val dailyCents: Map[(String, java.time.LocalDate), Long] =
+    eventRows.groupBy(e => (e._4,
+      e._2.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate))
+      .map { case (k, xs) => k -> xs.map(e => cents(e._5)).sum }
+
+  test("win_bollinger_bands: rolling sums + the band float chain replayed") {
+    val expect = dailyCents.groupBy(_._1._1).flatMap { case (t, m) =>
+      val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1.toString)
+      days.indices.map { i =>
+        val win = days.slice(math.max(0, i - 6), i + 1).map(_._2)
+        val n = win.length.toLong
+        val sx = win.sum; val sxx = win.map(c => c * c).sum
+        val meanC = sx.toDouble / n.toDouble
+        val sd = if (n <= 1) None
+          else Some(math.sqrt((n * sxx - sx * sx).toDouble /
+            (n * (n - 1)).toDouble / n.toDouble))
+        val outside = sd.map(s =>
+          if (days(i)._2.toDouble < meanC - 2.0 * s ||
+            days(i)._2.toDouble > meanC + 2.0 * s) 1 else 0)
+        (t, days(i)._1.toString) -> (days(i)._2, n, round6(meanC),
+          sd.map(s => round6(meanC - 2.0 * s)), sd.map(s => round6(meanC + 2.0 * s)),
+          outside)
+      }
+    }
+    val got = graft.SparkEntry.queries("win_bollinger_bands")(spark, sf)
+      .collect().map { r =>
+        (r.getString(0), r.getDate(1).toString) -> (r.getLong(2), r.getLong(3),
+          r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          if (r.isNullAt(7)) None else Some(r.getInt(7)))
+      }.toMap
+    assert(got == expect)
+  }
+
+  test("ts_changepoint_split: the BSS argmax replayed with BigInt") {
+    val expect = dailyCents.groupBy(_._1._1).map { case (t, m) =>
+      val days = m.toSeq.map { case ((_, d), c) => (d, c / 100) }
+        .sortBy(_._1.toString)
+      val n = days.length.toLong
+      val s = days.map(_._2).sum
+      var sk = 0L
+      val scored = days.dropRight(1).zipWithIndex.map { case ((d, v), i) =>
+        val k = i + 1L
+        sk += v
+        val num = BigInt(sk * n - s * k)
+        (d, k, sk, (num * num / (k * (n - k))).toLong)
+      }
+      val best = scored.minBy { case (_, k, _, sc) => (-sc, k) }
+      t -> (best._1.toString, best._2, n, best._4,
+        best._3 * 1000000L / best._2, (s - best._3) * 1000000L / (n - best._2))
+    }
+    val got = graft.SparkEntry.queries("ts_changepoint_split")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDate(1).toString,
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got == expect)
+  }
+
+  private lazy val ebPairs: Set[(Long, Long)] = {
+    val custByOrder = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .collect()
+      .flatMap(r => custByOrder.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .toSet
+  }
+
+  test("graph_bipartite_twohop: degree combinatorics replayed from raw pairs") {
+    val deg = ebPairs.toSeq.groupBy(_._2).map { case (sk, xs) => sk -> xs.length.toLong }
+    val total = deg.values.map(d => d * (d - 1) / 2).sum
+    val expect = deg.toSeq
+      .map { case (sk, d) => (sk, d, d * (d - 1) / 2, total, deg.size.toLong) }
+      .sortBy { case (sk, _, p, _, _) => (-p, sk) }.take(15)
+    val got = graft.SparkEntry.queries("graph_bipartite_twohop")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
+  test("graph_cut_conductance: the cut algebra replayed from raw dims") {
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val natRegion = {
+      val regions = Tables.region(spark, sf)
+        .select(col("r_regionkey"), col("r_name")).collect()
+        .map(r => lv(r, 0) -> r.getString(1)).toMap
+      Tables.nation(spark, sf).select(col("n_nationkey"), col("n_regionkey"))
+        .collect().map(r => lv(r, 0) -> regions(lv(r, 1))).toMap
+    }
+    val custRegion = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => lv(r, 0) -> natRegion(lv(r, 1))).toMap
+    val suppRegion = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey")).collect()
+      .map(r => lv(r, 0) -> natRegion(lv(r, 1))).toMap
+    val tagged = ebPairs.toSeq.map { case (ck, sk) => (custRegion(ck), suppRegion(sk)) }
+    val volAll = 2L * tagged.length
+    val expect = natRegion.values.toSet.toSeq.sorted.map { reg =>
+      val nWithin = tagged.count(p => p._1 == reg && p._2 == reg).toLong
+      val vol = tagged.count(_._1 == reg).toLong + tagged.count(_._2 == reg).toLong
+      val nCross = vol - 2 * nWithin
+      val minVol = math.min(vol, volAll - vol)
+      val cond = if (minVol == 0) None else Some(nCross * 1000000L / minVol)
+      (reg, nWithin, nCross, vol, cond)
+    }
+    val got = graft.SparkEntry.queries("graph_cut_conductance")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expect)
+  }
+
+  test("dedup_minhash_bbit: full plain-Scala LSH replay incl. the " +
+      "b=4 collision correction") {
+    val cand = (for {
+      (ida, sa) <- sigs.toSeq; (idb, sb) <- sigs.toSeq
+      if ida < idb && bandsOf(sa).toSet.intersect(bandsOf(sb).toSet).nonEmpty
+    } yield (ida, idb)).sorted
+    val expect = cand.map { case (a, b) =>
+      val (sa, sb) = (sigs(a), sigs(b))
+      val m32 = (0 until 8).count(i => sa(i) == sb(i)).toLong
+      val mb = (0 until 8).count(i => sa(i).charAt(7) == sb(i).charAt(7)).toLong
+      val est = if (2 * mb - 8 <= 0) 0L else (2 * mb - 8) * 1000000L / 15
+      val (xa, xb) = (shingleSets(a), shingleSets(b))
+      val inter = xa.intersect(xb).size
+      val jacc = inter.toDouble / (xa.size + xb.size - inter)
+      (a, b, m32, mb, m32 * 125000L, est, jacc)
+    }
+    val got = graft.SparkEntry.queries("dedup_minhash_bbit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
+  test("text_kneser_ney_bigram: counts, marginals, and the d=3/4 " +
+      "rational replayed with BigInt") {
+    val bigrams = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(0).split(" ", -1)
+        if (t.length < 2) Nil else t.sliding(2).map(p => (p(0), p(1))).toSeq
+      }
+    val bc = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cw1 = bc.toSeq.groupBy(_._1._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    val n1p = bc.keys.toSeq.groupBy(_._1).map { case (w, xs) => w -> xs.length.toLong }
+    val n1c = bc.keys.toSeq.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val tTypes = bc.size.toLong
+    val expect = bc.toSeq.map { case ((w1, w2), c) =>
+      val pkn = ((BigInt(4 * c - 3) * tTypes + BigInt(3) * n1p(w1) * n1c(w2))
+        * 1000000 / (BigInt(4) * tTypes * cw1(w1))).toLong
+      (w1, w2, c, cw1(w1), n1p(w1), n1c(w2), tTypes, pkn)
+    }.sortBy { case (w1, w2, c, _, _, _, _, _) => (-c, w1, w2) }.take(20)
+    val got = graft.SparkEntry.queries("text_kneser_ney_bigram")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toSeq
+    assert(got == expect)
+    // probabilities must be valid and the smoothing mass visible
+    expect.foreach { case (_, _, _, _, _, _, _, pkn) =>
+      assert(pkn > 0 && pkn <= 1000000L)
+    }
+  }
+
+  test("fn_binary_codecs: java.util.Base64 + manual hex replay") {
+    val expect = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+        val p16 = r.getString(1).take(16)
+        val p8 = r.getString(1).take(8)
+        val bytes16 = p16.getBytes("UTF-8")
+        val b64 = java.util.Base64.getEncoder.encodeToString(bytes16)
+        val hx = p8.getBytes("UTF-8").map("%02x".format(_)).mkString
+        val rt = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+        r.getLong(0) -> (b64, hx, bytes16.length.toLong,
+          if (rt == p16) 1 else 0)
+      }.toMap
+    val got = graft.SparkEntry.queries("fn_binary_codecs")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3), r.getInt(4))).toMap
+    assert(got == expect)
+    assert(got.values.forall(_._4 == 1), "every roundtrip must hold")
+  }
+
+  test("shard_salt_plan: the ceil-div histogram replayed") {
+    val counts = eventRows.groupBy(_._3).map { case (_, xs) => xs.length.toLong }
+    val salted = counts.map(c => (c, (c + 199) / 200)).toSeq
+    val totalSplits = salted.map(_._2).sum
+    val totalRows = salted.map(_._1).sum
+    val expect = salted.groupBy(_._2).map { case (sn, xs) =>
+      sn -> (xs.length.toLong, xs.map(_._1).sum,
+        xs.map(_._1).sum * 1000000L / totalRows, totalSplits)
+    }
+    val got = graft.SparkEntry.queries("shard_salt_plan")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect)
+  }
+
+  test("privacy_t_closeness: total variation incl. the absent-value " +
+      "mass replayed with BigInt") {
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1),
+        cents(r.getDouble(2)) / 100000L))
+    val nAll = rows.length.toLong
+    val vGlobal = rows.groupBy(_._3).map { case (v, xs) => v -> xs.length.toLong }
+    val expect = rows.groupBy(r => (r._1, r._2)).map { case (qi, xs) =>
+      val nG = xs.length.toLong
+      val gv = xs.groupBy(_._3).map { case (v, ys) => v -> ys.length.toLong }
+      val tv2 = vGlobal.map { case (v, nv) =>
+        val ngv = gv.getOrElse(v, 0L)
+        (BigInt(ngv) * nAll - BigInt(nv) * nG).abs
+      }.sum
+      val ppm = (tv2 * 1000000 / (BigInt(2) * nG * nAll)).toLong
+      qi -> (nG, ppm, if (ppm <= 200000L) 1 else 0)
+    }
+    val got = graft.SparkEntry.queries("privacy_t_closeness")(spark, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got == expect)
+    assert(expect.values.exists(_._2 > 0), "some group must diverge")
+  }
+
+  test("stats_bootstrap_ci: the 32 deterministic replicates and their " +
+      "order statistics replayed") {
+    val expect = eventRows.groupBy(_._4).map { case (t, xs) =>
+      val reps = (0 until 32).map { rep =>
+        var wsum = 0L; var wn = 0L
+        xs.foreach { e =>
+          val h = Integer.parseInt(
+            md5hex(s"${e._1}:$rep").substring(0, 4), 16)
+          val m = if (h < 24109) 0L else if (h < 48218) 1L
+            else if (h < 60275) 2L else if (h < 64291) 3L else 4L
+          wsum += m * cents(e._5); wn += m
+        }
+        (rep, wsum * 1000000L / wn)
+      }.sortBy { case (rep, mean) => (mean, rep) }
+      val n = xs.length.toLong
+      val full = xs.map(e => cents(e._5)).sum * 1000000L / n
+      t -> (n, full, reps(1)._2, reps(30)._2, 32L)
+    }
+    val got = graft.SparkEntry.queries("stats_bootstrap_ci")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+    got.values.foreach { case (_, full, lo, hi, _) =>
+      assert(lo <= hi && lo <= full && full <= hi,
+        "bootstrap interval should bracket the full-data mean")
+    }
+  }
+}
