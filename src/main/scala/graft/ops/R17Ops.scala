@@ -1224,10 +1224,311 @@ object R17Ops {
       .orderBy(col("event_type"))
   }
 
+  /** Filtered vector search audit (r17) — the vector-DB question the
+    * similarity family lacked: top-k under an attribute predicate
+    * (candidate label = query label). Strategy A (pre-filter) ranks
+    * only predicate-passing candidates; strategy B (post-filter with
+    * 10×k over-fetch) takes the global top-50 and keeps passing rows.
+    * Graded per label: how much of the true filtered top-5 the
+    * post-filter recovered (recall floor-ppm) and how often the
+    * over-fetch came back short — the number that decides whether a
+    * filtered index (IVF per label / partitioned ANN) is needed at
+    * scale or over-fetch suffices. Same md5-sampled queries, house
+    * quantized cosine, q_id-partitioned windows only. */
+  val simFilteredTopk: QDef = q(
+    "sim_filtered_topk",
+    s"""WITH qs AS (
+      |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+      |  FROM embeddings
+      |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+      |cand AS (
+      |  SELECT qs.q_id, qs.q_label, e.vec_id,
+      |    ${VecMath.sqlCosine("e.embedding", "qs.q_emb")} AS sim,
+      |    CASE WHEN e.label = qs.q_label THEN 1 ELSE 0 END AS pass
+      |  FROM embeddings e JOIN qs ON e.vec_id <> qs.q_id),
+      |pre AS (
+      |  SELECT q_id, q_label, vec_id FROM (
+      |    SELECT q_id, q_label, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY sim DESC, vec_id) AS rn
+      |    FROM cand WHERE pass = 1) WHERE rn <= 5),
+      |post AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id, pass,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY sim DESC, vec_id) AS rn_all
+      |    FROM cand) t
+      |  WHERE rn_all <= 50 AND pass = 1
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rn_all) <= 5),
+      |pq AS (
+      |  SELECT pre.q_id, pre.q_label,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pre,
+      |    CAST(COUNT(post.vec_id) AS BIGINT) AS n_hit
+      |  FROM pre LEFT JOIN post
+      |    ON post.q_id = pre.q_id AND post.vec_id = pre.vec_id
+      |  GROUP BY pre.q_id, pre.q_label)
+      |SELECT q_label AS label,
+      |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  CAST(SUM(n_pre) AS BIGINT) AS n_true_topk,
+      |  CAST(SUM(n_hit) AS BIGINT) AS n_recovered,
+      |  CAST(SUM(n_hit) * 1000000 // SUM(n_pre) AS BIGINT) AS recall_ppm,
+      |  CAST(SUM(CASE WHEN n_hit < n_pre THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_queries_short
+      |FROM pq GROUP BY q_label ORDER BY label""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val qs = e.filter(
+        substring(md5(col("vec_id").cast(StringType)), 1, 1) === "0")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val cand = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        VecMath.fcosine(col("embedding"), col("q_emb")).as("sim"),
+        when(col("label") === col("q_label"), 1).otherwise(0).as("pass"))
+    val wSim = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val pre = cand.filter(col("pass") === 1)
+      .withColumn("rn", row_number().over(wSim))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("q_label"), col("vec_id"))
+    val post = cand.withColumn("rn_all", row_number().over(wSim))
+      .filter(col("rn_all") <= 50 && col("pass") === 1)
+      .withColumn("rn_f", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rn_all"))))
+      .filter(col("rn_f") <= 5)
+      .select(col("q_id").as("p_qid"), col("vec_id").as("p_vid"))
+    val pq = pre
+      .join(post, col("p_qid") === col("q_id") && col("p_vid") === col("vec_id"),
+        "left")
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(count(lit(1)).as("n_pre"), count(col("p_vid")).as("n_hit"))
+    pq.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_pre")).cast(LongType).as("n_true_topk"),
+        sum(col("n_hit")).cast(LongType).as("n_recovered"),
+        sum(when(col("n_hit") < col("n_pre"), 1L).otherwise(0L))
+          .as("n_queries_short"))
+      .select(col("label"), col("n_queries"), col("n_true_topk"),
+        col("n_recovered"),
+        expr("CAST(n_recovered * 1000000 div n_true_topk AS BIGINT)")
+          .as("recall_ppm"),
+        col("n_queries_short"))
+      .orderBy(col("label"))
+  }
+
+  /** Position-based (U-shaped) attribution (r17) — the third
+    * estimator of the attribution family (`attribution_linear` =
+    * equal split, `attribution_time_decay` = recency-weighted): 40%
+    * first touch, 40% last touch, 20% split across middles, the
+    * standard U-shape. Same journey convention as the siblings
+    * (clicks ≤ 7 days before the purchase); touch order is the total
+    * (ct, click_id) order; credits in exact ppm with the remainder
+    * carried explicitly (n = 1 → 10⁶, n = 2 → 5·10⁵ each, n ≥ 3 →
+    * 4·10⁵/4·10⁵/2·10⁵ div (n−2) per middle). First/last ids via two
+    * row_numbers over ONE purchase-partitioned exchange (the
+    * `ts_ohlc_daily` trick). */
+  val attributionPositionBased: QDef = q(
+    "attribution_position_based",
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, ts AS pt
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, ts AS ct
+      |  FROM events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT p.purchase_id, c.click_id, c.ct
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |  WHERE c.ct <= p.pt
+      |    AND epoch_us(p.pt) - epoch_us(c.ct) <= 604800000000),
+      |r AS (
+      |  SELECT purchase_id, click_id,
+      |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |      ORDER BY ct, click_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |      ORDER BY ct DESC, click_id DESC) AS rn_d,
+      |    CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touch
+      |  FROM m),
+      |f AS (
+      |  SELECT purchase_id, n_touch,
+      |    MAX(CASE WHEN rn_a = 1 THEN click_id END) AS first_click_id,
+      |    MAX(CASE WHEN rn_d = 1 THEN click_id END) AS last_click_id
+      |  FROM r GROUP BY purchase_id, n_touch)
+      |SELECT purchase_id, n_touch, first_click_id, last_click_id,
+      |  CASE WHEN n_touch = 1 THEN 1000000
+      |    WHEN n_touch = 2 THEN 500000 ELSE 400000 END AS first_ppm,
+      |  CASE WHEN n_touch = 1 THEN 0
+      |    WHEN n_touch = 2 THEN 500000 ELSE 400000 END AS last_ppm,
+      |  CASE WHEN n_touch <= 2 THEN 0
+      |    ELSE CAST(200000 // (n_touch - 2) AS BIGINT) END AS mid_each_ppm,
+      |  CASE WHEN n_touch <= 2 THEN 0
+      |    ELSE 200000 - CAST(200000 // (n_touch - 2) AS BIGINT)
+      |      * (n_touch - 2) END AS remainder_ppm
+      |FROM f ORDER BY purchase_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("pt"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("ct"))
+    val m = p.join(c, Seq("user_id"))
+      .filter(col("ct") <= col("pt") &&
+        unix_micros(col("pt")) - unix_micros(col("ct")) <= 604800000000L)
+      .select(col("purchase_id"), col("click_id"), col("ct"))
+    val wP = Window.partitionBy(col("purchase_id"))
+    val r = m.select(col("purchase_id"), col("click_id"),
+      row_number().over(wP.orderBy(col("ct"), col("click_id"))).as("rn_a"),
+      row_number().over(wP.orderBy(col("ct").desc, col("click_id").desc))
+        .as("rn_d"),
+      count(lit(1)).over(wP).as("n_touch"))
+    val f = r.groupBy(col("purchase_id"), col("n_touch"))
+      .agg(max(when(col("rn_a") === 1, col("click_id"))).as("first_click_id"),
+        max(when(col("rn_d") === 1, col("click_id"))).as("last_click_id"))
+    f.select(col("purchase_id"), col("n_touch"), col("first_click_id"),
+        col("last_click_id"),
+        when(col("n_touch") === 1, 1000000).when(col("n_touch") === 2, 500000)
+          .otherwise(400000).as("first_ppm"),
+        when(col("n_touch") === 1, 0).when(col("n_touch") === 2, 500000)
+          .otherwise(400000).as("last_ppm"),
+        when(col("n_touch") <= 2, lit(0L))
+          .otherwise(expr("CAST(200000 div (n_touch - 2) AS BIGINT)"))
+          .as("mid_each_ppm"),
+        when(col("n_touch") <= 2, lit(0L))
+          .otherwise(expr("200000 - CAST(200000 div (n_touch - 2) AS BIGINT)"
+            + " * (n_touch - 2)")).as("remainder_ppm"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** HNSW layer-assignment plan (r17) — the graph-ANN build-planning
+    * leg next to `ann_ivf_label` (flat routing) and
+    * `shard_plan_from_sketch` (range layout): the md5-geometric level
+    * draw (P(level ≥ L) = 16⁻ᴸ — leading zero hex chars, capped at
+    * 4) assigned deterministically per vector, graded as the layer
+    * census with per-layer label diversity and the cumulative
+    * upper-graph size (the entry-set each search descends through).
+    * One scan + a 5×5 broadcast cumulative self-join — the census IS
+    * the build plan: layer ≥ 1 nodes are the long-range links whose
+    * memory must be provisioned up front. */
+  val annHnswLayerAssign: QDef = q(
+    "ann_hnsw_layer_assign",
+    """WITH l AS (
+      |  SELECT vec_id, label,
+      |    CASE WHEN 32 - length(trim(LEADING '0' FROM
+      |        md5(CAST(vec_id AS VARCHAR)))) > 4 THEN 4
+      |      ELSE 32 - length(trim(LEADING '0' FROM
+      |        md5(CAST(vec_id AS VARCHAR)))) END AS layer
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+      |    MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+      |  FROM l GROUP BY layer)
+      |SELECT a.layer, a.n_vecs, a.n_labels, a.min_vec, a.max_vec,
+      |  CAST(SUM(b.n_vecs) AS BIGINT) AS n_at_or_above
+      |FROM c a JOIN c b ON b.layer >= a.layer
+      |GROUP BY a.layer, a.n_vecs, a.n_labels, a.min_vec, a.max_vec
+      |ORDER BY a.layer""") { (s, d) =>
+    val lz = lit(32) - length(expr(
+      "trim(LEADING '0' FROM md5(CAST(vec_id AS STRING)))"))
+    val l = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        when(lz > 4, 4).otherwise(lz).as("layer"))
+    val c = l.groupBy(col("layer"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+    c.as("a")
+      .join(broadcast(c.select(col("layer").as("b_layer"),
+          col("n_vecs").as("b_n"))),
+        col("b_layer") >= col("a.layer"))
+      .groupBy(col("a.layer").as("layer"), col("a.n_vecs").as("n_vecs"),
+        col("a.n_labels").as("n_labels"), col("a.min_vec").as("min_vec"),
+        col("a.max_vec").as("max_vec"))
+      .agg(sum(col("b_n")).cast(LongType).as("n_at_or_above"))
+      .orderBy(col("layer"))
+  }
+
+  /** Paired t test (r17) — the within-subject complement to
+    * `stats_welch_t` (independent arms): per event type, each user's
+    * pre- vs post-cut (2024-01-16) mean value in floor-micro, the
+    * test running on the per-user differences of users active on
+    * BOTH sides. t² = (Σd)²·(n−1)/(n·Σd² − (Σd)²) — one exact
+    * rational over the (possibly negative) integer d's, squares
+    * ridden through DECIMAL(38)/HUGEINT, ·10⁶ floor, both degenerate
+    * denominators guarded NULL. significant at the house z² bound
+    * 3.841459 (df→∞). Two (type, user)-keyed aggs + a type fold. */
+  val statsPairedT: QDef = q(
+    "stats_paired_t",
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(SUM(CASE WHEN post THEN cents ELSE 0 END) AS BIGINT) AS s_post,
+      |    CAST(SUM(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+      |    CAST(SUM(CASE WHEN post THEN 0 ELSE cents END) AS BIGINT) AS s_pre,
+      |    CAST(SUM(CASE WHEN post THEN 0 ELSE 1 END) AS BIGINT) AS n_pre
+      |  FROM e GROUP BY event_type, user_id),
+      |dd AS (
+      |  SELECT event_type,
+      |    CAST(s_post * 1000000 // n_post AS BIGINT)
+      |      - CAST(s_pre * 1000000 // n_pre AS BIGINT) AS dv
+      |  FROM u WHERE n_post > 0 AND n_pre > 0),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(dv) AS BIGINT) AS sd,
+      |    SUM(CAST(dv AS HUGEINT) * dv) AS sdd
+      |  FROM dd GROUP BY event_type)
+      |SELECT event_type, n, sd AS sum_d_micro,
+      |  CASE WHEN n = 0 THEN NULL ELSE sd // n END AS mean_d_micro,
+      |  CASE WHEN n <= 1 OR n * sdd - CAST(sd AS HUGEINT) * sd = 0 THEN NULL
+      |    ELSE CAST(CAST(sd AS HUGEINT) * sd * (n - 1) * 1000000
+      |      // (n * sdd - CAST(sd AS HUGEINT) * sd) AS BIGINT) END
+      |    AS t2_micro,
+      |  CASE WHEN n <= 1 OR n * sdd - CAST(sd AS HUGEINT) * sd = 0 THEN NULL
+      |    ELSE CAST(CAST(sd AS HUGEINT) * sd * (n - 1) * 1000000
+      |      // (n * sdd - CAST(sd AS HUGEINT) * sd) AS BIGINT) > 3841459 END
+      |    AS significant
+      |FROM g ORDER BY event_type""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        (col("ts") >= lit("2024-01-16 00:00:00").cast(TimestampType))
+          .as("post"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    val u = e.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("post"), col("cents")).otherwise(0L)).as("s_post"),
+        sum(when(col("post"), 1L).otherwise(0L)).as("n_post"),
+        sum(when(col("post"), 0L).otherwise(col("cents"))).as("s_pre"),
+        sum(when(col("post"), 0L).otherwise(1L)).as("n_pre"))
+    val dd = u.filter(col("n_post") > 0 && col("n_pre") > 0)
+      .select(col("event_type"),
+        (expr("CAST(s_post * 1000000 div n_post AS BIGINT)")
+          - expr("CAST(s_pre * 1000000 div n_pre AS BIGINT)")).as("dv"))
+    val g = dd.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("dv")).as("sd"),
+        sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("sdd"))
+    g.select(col("event_type"), col("n"), col("sd").as("sum_d_micro"),
+        expr("CASE WHEN n = 0 THEN NULL ELSE sd div n END")
+          .as("mean_d_micro"),
+        expr("CASE WHEN n <= 1 OR n * sdd - CAST(sd AS DECIMAL(38,0)) * sd"
+          + " = 0 THEN NULL"
+          + " ELSE CAST(CAST(sd AS DECIMAL(38,0)) * sd * (n - 1) * 1000000"
+          + " div (n * sdd - CAST(sd AS DECIMAL(38,0)) * sd) AS BIGINT) END")
+          .as("t2_micro"))
+      .withColumn("significant", col("t2_micro") > 3841459L)
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupSignatureStoreRoundtrip, evalRrfFusion, evalAucRoc, evalMapAtK,
     statsWilsonCi, abDiffInDiff, winBollingerBands, tsChangepointSplit,
     graphBipartiteTwohop, graphCutConductance, dedupMinhashBbit,
     textKneserNeyBigram, fnBinaryCodecs, shardSaltPlan, privacyTCloseness,
-    statsBootstrapCi)
+    statsBootstrapCi, simFilteredTopk, attributionPositionBased,
+    annHnswLayerAssign, statsPairedT)
 }

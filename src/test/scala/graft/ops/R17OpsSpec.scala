@@ -496,6 +496,109 @@ class R17OpsSpec extends SparkSpec {
     assert(expect.values.exists(_._2 > 0), "some group must diverge")
   }
 
+  test("sim_filtered_topk: pre-filter truth vs post-filter overfetch " +
+      "replayed in plain Scala") {
+    val queries = vecsFull.filter(v => md5hex(v._1.toString).head == '0')
+    val perQ = queries.map { case (qid, qlab, qemb) =>
+      val ranked = vecsFull.filter(_._1 != qid)
+        .map(v => (v._1, v._2 == qlab, cos(v._3, qemb)))
+        .sortBy { case (id, _, s) => (-s, id) }
+      val pre = ranked.filter(_._2).take(5).map(_._1).toSet
+      val post = ranked.take(50).filter(_._2).take(5).map(_._1).toSet
+      (qlab, pre.size.toLong, pre.intersect(post).size.toLong)
+    }
+    val expect = perQ.groupBy(_._1).map { case (lab, xs) =>
+      val nPre = xs.map(_._2).sum; val nHit = xs.map(_._3).sum
+      lab -> (xs.length.toLong, nPre, nHit, nHit * 1000000L / nPre,
+        xs.count(x => x._3 < x._2).toLong)
+    }
+    val got = graft.SparkEntry.queries("sim_filtered_topk")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+  }
+
+  test("attribution_position_based: the U-shape credits replayed from " +
+      "raw journeys at microsecond precision") {
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val purchases = eventRows.filter(_._4 == "purchase")
+    val clicks = eventRows.filter(_._4 == "click")
+    val byUser = clicks.groupBy(_._3)
+    val expect = purchases.flatMap { pur =>
+      val touches = byUser.getOrElse(pur._3, Array.empty)
+        .filter(c => us(c._2) <= us(pur._2) &&
+          us(pur._2) - us(c._2) <= 604800000000L)
+        .sortBy(c => (us(c._2), c._1))
+      if (touches.isEmpty) None
+      else {
+        val n = touches.length.toLong
+        val (fp, lp) = if (n == 1) (1000000, 0)
+          else if (n == 2) (500000, 500000) else (400000, 400000)
+        val mid = if (n <= 2) 0L else 200000L / (n - 2)
+        val rem = if (n <= 2) 0L else 200000L - mid * (n - 2)
+        Some(pur._1 -> (n, touches.head._1, touches.last._1,
+          fp, lp, mid, rem))
+      }
+    }.toMap
+    val got = graft.SparkEntry.queries("attribution_position_based")(
+      spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got == expect)
+    assert(expect.values.exists(_._1 >= 3), "fixture must exercise middles")
+  }
+
+  test("ann_hnsw_layer_assign: the geometric layer census replayed") {
+    val layers = vecsFull.map { case (id, lab, _) =>
+      val lz = md5hex(id.toString).takeWhile(_ == '0').length
+      (math.min(4, lz), id, lab)
+    }
+    val census = layers.groupBy(_._1).map { case (l, xs) =>
+      l -> (xs.length.toLong, xs.map(_._3).distinct.length.toLong,
+        xs.map(_._2).min, xs.map(_._2).max)
+    }
+    val expect = census.map { case (l, (n, nl, mn, mx)) =>
+      l -> (n, nl, mn, mx,
+        census.filter(_._1 >= l).values.map(_._1).sum)
+    }
+    val got = graft.SparkEntry.queries("ann_hnsw_layer_assign")(spark, sf)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+    assert(expect.keySet.contains(0) && expect.size >= 2,
+      "fixture must populate at least two layers")
+  }
+
+  test("stats_paired_t: the paired-difference rational replayed with BigInt") {
+    val cut = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+    val expect = eventRows.groupBy(_._4).flatMap { case (t, xs) =>
+      val ds = xs.groupBy(_._3).values.flatMap { ue =>
+        val (post, pre) = ue.partition(_._2.getTime >= cut)
+        if (post.isEmpty || pre.isEmpty) None
+        else Some(post.map(e => cents(e._5)).sum * 1000000L / post.length
+          - pre.map(e => cents(e._5)).sum * 1000000L / pre.length)
+      }.toSeq
+      val n = ds.length.toLong
+      if (n == 0) None else {
+        val sd = ds.sum
+        val sdd = ds.map(d => BigInt(d) * d).sum
+        val denom = BigInt(n) * sdd - BigInt(sd) * sd
+        val t2 = if (n <= 1 || denom == 0) None
+          else Some((BigInt(sd) * sd * (n - 1) * 1000000 / denom).toLong)
+        // bare truncating division — Spark div == DuckDB // on every sign
+        Some(t -> (n, sd, sd / n, t2, t2.map(_ > 3841459L)))
+      }
+    }
+    val got = graft.SparkEntry.queries("stats_paired_t")(spark, sf)
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5)))
+      }.toMap
+    assert(got == expect)
+  }
+
   test("stats_bootstrap_ci: the 32 deterministic replicates and their " +
       "order statistics replayed") {
     val expect = eventRows.groupBy(_._4).map { case (t, xs) =>
