@@ -964,15 +964,15 @@ object R17Ops {
       |ORDER BY c DESC, w1, w2
       |LIMIT 20""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // explode a plain index sequence and index per row — NOT a
+    // transform-lambda under the Generate (the PlanInvariantsSpec
+    // interpreted-higher-order ban; the langid/udtf_bigrams build)
     val bg = Tables.documents(s, d)
       .select(split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(2, size(t)), i -> concat(t[i-2], ' ', t[i-1]))"))
-        .as("b"))
+      .select(col("t"), explode(expr("sequence(2, size(t))")).as("i"))
+      .select(expr("t[i-2]").as("w1"), expr("t[i-1]").as("w2"))
     val bc = bg
-      .select(expr("split_part(b, ' ', 1)").as("w1"),
-        expr("split_part(b, ' ', 2)").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
     val marg = bc.select(col("w1"), col("w2"), col("c"),
