@@ -1142,11 +1142,16 @@ object R17Ops {
 
   /** Poisson-bootstrap confidence interval (r17) — the inference
     * layer over `sample_poisson_bootstrap`'s replicate machinery
-    * (same md5 16-bit thresholds = the Poisson(1) CDF at 65536):
-    * per event type, 32 deterministic replicate means of the cents
-    * value in floor-micro, with the 2nd/31st order statistics as the
-    * ~94% central interval next to the full-data mean. Replicates
-    * are row-local weight draws → one (type, rep) agg with map-side
+    * (same 16-bit thresholds = the Poisson(1) CDF at 65536): per
+    * event type, 32 deterministic replicate means of the cents value
+    * in floor-micro, with the 2nd/31st order statistics as the ~94%
+    * central interval next to the full-data mean. HASH ECONOMY
+    * (measured: one md5 per (event, replicate) benched 8.8 s at
+    * sf0.1): each md5 is 128 bits = EIGHT independent 16-bit windows,
+    * so replicate (g, i) draws its weight from window i of
+    * md5(event_id:g) — 4 md5s per event for 32 replicates, the
+    * substr/threshold work row-local and codegen'd. Replicates are
+    * row-local weight draws → one (type, rep) agg with map-side
     * combine (160 output rows regardless of corpus size); ranking is
     * a type-partitioned window over 32 rows. A replicate with zero
     * total weight (probability ~0.37^n) is filtered identically in
@@ -1157,17 +1162,18 @@ object R17Ops {
       |  SELECT event_id, event_type,
       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
       |  FROM events),
-      |x AS (SELECT event_id, event_type, cents,
-      |  unnest(range(0, 32)) AS rep FROM e),
+      |x AS (
+      |  SELECT event_type, cents, g,
+      |    md5(CAST(event_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS h
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS g)),
       |k AS (
-      |  SELECT event_type, rep, cents,
-      |    CASE WHEN h < 24109 THEN 0 WHEN h < 48218 THEN 1
-      |         WHEN h < 60275 THEN 2 WHEN h < 64291 THEN 3
+      |  SELECT event_type, g * 8 + i AS rep, cents,
+      |    CASE WHEN h16 < 24109 THEN 0 WHEN h16 < 48218 THEN 1
+      |         WHEN h16 < 60275 THEN 2 WHEN h16 < 64291 THEN 3
       |         ELSE 4 END AS m
-      |  FROM (SELECT event_type, rep, cents,
-      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
-      |      || CAST(rep AS VARCHAR)), 1, 4))::INT AS h
-      |    FROM x)),
+      |  FROM (SELECT event_type, cents, g, i,
+      |    ('0x' || substr(h, i * 4 + 1, 4))::INT AS h16
+      |    FROM x CROSS JOIN (SELECT unnest(range(0, 8)) AS i))),
       |rm AS (
       |  SELECT event_type, rep,
       |    CAST(SUM(m * cents) * 1000000 // SUM(m) AS BIGINT) AS rep_mean_micro
@@ -1191,17 +1197,22 @@ object R17Ops {
       |ORDER BY f.event_type""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, d)
-      .select(col("event_id"), col("event_type"),
+      .select(col("event_id"), col("event_id").cast(StringType)
+          .as("event_id_str"), col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("cents"))
-    val x = e.select(col("event_id"), col("event_type"), col("cents"),
-      explode(sequence(lit(0), lit(31))).as("rep"))
-    val h = conv(substring(md5(concat(col("event_id").cast(StringType),
-      lit(":"), col("rep").cast(StringType))), 1, 4), 16, 10)
+    val x = e.select(col("event_type"), col("cents"), col("event_id_str"),
+        explode(sequence(lit(0), lit(3))).as("g"))
+      .withColumn("h", md5(concat(col("event_id_str"), lit(":"),
+        col("g").cast(StringType))))
+    val h16 = conv(expr("substring(h, i * 4 + 1, 4)"), 16, 10)
       .cast(IntegerType)
-    val k = x.select(col("event_type"), col("rep"), col("cents"),
-      when(h < 24109, 0L).when(h < 48218, 1L).when(h < 60275, 2L)
-        .when(h < 64291, 3L).otherwise(4L).as("m"))
+    val k = x.select(col("event_type"), col("cents"), col("g"), col("h"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .select(col("event_type"), (col("g") * 8 + col("i")).as("rep"),
+        col("cents"),
+        when(h16 < 24109, 0L).when(h16 < 48218, 1L).when(h16 < 60275, 2L)
+          .when(h16 < 64291, 3L).otherwise(4L).as("m"))
     val rm = k.groupBy(col("event_type"), col("rep"))
       .agg(sum(col("m") * col("cents")).as("wsum"), sum(col("m")).as("wn"))
       .filter(col("wn") > 0)

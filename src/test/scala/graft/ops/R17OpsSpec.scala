@@ -603,10 +603,11 @@ class R17OpsSpec extends SparkSpec {
       "order statistics replayed") {
     val expect = eventRows.groupBy(_._4).map { case (t, xs) =>
       val reps = (0 until 32).map { rep =>
+        val (g, i) = (rep / 8, rep % 8)
         var wsum = 0L; var wn = 0L
         xs.foreach { e =>
           val h = Integer.parseInt(
-            md5hex(s"${e._1}:$rep").substring(0, 4), 16)
+            md5hex(s"${e._1}:$g").substring(4 * i, 4 * i + 4), 16)
           val m = if (h < 24109) 0L else if (h < 48218) 1L
             else if (h < 60275) 2L else if (h < 64291) 3L else 4L
           wsum += m * cents(e._5); wn += m
