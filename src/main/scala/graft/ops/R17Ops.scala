@@ -1535,11 +1535,242 @@ object R17Ops {
       .orderBy(col("event_type"))
   }
 
+  /** 20-bit van der Corput radical inverse (bit reversal) — ONE
+    * rendering of the math, two spellings (Spark has shiftright(),
+    * DuckDB the >> operator), generated from the same loop so they
+    * cannot drift. */
+  private def vdcSql(shift: (String, Int) => String): String =
+    (0 until 20).map(i =>
+      s"(${shift("doc_id", i)} & 1) * ${1L << (19 - i)}").mkString(" + ")
+
+  /** Quasi-random (low-discrepancy) sampling audit (r17) — the QMC
+    * alternative to the house md5 draws: the 20-bit van der Corput
+    * radical inverse of doc_id (bit reversal — exact integer
+    * arithmetic, zero hashing) selects a 25% sample with provably
+    * balanced coverage over any id range, next to the md5 25% sample
+    * (first hex char <= '3') on the same corpus. Graded per source:
+    * both sample sizes, their overlap, and the absolute deviation of
+    * each from the exact 25% target in ppm — the discrepancy
+    * comparison that decides which selector a curriculum sampler
+    * uses. Row-local selectors, one source-sized agg. */
+  val sampleHaltonVdc: QDef = q(
+    "sample_halton_vdc",
+    s"""WITH s AS (
+      |  SELECT source,
+      |    CASE WHEN ${vdcSql((c, i) => s"($c >> $i)")} < 262144
+      |      THEN 1 ELSE 0 END AS vdc_pick,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= '3'
+      |      THEN 1 ELSE 0 END AS md5_pick
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(vdc_pick) AS BIGINT) AS n_vdc,
+      |  CAST(SUM(md5_pick) AS BIGINT) AS n_md5,
+      |  CAST(SUM(vdc_pick * md5_pick) AS BIGINT) AS n_both,
+      |  abs(CAST(SUM(vdc_pick) * 1000000 // COUNT(*) AS BIGINT) - 250000)
+      |    AS vdc_dev_ppm,
+      |  abs(CAST(SUM(md5_pick) * 1000000 // COUNT(*) AS BIGINT) - 250000)
+      |    AS md5_dev_ppm
+      |FROM s GROUP BY source ORDER BY source""") { (s, d) =>
+    val sel = Tables.documents(s, d)
+      .select(col("source"),
+        when(expr(vdcSql((c, i) => s"shiftright($c, $i)")) < 262144, 1L)
+          .otherwise(0L).as("vdc_pick"),
+        when(substring(md5(col("doc_id").cast(StringType)), 1, 1) <= "3",
+          1L).otherwise(0L).as("md5_pick"))
+    sel.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("vdc_pick")).as("n_vdc"),
+        sum(col("md5_pick")).as("n_md5"),
+        sum(col("vdc_pick") * col("md5_pick")).as("n_both"))
+      .select(col("source"), col("n_docs"), col("n_vdc"), col("n_md5"),
+        col("n_both"),
+        abs(expr("CAST(n_vdc * 1000000 div n_docs AS BIGINT)") - 250000L)
+          .as("vdc_dev_ppm"),
+        abs(expr("CAST(n_md5 * 1000000 div n_docs AS BIGINT)") - 250000L)
+          .as("md5_dev_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Cohen's d effect size (r17) — the magnitude companion to
+    * `stats_welch_t`'s significance (a 100 TB A/B readout needs both:
+    * at scale everything is significant, only effect size decides):
+    * purchase vs click cents, pooled SD from the same exact
+    * (n, Σx, Σx²) sums, d = Δmean/s_pooled as the one float chain
+    * (divisions + one sqrt, correctly rounded ⇒ cross-engine
+    * bit-identical), ROUND(…,6), n ≤ 1 legs guarded NULL. One
+    * 2-group agg + a 1-row fold. */
+  val statsCohensD: QDef = q(
+    "stats_cohens_d",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s,
+      |    SUM(CAST(x AS HUGEINT) * x) AS q
+      |  FROM e GROUP BY event_type),
+      |w AS (
+      |  SELECT
+      |    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN s END) AS s1,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN q END) AS q1,
+      |    MAX(CASE WHEN event_type = 'click' THEN n END) AS n2,
+      |    MAX(CASE WHEN event_type = 'click' THEN s END) AS s2,
+      |    MAX(CASE WHEN event_type = 'click' THEN q END) AS q2
+      |  FROM g)
+      |SELECT n1, n2,
+      |  CAST(s1 * 1000000 // n1 - s2 * 1000000 // n2 AS BIGINT)
+      |    AS mean_diff_micro,
+      |  CASE WHEN n1 <= 1 OR n2 <= 1 THEN NULL ELSE
+      |    ROUND((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |        - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |      / sqrt(((CAST(q1 AS DOUBLE)
+      |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |        + (CAST(q2 AS DOUBLE)
+      |          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+      |        / CAST(n1 + n2 - 2 AS DOUBLE)), 6) END AS cohens_d
+      |FROM w""") { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("x"))
+    val g = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("q"))
+    val w = g.agg(
+      max(when(col("event_type") === "purchase", col("n"))).as("n1"),
+      max(when(col("event_type") === "purchase", col("s"))).as("s1"),
+      max(when(col("event_type") === "purchase", col("q"))).as("q1"),
+      max(when(col("event_type") === "click", col("n"))).as("n2"),
+      max(when(col("event_type") === "click", col("s"))).as("s2"),
+      max(when(col("event_type") === "click", col("q"))).as("q2"))
+    w.select(col("n1"), col("n2"),
+      expr("CAST(s1 * 1000000 div n1 - s2 * 1000000 div n2 AS BIGINT)")
+        .as("mean_diff_micro"),
+      when(col("n1") <= 1 || col("n2") <= 1, lit(null).cast(DoubleType))
+        .otherwise(round(
+          (col("s1").cast(DoubleType) / col("n1").cast(DoubleType)
+            - col("s2").cast(DoubleType) / col("n2").cast(DoubleType))
+          / sqrt(((col("q1").cast(DoubleType)
+              - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
+                / col("n1").cast(DoubleType))
+            + (col("q2").cast(DoubleType)
+              - col("s2").cast(DoubleType) * col("s2").cast(DoubleType)
+                / col("n2").cast(DoubleType)))
+            / (col("n1") + col("n2") - 2).cast(DoubleType)), 6))
+        .as("cohens_d"))
+  }
+
+  /** Chinchilla compute-allocation plan (r17) — the training-run
+    * sizing question a data pipeline answers before curation targets
+    * are set: for each compute budget C (petaFLOP units in a literal
+    * table), the compute-optimal parameter count N = sqrt(C/120)
+    * (from C ≈ 6·N·D with the D = 20·N optimum) and token demand
+    * D = 20·N, against the corpus's ACTUAL token supply — coverage
+    * in floor-ppm and the epoch count (ceil) the corpus would need.
+    * One corpus token-count agg + a 3-row broadcast budget table;
+    * the sqrt chain runs on identical doubles in both engines, then
+    * everything is exact integers. */
+  val mixChinchillaPlan: QDef = q(
+    "mix_chinchilla_plan",
+    """WITH t AS (
+      |  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |    AS corpus_tokens
+      |  FROM documents),
+      |b AS (SELECT CAST(pf AS BIGINT) AS budget_pflops
+      |  FROM (VALUES (1000), (1000000), (1000000000)) v(pf)),
+      |p AS (
+      |  SELECT budget_pflops, corpus_tokens,
+      |    CAST(floor(sqrt(CAST(budget_pflops AS DOUBLE) * 1e15 / 120.0))
+      |      AS BIGINT) AS n_opt_params
+      |  FROM b CROSS JOIN t)
+      |SELECT budget_pflops, n_opt_params,
+      |  20 * n_opt_params AS d_opt_tokens, corpus_tokens,
+      |  CAST((20 * n_opt_params + corpus_tokens - 1) // corpus_tokens
+      |    AS BIGINT) AS epochs_needed,
+      |  CASE WHEN corpus_tokens >= 20 * n_opt_params THEN 1000000
+      |    ELSE CAST(corpus_tokens * 1000000 // (20 * n_opt_params)
+      |      AS BIGINT) END AS coverage_ppm
+      |FROM p ORDER BY budget_pflops""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .agg(sum(size(split(col("text"), " "))).cast(LongType)
+        .as("corpus_tokens"))
+    val b = {
+      import s.implicits._
+      Seq(1000L, 1000000L, 1000000000L).toDF("budget_pflops")
+    }
+    val p = b.crossJoin(broadcast(t))
+      .withColumn("n_opt_params",
+        floor(sqrt(col("budget_pflops").cast(DoubleType) * lit(1e15)
+          / lit(120.0))).cast(LongType))
+    p.select(col("budget_pflops"), col("n_opt_params"),
+        (lit(20L) * col("n_opt_params")).as("d_opt_tokens"),
+        col("corpus_tokens"),
+        expr("CAST((20 * n_opt_params + corpus_tokens - 1)"
+          + " div corpus_tokens AS BIGINT)").as("epochs_needed"),
+        expr("CASE WHEN corpus_tokens >= 20 * n_opt_params THEN 1000000"
+          + " ELSE CAST(corpus_tokens * 1000000 div (20 * n_opt_params)"
+          + " AS BIGINT) END").as("coverage_ppm"))
+      .orderBy(col("budget_pflops"))
+  }
+
+  /** Label-centroid distance matrix (r17) — the embedding-space
+    * geometry report over the `sim_centroid_classifier` centroids
+    * (same milli quantization, same sign-safe floor means): exact
+    * integer L2² between every label-centroid pair (a < b) plus its
+    * floor-sqrt in milli units — the confusability map an embedding
+    * owner reads next to `eval_langid_confusion` (which labels are
+    * too close for the classifier to separate). The matrix is
+    * labels², computed from the labels×dims centroid table —
+    * constant-size at any corpus scale. */
+  val simCentroidDistanceMatrix: QDef = q(
+    "sim_centroid_distance_matrix",
+    """WITH comp AS (
+      |  SELECT vec_id, label, t.pos AS pos,
+      |    CAST(floor(CAST(embedding[t.pos] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+      |      AS milli
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(pos)),
+      |cent AS (
+      |  SELECT label, pos, (s - ((s % n) + n) % n) // n AS c
+      |  FROM (SELECT label, pos, CAST(SUM(milli) AS BIGINT) AS s,
+      |          CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM comp GROUP BY label, pos) sums)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2_milli,
+      |  CAST(floor(sqrt(CAST(SUM((a.c - b.c) * (a.c - b.c)) AS DOUBLE)))
+      |    AS BIGINT) AS dist_milli
+      |FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      |GROUP BY a.label, b.label
+      |ORDER BY label_a, label_b""") { (s, d) =>
+    val comp = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x").cast(DoubleType) * 1000 + 0.5).cast(LongType)
+          .as("milli"))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(col("milli")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), expr("(s - pmod(s, n)) div n").as("c"))
+    cent.as("a")
+      .join(broadcast(cent.select(col("label").as("b_label"),
+          col("pos").as("b_pos"), col("c").as("b_c"))),
+        col("a.pos") === col("b_pos") && col("a.label") < col("b_label"))
+      .groupBy(col("a.label").as("label_a"), col("b_label").as("label_b"))
+      .agg(sum((col("c") - col("b_c")) * (col("c") - col("b_c")))
+        .as("d2_milli"))
+      .select(col("label_a"), col("label_b"), col("d2_milli"),
+        floor(sqrt(col("d2_milli").cast(DoubleType))).cast(LongType)
+          .as("dist_milli"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupSignatureStoreRoundtrip, evalRrfFusion, evalAucRoc, evalMapAtK,
     statsWilsonCi, abDiffInDiff, winBollingerBands, tsChangepointSplit,
     graphBipartiteTwohop, graphCutConductance, dedupMinhashBbit,
     textKneserNeyBigram, fnBinaryCodecs, shardSaltPlan, privacyTCloseness,
     statsBootstrapCi, simFilteredTopk, attributionPositionBased,
-    annHnswLayerAssign, statsPairedT)
+    annHnswLayerAssign, statsPairedT, sampleHaltonVdc, statsCohensD,
+    mixChinchillaPlan, simCentroidDistanceMatrix)
 }

@@ -599,6 +599,103 @@ class R17OpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("sample_halton_vdc: the bit-reversal selector and both samples " +
+      "replayed in plain Scala") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def vdc(k: Long): Long =
+      (0 until 20).map(i => ((k >> i) & 1L) << (19 - i)).sum
+    val expect = docs.groupBy(_._2).map { case (src, xs) =>
+      val n = xs.length.toLong
+      val v = xs.count(x => vdc(x._1) < 262144).toLong
+      val m = xs.count(x => md5hex(x._1.toString).head <= '3').toLong
+      val both = xs.count(x => vdc(x._1) < 262144 &&
+        md5hex(x._1.toString).head <= '3').toLong
+      src -> (n, v, m, both,
+        math.abs(v * 1000000L / n - 250000L),
+        math.abs(m * 1000000L / n - 250000L))
+    }
+    val got = graft.SparkEntry.queries("sample_halton_vdc")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == expect)
+    // the QMC property the key exists to show, at the granularity it
+    // actually holds: over the CONTIGUOUS corpus id range the
+    // bit-reversal sample is near-exactly 25% (per-source id sets are
+    // strided, so per-source deviations can go either way)
+    val n = docs.length.toLong
+    val vAll = docs.count(x => vdc(x._1) < 262144).toLong
+    val mAll = docs.count(x => md5hex(x._1.toString).head <= '3').toLong
+    assert(math.abs(vAll * 1000000L / n - 250000L) <=
+      math.abs(mAll * 1000000L / n - 250000L))
+  }
+
+  test("stats_cohens_d: the pooled-SD float chain replayed " +
+      "operand-for-operand") {
+    def arm(t: String) = {
+      val xs = eventRows.filter(_._4 == t).map(e => cents(e._5))
+      (xs.length.toLong, xs.sum, xs.map(x => BigInt(x) * x).sum)
+    }
+    val (n1, s1, q1) = arm("purchase"); val (n2, s2, q2) = arm("click")
+    val d = (s1.toDouble / n1.toDouble - s2.toDouble / n2.toDouble) /
+      math.sqrt(((q1.toDouble - s1.toDouble * s1.toDouble / n1.toDouble)
+        + (q2.toDouble - s2.toDouble * s2.toDouble / n2.toDouble))
+        / (n1 + n2 - 2).toDouble)
+    val row = graft.SparkEntry.queries("stats_cohens_d")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(row.getLong(2) == s1 * 1000000L / n1 - s2 * 1000000L / n2)
+    assert(row.getDouble(3) == round6(d))
+  }
+
+  test("mix_chinchilla_plan: the allocation arithmetic replayed") {
+    val corpusTokens = Tables.documents(spark, sf).select(col("text"))
+      .collect().map(_.getString(0).split(" ", -1).length.toLong).sum
+    val expect = Seq(1000L, 1000000L, 1000000000L).map { pf =>
+      val nOpt = math.floor(math.sqrt(pf.toDouble * 1e15 / 120.0)).toLong
+      val dOpt = 20 * nOpt
+      pf -> (nOpt, dOpt, corpusTokens,
+        (dOpt + corpusTokens - 1) / corpusTokens,
+        if (corpusTokens >= dOpt) 1000000L
+        else corpusTokens * 1000000L / dOpt)
+    }.toMap
+    val got = graft.SparkEntry.queries("mix_chinchilla_plan")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect)
+    assert(expect(1000000000L)._5 < 1000000L,
+      "the largest budget must exceed the fixture corpus")
+  }
+
+  test("sim_centroid_distance_matrix: milli centroids + exact L2 " +
+      "replayed in plain Scala") {
+    val centroids = vecsFull.flatMap { case (_, lab, emb) =>
+      emb.indices.map(i =>
+        (lab, i) -> math.floor(emb(i).toDouble * 1000 + 0.5).toLong)
+    }.groupBy(_._1).map { case (k, xs) =>
+      val s = xs.map(_._2).sum; val n = xs.length.toLong
+      // sign-safe floor mean: (s - pmod(s, n)) / n
+      k -> (s - ((s % n) + n) % n) / n
+    }
+    val labels = centroids.keys.map(_._1).toSeq.distinct.sorted
+    val dims = centroids.keys.map(_._2).toSeq.distinct
+    val expect = (for {
+      a <- labels; b <- labels if a < b
+    } yield {
+      val d2 = dims.map { i =>
+        val diff = centroids((a, i)) - centroids((b, i)); diff * diff
+      }.sum
+      (a, b) -> (d2, math.floor(math.sqrt(d2.toDouble)).toLong)
+    }).toMap
+    val got = graft.SparkEntry.queries("sim_centroid_distance_matrix")(
+      spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("stats_bootstrap_ci: the 32 deterministic replicates and their " +
       "order statistics replayed") {
     val expect = eventRows.groupBy(_._4).map { case (t, xs) =>
