@@ -114,8 +114,12 @@ object R17Ops {
     val anyDrift = col("doc_id").isNull || col("s_id").isNull ||
       (0 until 8).map(i => col(s"h$i") =!= col(s"s_h$i"))
         .reduce(_ || _)
+    // coalesce: SUM over zero rows is NULL, but the oracle states the
+    // contract as literal 0 — an empty prior partition must still
+    // match (ADVICE r17).
     val aMis = prior.join(st, col("doc_id") === col("s_id"), "full")
-      .agg(sum(when(anyDrift, 1L).otherwise(0L)).as("n_roundtrip_mismatch"))
+      .agg(coalesce(sum(when(anyDrift, 1L).otherwise(0L)), lit(0L))
+        .as("n_roundtrip_mismatch"))
     val aPrior = prior.agg(count(lit(1)).as("n_prior"))
     val aStored = stored.agg(count(lit(1)).as("n_stored"))
     val aInc = inc.agg(count(lit(1)).as("n_increment"))
@@ -877,7 +881,7 @@ object R17Ops {
       |       (CASE WHEN substr(a.h4, 8, 1) = substr(b.h4, 8, 1) THEN 1 ELSE 0 END) +
       |       (CASE WHEN substr(a.h5, 8, 1) = substr(b.h5, 8, 1) THEN 1 ELSE 0 END) +
       |       (CASE WHEN substr(a.h6, 8, 1) = substr(b.h6, 8, 1) THEN 1 ELSE 0 END) +
-      |       (CASE WHEN substr(a.h7, 8, 1) = substr(b.h7, 8, 1) THEN 1 ELSE 0 END)) - 8
+      |       (CASE WHEN substr(a.h7, 8, 1) = substr(b.h7, 8, 1) THEN 1 ELSE 0 END)) - 1
       |      <= 0 THEN CAST(0 AS BIGINT)
       |    ELSE CAST((2 * ((CASE WHEN substr(a.h0, 8, 1) = substr(b.h0, 8, 1) THEN 1 ELSE 0 END) +
       |       (CASE WHEN substr(a.h1, 8, 1) = substr(b.h1, 8, 1) THEN 1 ELSE 0 END) +
@@ -886,7 +890,7 @@ object R17Ops {
       |       (CASE WHEN substr(a.h4, 8, 1) = substr(b.h4, 8, 1) THEN 1 ELSE 0 END) +
       |       (CASE WHEN substr(a.h5, 8, 1) = substr(b.h5, 8, 1) THEN 1 ELSE 0 END) +
       |       (CASE WHEN substr(a.h6, 8, 1) = substr(b.h6, 8, 1) THEN 1 ELSE 0 END) +
-      |       (CASE WHEN substr(a.h7, 8, 1) = substr(b.h7, 8, 1) THEN 1 ELSE 0 END)) - 8)
+      |       (CASE WHEN substr(a.h7, 8, 1) = substr(b.h7, 8, 1) THEN 1 ELSE 0 END)) - 1)
       |      * 1000000 // 15 AS BIGINT) END AS est_bbit_micro,
       |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
       |    / len(list_distinct(x.s || y.s)) AS jacc
@@ -916,8 +920,8 @@ object R17Ops {
       .join(jacc, col("doc_a") === col("j_a") && col("doc_b") === col("j_b"))
       .select(col("doc_a"), col("doc_b"), col("m32"), col("mb"),
         (col("m32") * 125000L).as("est_full_micro"),
-        when(lit(2L) * col("mb") - 8L <= 0L, 0L)
-          .otherwise(expr("CAST((2 * mb - 8) * 1000000 div 15 AS BIGINT)"))
+        when(lit(2L) * col("mb") - 1L <= 0L, 0L)
+          .otherwise(expr("CAST((2 * mb - 1) * 1000000 div 15 AS BIGINT)"))
           .as("est_bbit_micro"),
         col("jacc"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1547,7 +1551,11 @@ object R17Ops {
     * alternative to the house md5 draws: the 20-bit van der Corput
     * radical inverse of doc_id (bit reversal — exact integer
     * arithmetic, zero hashing) selects a 25% sample with provably
-    * balanced coverage over any id range, next to the md5 25% sample
+    * balanced coverage over any id range WITHIN each 2^20-id block
+    * (the inverse reverses the low 20 bits only, so the balance
+    * guarantee is per-block for corpora past 2^20 docs — widen the
+    * reversal before relying on it beyond that; ADVICE r17), next
+    * to the md5 25% sample
     * (first hex char <= '3') on the same corpus. Graded per source:
     * both sample sizes, their overlap, and the absolute deviation of
     * each from the exact 25% target in ppm — the discrepancy

@@ -149,6 +149,14 @@ object ConnectedComponents {
     * returns the persisted (id, lbl) fixpoint over edge-touched
     * nodes (label = min node id in the component).
     *
+    * CACHE OWNERSHIP (ADVICE r17): the RETURNED DataFrame is
+    * persisted and the CALLER owns its lifetime — unpersist it after
+    * the consuming action (or accept a session-lifetime cache entry,
+    * which the graded per-query runs do deliberately: the result is
+    * re-read by the query's final assembly and the session is
+    * short-lived). All loop INTERMEDIATES are unpersisted by the
+    * helper itself, including on the non-convergence error path.
+    *
     * run_tag nonce (r13): the loop persists AND UNPERSISTS round by
     * round, and cache entries are shared by canonical plan — two
     * concurrent executions in one JVM would dedupe onto the SAME
@@ -220,10 +228,14 @@ object ConnectedComponents {
     System.err.println(f"[$logLabel] converged=${changed == 0} " +
       f"rounds=$rounds loop_s=${(System.nanoTime() - tLoop0) / 1e9}%.2f")
     // A silent non-fixpoint would ship wrong cluster ids that only
-    // surface as an oracle hash mismatch; fail loudly instead.
-    if (changed > 0)
+    // surface as an oracle hash mismatch; fail loudly instead —
+    // dropping the loop's cache entries first so the failure doesn't
+    // leak the round intermediates (ADVICE r17).
+    if (changed > 0) {
+      cached.unpersist()
       sys.error(s"$logLabel: min-label propagation not converged " +
         s"after $rounds rounds ($changed labels still changing)")
+    }
     labels.select(col("id"), col("lbl"))
   }
 }

@@ -396,7 +396,7 @@ class R17OpsSpec extends SparkSpec {
       val (sa, sb) = (sigs(a), sigs(b))
       val m32 = (0 until 8).count(i => sa(i) == sb(i)).toLong
       val mb = (0 until 8).count(i => sa(i).charAt(7) == sb(i).charAt(7)).toLong
-      val est = if (2 * mb - 8 <= 0) 0L else (2 * mb - 8) * 1000000L / 15
+      val est = if (2 * mb - 1 <= 0) 0L else (2 * mb - 1) * 1000000L / 15
       val (xa, xb) = (shingleSets(a), shingleSets(b))
       val inter = xa.intersect(xb).size
       val jacc = inter.toDouble / (xa.size + xb.size - inter)
