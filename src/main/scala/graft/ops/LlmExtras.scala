@@ -691,7 +691,7 @@ object LlmExtras {
     * k-means family shares. Not persisted: every consumer re-runs the
     * posexplode, a pure codegen map over a 2k-row scan — cheaper than
     * writing a 128k-row columnar cache (measured both ways). */
-  private def kmeansEx(s: SparkSession, d: String): DataFrame =
+  private[ops] def kmeansEx(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("i", "v")))

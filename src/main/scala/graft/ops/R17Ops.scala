@@ -26,6 +26,22 @@ object R17Ops {
   private def isPrior(id: Column): Column =
     substring(md5(id.cast(StringType)), 1, 1) <= "7"
 
+  /** Deterministic geometric HNSW layer of vec_id (md5 leading-zero
+    * hex chars, capped at 4) — ONE rendering shared by
+    * `ann_hnsw_layer_assign` and r18's `ann_hnsw_greedy_route`. */
+  private[ops] val hnswLayerSqlExpr: String =
+    """CASE WHEN 32 - length(trim(LEADING '0' FROM
+      |        md5(CAST(vec_id AS VARCHAR)))) > 4 THEN 4
+      |      ELSE 32 - length(trim(LEADING '0' FROM
+      |        md5(CAST(vec_id AS VARCHAR)))) END""".stripMargin
+
+  /** Spark twin of `hnswLayerSqlExpr` (column name `vec_id` fixed). */
+  private[ops] def hnswLayerCol: Column = {
+    val lz = lit(32) - length(expr(
+      "trim(LEADING '0' FROM md5(CAST(vec_id AS STRING)))"))
+    when(lz > 4, 4).otherwise(lz)
+  }
+
   /** 4-band LSH view of a (doc_id, h0..h7) signature table — the
     * `LlmExtras.bandCandidates` banding, exposed over an arbitrary
     * signature source so it can run over the STORED table. */
@@ -1428,12 +1444,8 @@ object R17Ops {
     * memory must be provisioned up front. */
   val annHnswLayerAssign: QDef = q(
     "ann_hnsw_layer_assign",
-    """WITH l AS (
-      |  SELECT vec_id, label,
-      |    CASE WHEN 32 - length(trim(LEADING '0' FROM
-      |        md5(CAST(vec_id AS VARCHAR)))) > 4 THEN 4
-      |      ELSE 32 - length(trim(LEADING '0' FROM
-      |        md5(CAST(vec_id AS VARCHAR)))) END AS layer
+    s"""WITH l AS (
+      |  SELECT vec_id, label, $hnswLayerSqlExpr AS layer
       |  FROM embeddings),
       |c AS (
       |  SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -1445,11 +1457,8 @@ object R17Ops {
       |FROM c a JOIN c b ON b.layer >= a.layer
       |GROUP BY a.layer, a.n_vecs, a.n_labels, a.min_vec, a.max_vec
       |ORDER BY a.layer""") { (s, d) =>
-    val lz = lit(32) - length(expr(
-      "trim(LEADING '0' FROM md5(CAST(vec_id AS STRING)))"))
     val l = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        when(lz > 4, 4).otherwise(lz).as("layer"))
+      .select(col("vec_id"), col("label"), hnswLayerCol.as("layer"))
     val c = l.groupBy(col("layer"))
       .agg(count(lit(1)).as("n_vecs"),
         countDistinct(col("label")).as("n_labels"),
