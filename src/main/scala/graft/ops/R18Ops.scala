@@ -694,8 +694,425 @@ object R18Ops {
       .orderBy(col("plan"), col("stage_idx"))
   }
 
+  /** McNemar's paired-proportion test (r18) — the within-subject
+    * binary complement to `stats_paired_t` (continuous) and
+    * `stats_prop_ztest` (independent arms): per event type, each
+    * user's pre- vs post-cut ACTIVITY (any event of that type before
+    * / after the shared 2024-01-16 cut) is a paired binary outcome,
+    * and the test statistic uses only the DISCORDANT pairs:
+    * χ² = (b−c)²/(b+c) with b = active-pre-only, c =
+    * active-post-only. Exact integers end to end — χ² ships in
+    * floor-micro ((b−c)²·10⁶ div (b+c), zero-discordance guarded
+    * NULL), significance at the house z² bound 3.841459. One
+    * (type, user)-keyed agg + a type fold. */
+  val statsMcnemarPaired: QDef = q(
+    "stats_mcnemar_paired",
+    """WITH u AS (
+      |  SELECT event_type, user_id,
+      |    MAX(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN 1 ELSE 0 END) AS pre,
+      |    MAX(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN 1 ELSE 0 END) AS post
+      |  FROM events GROUP BY event_type, user_id)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(pre * (1 - post)) AS BIGINT) AS n_pre_only,
+      |  CAST(SUM((1 - pre) * post) AS BIGINT) AS n_post_only,
+      |  CASE WHEN SUM(pre * (1 - post)) + SUM((1 - pre) * post) = 0
+      |    THEN NULL
+      |    ELSE CAST((SUM(pre * (1 - post)) - SUM((1 - pre) * post))
+      |      * (SUM(pre * (1 - post)) - SUM((1 - pre) * post)) * 1000000
+      |      // (SUM(pre * (1 - post)) + SUM((1 - pre) * post)) AS BIGINT)
+      |    END AS chi2_micro,
+      |  CASE WHEN SUM(pre * (1 - post)) + SUM((1 - pre) * post) = 0
+      |    THEN NULL
+      |    ELSE CAST((SUM(pre * (1 - post)) - SUM((1 - pre) * post))
+      |      * (SUM(pre * (1 - post)) - SUM((1 - pre) * post)) * 1000000
+      |      // (SUM(pre * (1 - post)) + SUM((1 - pre) * post)) AS BIGINT)
+      |      > 3841459 END AS significant
+      |FROM u GROUP BY event_type
+      |ORDER BY event_type""") { (s, d) =>
+    val u = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        when(col("ts") < lit("2024-01-16 00:00:00").cast(TimestampType), 1L)
+          .otherwise(0L).as("pre_f"),
+        when(col("ts") >= lit("2024-01-16 00:00:00").cast(TimestampType), 1L)
+          .otherwise(0L).as("post_f"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max(col("pre_f")).as("pre"), max(col("post_f")).as("post"))
+    u.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("pre") * (lit(1L) - col("post"))).as("b"),
+        sum((lit(1L) - col("pre")) * col("post")).as("c"))
+      .select(col("event_type"), col("n_users"),
+        col("b").as("n_pre_only"), col("c").as("n_post_only"),
+        when(col("b") + col("c") === 0L, lit(null).cast(LongType))
+          .otherwise(expr("(b - c) * (b - c) * 1000000 div (b + c)"))
+          .as("chi2_micro"),
+        when(col("b") + col("c") === 0L, lit(null).cast(BooleanType))
+          .otherwise(expr("(b - c) * (b - c) * 1000000 div (b + c)")
+            > 3841459L).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Fleiss' kappa (r18) — multi-rater chance-corrected agreement,
+    * the n-rater generalization of the graded `eval_cohens_kappa`
+    * (2 raters): three deterministic rule-raters categorize every
+    * document by token count with rater-specific boundaries (the
+    * disagreement band between 40 and 60 / 140 and 160 tokens is
+    * real), and κ = (P̄−P̄e)/(1−P̄e) is ONE exact rational after
+    * clearing denominators: with n=3 raters, N docs, S = Σᵢⱼ nᵢⱼ²
+    * and T = Σⱼ Cⱼ², κ·ppm = (3N(S−3N) − 2T)·10⁶ div (18N² − 2T)
+    * (complete-agreement den=0 guarded NULL). Per-doc category
+    * counts are row-local; the grade is one corpus fold — the
+    * agreement audit a labeling pipeline publishes per batch. */
+  val statsFleissKappa: QDef = q(
+    "stats_fleiss_kappa",
+    """WITH t AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |r AS (
+      |  SELECT
+      |    CASE WHEN ntok < 50 THEN 0 WHEN ntok < 150 THEN 1 ELSE 2 END AS r0,
+      |    CASE WHEN ntok < 60 THEN 0 WHEN ntok < 140 THEN 1 ELSE 2 END AS r1,
+      |    CASE WHEN ntok < 40 THEN 0 WHEN ntok < 160 THEN 1 ELSE 2 END AS r2
+      |  FROM t),
+      |n AS (
+      |  SELECT
+      |    (CASE WHEN r0 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r1 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS n0,
+      |    (CASE WHEN r0 = 1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r1 = 1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS n1,
+      |    (CASE WHEN r0 = 2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r1 = 2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS n2
+      |  FROM r),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+      |    CAST(SUM(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS s_sq,
+      |    CAST(SUM(n0) AS BIGINT) AS c0, CAST(SUM(n1) AS BIGINT) AS c1,
+      |    CAST(SUM(n2) AS BIGINT) AS c2
+      |  FROM n)
+      |SELECT nd AS n_docs, s_sq, c0, c1, c2,
+      |  CAST((s_sq - 3 * nd) * 1000000 // (6 * nd) AS BIGINT) AS pbar_ppm,
+      |  CAST((c0 * c0 + c1 * c1 + c2 * c2) * 1000000 // (9 * nd * nd)
+      |    AS BIGINT) AS pe_ppm,
+      |  CASE WHEN 18 * nd * nd - 2 * (c0 * c0 + c1 * c1 + c2 * c2) = 0
+      |    THEN NULL
+      |    ELSE CAST((3 * nd * (s_sq - 3 * nd)
+      |        - 2 * (c0 * c0 + c1 * c1 + c2 * c2)) * 1000000
+      |      // (18 * nd * nd - 2 * (c0 * c0 + c1 * c1 + c2 * c2))
+      |      AS BIGINT) END AS kappa_ppm
+      |FROM f""") { (s, d) =>
+    val ntok = size(split(col("text"), " ")).cast(LongType)
+    def cat(lo: Long, hi: Long): Column =
+      when(col("ntok") < lo, 0L).when(col("ntok") < hi, 1L).otherwise(2L)
+    val r = Tables.documents(s, d).select(ntok.as("ntok"))
+      .select(cat(50, 150).as("r0"), cat(60, 140).as("r1"),
+        cat(40, 160).as("r2"))
+    def nj(j: Long): Column =
+      Seq("r0", "r1", "r2")
+        .map(c => when(col(c) === j, 1L).otherwise(0L)).reduce(_ + _)
+    val f = r.select(nj(0).as("n0"), nj(1).as("n1"), nj(2).as("n2"))
+      .agg(count(lit(1)).as("nd"),
+        sum(col("n0") * col("n0") + col("n1") * col("n1")
+          + col("n2") * col("n2")).as("s_sq"),
+        sum(col("n0")).as("c0"), sum(col("n1")).as("c1"),
+        sum(col("n2")).as("c2"))
+    f.select(col("nd").as("n_docs"), col("s_sq"), col("c0"), col("c1"),
+        col("c2"),
+        expr("(s_sq - 3 * nd) * 1000000 div (6 * nd)").as("pbar_ppm"),
+        expr("(c0 * c0 + c1 * c1 + c2 * c2) * 1000000 div (9 * nd * nd)")
+          .as("pe_ppm"),
+        when(expr("18 * nd * nd - 2 * (c0 * c0 + c1 * c1 + c2 * c2)") === 0L,
+          lit(null).cast(LongType))
+          .otherwise(expr(
+            """(3 * nd * (s_sq - 3 * nd)
+              | - 2 * (c0 * c0 + c1 * c1 + c2 * c2)) * 1000000
+              | div (18 * nd * nd
+              | - 2 * (c0 * c0 + c1 * c1 + c2 * c2))""".stripMargin))
+          .as("kappa_ppm"))
+  }
+
+  /** Curriculum schedule plan (r18) — the length-ordered training
+    * curriculum (short/simple documents first) computed WITHOUT a
+    * global sort: the corpus's token-count HISTOGRAM (bounded by
+    * distinct lengths, not corpus size) is cumulated by a broadcast
+    * value self-join — the `ann_hnsw_layer_assign` cumulative
+    * pattern, no unpartitioned window anywhere — and each length
+    * block is assigned phase ⌊cum_before·4/N⌋ (capped at 3): every
+    * doc of one length lands in one phase, the convention a
+    * histogram-driven scheduler ships. Graded per phase: doc census,
+    * length bounds, token mass and its corpus share in ppm — the
+    * table a curriculum sampler consumes. At 100 TB the histogram is
+    * a few thousand rows regardless of corpus size. */
+  val mixCurriculumSchedule: QDef = q(
+    "mix_curriculum_schedule",
+    """WITH t AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |h AS (
+      |  SELECT ntok, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(ntok) AS BIGINT) AS toks
+      |  FROM t GROUP BY ntok),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+      |  CAST(SUM(toks) AS BIGINT) AS tok_all FROM h),
+      |cum AS (
+      |  SELECT a.ntok, a.n_docs, a.toks,
+      |    CAST(COALESCE(SUM(b.n_docs), 0) AS BIGINT) AS cum_before
+      |  FROM h a LEFT JOIN h b ON b.ntok < a.ntok
+      |  GROUP BY a.ntok, a.n_docs, a.toks),
+      |ph AS (
+      |  SELECT LEAST(3, cum_before * 4 // n) AS phase, c.*
+      |  FROM cum c, tot)
+      |SELECT CAST(phase AS BIGINT) AS phase,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  MIN(ntok) AS min_ntok, MAX(ntok) AS max_ntok,
+      |  CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(toks) * 1000000 // MAX(t2.tok_all) AS BIGINT)
+      |    AS token_share_ppm
+      |FROM ph, tot t2 GROUP BY phase ORDER BY phase""") { (s, d) =>
+    val h = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast(LongType).as("ntok"))
+      .groupBy(col("ntok"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("toks"))
+    val tot = h.agg(sum(col("n_docs")).as("n"), sum(col("toks")).as("tok_all"))
+    val cum = h.as("a")
+      .join(broadcast(h.select(col("ntok").as("b_ntok"),
+          col("n_docs").as("b_n"))),
+        col("b_ntok") < col("a.ntok"), "left")
+      .groupBy(col("a.ntok").as("ntok"), col("a.n_docs").as("n_docs"),
+        col("a.toks").as("toks"))
+      .agg(coalesce(sum(col("b_n")), lit(0L)).as("cum_before"))
+    cum.crossJoin(broadcast(tot))
+      .select(least(lit(3L), expr("cum_before * 4 div n")).as("phase"),
+        col("n_docs"), col("ntok"), col("toks"), col("tok_all"))
+      .groupBy(col("phase"))
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("ntok")).as("min_ntok"),
+        max(col("ntok")).as("max_ntok"), sum(col("toks")).as("sum_tokens"),
+        expr("sum(toks) * 1000000 div max(tok_all)").as("token_share_ppm"))
+      .orderBy(col("phase"))
+  }
+
+  /** Importance-sampling effective sample size (r18) — the mixture
+    * health check next to the mix_* planners: re-weighting the
+    * corpus from its ACTUAL source shares to a TARGET mix (here ∝
+    * per-source character mass — the "weight sources by content, not
+    * doc count" shift) costs statistical efficiency, and
+    * ESS/N = (Σw)²/(N·Σw²) is the number that says how much. Weights
+    * are exact micro rationals (target_ppm·10⁶ div actual_ppm), the
+    * ESS fold clears to one DECIMAL(38)/HUGEINT rational in ppm —
+    * deterministic to the last digit at any scale. Per source:
+    * census, actual vs target shares, the weight; the global ESS
+    * rides every row (1-row broadcast). Source-sized shuffles
+    * only. */
+  val sampleEssImportance: QDef = q(
+    "sample_ess_importance",
+    """WITH s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+      |  CAST(SUM(chars) AS BIGINT) AS chars_all FROM s),
+      |w AS (
+      |  SELECT source, n_docs,
+      |    CAST(n_docs * 1000000 // n AS BIGINT) AS actual_ppm,
+      |    CAST(chars * 1000000 // chars_all AS BIGINT) AS target_ppm,
+      |    CAST((chars * 1000000 // chars_all) * 1000000
+      |      // (n_docs * 1000000 // n) AS BIGINT) AS w_micro
+      |  FROM s, tot),
+      |ess AS (
+      |  SELECT CAST(SUM(n_docs * w_micro) AS HUGEINT) AS sw,
+      |    CAST(SUM(n_docs * w_micro * w_micro) AS HUGEINT) AS sww,
+      |    CAST(SUM(n_docs) AS HUGEINT) AS n
+      |  FROM w)
+      |SELECT w.source, w.n_docs, w.actual_ppm, w.target_ppm, w.w_micro,
+      |  CAST(ess.sw * ess.sw * 1000000 // (ess.n * ess.sww) AS BIGINT)
+      |    AS ess_ppm
+      |FROM w, ess ORDER BY w.source""") { (s, d) =>
+    val src = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val tot = src.agg(sum(col("n_docs")).as("n"),
+      sum(col("chars")).as("chars_all"))
+    val w = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("n_docs * 1000000 div n").as("actual_ppm"),
+        expr("chars * 1000000 div chars_all").as("target_ppm"))
+      .select(col("source"), col("n_docs"), col("actual_ppm"),
+        col("target_ppm"),
+        expr("target_ppm * 1000000 div actual_ppm").as("w_micro"))
+    val ess = w.agg(
+      sum(col("n_docs") * col("w_micro")).cast(DecimalType(38, 0)).as("sw"),
+      sum(col("n_docs") * col("w_micro") * col("w_micro"))
+        .cast(DecimalType(38, 0)).as("sww"),
+      sum(col("n_docs")).cast(DecimalType(38, 0)).as("nn"))
+    w.crossJoin(broadcast(ess))
+      .select(col("source"), col("n_docs"), col("actual_ppm"),
+        col("target_ppm"), col("w_micro"),
+        expr("CAST(sw * sw * 1000000 div (nn * sww) AS BIGINT)")
+          .as("ess_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Partial autocorrelation at lag 2 (r18) — the AR-order probe
+    * that complements `ts_acf_lags` (raw ACF): via Durbin–Levinson,
+    * φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²) — the lag-2 correlation AFTER
+    * removing what lag 1 already explains, THE number that separates
+    * an AR(1) daily series (φ₂₂ ≈ 0) from one needing a second-order
+    * model. ρ₁/ρ₂ are the ts_acf_lags lag-Pearson spellings verbatim
+    * (exact DECIMAL(38) sums into one identical float tree);
+    * φ₂₂ is one more float op on those identical doubles, degenerate
+    * 1−ρ₁² = 0 guarded NULL. Day-pair joins on the calendar-day
+    * grid, everything after day-sized. */
+  val tsPacfLag2: QDef = q(
+    "ts_pacf_lag2",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, day),
+      |lg AS (SELECT * FROM (VALUES (1), (2)) t(lag)),
+      |p AS (
+      |  SELECT a.event_type, lg.lag, a.cents AS x, b.cents AS y
+      |  FROM dtot a CROSS JOIN lg
+      |  JOIN dtot b ON b.event_type = a.event_type
+      |    AND b.day = a.day + CAST(lg.lag AS INTEGER)),
+      |s AS (
+      |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |  FROM p GROUP BY event_type, lag),
+      |r AS (
+      |  SELECT event_type, lag, n,
+      |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (sqrt(n * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * sqrt(n * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |  FROM s)
+      |SELECT a1.event_type, a1.n AS n1, a2.n AS n2,
+      |  a1.acf AS acf1, a2.acf AS acf2,
+      |  CASE WHEN 1 - a1.acf * a1.acf = 0 THEN NULL
+      |    ELSE (a2.acf - a1.acf * a1.acf) / (1 - a1.acf * a1.acf)
+      |    END AS pacf2
+      |FROM r a1 JOIN r a2
+      |  ON a2.event_type = a1.event_type AND a1.lag = 1 AND a2.lag = 2
+      |ORDER BY a1.event_type""") { (s, d) =>
+    import s.implicits._
+    val dtot = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).cast(LongType).as("cents"))
+    val lg = Seq(1, 2).toDF("lag")
+    val p = dtot.as("a").crossJoin(broadcast(lg))
+      .join(dtot.select(col("event_type").as("bt"), col("day").as("bd"),
+          col("cents").as("y")),
+        col("bt") === col("a.event_type") &&
+          col("bd") === date_add(col("a.day"), col("lag")))
+      .select(col("a.event_type").as("event_type"), col("lag"),
+        col("a.cents").as("x"), col("y"))
+    val dec = DecimalType(38, 0)
+    val st = p.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+    val r = st.select(col("event_type"), col("lag"), col("n"),
+      ((col("n") * col("sxy").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+        / (sqrt(col("n") * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+          * sqrt(col("n") * col("syy").cast(DoubleType)
+            - col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+        .as("acf"))
+    val a1 = r.filter(col("lag") === 1)
+      .select(col("event_type"), col("n").as("n1"), col("acf").as("acf1"))
+    val a2 = r.filter(col("lag") === 2)
+      .select(col("event_type").as("t2"), col("n").as("n2"),
+        col("acf").as("acf2"))
+    a1.join(broadcast(a2), col("t2") === col("event_type"))
+      .select(col("event_type"), col("n1"), col("n2"), col("acf1"),
+        col("acf2"),
+        when(lit(1.0) - col("acf1") * col("acf1") === 0.0,
+          lit(null).cast(DoubleType))
+          .otherwise((col("acf2") - col("acf1") * col("acf1"))
+            / (lit(1.0) - col("acf1") * col("acf1"))).as("pacf2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Theil T inequality index (r18) — the decomposable concentration
+    * measure next to `agg_gini_value` (rank-based): per nation, over
+    * its customers' order-revenue totals, T = (1/n)Σ(xᵢ/μ)ln(xᵢ/μ).
+    * Revenue is exact integer cents; each customer's term is
+    * quantized to floor-micro THROUGH one identical float tree on
+    * exact integer inputs (r = x·n/S with both products inside
+    * double-exact range, then r·ln(r)·10⁶ floored) and the nation
+    * fold is an exact BIGINT sum — summation order cannot drift a
+    * bit. Two keyed aggs (customer totals, nation fold) + a
+    * broadcast dim join; the nation mean ships as floor-cents. */
+  val aggTheilIndex: QDef = q(
+    "agg_theil_index",
+    """WITH cx AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders GROUP BY o_custkey),
+      |cn AS (
+      |  SELECT n.n_name, cx.x
+      |  FROM cx JOIN customer c ON c.c_custkey = cx.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |f AS (
+      |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx
+      |  FROM cn GROUP BY n_name),
+      |t AS (
+      |  SELECT cn.n_name,
+      |    CAST(floor((CAST(cn.x * f.n AS DOUBLE) / f.sx)
+      |      * ln(CAST(cn.x * f.n AS DOUBLE) / f.sx) * 1000000) AS BIGINT)
+      |      AS term
+      |  FROM cn JOIN f ON f.n_name = cn.n_name)
+      |SELECT f.n_name, f.n AS n_customers,
+      |  CAST(f.sx // f.n AS BIGINT) AS mean_cents,
+      |  CAST(SUM(t.term) // f.n AS BIGINT) AS theil_micro
+      |FROM t JOIN f ON f.n_name = t.n_name
+      |GROUP BY f.n_name, f.n, f.sx
+      |ORDER BY f.n_name""") { (s, d) =>
+    val cx = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
+        .cast(LongType).as("x"))
+    val cn = cx
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("x"))
+    val f = cn.groupBy(col("n_name").as("f_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast(LongType).as("sx"))
+    val ratio = (col("x") * col("n")).cast(DoubleType) / col("sx")
+    cn.join(broadcast(f), col("f_name") === col("n_name"))
+      .select(col("n_name"), col("n"), col("sx"),
+        floor(ratio * log(ratio) * 1000000).cast(LongType).as("term"))
+      .groupBy(col("n_name"), col("n"), col("sx"))
+      .agg(sum(col("term")).as("st"))
+      .select(col("n_name"), col("n").as("n_customers"),
+        expr("sx div n").as("mean_cents"),
+        expr("st div n").as("theil_micro"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupSemanticPrune, annIvfProbeSweep, annHnswGreedyRoute,
     simRerankTwoStage, graphEdgeStoreRoundtrip, graphAdamicAdar,
-    dqSchemaDrift, curationCascadeCost)
+    dqSchemaDrift, curationCascadeCost, statsMcnemarPaired,
+    statsFleissKappa, mixCurriculumSchedule, sampleEssImportance,
+    tsPacfLag2, aggTheilIndex)
 }
