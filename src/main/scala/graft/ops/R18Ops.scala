@@ -1109,10 +1109,325 @@ object R18Ops {
       .orderBy(col("n_name"))
   }
 
+  /** Maximal Marginal Relevance diversified top-k (r18) — the
+    * diversity-aware selection every production RAG retriever runs
+    * after similarity search (Carbonell & Goldstein 1998): from each
+    * panel probe's top-20 relevance candidates (milli-dot, the
+    * two-stage convention), greedily pick 5 where pick r maximizes
+    * λ·rel(q,i) − (1−λ)·max_{j∈picked} sim(i,j) with λ = 7/10 — so
+    * score×10 = 7·rel − 3·max_sim is EXACT INTEGER algebra on the
+    * two milli-dot families (relevance to the probe, redundancy
+    * among candidates), ties to the smaller vec_id. The five rounds
+    * are unrolled (bounded k, the `graph_bfs_levels` convention);
+    * every post-candidate frame is panel×20-sized, the candidate
+    * pair dots are 20×20 per probe — never corpus². Graded as the
+    * ranked pick list with the redundancy penalty that drove each
+    * pick. */
+  val simMmrDiversify: QDef = q(
+    "sim_mmr_diversify",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |cv AS (
+      |  SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qc
+      |  FROM embeddings CROSS JOIN dims),
+      |qp AS (SELECT vec_id AS q_id, i, qc AS qqc FROM cv WHERE vec_id < 8),
+      |dots AS (
+      |  SELECT qp.q_id, cv.vec_id, SUM(cv.qc * qp.qqc) AS rel
+      |  FROM cv JOIN qp ON cv.i = qp.i AND cv.vec_id <> qp.q_id
+      |  GROUP BY qp.q_id, cv.vec_id),
+      |cand AS (
+      |  SELECT q_id, vec_id, rel FROM (
+      |    SELECT q_id, vec_id, rel,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id)
+      |        AS rn
+      |    FROM dots) WHERE rn <= 20),
+      |cc AS (
+      |  SELECT c.q_id, c.vec_id, cv.i, cv.qc
+      |  FROM cand c JOIN cv ON cv.vec_id = c.vec_id),
+      |cp AS (
+      |  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+      |    SUM(a.qc * b.qc) AS sim
+      |  FROM cc a JOIN cc b
+      |    ON b.q_id = a.q_id AND b.i = a.i AND b.vec_id <> a.vec_id
+      |  GROUP BY a.q_id, a.vec_id, b.vec_id),
+      |p1 AS (
+      |  SELECT q_id, vec_id, rel, CAST(0 AS BIGINT) AS max_sim FROM (
+      |    SELECT q_id, vec_id, rel,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id)
+      |        AS rn
+      |    FROM cand) WHERE rn = 1),
+      |m2 AS (
+      |  SELECT c.q_id, c.vec_id, c.rel, MAX(cp.sim) AS ms
+      |  FROM cand c
+      |  JOIN p1 ON p1.q_id = c.q_id AND p1.vec_id <> c.vec_id
+      |  JOIN cp ON cp.q_id = c.q_id AND cp.va = c.vec_id
+      |    AND cp.vb = p1.vec_id
+      |  GROUP BY c.q_id, c.vec_id, c.rel),
+      |p2 AS (
+      |  SELECT q_id, vec_id, rel, ms AS max_sim FROM (
+      |    SELECT q_id, vec_id, rel, ms,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY 7 * rel - 3 * ms DESC, vec_id) AS rn
+      |    FROM m2) WHERE rn = 1),
+      |s2 AS (SELECT q_id, vec_id FROM p1
+      |  UNION ALL SELECT q_id, vec_id FROM p2),
+      |m3 AS (
+      |  SELECT c.q_id, c.vec_id, c.rel, MAX(cp.sim) AS ms
+      |  FROM cand c
+      |  JOIN cp ON cp.q_id = c.q_id AND cp.va = c.vec_id
+      |  JOIN s2 ON s2.q_id = c.q_id AND s2.vec_id = cp.vb
+      |  WHERE NOT EXISTS (SELECT 1 FROM s2 x
+      |    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+      |  GROUP BY c.q_id, c.vec_id, c.rel),
+      |p3 AS (
+      |  SELECT q_id, vec_id, rel, ms AS max_sim FROM (
+      |    SELECT q_id, vec_id, rel, ms,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY 7 * rel - 3 * ms DESC, vec_id) AS rn
+      |    FROM m3) WHERE rn = 1),
+      |s3 AS (SELECT * FROM s2 UNION ALL SELECT q_id, vec_id FROM p3),
+      |m4 AS (
+      |  SELECT c.q_id, c.vec_id, c.rel, MAX(cp.sim) AS ms
+      |  FROM cand c
+      |  JOIN cp ON cp.q_id = c.q_id AND cp.va = c.vec_id
+      |  JOIN s3 ON s3.q_id = c.q_id AND s3.vec_id = cp.vb
+      |  WHERE NOT EXISTS (SELECT 1 FROM s3 x
+      |    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+      |  GROUP BY c.q_id, c.vec_id, c.rel),
+      |p4 AS (
+      |  SELECT q_id, vec_id, rel, ms AS max_sim FROM (
+      |    SELECT q_id, vec_id, rel, ms,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY 7 * rel - 3 * ms DESC, vec_id) AS rn
+      |    FROM m4) WHERE rn = 1),
+      |s4 AS (SELECT * FROM s3 UNION ALL SELECT q_id, vec_id FROM p4),
+      |m5 AS (
+      |  SELECT c.q_id, c.vec_id, c.rel, MAX(cp.sim) AS ms
+      |  FROM cand c
+      |  JOIN cp ON cp.q_id = c.q_id AND cp.va = c.vec_id
+      |  JOIN s4 ON s4.q_id = c.q_id AND s4.vec_id = cp.vb
+      |  WHERE NOT EXISTS (SELECT 1 FROM s4 x
+      |    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+      |  GROUP BY c.q_id, c.vec_id, c.rel),
+      |p5 AS (
+      |  SELECT q_id, vec_id, rel, ms AS max_sim FROM (
+      |    SELECT q_id, vec_id, rel, ms,
+      |      row_number() OVER (PARTITION BY q_id
+      |        ORDER BY 7 * rel - 3 * ms DESC, vec_id) AS rn
+      |    FROM m5) WHERE rn = 1),
+      |picks AS (
+      |  SELECT q_id, 1 AS rank, vec_id, rel, max_sim FROM p1
+      |  UNION ALL SELECT q_id, 2, vec_id, rel, max_sim FROM p2
+      |  UNION ALL SELECT q_id, 3, vec_id, rel, max_sim FROM p3
+      |  UNION ALL SELECT q_id, 4, vec_id, rel, max_sim FROM p4
+      |  UNION ALL SELECT q_id, 5, vec_id, rel, max_sim FROM p5)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+      |  CAST(rel AS BIGINT) AS rel_milli,
+      |  CAST(max_sim AS BIGINT) AS max_sim_milli,
+      |  CAST(7 * rel - 3 * max_sim AS BIGINT) AS mmr_score_x10
+      |FROM picks ORDER BY q_id, rank""") { (s, d) =>
+    val cv = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("qc"))
+    val qp = cv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("i").as("qi"),
+        col("qc").as("qqc"))
+    val dots = cv.join(broadcast(qp),
+        col("i") === col("qi") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qc") * col("qqc")).as("rel"))
+    val wq = Window.partitionBy(col("q_id"))
+    val cand = dots.withColumn("rn",
+        row_number().over(wq.orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") <= 20).select(col("q_id"), col("vec_id"), col("rel"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cc = cand.select(col("q_id"), col("vec_id"))
+      .join(cv.select(col("vec_id").as("c_vec"), col("i"), col("qc")),
+        col("c_vec") === col("vec_id"))
+    val cp = cc.select(col("q_id"), col("vec_id").as("va"), col("i"),
+        col("qc"))
+      .join(cc.select(col("q_id").as("b_q"), col("vec_id").as("vb"),
+          col("i").as("b_i"), col("qc").as("b_qc")),
+        col("b_q") === col("q_id") && col("b_i") === col("i") &&
+          col("vb") =!= col("va"))
+      .groupBy(col("q_id"), col("va"), col("vb"))
+      .agg(sum(col("qc") * col("b_qc")).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 1: pure relevance argmax; rounds 2..5: unrolled MMR —
+    // each round is (candidates ⋈ picked-set pair sims) → max_sim →
+    // one q_id-partitioned argmax window, all frames panel×20-sized
+    val p1 = cand.withColumn("rn",
+        row_number().over(wq.orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id"), col("rel"),
+        lit(0L).as("max_sim"), lit(1L).as("rank"))
+    def nextPick(sel: DataFrame, rank: Int): DataFrame = {
+      val selV = sel.select(col("q_id").as("s_q"), col("vec_id").as("s_vec"))
+      val ms = cand
+        .join(selV, col("s_q") === col("q_id") &&
+          col("s_vec") === col("vec_id"), "left_anti")
+        .join(cp.select(col("q_id").as("p_q"), col("va"), col("vb"),
+            col("sim")),
+          col("p_q") === col("q_id") && col("va") === col("vec_id"))
+        .join(selV, col("s_q") === col("q_id") && col("s_vec") === col("vb"))
+        .groupBy(col("q_id"), col("vec_id"), col("rel"))
+        .agg(max(col("sim")).as("ms"))
+      ms.withColumn("rn", row_number().over(wq.orderBy(
+          (lit(7L) * col("rel") - lit(3L) * col("ms")).desc, col("vec_id"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel"),
+          col("ms").as("max_sim"), lit(rank.toLong).as("rank"))
+    }
+    var sel = p1
+    for (r <- 2 to 5) sel = sel.unionByName(nextPick(sel, r))
+    sel.select(col("q_id"), col("rank"), col("vec_id"),
+        col("rel").as("rel_milli"), col("max_sim").as("max_sim_milli"),
+        (lit(7L) * col("rel") - lit(3L) * col("max_sim"))
+          .as("mmr_score_x10"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ECE + Murphy Brier decomposition (r18) — the single-number
+    * calibration verdicts over the graded `eval_calibration_bins`
+    * construction (date-position pseudo-score vs order-status
+    * outcome, ONE spelling): expected calibration error
+    * ECE = Σ_b (n_b/N)·|p̄_b − ȳ_b| and the Brier decomposition
+    * reliability − resolution + uncertainty, all computed over the
+    * SAME floored bin means the bins key ships (stated convention:
+    * the decomposition is of the binned forecaster). Exact integer
+    * ppm/ppm² end to end — the squares ride DECIMAL(38)/HUGEINT.
+    * One scan, one 10-bin agg, one fold. */
+  val evalEceBrierDecomp: QDef = q(
+    "eval_ece_brier_decomp",
+    """WITH b AS (
+      |  SELECT CAST(MIN(o_orderdate) AS DATE) AS mn,
+      |    date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+      |      CAST(MAX(o_orderdate) AS DATE)) AS span
+      |  FROM orders),
+      |sc AS (
+      |  SELECT
+      |    date_diff('day', mn, CAST(o_orderdate AS DATE)) * 1000000 // span
+      |      AS p_ppm,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders CROSS JOIN b),
+      |bins AS (
+      |  SELECT least(p_ppm // 100000, 9) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS pbar,
+      |    CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS ybar,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM((p_ppm - y * 1000000) * (p_ppm - y * 1000000))
+      |      AS HUGEINT) AS sb
+      |  FROM sc GROUP BY bin),
+      |f AS (
+      |  SELECT CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(sy) AS HUGEINT) AS syy,
+      |    CAST(SUM(n * abs(pbar - ybar)) AS HUGEINT) AS e,
+      |    CAST(SUM(CAST(n AS HUGEINT) * (pbar - ybar) * (pbar - ybar))
+      |      AS HUGEINT) AS rel,
+      |    CAST(SUM(sb) AS HUGEINT) AS sbb
+      |  FROM bins),
+      |g AS (
+      |  SELECT f.*, CAST(syy * 1000000 // nn AS HUGEINT) AS ybar_all FROM f)
+      |SELECT CAST(nn AS BIGINT) AS n,
+      |  CAST(e // nn AS BIGINT) AS ece_ppm,
+      |  CAST(sbb // nn AS BIGINT) AS brier_ppm2,
+      |  CAST(rel // nn AS BIGINT) AS reliability_ppm2,
+      |  CAST((SELECT CAST(SUM(CAST(n AS HUGEINT)
+      |      * (ybar - g.ybar_all) * (ybar - g.ybar_all)) AS HUGEINT)
+      |    FROM bins) // nn AS BIGINT) AS resolution_ppm2,
+      |  CAST(ybar_all * (1000000 - ybar_all) AS BIGINT) AS uncertainty_ppm2
+      |FROM g""") { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val b = Tables.orders(s, d)
+      .agg(min(col("o_orderdate").cast(DateType)).as("mn"),
+        datediff(max(col("o_orderdate").cast(DateType)),
+          min(col("o_orderdate").cast(DateType))).as("span"))
+    val sc = Tables.orders(s, d)
+      .crossJoin(broadcast(b))
+      .select(
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), mn) AS BIGINT)" +
+          " * 1000000 div span").as("p_ppm"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val bins = sc.groupBy(expr("least(p_ppm div 100000, 9)").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p_ppm")).as("sp"),
+        sum(col("y")).as("sy"),
+        sum(expr("(p_ppm - y * 1000000) * (p_ppm - y * 1000000)"))
+          .cast(dec).as("sb"))
+      .select(col("bin"), col("n"), col("sy"), col("sb"),
+        expr("CAST(sp div n AS BIGINT)").as("pbar"),
+        expr("CAST(sy * 1000000 div n AS BIGINT)").as("ybar"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val f = bins.agg(
+      sum(col("n")).cast(dec).as("nn"), sum(col("sy")).cast(dec).as("syy"),
+      sum(col("n") * abs(col("pbar") - col("ybar"))).cast(dec).as("e"),
+      sum(col("n").cast(dec) * (col("pbar") - col("ybar"))
+        * (col("pbar") - col("ybar"))).cast(dec).as("rel"),
+      sum(col("sb")).cast(dec).as("sbb"))
+      .select(col("nn"), col("syy"), col("e"), col("rel"), col("sbb"),
+        expr("CAST(syy * 1000000 div nn AS DECIMAL(38,0))").as("ybar_all"))
+    val res = bins.crossJoin(broadcast(f.select(col("ybar_all")
+        .as("yb_all"))))
+      .agg(sum(col("n").cast(dec) * (col("ybar") - col("yb_all"))
+        * (col("ybar") - col("yb_all"))).cast(dec).as("resn"))
+    f.crossJoin(broadcast(res))
+      .select(expr("CAST(nn AS BIGINT)").as("n"),
+        expr("CAST(e div nn AS BIGINT)").as("ece_ppm"),
+        expr("CAST(sbb div nn AS BIGINT)").as("brier_ppm2"),
+        expr("CAST(rel div nn AS BIGINT)").as("reliability_ppm2"),
+        expr("CAST(resn div nn AS BIGINT)").as("resolution_ppm2"),
+        expr("CAST(ybar_all * (1000000 - ybar_all) AS BIGINT)")
+          .as("uncertainty_ppm2"))
+  }
+
+  /** Differential-privacy budget composition (r18) — the accounting
+    * ladder's missing rung above k-anonymity/l-diversity/
+    * t-closeness: each event type is an "analyst" issuing one
+    * ε₀ = 0.1 query per active day, and the key grades basic
+    * composition (k·ε₀ — linear, what a naive accountant charges)
+    * against the advanced bound ε₀√(2k·ln(1/δ')) + k·ε₀(exp(ε₀)−1) at
+    * δ' = 10⁻⁶ (Dwork–Rothblum–Vadhan) — THE table that says when
+    * the√k accounting wins and a budget stretches to more queries.
+    * k is an exact distinct-day count; both bounds are one identical
+    * float tree on that integer, floored to micro. Day-sized aggs
+    * only. */
+  val privacyEpsilonComposition: QDef = q(
+    "privacy_epsilon_composition",
+    """WITH k AS (
+      |  SELECT event_type,
+      |    CAST(COUNT(DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+      |      AS DATE)) AS BIGINT) AS n_queries
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n_queries,
+      |  CAST(n_queries * 100000 AS BIGINT) AS eps_basic_micro,
+      |  CAST(floor((0.1 * sqrt(2.0 * n_queries * ln(1000000.0))
+      |    + n_queries * 0.1 * (exp(0.1) - 1.0)) * 1000000) AS BIGINT)
+      |    AS eps_advanced_micro,
+      |  CAST(floor((0.1 * sqrt(2.0 * n_queries * ln(1000000.0))
+      |    + n_queries * 0.1 * (exp(0.1) - 1.0)) * 1000000) AS BIGINT)
+      |    < CAST(n_queries * 100000 AS BIGINT) AS advanced_wins
+      |FROM k ORDER BY event_type""") { (s, d) =>
+    val k = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("day")).as("n_queries"))
+    val adv = floor((lit(0.1) * sqrt(lit(2.0) * col("n_queries")
+        * log(lit(1000000.0)))
+      + col("n_queries") * lit(0.1) * (exp(lit(0.1)) - lit(1.0)))
+      * 1000000).cast(LongType)
+    k.select(col("event_type"), col("n_queries"),
+        (col("n_queries") * 100000L).as("eps_basic_micro"),
+        adv.as("eps_advanced_micro"),
+        (adv < col("n_queries") * 100000L).as("advanced_wins"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupSemanticPrune, annIvfProbeSweep, annHnswGreedyRoute,
     simRerankTwoStage, graphEdgeStoreRoundtrip, graphAdamicAdar,
     dqSchemaDrift, curationCascadeCost, statsMcnemarPaired,
     statsFleissKappa, mixCurriculumSchedule, sampleEssImportance,
-    tsPacfLag2, aggTheilIndex)
+    tsPacfLag2, aggTheilIndex, simMmrDiversify, evalEceBrierDecomp,
+    privacyEpsilonComposition)
 }
