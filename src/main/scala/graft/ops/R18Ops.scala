@@ -1059,9 +1059,11 @@ object R18Ops {
     * fold is an exact BIGINT sum — summation order cannot drift a
     * bit. Two keyed aggs (customer totals, nation fold) + a
     * broadcast dim join; the nation mean ships as floor-cents. */
-  val aggTheilIndex: QDef = q(
-    "agg_theil_index",
-    """WITH cx AS (
+  /** (n_name, x): per-customer order-revenue cents tagged with the
+    * customer's nation — the shared base of the inequality pair
+    * (`agg_theil_index`, `agg_atkinson_index`). */
+  private val custRevCtes: String =
+    """cx AS (
       |  SELECT o_custkey,
       |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
       |      AS BIGINT) AS x
@@ -1069,7 +1071,22 @@ object R18Ops {
       |cn AS (
       |  SELECT n.n_name, cx.x
       |  FROM cx JOIN customer c ON c.c_custkey = cx.o_custkey
-      |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey)""".stripMargin
+
+  /** Spark twin of `custRevCtes`. */
+  private def custRevByNation(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
+        .cast(LongType).as("x"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("x"))
+
+  val aggTheilIndex: QDef = q(
+    "agg_theil_index",
+    s"""WITH $custRevCtes,
       |f AS (
       |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
       |    CAST(SUM(x) AS BIGINT) AS sx
@@ -1086,15 +1103,7 @@ object R18Ops {
       |FROM t JOIN f ON f.n_name = t.n_name
       |GROUP BY f.n_name, f.n, f.sx
       |ORDER BY f.n_name""") { (s, d) =>
-    val cx = Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))
-        .cast(LongType).as("x"))
-    val cn = cx
-      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
-      .join(broadcast(Tables.nation(s, d)),
-        col("n_nationkey") === col("c_nationkey"))
-      .select(col("n_name"), col("x"))
+    val cn = custRevByNation(s, d)
     val f = cn.groupBy(col("n_name").as("f_name"))
       .agg(count(lit(1)).as("n"), sum(col("x")).cast(LongType).as("sx"))
     val ratio = (col("x") * col("n")).cast(DoubleType) / col("sx")
@@ -1423,11 +1432,301 @@ object R18Ops {
       .orderBy(col("event_type"))
   }
 
+  /** Incremental edge-store maintenance (r18) — the daily-run
+    * companion to `graph_edge_store_roundtrip` (which certifies the
+    * store equals recomputation): the PRIOR half of orders
+    * (md5-parity on o_orderkey, the house snapshot convention)
+    * builds the stored edge table through the parquet sink; the
+    * increment half's edges classify against the STORED side only
+    * (anti-join = genuinely new partnerships, semi-join = already
+    * known), and the merged store is pinned against a full rebuild
+    * from ALL orders — the oracle states merged_minus_full as
+    * literal 0, so the incremental-maintenance identity
+    * stored ∪ increment ≡ rebuild is a hash-graded contract, not an
+    * assumption. At 100 TB the daily cost follows the increment and
+    * the store is read, never rebuilt; the rebuild leg here is the
+    * eval tier that certifies the identity. */
+  val graphEdgeStoreIncremental: QDef = q(
+    "graph_edge_store_incremental",
+    """WITH po AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <= '7'),
+      |io AS (
+      |  SELECT o_orderkey, o_custkey FROM orders
+      |  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) > '7'),
+      |ebp AS (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM po JOIN lineitem ON o_orderkey = l_orderkey),
+      |ebi AS (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM io JOIN lineitem ON o_orderkey = l_orderkey),
+      |ebf AS (
+      |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |nw AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_new FROM ebi
+      |  WHERE NOT EXISTS (SELECT 1 FROM ebp
+      |    WHERE ebp.ck = ebi.ck AND ebp.sk = ebi.sk))
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ebp) AS n_stored,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ebi) AS n_increment,
+      |  (SELECT n_new FROM nw) AS n_new,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ebi) - (SELECT n_new FROM nw)
+      |    AS n_dup,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ebp) + (SELECT n_new FROM nw)
+      |    AS n_merged,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ebf) AS n_full_rebuild,
+      |  CAST(0 AS BIGINT) AS merged_minus_full""") { (s, d) =>
+    val isPriorO =
+      substring(md5(col("o_orderkey").cast(StringType)), 1, 1) <= "7"
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    def eb(o: DataFrame): DataFrame = o
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    // prior edges go THROUGH the store (write + re-read) — the
+    // increment classifies against what a production run would read
+    val out = graft.TempDirs.create("graft_edgestore_inc")
+    eb(orders.filter(isPriorO)).sort(col("ck"), col("sk")).coalesce(1)
+      .write.mode("overwrite").parquet(out)
+    val stored = s.read.parquet(out).persist(StorageLevel.MEMORY_AND_DISK)
+    val ebi = eb(orders.filter(!isPriorO)).persist(StorageLevel.MEMORY_AND_DISK)
+    val st = stored.select(col("ck").as("s_ck"), col("sk").as("s_sk"))
+    val aNew = ebi.join(st,
+        col("ck") === col("s_ck") && col("sk") === col("s_sk"), "left_anti")
+      .agg(count(lit(1)).as("n_new"))
+    val aStored = stored.agg(count(lit(1)).as("n_stored"))
+    val aInc = ebi.agg(count(lit(1)).as("n_increment"))
+    val aFull = eb(orders).agg(count(lit(1)).as("n_full_rebuild"))
+    aStored.crossJoin(broadcast(aInc)).crossJoin(broadcast(aNew))
+      .crossJoin(broadcast(aFull))
+      .select(col("n_stored"), col("n_increment"), col("n_new"),
+        (col("n_increment") - col("n_new")).as("n_dup"),
+        (col("n_stored") + col("n_new")).as("n_merged"),
+        col("n_full_rebuild"),
+        (col("n_stored") + col("n_new") - col("n_full_rebuild"))
+          .as("merged_minus_full"))
+  }
+
+  /** Population Stability Index (r18) — the tabular drift score risk
+    * and ML-ops teams alarm on (the numeric complement to
+    * `drift_unigram_jsd`'s text JSD): order revenue binned on FIXED
+    * $50k-cents boundaries (scale-stable — quantile bins would move
+    * with the data), prior vs increment md5-halves, PSI =
+    * Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one (Laplace) smoothing so
+    * empty bins stay finite. Shares are exact add-one rationals;
+    * each bin's term is ONE identical float tree on those integers
+    * floored to micro, and the PSI fold is an exact BIGINT sum. One
+    * scan, one 10-bin × 2-half agg; the industry read: PSI < 0.1
+    * stable, > 0.25 alarm. */
+  val dqPsiPriceDrift: QDef = q(
+    "dq_psi_price_drift",
+    """WITH sc AS (
+      |  SELECT
+      |    CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <= '7'
+      |      THEN 1 ELSE 0 END AS prior,
+      |    LEAST(9, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+      |      // 5000000) AS bin
+      |  FROM orders),
+      |h AS (
+      |  SELECT bin,
+      |    CAST(SUM(prior) AS BIGINT) AS n_prior,
+      |    CAST(SUM(1 - prior) AS BIGINT) AS n_incr
+      |  FROM sc GROUP BY bin),
+      |tot AS (
+      |  SELECT CAST(SUM(n_prior) AS BIGINT) AS np,
+      |    CAST(SUM(n_incr) AS BIGINT) AS ni,
+      |    CAST(COUNT(*) AS BIGINT) AS nb
+      |  FROM h),
+      |t AS (
+      |  SELECT h.bin, h.n_prior, h.n_incr,
+      |    CAST((h.n_prior + 1) * 1000000 // (np + nb) AS BIGINT) AS p_ppm,
+      |    CAST((h.n_incr + 1) * 1000000 // (ni + nb) AS BIGINT) AS q_ppm,
+      |    CAST(floor(
+      |      (CAST(h.n_prior + 1 AS DOUBLE) / (np + nb)
+      |        - CAST(h.n_incr + 1 AS DOUBLE) / (ni + nb))
+      |      * ln((CAST(h.n_prior + 1 AS DOUBLE) / (np + nb))
+      |        / (CAST(h.n_incr + 1 AS DOUBLE) / (ni + nb)))
+      |      * 1000000) AS BIGINT) AS term_micro
+      |  FROM h, tot),
+      |psi AS (SELECT CAST(SUM(term_micro) AS BIGINT) AS psi_micro FROM t)
+      |SELECT t.bin, t.n_prior, t.n_incr, t.p_ppm, t.q_ppm, t.term_micro,
+      |  psi.psi_micro
+      |FROM t, psi ORDER BY t.bin""") { (s, d) =>
+    val h = Tables.orders(s, d)
+      .select(
+        when(substring(md5(col("o_orderkey").cast(StringType)), 1, 1) <= "7",
+          1L).otherwise(0L).as("prior"),
+        least(lit(9L), expr(
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 5000000"))
+          .as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("prior")).as("n_prior"),
+        sum(lit(1L) - col("prior")).as("n_incr"))
+    val tot = h.agg(sum(col("n_prior")).as("np"), sum(col("n_incr")).as("ni"),
+      count(lit(1)).as("nb"))
+    val pD = (col("n_prior") + 1).cast(DoubleType) / (col("np") + col("nb"))
+    val qD = (col("n_incr") + 1).cast(DoubleType) / (col("ni") + col("nb"))
+    val t = h.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_prior"), col("n_incr"),
+        expr("(n_prior + 1) * 1000000 div (np + nb)").as("p_ppm"),
+        expr("(n_incr + 1) * 1000000 div (ni + nb)").as("q_ppm"),
+        floor((pD - qD) * log(pD / qD) * 1000000).cast(LongType)
+          .as("term_micro"))
+    val psi = t.agg(sum(col("term_micro")).cast(LongType).as("psi_micro"))
+    t.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_prior"), col("n_incr"), col("p_ppm"),
+        col("q_ppm"), col("term_micro"), col("psi_micro"))
+      .orderBy(col("bin"))
+  }
+
+  /** Western Electric SPC rules (r18) — the classic
+    * statistical-process-control alarm ladder over the daily revenue
+    * series per event type (the ops complement to `anomaly_mad` /
+    * `events_burst_detection`): z-scores against the type's own
+    * mean/σ (ONE float tree on exact DECIMAL sums, z = (n·x − S)/
+    * √(n·Sxx − S²), floored to milli), then the four rules as exact
+    * integer window counts — R1 |z|>3σ, R2 two of three consecutive
+    * beyond 2σ same side, R3 four of five beyond 1σ same side, R4
+    * eight consecutive same side of center. All windows partitioned
+    * by type over the day grid (day-sized frames); the rule flags
+    * are comparisons on identical quantized integers, so
+    * cross-engine agreement is exact. */
+  val eventsSpcWesternElectric: QDef = q(
+    "events_spc_western_electric",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, day),
+      |st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS sxx
+      |  FROM dtot GROUP BY event_type),
+      |z AS (
+      |  SELECT d.event_type, d.day, d.cents,
+      |    CAST(floor((d.n_x_s / sqrt(st.n * CAST(st.sxx AS DOUBLE)
+      |      - CAST(st.sx AS DOUBLE) * CAST(st.sx AS DOUBLE))) * 1000)
+      |      AS BIGINT) AS z_milli
+      |  FROM (SELECT dt.event_type, dt.day, dt.cents,
+      |      st2.n * CAST(dt.cents AS DOUBLE) - CAST(st2.sx AS DOUBLE)
+      |        AS n_x_s
+      |    FROM dtot dt JOIN st st2 ON st2.event_type = dt.event_type) d
+      |  JOIN st ON st.event_type = d.event_type),
+      |r AS (
+      |  SELECT event_type, day, cents, z_milli,
+      |    CASE WHEN abs(z_milli) > 3000 THEN true ELSE false END AS rule1,
+      |    SUM(CASE WHEN z_milli > 2000 THEN 1 ELSE 0 END)
+      |      OVER w3 >= 2 OR
+      |    SUM(CASE WHEN z_milli < -2000 THEN 1 ELSE 0 END)
+      |      OVER w3 >= 2 AS rule2,
+      |    SUM(CASE WHEN z_milli > 1000 THEN 1 ELSE 0 END)
+      |      OVER w5 >= 4 OR
+      |    SUM(CASE WHEN z_milli < -1000 THEN 1 ELSE 0 END)
+      |      OVER w5 >= 4 AS rule3,
+      |    SUM(CASE WHEN z_milli > 0 THEN 1 ELSE 0 END)
+      |      OVER w8 = 8 OR
+      |    SUM(CASE WHEN z_milli < 0 THEN 1 ELSE 0 END)
+      |      OVER w8 = 8 AS rule4,
+      |    COUNT(*) OVER w8 AS n_in_w8
+      |  FROM z
+      |  WINDOW
+      |    w3 AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      |    w5 AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |    w8 AS (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, cents, z_milli, rule1, rule2, rule3,
+      |  CASE WHEN n_in_w8 = 8 THEN rule4 ELSE false END AS rule4
+      |FROM r ORDER BY event_type, day""") { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val dtot = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).cast(LongType).as("cents"))
+    val st = dtot.groupBy(col("event_type").as("s_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents").cast(dec)).as("sx"),
+        sum(col("cents").cast(dec) * col("cents")).as("sxx"))
+    val z = dtot.join(broadcast(st), col("s_type") === col("event_type"))
+      .select(col("event_type"), col("day"), col("cents"),
+        floor(((col("n") * col("cents").cast(DoubleType)
+            - col("sx").cast(DoubleType))
+          / sqrt(col("n") * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+          * 1000).cast(LongType).as("z_milli"))
+    val w3 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-2, 0)
+    val w5 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-4, 0)
+    val w8 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, 0)
+    def cnt(c: Column, w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(when(c, 1L).otherwise(0L)).over(w)
+    z.select(col("event_type"), col("day"), col("cents"), col("z_milli"),
+        (abs(col("z_milli")) > 3000L).as("rule1"),
+        (cnt(col("z_milli") > 2000L, w3) >= 2L ||
+          cnt(col("z_milli") < -2000L, w3) >= 2L).as("rule2"),
+        (cnt(col("z_milli") > 1000L, w5) >= 4L ||
+          cnt(col("z_milli") < -1000L, w5) >= 4L).as("rule3"),
+        when(count(lit(1)).over(w8) === 8L,
+          cnt(col("z_milli") > 0L, w8) === 8L ||
+            cnt(col("z_milli") < 0L, w8) === 8L)
+          .otherwise(lit(false)).as("rule4"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Atkinson inequality index at ε = 1 (r18) — the
+    * welfare-grounded companion to `agg_theil_index` over the SAME
+    * per-nation customer-revenue base (`custRevCtes`, one spelling):
+    * A₁ = 1 − geomean(x)/μ. The geometric mean rides the house
+    * quantize-then-fold discipline: per-customer floor(ln x·10⁶) —
+    * one float op on an exact integer — then an exact BIGINT mean,
+    * and A₁ = 1 − exp(mean)·n/S is one final float tree on three
+    * exact integers, floored to ppm (stated convention: the geomean
+    * of the micro-floored logs; the quantization error is bounded by
+    * e^(1e-6)). Two keyed aggs + a broadcast dim join, same plan
+    * family as the Theil twin. */
+  val aggAtkinsonIndex: QDef = q(
+    "agg_atkinson_index",
+    s"""WITH $custRevCtes,
+      |f AS (
+      |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000) AS BIGINT))
+      |      AS BIGINT) AS sl
+      |  FROM cn GROUP BY n_name)
+      |SELECT n_name, n AS n_customers,
+      |  CAST(sx // n AS BIGINT) AS mean_cents,
+      |  CAST(1000000 - CAST(floor(
+      |    exp(CAST(sl // n AS DOUBLE) / 1000000.0) * n
+      |      / sx * 1000000) AS BIGINT) AS BIGINT) AS atkinson_ppm
+      |FROM f ORDER BY n_name""") { (s, d) =>
+    val f = custRevByNation(s, d)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast(LongType).as("sx"),
+        sum(floor(log(col("x").cast(DoubleType)) * 1000000).cast(LongType))
+          .cast(LongType).as("sl"))
+    f.select(col("n_name"), col("n").as("n_customers"),
+        expr("sx div n").as("mean_cents"),
+        (lit(1000000L) - floor(
+          exp(expr("CAST(sl div n AS DOUBLE)") / 1000000.0) * col("n")
+            / col("sx") * 1000000).cast(LongType)).as("atkinson_ppm"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupSemanticPrune, annIvfProbeSweep, annHnswGreedyRoute,
     simRerankTwoStage, graphEdgeStoreRoundtrip, graphAdamicAdar,
     dqSchemaDrift, curationCascadeCost, statsMcnemarPaired,
     statsFleissKappa, mixCurriculumSchedule, sampleEssImportance,
     tsPacfLag2, aggTheilIndex, simMmrDiversify, evalEceBrierDecomp,
-    privacyEpsilonComposition)
+    privacyEpsilonComposition, graphEdgeStoreIncremental,
+    dqPsiPriceDrift, eventsSpcWesternElectric, aggAtkinsonIndex)
 }
