@@ -1721,6 +1721,235 @@ object R18Ops {
       .orderBy(col("n_name"))
   }
 
+  /** Hoover (Robin Hood) index (r18) — the third member of the
+    * inequality trio on the SAME per-nation revenue base as Theil and
+    * Atkinson (`custRevCtes`, one spelling): H = ½ Σ|xᵢ/S − 1/n| =
+    * Σ|xᵢ·n − S| / (2·n·S) — the share of total revenue that would
+    * have to move to equalize. Unlike its two siblings this one
+    * needs NO transcendental at all: the whole index is ONE exact
+    * rational through DECIMAL(38)/HUGEINT in ppm. Same two-agg +
+    * broadcast-dim plan family. */
+  val aggHooverIndex: QDef = q(
+    "agg_hoover_index",
+    s"""WITH $custRevCtes,
+      |f AS (
+      |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx
+      |  FROM cn GROUP BY n_name),
+      |t AS (
+      |  SELECT cn.n_name,
+      |    CAST(SUM(abs(CAST(cn.x AS HUGEINT) * f.n - f.sx)) AS HUGEINT)
+      |      AS sd
+      |  FROM cn JOIN f ON f.n_name = cn.n_name
+      |  GROUP BY cn.n_name)
+      |SELECT f.n_name, f.n AS n_customers,
+      |  CAST(f.sx // f.n AS BIGINT) AS mean_cents,
+      |  CAST(t.sd * 1000000 // (2 * CAST(f.n AS HUGEINT) * f.sx)
+      |    AS BIGINT) AS hoover_ppm
+      |FROM f JOIN t ON t.n_name = f.n_name
+      |ORDER BY f.n_name""") { (s, d) =>
+    val dec = DecimalType(38, 0)
+    val cn = custRevByNation(s, d)
+    val f = cn.groupBy(col("n_name").as("f_name"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast(LongType).as("sx"))
+    cn.join(broadcast(f), col("f_name") === col("n_name"))
+      .groupBy(col("n_name"), col("n"), col("sx"))
+      .agg(sum(abs(col("x").cast(dec) * col("n") - col("sx"))).cast(dec)
+        .as("sd"))
+      .select(col("n_name"), col("n").as("n_customers"),
+        expr("sx div n").as("mean_cents"),
+        expr("CAST(sd * 1000000 div (2 * CAST(n AS DECIMAL(38,0)) * sx)"
+          + " AS BIGINT)").as("hoover_ppm"))
+      .orderBy(col("n_name"))
+  }
+
+  /** k-ary randomized response (r18) — local differential privacy's
+    * workhorse mechanism, graded deterministically: each document
+    * reports its true lang with probability 3/4 (md5 first hex char
+    * < 'c') and otherwise a deterministic md5-drawn replacement from
+    * the 5-lang codebook, and the analyst's unbiased estimator
+    * n̂ⱼ = (20·noisyⱼ − N)/15 (the k = 5, p = 3/4 debias) is graded
+    * in exact milli next to the true counts — the end-to-end check
+    * that the mechanism's utility math survives a distributed
+    * implementation. The codebook index is a histogram-cumulative
+    * rank (broadcast 5×5 self-join — no window, same trick as
+    * `mix_curriculum_schedule`); everything else is lang-sized aggs.
+    * The replacement draw md5('rr:'||doc_id) is independent of the
+    * keep draw md5(doc_id||':rr') by construction. */
+  val privacyRandomizedResponse: QDef = q(
+    "privacy_randomized_response",
+    """WITH langs AS (
+      |  SELECT a.lang, CAST(COUNT(b.lang) AS BIGINT) AS idx
+      |  FROM (SELECT DISTINCT lang FROM documents) a
+      |  LEFT JOIN (SELECT DISTINCT lang FROM documents) b
+      |    ON b.lang < a.lang
+      |  GROUP BY a.lang),
+      |k AS (SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM langs),
+      |rep AS (
+      |  SELECT d.doc_id, d.lang AS true_lang,
+      |    CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || ':rr'), 1, 1)
+      |        < 'c' THEN d.lang
+      |      ELSE (SELECT l2.lang FROM langs l2, k
+      |        WHERE l2.idx = ('0x' ||
+      |          substr(md5('rr:' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+      |          % k.nl)
+      |    END AS report_lang
+      |  FROM documents d),
+      |tc AS (SELECT true_lang AS lang, CAST(COUNT(*) AS BIGINT) AS true_n
+      |  FROM rep GROUP BY true_lang),
+      |nc AS (SELECT report_lang AS lang, CAST(COUNT(*) AS BIGINT) AS noisy_n
+      |  FROM rep GROUP BY report_lang),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM rep)
+      |SELECT tc.lang, tc.true_n,
+      |  CAST(COALESCE(nc.noisy_n, 0) AS BIGINT) AS noisy_n,
+      |  CAST((20 * COALESCE(nc.noisy_n, 0) - nd) * 1000 // 15 AS BIGINT)
+      |    AS est_milli,
+      |  CAST(abs((20 * COALESCE(nc.noisy_n, 0) - nd) * 1000 // 15
+      |    - tc.true_n * 1000) AS BIGINT) AS abs_err_milli
+      |FROM tc LEFT JOIN nc ON nc.lang = tc.lang CROSS JOIN tot
+      |ORDER BY tc.lang""") { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val distinctLangs = docs.select(col("lang")).distinct()
+    val langs = distinctLangs.as("a")
+      .join(broadcast(distinctLangs.select(col("lang").as("b_lang"))),
+        col("b_lang") < col("a.lang"), "left")
+      .groupBy(col("a.lang").as("l_lang"))
+      .agg(count(col("b_lang")).as("idx"))
+    val k = langs.agg(count(lit(1)).as("nl"))
+    val drawn = docs.crossJoin(broadcast(k))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(concat(lit("rr:"),
+            col("doc_id").cast(StringType))), 1, 4), 16, 10)
+          .cast(LongType) % col("nl")).as("draw_idx"),
+        (substring(md5(concat(col("doc_id").cast(StringType), lit(":rr"))),
+          1, 1) < "c").as("keep"))
+    val rep = drawn
+      .join(broadcast(langs), col("draw_idx") === col("idx"))
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        when(col("keep"), col("lang")).otherwise(col("l_lang"))
+          .as("report_lang"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tc = rep.groupBy(col("true_lang").as("lang"))
+      .agg(count(lit(1)).as("true_n"))
+    val nc = rep.groupBy(col("report_lang").as("n_lang"))
+      .agg(count(lit(1)).as("noisy_n"))
+    val tot = rep.agg(count(lit(1)).as("nd"))
+    tc.join(nc, col("n_lang") === col("lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("true_n"),
+        coalesce(col("noisy_n"), lit(0L)).as("noisy_n"),
+        expr("(20 * coalesce(noisy_n, 0L) - nd) * 1000 div 15")
+          .as("est_milli"),
+        abs(expr("(20 * coalesce(noisy_n, 0L) - nd) * 1000 div 15")
+          - col("true_n") * 1000L).as("abs_err_milli"))
+      .orderBy(col("lang"))
+  }
+
+  /** Ljung–Box portmanteau test (r18) — "is there ANY autocorrelation
+    * left?", the whiteness check run after a model fit and the
+    * summary statistic over the `ts_acf_lags` family: Q = n(n+2)
+    * Σ_{k≤3} ρ̂ₖ²/(n−k) over the per-type daily cents series, with
+    * ρ̂ₖ the lag-k Pearson (the acf-lags spelling verbatim — exact
+    * DECIMAL(38) sums into one identical float tree), Q floored to
+    * micro and tested at the χ²₃ 95% bound 7.814728. Day-sized
+    * frames only. */
+  val tsLjungBox: QDef = q(
+    "ts_ljung_box",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, day),
+      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM dtot
+      |  GROUP BY event_type),
+      |lg AS (SELECT * FROM (VALUES (1), (2), (3)) t(lag)),
+      |p AS (
+      |  SELECT a.event_type, lg.lag, a.cents AS x, b.cents AS y
+      |  FROM dtot a CROSS JOIN lg
+      |  JOIN dtot b ON b.event_type = a.event_type
+      |    AND b.day = a.day + CAST(lg.lag AS INTEGER)),
+      |s AS (
+      |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS np,
+      |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+      |    SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      |  FROM p GROUP BY event_type, lag),
+      |r AS (
+      |  SELECT event_type, lag,
+      |    (np * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (sqrt(np * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * sqrt(np * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+      |  FROM s),
+      |w AS (
+      |  SELECT event_type,
+      |    MAX(CASE WHEN lag = 1 THEN acf END) AS a1,
+      |    MAX(CASE WHEN lag = 2 THEN acf END) AS a2,
+      |    MAX(CASE WHEN lag = 3 THEN acf END) AS a3
+      |  FROM r GROUP BY event_type),
+      |qf AS (
+      |  SELECT w.event_type, nd.n,
+      |    CAST(floor(nd.n * (nd.n + 2)
+      |      * (a1 * a1 / (nd.n - 1) + a2 * a2 / (nd.n - 2)
+      |        + a3 * a3 / (nd.n - 3)) * 1000000) AS BIGINT) AS q_micro
+      |  FROM w JOIN nd ON nd.event_type = w.event_type)
+      |SELECT event_type, n AS n_days, q_micro,
+      |  q_micro > 7814728 AS significant
+      |FROM qf ORDER BY event_type""") { (s, d) =>
+    import s.implicits._
+    val dec = DecimalType(38, 0)
+    val dtot = Tables.events(s, d)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).cast(LongType).as("cents"))
+    val nd = dtot.groupBy(col("event_type").as("n_type"))
+      .agg(count(lit(1)).as("n"))
+    val lg = Seq(1, 2, 3).toDF("lag")
+    val p = dtot.as("a").crossJoin(broadcast(lg))
+      .join(dtot.select(col("event_type").as("bt"), col("day").as("bd"),
+          col("cents").as("y")),
+        col("bt") === col("a.event_type") &&
+          col("bd") === date_add(col("a.day"), col("lag")))
+      .select(col("a.event_type").as("event_type"), col("lag"),
+        col("a.cents").as("x"), col("y"))
+    val st = p.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+    val r = st.select(col("event_type"), col("lag"),
+      ((col("np") * col("sxy").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+        / (sqrt(col("np") * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+          * sqrt(col("np") * col("syy").cast(DoubleType)
+            - col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+        .as("acf"))
+    // the three lag terms fold in a FIXED order (a SUM over the 3
+    // doubles would be summation-order-dependent across engines)
+    val w = r.groupBy(col("event_type"))
+      .agg(max(when(col("lag") === 1, col("acf"))).as("a1"),
+        max(when(col("lag") === 2, col("acf"))).as("a2"),
+        max(when(col("lag") === 3, col("acf"))).as("a3"))
+    w.join(broadcast(nd), col("n_type") === col("event_type"))
+      .select(col("event_type"), col("n").as("n_days"),
+        floor(col("n") * (col("n") + 2)
+          * (col("a1") * col("a1") / (col("n") - 1)
+            + col("a2") * col("a2") / (col("n") - 2)
+            + col("a3") * col("a3") / (col("n") - 3))
+          * 1000000).cast(LongType).as("q_micro"))
+      .select(col("event_type"), col("n_days"), col("q_micro"),
+        (col("q_micro") > 7814728L).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     dedupSemanticPrune, annIvfProbeSweep, annHnswGreedyRoute,
     simRerankTwoStage, graphEdgeStoreRoundtrip, graphAdamicAdar,
@@ -1728,5 +1957,6 @@ object R18Ops {
     statsFleissKappa, mixCurriculumSchedule, sampleEssImportance,
     tsPacfLag2, aggTheilIndex, simMmrDiversify, evalEceBrierDecomp,
     privacyEpsilonComposition, graphEdgeStoreIncremental,
-    dqPsiPriceDrift, eventsSpcWesternElectric, aggAtkinsonIndex)
+    dqPsiPriceDrift, eventsSpcWesternElectric, aggAtkinsonIndex,
+    aggHooverIndex, privacyRandomizedResponse, tsLjungBox)
 }

@@ -659,6 +659,82 @@ class R18OpsSpec extends SparkSpec {
     assert(rows.forall(_._6 >= -1L))
   }
 
+  test("agg_hoover_index: the no-transcendental rational replayed with " +
+      "BigInt") {
+    val expect = custRevNation.groupBy(_._1).toSeq.map { case (nat, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      val sd = xs.map(x => (BigInt(x._2) * n - s).abs).sum
+      (nat, n, s / n, (sd * 1000000 / (2 * BigInt(n) * s)).toLong)
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("agg_hoover_index")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    expect.foreach(e => assert(e._4 > 0 && e._4 < 500000L,
+      s"Hoover is bounded by 1/2: $e"))
+  }
+
+  test("privacy_randomized_response: mechanism + debias estimator " +
+      "replayed") {
+    val langs = docRows.map(_._3).distinct.sorted
+    val n = docRows.length.toLong
+    val reports = docRows.map { d =>
+      val keep = md5hex(d._1.toString + ":rr").charAt(0) < 'c'
+      val idx = (java.lang.Long.parseLong(
+        md5hex("rr:" + d._1.toString).substring(0, 4), 16) %
+        langs.length).toInt
+      (d._3, if (keep) d._3 else langs(idx))
+    }
+    val expect = langs.map { l =>
+      val trueN = reports.count(_._1 == l).toLong
+      val noisy = reports.count(_._2 == l).toLong
+      val est = (20 * noisy - n) * 1000 / 15
+      (l, trueN, noisy, est, math.abs(est - trueN * 1000))
+    }.toSeq
+    val got = graft.SparkEntry.queries("privacy_randomized_response")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // the mechanism must actually flip some reports, and the debiased
+    // estimates must still sum to ~N (the estimator is mass-preserving:
+    // Σ(20·noisyⱼ − N)/15 = (20N − 5N)/15 = N, up to the 5 floor steps)
+    assert(reports.exists(p => p._1 != p._2))
+    assert(math.abs(expect.map(_._4).sum - n * 1000) <= 5L)
+  }
+
+  test("ts_ljung_box: the fixed-order three-lag fold replayed") {
+    def acf(t: String, lag: Int): Double = {
+      val m = dailyCents4.filter(_._1._1 == t)
+        .map { case ((_, d), c) => d -> c }
+      val pairs = m.toSeq.flatMap { case (d, x) =>
+        m.get(d.plusDays(lag)).map(y => (x, y))
+      }
+      val np = pairs.length.toLong
+      val sx = pairs.map(p => BigInt(p._1)).sum
+      val sy = pairs.map(p => BigInt(p._2)).sum
+      val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+      val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+      val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+      (np.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(np.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          math.sqrt(np.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    }
+    val expect = eventRows.map(_._3).distinct.sorted.toSeq.map { t =>
+      val n = dailyCents4.count(_._1._1 == t).toLong
+      val (a1, a2, a3) = (acf(t, 1), acf(t, 2), acf(t, 3))
+      val q = math.floor(n * (n + 2) *
+        (a1 * a1 / (n - 1) + a2 * a2 / (n - 2) + a3 * a3 / (n - 3)) *
+        1000000).toLong
+      (t, n, q, q > 7814728L)
+    }
+    val got = graft.SparkEntry.queries("ts_ljung_box")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == expect)
+  }
+
   test("events_spc_western_electric: z-chart + all four rules replayed") {
     val expect = dailyCents4.groupBy(_._1._1).toSeq.flatMap { case (t, m) =>
       val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1.toString)
