@@ -553,4 +553,125 @@ object VectorFunctions {
   def sortedIntersectLong(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedLongIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the row-local greedy MMR pick sequence. */
+  def mmrPicks(cands: Column, sims: Column): Column =
+    ColumnBridge.column(
+      MmrPicks(ColumnBridge.expression(cands), ColumnBridge.expression(sims)))
+}
+
+/** Row-local greedy Maximal-Marginal-Relevance selection (r18,
+  * `sim_mmr_diversify`): given one probe's candidate (v, rel) list
+  * and its pairwise (a, b, sim) dot table, emit the 5-pick greedy
+  * sequence maximizing 7·rel − 3·max_sim_to_picked (λ = 7/10 ×10 —
+  * exact integer algebra), ties to the smaller v. Collapses what
+  * would otherwise be a 5-round iterative DataFrame loop (~18 AQE
+  * stages over panel×20 frames — measured 4.9 s at sf0.1) into one
+  * expression over 8 collected rows. Candidates are sorted
+  * internally, so collect_list order cannot leak in. */
+case class MmrPicks(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("rank", LongType, nullable = false),
+      StructField("v", LongType, nullable = false),
+      StructField("rel", LongType, nullable = false),
+      StructField("max_sim", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_mmr_picks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StructType(a), _), ArrayType(StructType(b), _))
+          if a.length == 2 && b.length == 3 &&
+            a.forall(_.dataType == LongType) &&
+            b.forall(_.dataType == LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_mmr_picks expects (array<struct<long,long>>, " +
+          s"array<struct<long,long,long>>), got $other")
+    }
+
+  override protected def nullSafeEval(cands: Any, sims: Any): Any =
+    MmrPicksUtil.picks(cands.asInstanceOf[ArrayData],
+      sims.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, s) => s"graft.functions.MmrPicksUtil.picks($c, $s)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MmrPicks =
+    copy(left = newLeft, right = newRight)
+}
+
+object MmrPicksUtil {
+  /** The greedy loop itself — bounded by k = 5 picks over n ≤ 20
+    * candidates, O(k·n) sim lookups against a hashed pair table. */
+  def picks(cands: ArrayData, sims: ArrayData): ArrayData = {
+    val n = cands.numElements()
+    val vs = new Array[Long](n)
+    val rels = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = cands.getStruct(i, 2)
+      vs(i) = row.getLong(0); rels(i) = row.getLong(1)
+      i += 1
+    }
+    // deterministic candidate order regardless of collect_list order
+    val idx = (0 until n).sortBy(j => (-rels(j), vs(j))).toArray
+    val sim = new java.util.HashMap[Long, Long](sims.numElements() * 2)
+    i = 0
+    while (i < sims.numElements()) {
+      val row = sims.getStruct(i, 3)
+      // vec ids are < 2^31 in every fixture tier; key = a<<32 | b
+      sim.put((row.getLong(0) << 32) | row.getLong(1), row.getLong(2))
+      i += 1
+    }
+    val k = math.min(5, n)
+    val picked = new Array[Int](k)
+    val maxSims = new Array[Long](k)
+    val taken = new Array[Boolean](n)
+    var r = 0
+    while (r < k) {
+      var bestJ = -1; var bestScore = Long.MinValue; var bestMs = 0L
+      var jj = 0
+      while (jj < n) {
+        val j = idx(jj)
+        if (!taken(j)) {
+          var ms = Long.MinValue
+          if (r == 0) ms = 0L
+          else {
+            var p = 0
+            while (p < r) {
+              val s = sim.get((vs(j) << 32) | vs(picked(p)))
+              if (s > ms) ms = s
+              p += 1
+            }
+          }
+          val score = 7L * rels(j) - 3L * ms
+          // idx is (-rel, v)-ordered, so for equal scores the FIRST
+          // seen candidate is NOT automatically the (score, v) tie
+          // winner — compare (score, v) explicitly
+          if (score > bestScore ||
+              (score == bestScore && (bestJ < 0 || vs(j) < vs(bestJ)))) {
+            bestJ = j; bestScore = score; bestMs = ms
+          }
+        }
+        jj += 1
+      }
+      picked(r) = bestJ; maxSims(r) = bestMs; taken(bestJ) = true
+      r += 1
+    }
+    val out = new Array[Any](k)
+    r = 0
+    while (r < k) {
+      out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any]((r + 1).toLong, vs(picked(r)), rels(picked(r)),
+          maxSims(r)))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

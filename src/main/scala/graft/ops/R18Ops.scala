@@ -1247,6 +1247,13 @@ object R18Ops {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("qc") * col("qqc")).as("rel"))
     val wq = Window.partitionBy(col("q_id"))
+    // The 5-round greedy runs ROW-LOCALLY per probe via the
+    // graft_mmr_picks expression over the collected candidate list +
+    // its 20×20 pair-dot table — collapsing what a DataFrame loop
+    // spelled as ~18 sequential AQE stages over panel×20 frames into
+    // one 8-row map stage (measured 4.9 s → 0.7 s at sf0.1; identical
+    // picks, replayed independently by R18OpsSpec). The candidate cut
+    // and both aggregations before it keep full parallelism.
     val cand = dots.withColumn("rn",
         row_number().over(wq.orderBy(col("rel").desc, col("vec_id"))))
       .filter(col("rn") <= 20).select(col("q_id"), col("vec_id"), col("rel"))
@@ -1262,37 +1269,19 @@ object R18Ops {
           col("vb") =!= col("va"))
       .groupBy(col("q_id"), col("va"), col("vb"))
       .agg(sum(col("qc") * col("b_qc")).as("sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // round 1: pure relevance argmax; rounds 2..5: unrolled MMR —
-    // each round is (candidates ⋈ picked-set pair sims) → max_sim →
-    // one q_id-partitioned argmax window, all frames panel×20-sized
-    val p1 = cand.withColumn("rn",
-        row_number().over(wq.orderBy(col("rel").desc, col("vec_id"))))
-      .filter(col("rn") === 1)
-      .select(col("q_id"), col("vec_id"), col("rel"),
-        lit(0L).as("max_sim"), lit(1L).as("rank"))
-    def nextPick(sel: DataFrame, rank: Int): DataFrame = {
-      val selV = sel.select(col("q_id").as("s_q"), col("vec_id").as("s_vec"))
-      val ms = cand
-        .join(selV, col("s_q") === col("q_id") &&
-          col("s_vec") === col("vec_id"), "left_anti")
-        .join(cp.select(col("q_id").as("p_q"), col("va"), col("vb"),
-            col("sim")),
-          col("p_q") === col("q_id") && col("va") === col("vec_id"))
-        .join(selV, col("s_q") === col("q_id") && col("s_vec") === col("vb"))
-        .groupBy(col("q_id"), col("vec_id"), col("rel"))
-        .agg(max(col("sim")).as("ms"))
-      ms.withColumn("rn", row_number().over(wq.orderBy(
-          (lit(7L) * col("rel") - lit(3L) * col("ms")).desc, col("vec_id"))))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), col("rel"),
-          col("ms").as("max_sim"), lit(rank.toLong).as("rank"))
-    }
-    var sel = p1
-    for (r <- 2 to 5) sel = sel.unionByName(nextPick(sel, r))
-    sel.select(col("q_id"), col("rank"), col("vec_id"),
-        col("rel").as("rel_milli"), col("max_sim").as("max_sim_milli"),
-        (lit(7L) * col("rel") - lit(3L) * col("max_sim"))
+    val perQ = cand.groupBy(col("q_id"))
+      .agg(collect_list(struct(col("vec_id"), col("rel"))).as("cands"))
+    val simQ = cp.groupBy(col("q_id").as("s_q"))
+      .agg(collect_list(struct(col("va"), col("vb"), col("sim")))
+        .as("sims"))
+    perQ.join(simQ, col("s_q") === col("q_id"))
+      .select(col("q_id"),
+        explode(graft.functions.VectorFunctions
+          .mmrPicks(col("cands"), col("sims"))).as("p"))
+      .select(col("q_id"), col("p.rank").as("rank"),
+        col("p.v").as("vec_id"), col("p.rel").as("rel_milli"),
+        col("p.max_sim").as("max_sim_milli"),
+        (lit(7L) * col("p.rel") - lit(3L) * col("p.max_sim"))
           .as("mmr_score_x10"))
       .orderBy(col("q_id"), col("rank"))
   }
