@@ -19,7 +19,7 @@ object SparkEntry {
       ops.PipelineOps.all ++ ops.ClusterOps.all ++ ops.CorpusOps.all ++
       ops.EvolutionQueries.all ++ ops.DriftOps.all ++ ops.SketchOps.all ++
       ops.R13Ops.all ++ ops.R14Ops.all ++ ops.R15Ops.all ++ ops.R16Ops.all ++
-      ops.R17Ops.all ++ ops.R18Ops.all
+      ops.R17Ops.all ++ ops.R18Ops.all ++ ops.R18bOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
