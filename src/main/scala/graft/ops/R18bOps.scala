@@ -453,7 +453,387 @@ object R18bOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Consistent-hash ring rebalance audit (r18b) — the shard-plan
+    * question behind every growing 100 TB store: adding one node to
+    * an 8-node × 16-vnode md5 ring should move ≈ 1/9 of the keys
+    * and NOTHING else. Both rings are deterministic md5 constants
+    * (vnode hash = first 8 hex of md5('node<n>:<rep>'), key hash
+    * likewise over 'key:<doc_id>'); assignment is the classic
+    * successor rule (min vnode hash ≥ key hash, wrapping to the
+    * global min). Graded per node: key counts before/after, keys
+    * arriving, plus the overall moved count and floor-ppm — the
+    * whole point of consistent hashing made measurable. Plan: the
+    * ring is a broadcast ≤144-row side; each assignment pass is one
+    * conditional-min agg keyed by doc (shuffle bounded by corpus
+    * size), and the node maps are broadcast equality joins. At
+    * scale the successor scan becomes a range-bucketed lookup; the
+    * broadcast-join spelling here has identical semantics. */
+  val shardConsistentHashMoves: QDef = q(
+    "shard_consistent_hash_moves",
+    """WITH nodes9 AS (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS node),
+      |reps AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS rep),
+      |ring9 AS (
+      |  SELECT node, rep,
+      |    ('0x' || substr(md5('node' || CAST(node AS VARCHAR) || ':'
+      |      || CAST(rep AS VARCHAR)), 1, 8))::BIGINT AS vh
+      |  FROM nodes9 CROSS JOIN reps),
+      |ring8 AS (SELECT * FROM ring9 WHERE node < 8),
+      |k AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('key:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      ::BIGINT AS kh
+      |  FROM documents),
+      |w8 AS (SELECT MIN(vh) AS wvh FROM ring8),
+      |w9 AS (SELECT MIN(vh) AS wvh FROM ring9),
+      |a8 AS (
+      |  SELECT k.doc_id,
+      |    COALESCE(MIN(CASE WHEN r.vh >= k.kh THEN r.vh END),
+      |      (SELECT wvh FROM w8)) AS avh
+      |  FROM k CROSS JOIN ring8 r GROUP BY k.doc_id, k.kh),
+      |a9 AS (
+      |  SELECT k.doc_id,
+      |    COALESCE(MIN(CASE WHEN r.vh >= k.kh THEN r.vh END),
+      |      (SELECT wvh FROM w9)) AS avh
+      |  FROM k CROSS JOIN ring9 r GROUP BY k.doc_id, k.kh),
+      |n8 AS (
+      |  SELECT a8.doc_id, MIN(r.node) AS node
+      |  FROM a8 JOIN ring8 r ON r.vh = a8.avh GROUP BY a8.doc_id),
+      |n9 AS (
+      |  SELECT a9.doc_id, MIN(r.node) AS node
+      |  FROM a9 JOIN ring9 r ON r.vh = a9.avh GROUP BY a9.doc_id),
+      |mv AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(CASE WHEN n8.node <> n9.node THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS moved
+      |  FROM n8 JOIN n9 ON n9.doc_id = n8.doc_id),
+      |cb AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM n8 GROUP BY node),
+      |ca AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM n9 GROUP BY node),
+      |ar AS (
+      |  SELECT n9.node, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM n9 JOIN n8 ON n8.doc_id = n9.doc_id
+      |  WHERE n8.node <> n9.node GROUP BY n9.node)
+      |SELECT nodes9.node,
+      |  CAST(COALESCE(cb.c, 0) AS BIGINT) AS keys_before,
+      |  CAST(COALESCE(ca.c, 0) AS BIGINT) AS keys_after,
+      |  CAST(COALESCE(ar.c, 0) AS BIGINT) AS keys_arrived,
+      |  mv.moved AS moved_total,
+      |  CAST(mv.moved * 1000000 // mv.n_keys AS BIGINT) AS moved_ppm
+      |FROM nodes9
+      |LEFT JOIN cb ON cb.node = nodes9.node
+      |LEFT JOIN ca ON ca.node = nodes9.node
+      |LEFT JOIN ar ON ar.node = nodes9.node
+      |CROSS JOIN mv
+      |ORDER BY nodes9.node""") { (s, d) =>
+    val ring9 = s.range(0, 9).select(col("id").as("node"))
+      .crossJoin(s.range(0, 16).select(col("id").as("rep")))
+      .select(col("node"), col("rep"),
+        conv(substring(md5(concat(lit("node"),
+          col("node").cast(StringType), lit(":"),
+          col("rep").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType).as("vh"))
+    val ring8 = ring9.filter(col("node") < 8)
+    val k = Tables.documents(s, d).select(col("doc_id"),
+      conv(substring(md5(concat(lit("key:"),
+        col("doc_id").cast(StringType))), 1, 8), 16, 10)
+        .cast(LongType).as("kh"))
+    def assign(ring: DataFrame): DataFrame = {
+      val wrap = ring.agg(min(col("vh")).as("wvh"))
+      val succ = k.crossJoin(broadcast(ring.select(col("vh"))))
+        .groupBy(col("doc_id"), col("kh"))
+        .agg(min(when(col("vh") >= col("kh"), col("vh"))).as("succ"))
+        .crossJoin(broadcast(wrap))
+        .select(col("doc_id"), coalesce(col("succ"), col("wvh")).as("avh"))
+      succ.join(broadcast(ring.select(col("vh").as("rvh"),
+          col("node"))), col("rvh") === col("avh"))
+        .groupBy(col("doc_id")).agg(min(col("node")).as("node"))
+    }
+    val n8 = assign(ring8)
+    val n9 = assign(ring9)
+    val both = n8.select(col("doc_id"), col("node").as("node_b"))
+      .join(n9.select(col("doc_id"), col("node").as("node_a")), "doc_id")
+      .persist()
+    val mv = both.agg(count(lit(1)).as("n_keys"),
+      sum(when(col("node_b") =!= col("node_a"), 1L).otherwise(0L))
+        .as("moved"))
+    val cb = both.groupBy(col("node_b").as("cb_node"))
+      .agg(count(lit(1)).as("cb_c"))
+    val ca = both.groupBy(col("node_a").as("ca_node"))
+      .agg(count(lit(1)).as("ca_c"))
+    val ar = both.filter(col("node_b") =!= col("node_a"))
+      .groupBy(col("node_a").as("ar_node"))
+      .agg(count(lit(1)).as("ar_c"))
+    val out = s.range(0, 9).select(col("id").as("node"))
+      .join(broadcast(cb), col("cb_node") === col("node"), "left")
+      .join(broadcast(ca), col("ca_node") === col("node"), "left")
+      .join(broadcast(ar), col("ar_node") === col("node"), "left")
+      .crossJoin(broadcast(mv))
+      .select(col("node"),
+        coalesce(col("cb_c"), lit(0L)).as("keys_before"),
+        coalesce(col("ca_c"), lit(0L)).as("keys_after"),
+        coalesce(col("ar_c"), lit(0L)).as("keys_arrived"),
+        col("moved").as("moved_total"),
+        expr("moved * 1000000 div n_keys").as("moved_ppm"))
+      .orderBy(col("node"))
+    out
+  }
+
+  /** Two-stage cluster sampling with Horvitz–Thompson estimation
+    * (r18b) — the survey design a 100 TB corpus audit actually runs:
+    * stage 1 samples whole SOURCES (md5 Bernoulli, π₁ = 2/5), stage
+    * 2 samples docs WITHIN selected sources (md5 Bernoulli,
+    * π₂ = 1/4); the HT estimator weights every sampled token count
+    * by 1/(π₁π₂) = 10. Graded per source (selection flag, doc and
+    * token counts, sampled counts) with the corpus-level estimate,
+    * truth, and signed error ppm as broadcast fold columns — the
+    * end-to-end check that the design's unbiasedness algebra
+    * survives distribution. Both draws are independent md5 channels
+    * ('s1:'source vs 's2:'doc_id). Entirely agg-shaped: one source
+    * fold + two 1-row broadcasts. */
+  val sampleClusterTwostage: QDef = q(
+    "sample_cluster_twostage",
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |    CASE WHEN ('0x' || substr(md5('s1:' || source), 1, 4))::BIGINT
+      |      % 5 < 2 THEN 1 ELSE 0 END AS sel1,
+      |    CASE WHEN ('0x' || substr(md5('s2:' || CAST(doc_id AS VARCHAR)),
+      |      1, 4))::BIGINT % 4 = 0 THEN 1 ELSE 0 END AS sel2
+      |  FROM documents),
+      |bysrc AS (
+      |  SELECT source, MAX(sel1) AS sampled_cluster,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(ntok) AS BIGINT) AS true_tokens,
+      |    CAST(SUM(sel1 * sel2) AS BIGINT) AS n_sampled,
+      |    CAST(SUM(sel1 * sel2 * ntok) AS BIGINT) AS sampled_tokens
+      |  FROM s GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(true_tokens) AS BIGINT) AS true_total,
+      |    CAST(SUM(sampled_tokens) * 10 AS BIGINT) AS est_total
+      |  FROM bysrc)
+      |SELECT bysrc.source, bysrc.sampled_cluster = 1 AS sampled_cluster,
+      |  bysrc.n_docs, bysrc.true_tokens, bysrc.n_sampled,
+      |  bysrc.sampled_tokens, tot.true_total, tot.est_total,
+      |  CAST((tot.est_total - tot.true_total) * 1000000 // tot.true_total
+      |    AS BIGINT) AS err_ppm
+      |FROM bysrc CROSS JOIN tot ORDER BY bysrc.source""") { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("ntok"),
+      when(conv(substring(md5(concat(lit("s1:"), col("source"))), 1, 4),
+        16, 10).cast(LongType) % 5 < 2, 1L).otherwise(0L).as("sel1"),
+      when(conv(substring(md5(concat(lit("s2:"),
+        col("doc_id").cast(StringType))), 1, 4), 16, 10)
+        .cast(LongType) % 4 === 0, 1L).otherwise(0L).as("sel2"))
+    val bysrc = base.groupBy(col("source"))
+      .agg(max(col("sel1")).as("sc"), count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("true_tokens"),
+        sum(col("sel1") * col("sel2")).as("n_sampled"),
+        sum(col("sel1") * col("sel2") * col("ntok")).as("sampled_tokens"))
+    val tot = bysrc.agg(sum(col("true_tokens")).as("true_total"),
+      (sum(col("sampled_tokens")) * 10).as("est_total"))
+    bysrc.crossJoin(broadcast(tot))
+      .select(col("source"), (col("sc") === 1L).as("sampled_cluster"),
+        col("n_docs"), col("true_tokens"), col("n_sampled"),
+        col("sampled_tokens"), col("true_total"), col("est_total"),
+        expr("(est_total - true_total) * 1000000 div true_total")
+          .as("err_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** 14-day RSI, SMA variant (r18b) — Wilder's relative strength
+    * over daily revenue per event type, in the simple-moving-average
+    * form whose windowed sums stay EXACT integers (the classic
+    * recursive EMA form is not distributable without a float
+    * recursion): daily delta vs the prior day (type-partitioned lag),
+    * gains/losses split, 14-day ROWS sums, and
+    * RSI·ppm = 10⁶·Σgain div (Σgain + Σloss) — the averaging
+    * denominators cancel, so the whole indicator is one exact
+    * rational. Rows emitted once 14 full deltas exist (row 15
+    * onward). Flat-fortnight (both sums zero) guards to NULL. All
+    * windows partitioned by type over day totals — day-count-sized
+    * frames. */
+  val winRsiSma: QDef = q(
+    "win_rsi_sma",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, day),
+      |dl AS (
+      |  SELECT event_type, day, cents,
+      |    cents - lag(cents) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS delta,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM dtot),
+      |gl AS (
+      |  SELECT event_type, day, rn,
+      |    GREATEST(delta, 0) AS gain, GREATEST(-delta, 0) AS loss
+      |  FROM dl),
+      |w AS (
+      |  SELECT event_type, day, rn,
+      |    CAST(SUM(gain) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS gs,
+      |    CAST(SUM(loss) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS ls
+      |  FROM gl)
+      |SELECT event_type, day, gs AS gain_sum, ls AS loss_sum,
+      |  CASE WHEN gs + ls = 0 THEN NULL
+      |    ELSE CAST(gs * 1000000 // (gs + ls) AS BIGINT) END AS rsi_ppm
+      |FROM w WHERE rn >= 15
+      |ORDER BY event_type, day""") { (s, d) =>
+    val dtot = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)"))
+        .cast(LongType).as("cents"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wOrd.rowsBetween(-13, Window.currentRow)
+    val dl = dtot
+      .withColumn("delta", col("cents") - lag(col("cents"), 1).over(wOrd))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("gain", greatest(col("delta"), lit(0L)))
+      .withColumn("loss", greatest(-col("delta"), lit(0L)))
+      .withColumn("gs", sum(col("gain")).over(w14).cast(LongType))
+      .withColumn("ls", sum(col("loss")).over(w14).cast(LongType))
+    dl.filter(col("rn") >= 15)
+      .select(col("event_type"), col("day"), col("gs").as("gain_sum"),
+        col("ls").as("loss_sum"),
+        when(col("gs") + col("ls") === 0, lit(null).cast(LongType))
+          .otherwise(expr("gs * 1000000 div (gs + ls)")).as("rsi_ppm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Stochastic oscillator %K/%D (r18b) — where does today's revenue
+    * sit inside the last fortnight's range? %K·ppm =
+    * 10⁶·(close − low₁₄) div (high₁₄ − low₁₄) over type-partitioned
+    * 14-row min/max windows, %D = the 3-day SMA of %K spelled as an
+    * exact floor-mean of the three ppm values (lag pair + div 3 —
+    * a windowed AVG would be a float). Emitted once both the full
+    * fortnight and three %K values exist (row 16 onward);
+    * flat-range days guard %K to NULL and any NULL in the %D
+    * triple propagates. Same dtot base and window discipline as
+    * the RSI twin. */
+  val winStochasticOsc: QDef = q(
+    "win_stochastic_osc",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY event_type, day),
+      |w AS (
+      |  SELECT event_type, day, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+      |    CAST(MIN(cents) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS lo,
+      |    CAST(MAX(cents) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+      |  FROM dtot),
+      |k AS (
+      |  SELECT event_type, day, rn, lo, hi,
+      |    CASE WHEN hi = lo THEN NULL
+      |      ELSE CAST((cents - lo) * 1000000 // (hi - lo) AS BIGINT) END
+      |      AS k_ppm
+      |  FROM w),
+      |kd AS (
+      |  SELECT event_type, day, rn, k_ppm,
+      |    lag(k_ppm, 1) OVER (PARTITION BY event_type ORDER BY day) AS k1,
+      |    lag(k_ppm, 2) OVER (PARTITION BY event_type ORDER BY day) AS k2
+      |  FROM k)
+      |SELECT event_type, day, k_ppm,
+      |  CAST((k_ppm + k1 + k2) // 3 AS BIGINT) AS d_ppm
+      |FROM kd WHERE rn >= 16
+      |ORDER BY event_type, day""") { (s, d) =>
+    val dtot = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)"))
+        .cast(LongType).as("cents"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val w14 = wOrd.rowsBetween(-13, Window.currentRow)
+    val k = dtot
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("lo", min(col("cents")).over(w14).cast(LongType))
+      .withColumn("hi", max(col("cents")).over(w14).cast(LongType))
+      .withColumn("k_ppm", when(col("hi") === col("lo"),
+          lit(null).cast(LongType))
+        .otherwise(expr("(cents - lo) * 1000000 div (hi - lo)")))
+    k.withColumn("k1", lag(col("k_ppm"), 1).over(wOrd))
+      .withColumn("k2", lag(col("k_ppm"), 2).over(wOrd))
+      .filter(col("rn") >= 16)
+      .select(col("event_type"), col("day"), col("k_ppm"),
+        expr("CAST((k_ppm + k1 + k2) div 3 AS BIGINT)").as("d_ppm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** M/M/1 queueing audit (r18b) — the capacity-planning algebra an
+    * event-ingest pipeline publishes per stream: arrivals n over the
+    * observed span (exact µs epochs), deterministic synthetic
+    * service time = value cents in ms, utilization
+    * ρ·ppm = 10⁶·Σsvc div span_ms, queue length Lq = ρ²/(1−ρ) and
+    * wait Wq = Lq/λ both as exact rationals on the ppm integers
+    * (ρ ≥ 1 and zero-span guard to NULL). ONE grouped agg + row
+    * algebra — the entire operator is a fold, constant output at
+    * any scale. */
+  val opsQueueingMm1: QDef = q(
+    "ops_queueing_mm1",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS svc_ms
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST((MAX(us) - MIN(us)) // 1000 AS BIGINT) AS span_ms,
+      |    CAST(SUM(svc_ms) AS BIGINT) AS svc_total_ms
+      |  FROM e GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, n, span_ms, svc_total_ms,
+      |    CAST(svc_total_ms * 1000 // n AS BIGINT) AS mean_svc_ms_milli,
+      |    CASE WHEN span_ms = 0 THEN NULL
+      |      ELSE CAST(svc_total_ms * 1000000 // span_ms AS BIGINT) END
+      |      AS rho_ppm
+      |  FROM m)
+      |SELECT event_type, n, span_ms, mean_svc_ms_milli, rho_ppm,
+      |  CASE WHEN rho_ppm IS NULL OR rho_ppm >= 1000000 THEN NULL
+      |    ELSE CAST(rho_ppm * rho_ppm // (1000000 - rho_ppm) AS BIGINT)
+      |    END AS lq_ppm,
+      |  CASE WHEN rho_ppm IS NULL OR rho_ppm >= 1000000 THEN NULL
+      |    ELSE CAST((rho_ppm * rho_ppm // (1000000 - rho_ppm)) * span_ms
+      |      // (1000 * n) AS BIGINT) END AS wq_ms_milli
+      |FROM r ORDER BY event_type""") { (s, d) =>
+    val e = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)")
+        .as("svc_ms"))
+    val m = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST((MAX(us) - MIN(us)) div 1000 AS BIGINT)").as("span_ms"),
+        sum(col("svc_ms")).cast(LongType).as("svc_total_ms"))
+    val r = m.select(col("event_type"), col("n"), col("span_ms"),
+      col("svc_total_ms"),
+      expr("CAST(svc_total_ms * 1000 div n AS BIGINT)")
+        .as("mean_svc_ms_milli"),
+      when(col("span_ms") === 0, lit(null).cast(LongType))
+        .otherwise(expr("CAST(svc_total_ms * 1000000 div span_ms"
+          + " AS BIGINT)")).as("rho_ppm"))
+    r.select(col("event_type"), col("n"), col("span_ms"),
+        col("mean_svc_ms_milli"), col("rho_ppm"),
+        when(col("rho_ppm").isNull || col("rho_ppm") >= 1000000L,
+          lit(null).cast(LongType))
+          .otherwise(expr("CAST(rho_ppm * rho_ppm div (1000000 - rho_ppm)"
+            + " AS BIGINT)")).as("lq_ppm"),
+        when(col("rho_ppm").isNull || col("rho_ppm") >= 1000000L,
+          lit(null).cast(LongType))
+          .otherwise(expr("CAST((rho_ppm * rho_ppm div (1000000 - rho_ppm))"
+            + " * span_ms div (1000 * n) AS BIGINT)")).as("wq_ms_milli"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     textGopherRules, packPaddingWasteSweep, statsJarqueBera,
-    statsKruskalWallis, aggTrimmedMean)
+    statsKruskalWallis, aggTrimmedMean, shardConsistentHashMoves,
+    sampleClusterTwostage, winRsiSma, winStochasticOsc, opsQueueingMm1)
 }

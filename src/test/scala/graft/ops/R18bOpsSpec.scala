@@ -154,6 +154,163 @@ class R18bOpsSpec extends SparkSpec {
     assert(hMicro >= -5L * 3000000 / (n * (n + 1)).toLong - 1)
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def hexLong(h: String): Long = java.lang.Long.parseLong(h, 16)
+
+  private lazy val eventRows: Array[(java.sql.Timestamp, String, Double)] =
+    Tables.events(spark, sf).select(col("ts"), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+
+  private def eventDay(ts: java.sql.Timestamp): java.time.LocalDate =
+    ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+
+  private lazy val dailyCents4: Map[(String, java.time.LocalDate), Long] =
+    eventRows.groupBy(e => (e._2, eventDay(e._1)))
+      .map { case (k, xs) => k -> xs.map(e => cents4(e._3)).sum }
+
+  test("shard_consistent_hash_moves: successor-rule rings replayed; " +
+      "keys only ever move TO the new node") {
+    def ring(nNodes: Int): Seq[(Long, Long)] = // (vh, node)
+      (0 until nNodes).flatMap(n => (0 until 16).map(r =>
+        (hexLong(md5hex(s"node$n:$r").substring(0, 8)), n.toLong)))
+    def assign(r: Seq[(Long, Long)], kh: Long): Long = {
+      val succ = r.filter(_._1 >= kh)
+      val pick = if (succ.nonEmpty) succ.minBy(x => (x._1, x._2))
+        else r.minBy(x => (x._1, x._2))
+      // mirror the two-step spelling: min vh, then min node at that vh
+      r.filter(_._1 == pick._1).map(_._2).min
+    }
+    val r8 = ring(8); val r9 = ring(9)
+    val keys = docRows.map(d =>
+      (d._1, hexLong(md5hex(s"key:${d._1}").substring(0, 8))))
+    val pairs = keys.map { case (_, kh) => (assign(r8, kh), assign(r9, kh)) }
+    val moved = pairs.count(p => p._1 != p._2).toLong
+    val expect = (0L to 8L).map { n =>
+      (n, pairs.count(_._1 == n).toLong, pairs.count(_._2 == n).toLong,
+        pairs.count(p => p._1 != p._2 && p._2 == n).toLong, moved,
+        moved * 1000000L / keys.length)
+    }
+    val got = graft.SparkEntry.queries("shard_consistent_hash_moves")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // consistent hashing's defining property: adding node 8 only
+    // moves keys TO node 8, and roughly 16/144 of them
+    expect.dropRight(1).foreach(e => assert(e._4 == 0L,
+      s"keys arrived at an old node: $e"))
+    assert(expect.last._2 == 0L && expect.last._4 == moved)
+    assert(moved > 0 && moved * 3 < keys.length)
+  }
+
+  test("sample_cluster_twostage: both md5 draws + the HT debias " +
+      "replayed") {
+    val rows = docRows.map { case (id, text, src) =>
+      val sel1 = hexLong(md5hex(s"s1:$src").substring(0, 4)) % 5 < 2
+      val sel2 = hexLong(md5hex(s"s2:$id").substring(0, 4)) % 4 == 0
+      (src, text.split(" ", -1).length.toLong, sel1, sel2)
+    }
+    val trueTotal = rows.map(_._2).sum
+    val estTotal = rows.filter(r => r._3 && r._4).map(_._2).sum * 10
+    val expect = rows.groupBy(_._1).toSeq.map { case (src, xs) =>
+      (src, xs.head._3, xs.length.toLong, xs.map(_._2).sum,
+        xs.count(x => x._3 && x._4).toLong,
+        xs.filter(x => x._3 && x._4).map(_._2).sum,
+        trueTotal, estTotal,
+        (estTotal - trueTotal) * 1000000L / trueTotal)
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("sample_cluster_twostage")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).toSeq
+    assert(got == expect)
+    // at least one source in, at least one out, and the HT estimate
+    // is within 2x of truth at this tier
+    assert(expect.exists(_._2) && expect.exists(!_._2))
+    assert(estTotal > trueTotal / 2 && estTotal < trueTotal * 2)
+  }
+
+  test("win_rsi_sma: gains/losses windows replayed; RSI rational") {
+    val expect = dailyCents4.keys.map(_._1).toSeq.distinct.sorted
+      .flatMap { t =>
+        val days = dailyCents4.filter(_._1._1 == t).toSeq
+          .map { case ((_, d), c) => (d, c) }.sortBy(_._1.toString)
+        val deltas = days.indices.map(i =>
+          if (i == 0) 0L else days(i)._2 - days(i - 1)._2)
+        days.indices.filter(_ >= 14).map { i =>
+          val w = (i - 13) to i
+          val gs = w.map(j => math.max(deltas(j), 0L)).sum
+          val ls = w.map(j => math.max(-deltas(j), 0L)).sum
+          val rsi = if (gs + ls == 0) None
+            else Some(gs * 1000000L / (gs + ls))
+          (t, days(i)._1.toString, gs, ls, rsi)
+        }
+      }
+    val got = graft.SparkEntry.queries("win_rsi_sma")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expect)
+    expect.flatMap(_._5).foreach(v => assert(v >= 0 && v <= 1000000L))
+  }
+
+  test("win_stochastic_osc: fortnight range position + %D replayed") {
+    val expect = dailyCents4.keys.map(_._1).toSeq.distinct.sorted
+      .flatMap { t =>
+        val days = dailyCents4.filter(_._1._1 == t).toSeq
+          .map { case ((_, d), c) => (d, c) }.sortBy(_._1.toString)
+        val ks = days.indices.map { i =>
+          val w = (math.max(0, i - 13) to i).map(days(_)._2)
+          val lo = w.min; val hi = w.max
+          if (hi == lo) None
+          else Some((days(i)._2 - lo) * 1000000L / (hi - lo))
+        }
+        days.indices.filter(_ >= 15).map { i =>
+          val d3 = for { a <- ks(i); b <- ks(i - 1); c <- ks(i - 2) }
+            yield (a + b + c) / 3
+          (t, days(i)._1.toString, ks(i), d3)
+        }
+      }
+    val got = graft.SparkEntry.queries("win_stochastic_osc")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == expect)
+  }
+
+  test("ops_queueing_mm1: exact span/service fold + the rho/Lq/Wq " +
+      "rationals replayed") {
+    val expect = eventRows.groupBy(_._2).toSeq.map { case (t, xs) =>
+      val us = xs.map { e =>
+        val i = e._1.toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+      val n = xs.length.toLong
+      val span = (us.max - us.min) / 1000L
+      val svc = xs.map(e => cents4(e._3)).sum
+      val mean = svc * 1000L / n
+      val rho = if (span == 0) None else Some(svc * 1000000L / span)
+      val lq = rho.filter(_ < 1000000L)
+        .map(r => r * r / (1000000L - r))
+      val wq = lq.map(l => l * span / (1000L * n))
+      (t, n, span, mean, rho, lq, wq)
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("ops_queueing_mm1")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSeq
+    assert(got == expect)
+    // a 30-day span with second-scale service must be UNDER-utilized
+    expect.foreach(e => assert(e._5.exists(_ < 500000L), s"rho: $e"))
+  }
+
   test("agg_trimmed_mean: full sort-and-slice, independent of the " +
       "histogram-overlap spelling") {
     val rows = Tables.lineitem(spark, sf)
