@@ -832,8 +832,442 @@ object R18bOps {
       .orderBy(col("event_type"))
   }
 
+  /** Friedman rank test (r18b) — do the five event types keep the
+    * same daily-volume ORDERING across the month, blocking on day?
+    * The repeated-measures companion to `stats_kruskal_wallis`
+    * (blocks kill the day-to-day level shifts KW would conflate).
+    * Complete 30×5 matrix (absent cells are true zero counts),
+    * EXACT doubled midranks within each day via the 5×5-per-day
+    * pair self-join (2m = 2·#less + #equal + 1, #equal including
+    * self), doubled rank sums, and
+    * χ²F = 3·Σ(2R_j)² div (n·k·(k+1)) − 3·n·(k+1) in floor-micro —
+    * the Σ(2R)² spelling absorbs the ΣR² = Σ(2R)²/4 factor into
+    * 12/4 = 3, so NO floats anywhere. χ²₄ 5%-critical 9.487729.
+    * All frames are day×type-sized. */
+  val statsFriedmanTest: QDef = q(
+    "stats_friedman_test",
+    """WITH dt AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM dt),
+      |types AS (SELECT DISTINCT event_type FROM dt),
+      |cm AS (
+      |  SELECT d.day, t.event_type, COALESCE(dt.cnt, 0) AS cnt
+      |  FROM days d CROSS JOIN types t
+      |  LEFT JOIN dt ON dt.day = d.day AND dt.event_type = t.event_type),
+      |mid AS (
+      |  SELECT a.day, a.event_type,
+      |    CAST(2 * SUM(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END)
+      |      + SUM(CASE WHEN b.cnt = a.cnt THEN 1 ELSE 0 END) + 1 AS BIGINT)
+      |      AS dm
+      |  FROM cm a JOIN cm b ON b.day = a.day
+      |  GROUP BY a.day, a.event_type, a.cnt),
+      |rs AS (SELECT event_type, CAST(SUM(dm) AS BIGINT) AS r2sum
+      |  FROM mid GROUP BY event_type),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+      |f AS (SELECT CAST(SUM(CAST(r2sum AS HUGEINT) * r2sum) AS HUGEINT)
+      |    AS sr2, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM rs)
+      |SELECT rs.event_type, rs.r2sum, nb.n AS n_days,
+      |  CAST(3000000 * f.sr2 // (nb.n * f.k * (f.k + 1))
+      |    - 3000000 * nb.n * (f.k + 1) AS BIGINT) AS chi2_micro,
+      |  3000000 * f.sr2 // (nb.n * f.k * (f.k + 1))
+      |    - 3000000 * nb.n * (f.k + 1) > 9487729 AS significant
+      |FROM rs CROSS JOIN nb CROSS JOIN f
+      |ORDER BY rs.event_type""") { (s, d) =>
+    val dt = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = dt.select(col("day")).distinct()
+    val types = dt.select(col("event_type")).distinct()
+    val cm = days.crossJoin(broadcast(types))
+      .join(dt.select(col("day").as("j_day"),
+          col("event_type").as("j_type"), col("cnt")),
+        col("j_day") === col("day") && col("j_type") === col("event_type"),
+        "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val mid = cm.as("a")
+      .join(cm.select(col("day").as("b_day"), col("cnt").as("b_cnt")),
+        col("b_day") === col("a.day"))
+      .groupBy(col("a.day").as("day"), col("event_type"), col("a.cnt"))
+      .agg((lit(2L) * count_if(col("b_cnt") < col("a.cnt"))
+        + count_if(col("b_cnt") === col("a.cnt")) + lit(1L)).as("dm"))
+    val rs = mid.groupBy(col("event_type")).agg(sum(col("dm")).as("r2sum"))
+    val nb = days.agg(count(lit(1)).as("n"))
+    val f = rs.agg(sum(col("r2sum").cast(dec) * col("r2sum")).as("sr2"),
+      count(lit(1)).as("k"))
+    rs.crossJoin(broadcast(nb)).crossJoin(broadcast(f))
+      .select(col("event_type"), col("r2sum"), col("n").as("n_days"),
+        expr("CAST(3000000 * sr2 div (n * k * (k + 1))"
+          + " - 3000000 * n * (k + 1) AS BIGINT)").as("chi2_micro"))
+      .withColumn("significant", col("chi2_micro") > 9487729L)
+      .orderBy(col("event_type"))
+  }
+
+  /** Krippendorff's alpha, nominal (r18b) — the agreement
+    * coefficient that HANDLES MISSING RATINGS, which Fleiss' kappa
+    * (`stats_fleiss_kappa`) cannot: each of the three deterministic
+    * rule-raters skips a document when its md5 presence draw fails
+    * (p = 13/16), documents with fewer than two ratings drop, and
+    * α = 1 − Do/De is ONE exact rational after clearing the
+    * per-document (m_i − 1) ∈ {1, 2} denominators by doubling:
+    * T = Σ_i 2·D_i/(m_i−1) is always an integer
+    * (D_i = Σ_c n_ic(m_i − n_ic)), Do = T/(2n), De =
+    * Σ_c n_c(n − n_c)/(n(n−1)), so α·ppm = 10⁶ −
+    * T·(n−1)·10⁶ div (2·Σ_c n_c(n−n_c)). Category boundaries are
+    * rater-specific token-count bands centered on the fixture's
+    * 10–100 token range (40/70 ± rater offsets) so all three
+    * categories are populated. Row-local per doc + ONE corpus fold. */
+  val evalKrippendorffAlpha: QDef = q(
+    "eval_krippendorff_alpha",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':kr0'), 1, 1)
+      |      < 'd' THEN CASE WHEN ntok < 40 THEN 0 WHEN ntok < 70 THEN 1
+      |        ELSE 2 END END AS r0,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':kr1'), 1, 1)
+      |      < 'd' THEN CASE WHEN ntok < 45 THEN 0 WHEN ntok < 65 THEN 1
+      |        ELSE 2 END END AS r1,
+      |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':kr2'), 1, 1)
+      |      < 'd' THEN CASE WHEN ntok < 35 THEN 0 WHEN ntok < 75 THEN 1
+      |        ELSE 2 END END AS r2
+      |  FROM t),
+      |n AS (
+      |  SELECT
+      |    (CASE WHEN r0 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r1 = 0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS n0,
+      |    (CASE WHEN r0 = 1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r1 = 1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS n1,
+      |    (CASE WHEN r0 = 2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r1 = 2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS n2
+      |  FROM r),
+      |inc AS (SELECT n0, n1, n2, n0 + n1 + n2 AS m FROM n
+      |  WHERE n0 + n1 + n2 >= 2),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+      |    CAST(SUM(m) AS BIGINT) AS ntot,
+      |    CAST(SUM(n0) AS BIGINT) AS c0, CAST(SUM(n1) AS BIGINT) AS c1,
+      |    CAST(SUM(n2) AS BIGINT) AS c2,
+      |    CAST(SUM(CASE WHEN m = 3
+      |      THEN n0 * (m - n0) + n1 * (m - n1) + n2 * (m - n2)
+      |      ELSE 2 * (n0 * (m - n0) + n1 * (m - n1) + n2 * (m - n2))
+      |      END) AS BIGINT) AS tt
+      |  FROM inc)
+      |SELECT nd AS n_docs, ntot AS n_ratings, c0, c1, c2,
+      |  CAST(tt * 1000000 // (2 * ntot) AS BIGINT) AS do_ppm,
+      |  CAST((c0 * (ntot - c0) + c1 * (ntot - c1) + c2 * (ntot - c2))
+      |    * 1000000 // (ntot * (ntot - 1)) AS BIGINT) AS de_ppm,
+      |  CASE WHEN c0 * (ntot - c0) + c1 * (ntot - c1) + c2 * (ntot - c2)
+      |    = 0 THEN NULL
+      |    ELSE CAST(1000000 - tt * (ntot - 1) * 1000000
+      |      // (2 * (c0 * (ntot - c0) + c1 * (ntot - c1)
+      |        + c2 * (ntot - c2))) AS BIGINT) END AS alpha_ppm
+      |FROM f""") { (s, d) =>
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("ntok"))
+    def rater(i: Int, lo: Long, hi: Long): Column =
+      when(substring(md5(concat(col("doc_id").cast(StringType),
+          lit(s":kr$i"))), 1, 1) < "d",
+        when(col("ntok") < lo, 0L).when(col("ntok") < hi, 1L)
+          .otherwise(2L))
+    val r = t.select(rater(0, 40, 70).as("r0"), rater(1, 45, 65).as("r1"),
+      rater(2, 35, 75).as("r2"))
+    def nj(j: Long): Column =
+      Seq("r0", "r1", "r2")
+        .map(c => when(col(c) === j, 1L).otherwise(0L)).reduce(_ + _)
+    val inc = r.select(nj(0).as("n0"), nj(1).as("n1"), nj(2).as("n2"))
+      .withColumn("m", col("n0") + col("n1") + col("n2"))
+      .filter(col("m") >= 2)
+    val di = col("n0") * (col("m") - col("n0")) +
+      col("n1") * (col("m") - col("n1")) +
+      col("n2") * (col("m") - col("n2"))
+    val f = inc.agg(count(lit(1)).as("nd"), sum(col("m")).as("ntot"),
+      sum(col("n0")).as("c0"), sum(col("n1")).as("c1"),
+      sum(col("n2")).as("c2"),
+      sum(when(col("m") === 3, di).otherwise(lit(2L) * di)).as("tt"))
+    f.select(col("nd").as("n_docs"), col("ntot").as("n_ratings"),
+      col("c0"), col("c1"), col("c2"),
+      expr("CAST(tt * 1000000 div (2 * ntot) AS BIGINT)").as("do_ppm"),
+      expr("CAST((c0 * (ntot - c0) + c1 * (ntot - c1) + c2 * (ntot - c2))"
+        + " * 1000000 div (ntot * (ntot - 1)) AS BIGINT)").as("de_ppm"),
+      when(expr("c0 * (ntot - c0) + c1 * (ntot - c1) + c2 * (ntot - c2)")
+          === 0L, lit(null).cast(LongType))
+        .otherwise(expr("CAST(1000000 - tt * (ntot - 1) * 1000000"
+          + " div (2 * (c0 * (ntot - c0) + c1 * (ntot - c1)"
+          + " + c2 * (ntot - c2))) AS BIGINT)")).as("alpha_ppm"))
+  }
+
+  /** Aspect-ratio bucketing plan (r18b) — the image-training prep
+    * step every multimodal loader runs (group images into a fixed
+    * set of aspect buckets so batches share a shape): deterministic
+    * md5-synthetic dimensions (w, h = 128·(1 + md5%12), the
+    * pre-decode-metadata convention of the multimodal family), five
+    * canonical buckets {1:1, 4:3, 3:4, 16:9, 9:16}, and EXACT
+    * nearest-ratio assignment — |w/h − n/d| comparisons cleared of
+    * BOTH denominators (h cancels across candidates; ×(144/d)
+    * clears d), argmin by (score, idx) via a doc-partitioned 5-row
+    * rank window. Graded per bucket: image count, pixel mass, and
+    * mean residual aspect error in floor-micro. At 100 TB the
+    * explode side is a broadcast 5-row table and the argmin is a
+    * doc-keyed window over 5-row partitions. */
+  val multimodalAspectBuckets: QDef = q(
+    "multimodal_aspect_buckets",
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    128 * (1 + ('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)),
+      |      1, 2))::BIGINT % 12) AS w,
+      |    128 * (1 + ('0x' || substr(md5('h:' || CAST(doc_id AS VARCHAR)),
+      |      1, 2))::BIGINT % 12) AS h
+      |  FROM documents),
+      |bk AS (SELECT * FROM (VALUES (0, '1:1', 1, 1), (1, '4:3', 4, 3),
+      |  (2, '3:4', 3, 4), (3, '16:9', 16, 9), (4, '9:16', 9, 16))
+      |  AS t(idx, nm, bn, bd)),
+      |sc AS (
+      |  SELECT img.doc_id, img.w, img.h, bk.idx, bk.nm,
+      |    abs(img.w * bk.bd - img.h * bk.bn) * (144 // bk.bd) AS score,
+      |    abs(img.w * bk.bd - img.h * bk.bn) * 1000000
+      |      // (img.h * bk.bd) AS err_micro
+      |  FROM img CROSS JOIN bk),
+      |pick AS (
+      |  SELECT doc_id, w, h, idx, nm, err_micro,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score, idx)
+      |      AS rn
+      |  FROM sc)
+      |SELECT CAST(idx AS BIGINT) AS bucket_idx, nm AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_images,
+      |  CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+      |  CAST(SUM(err_micro) // COUNT(*) AS BIGINT) AS mean_err_micro
+      |FROM pick WHERE rn = 1 GROUP BY idx, nm
+      |ORDER BY bucket_idx""") { (s, d) =>
+    import s.implicits._
+    val img = Tables.documents(s, d).select(col("doc_id"),
+      (lit(128L) * (lit(1L) + conv(substring(md5(concat(lit("w:"),
+        col("doc_id").cast(StringType))), 1, 2), 16, 10)
+        .cast(LongType) % 12)).as("w"),
+      (lit(128L) * (lit(1L) + conv(substring(md5(concat(lit("h:"),
+        col("doc_id").cast(StringType))), 1, 2), 16, 10)
+        .cast(LongType) % 12)).as("h"))
+    val bk = Seq((0L, "1:1", 1L, 1L), (1L, "4:3", 4L, 3L),
+      (2L, "3:4", 3L, 4L), (3L, "16:9", 16L, 9L), (4L, "9:16", 9L, 16L))
+      .toDF("idx", "nm", "bn", "bd")
+    val sc = img.crossJoin(broadcast(bk))
+      .select(col("doc_id"), col("w"), col("h"), col("idx"), col("nm"),
+        (abs(col("w") * col("bd") - col("h") * col("bn"))
+          * expr("144 div bd")).as("score"),
+        expr("abs(w * bd - h * bn) * 1000000 div (h * bd)")
+          .as("err_micro"))
+    val wPick = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score"), col("idx"))
+    sc.withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .groupBy(col("idx").as("bucket_idx"), col("nm").as("bucket"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("w") * col("h")).as("total_pixels"),
+        expr("CAST(SUM(err_micro) div COUNT(*) AS BIGINT)")
+          .as("mean_err_micro"))
+      .orderBy(col("bucket_idx"))
+  }
+
+  /** Benjamini–Hochberg FDR with a PLANTED signal (r18b) — the
+    * multiple-testing step-up every experimentation platform runs,
+    * graded against known ground truth: md5-designated "polluted"
+    * sources (md5('plant:'·source) % 5 = 0) get an elevated
+    * deterministic flag rate (base 2/10 ∨ boost 5/10 ≈ 0.6 vs 0.2),
+    * each source is tested against the rest with the exact-integer
+    * pooled two-proportion z² (the `stats_prop_ztest` spelling),
+    * p-values are the CHERNOFF BOUND p ≤ exp(−z²/2) — a valid
+    * conservative bound needing no erf, ONE identical exp float
+    * tree — and BH at q = 0.10 runs as: rank by (p, source) via a
+    * broadcast m-row self-join (no unpartitioned window), k* =
+    * max{rank : p·m ≤ rank·q}, reject rank ≤ k*. The spec pins that
+    * rejections land only on planted sources. All frames are
+    * source-count-sized after one fold. */
+  val statsBhFdr: QDef = q(
+    "stats_bh_fdr",
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN ('0x' || substr(md5('plant:' || source), 1, 4))
+      |      ::BIGINT % 5 = 0 THEN 1 ELSE 0 END AS planted,
+      |    CASE WHEN ('0x' || substr(md5('bh:' || CAST(doc_id AS VARCHAR)),
+      |      1, 4))::BIGINT % 10 < 2 THEN 1 ELSE 0 END AS base,
+      |    CASE WHEN ('0x' || substr(md5('bh2:' || CAST(doc_id AS VARCHAR)),
+      |      1, 4))::BIGINT % 10 < 5 THEN 1 ELSE 0 END AS boost
+      |  FROM documents),
+      |f AS (
+      |  SELECT source, MAX(planted) AS planted,
+      |    CAST(COUNT(*) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN base = 1 OR (planted = 1 AND boost = 1)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM d GROUP BY source),
+      |g AS (SELECT CAST(SUM(n1) AS BIGINT) AS nn,
+      |  CAST(SUM(c1) AS BIGINT) AS cc, CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM f),
+      |p AS (
+      |  SELECT f.source, f.planted, f.n1, f.c1, g.m,
+      |    CASE WHEN g.cc = 0 OR g.nn - g.cc = 0 OR g.nn = f.n1
+      |      THEN 1000000
+      |      ELSE CAST(FLOOR(exp(-CAST(
+      |        CAST(f.c1 * (g.nn - f.n1) - (g.cc - f.c1) * f.n1 AS HUGEINT)
+      |          * (f.c1 * (g.nn - f.n1) - (g.cc - f.c1) * f.n1) * g.nn
+      |          * 1000000
+      |        // (CAST(f.n1 AS HUGEINT) * (g.nn - f.n1) * g.cc
+      |          * (g.nn - g.cc)) AS DOUBLE) / 2000000) * 1000000)
+      |        AS BIGINT) END AS p_micro
+      |  FROM f CROSS JOIN g),
+      |rk AS (
+      |  SELECT a.source, a.planted, a.n1, a.c1, a.m, a.p_micro,
+      |    CAST(1 + COUNT(b.source) AS BIGINT) AS bh_rank
+      |  FROM p a LEFT JOIN p b ON b.p_micro < a.p_micro
+      |    OR (b.p_micro = a.p_micro AND b.source < a.source)
+      |  GROUP BY a.source, a.planted, a.n1, a.c1, a.m, a.p_micro),
+      |km AS (SELECT COALESCE(MAX(CASE WHEN p_micro * m <= bh_rank * 100000
+      |  THEN bh_rank END), 0) AS kmax FROM rk)
+      |SELECT rk.source, rk.planted = 1 AS planted, rk.n1 AS n_docs,
+      |  rk.c1 AS n_flagged, rk.p_micro AS p_bound_micro, rk.bh_rank,
+      |  rk.bh_rank <= km.kmax AS rejected
+      |FROM rk CROSS JOIN km ORDER BY rk.source""") { (s, d) =>
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      when(conv(substring(md5(concat(lit("plant:"), col("source"))),
+        1, 4), 16, 10).cast(LongType) % 5 === 0, 1L).otherwise(0L)
+        .as("planted"),
+      when(conv(substring(md5(concat(lit("bh:"),
+        col("doc_id").cast(StringType))), 1, 4), 16, 10)
+        .cast(LongType) % 10 < 2, 1L).otherwise(0L).as("base"),
+      when(conv(substring(md5(concat(lit("bh2:"),
+        col("doc_id").cast(StringType))), 1, 4), 16, 10)
+        .cast(LongType) % 10 < 5, 1L).otherwise(0L).as("boost"))
+    val f = base.groupBy(col("source"))
+      .agg(max(col("planted")).as("planted"), count(lit(1)).as("n1"),
+        sum(when(col("base") === 1 ||
+          (col("planted") === 1 && col("boost") === 1), 1L)
+          .otherwise(0L)).as("c1"))
+    val g = f.agg(sum(col("n1")).as("nn"), sum(col("c1")).as("cc"),
+      count(lit(1)).as("m"))
+    val p = f.crossJoin(broadcast(g))
+      .select(col("source"), col("planted"), col("n1"), col("c1"),
+        col("m"),
+        when(col("cc") === 0 || col("nn") - col("cc") === 0 ||
+            col("nn") === col("n1"), lit(1000000L))
+          .otherwise(expr("CAST(FLOOR(exp(-CAST("
+            + "CAST(c1 * (nn - n1) - (cc - c1) * n1 AS DECIMAL(38,0))"
+            + " * (c1 * (nn - n1) - (cc - c1) * n1) * nn * 1000000"
+            + " div (CAST(n1 AS DECIMAL(38,0)) * (nn - n1) * cc"
+            + " * (nn - cc)) AS DOUBLE) / 2000000) * 1000000)"
+            + " AS BIGINT)")).as("p_micro"))
+      .persist()
+    val rk = p.as("a")
+      .join(broadcast(p.select(col("p_micro").as("b_p"),
+          col("source").as("b_src"))),
+        col("b_p") < col("a.p_micro") ||
+          (col("b_p") === col("a.p_micro") &&
+            col("b_src") < col("a.source")), "left")
+      .groupBy(col("a.source").as("source"), col("a.planted").as("planted"),
+        col("a.n1").as("n1"), col("a.c1").as("c1"), col("a.m").as("m"),
+        col("a.p_micro").as("p_micro"))
+      .agg((lit(1L) + count(col("b_src"))).as("bh_rank"))
+    val km = rk.agg(coalesce(max(when(
+      col("p_micro") * col("m") <= col("bh_rank") * 100000L,
+      col("bh_rank"))), lit(0L)).as("kmax"))
+    rk.crossJoin(broadcast(km))
+      .select(col("source"), (col("planted") === 1L).as("planted"),
+        col("n1").as("n_docs"), col("c1").as("n_flagged"),
+        col("p_micro").as("p_bound_micro"), col("bh_rank"),
+        (col("bh_rank") <= col("kmax")).as("rejected"))
+      .orderBy(col("source"))
+  }
+
+  /** Dyadic EWMA crossover signals (r18b) — the fast/slow
+    * moving-average crossing count over daily revenue per type, on
+    * the SAME truncated dyadic-geometric EWMA convention as
+    * `win_ewma_dyadic` (weights 2^k, denominators 15 and 255 — all
+    * integer, no float recursion): fast = 4-term (half-life 1 day),
+    * slow = 8-term; a golden/death cross is a strict sign flip of
+    * (fast − slow) between consecutive evaluated days (zero-diff
+    * days break streaks, documented). Graded per type: evaluated
+    * days, up/down cross counts, first cross date. One day agg +
+    * ONE type-partitioned ordering (lags + the derived-sign lag) +
+    * one fold. */
+  val tsEwmaCrossover: QDef = q(
+    "ts_ewma_crossover",
+    """WITH dtot AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, day, cents,
+      |    lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+      |    lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+      |    lag(cents, 5) OVER w AS c5, lag(cents, 6) OVER w AS c6,
+      |    lag(cents, 7) OVER w AS c7
+      |  FROM dtot WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |e AS (
+      |  SELECT event_type, day,
+      |    (cents * 8 + c1 * 4 + c2 * 2 + c3) // 15 AS fast,
+      |    (cents * 128 + c1 * 64 + c2 * 32 + c3 * 16 + c4 * 8 + c5 * 4
+      |      + c6 * 2 + c7) // 255 AS slow
+      |  FROM l WHERE c7 IS NOT NULL),
+      |sg AS (
+      |  SELECT event_type, day,
+      |    CASE WHEN fast > slow THEN 1 WHEN fast < slow THEN -1 ELSE 0
+      |      END AS s
+      |  FROM e),
+      |x AS (
+      |  SELECT event_type, day, s,
+      |    lag(s) OVER (PARTITION BY event_type ORDER BY day) AS ps
+      |  FROM sg)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(CASE WHEN s = 1 AND ps = -1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_cross_up,
+      |  CAST(SUM(CASE WHEN s = -1 AND ps = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_cross_down,
+      |  MIN(CASE WHEN (s = 1 AND ps = -1) OR (s = -1 AND ps = 1)
+      |    THEN day END) AS first_cross_day
+      |FROM x GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val dtot = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)"))
+        .cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val l = dtot.select(Seq(col("event_type"), col("day"), col("cents")) ++
+      (1 to 7).map(k => lag(col("cents"), k).over(w).as(s"c$k")): _*)
+    val e = l.filter(col("c7").isNotNull)
+      .select(col("event_type"), col("day"),
+        expr("(cents * 8 + c1 * 4 + c2 * 2 + c3) div 15").as("fast"),
+        expr("(cents * 128 + c1 * 64 + c2 * 32 + c3 * 16 + c4 * 8"
+          + " + c5 * 4 + c6 * 2 + c7) div 255").as("slow"))
+    val sg = e.select(col("event_type"), col("day"),
+      when(col("fast") > col("slow"), 1L)
+        .when(col("fast") < col("slow"), -1L).otherwise(0L).as("s"))
+    val x = sg.withColumn("ps", lag(col("s"), 1).over(w))
+    x.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("s") === 1L && col("ps") === -1L, 1L).otherwise(0L))
+          .as("n_cross_up"),
+        sum(when(col("s") === -1L && col("ps") === 1L, 1L).otherwise(0L))
+          .as("n_cross_down"),
+        min(when((col("s") === 1L && col("ps") === -1L) ||
+          (col("s") === -1L && col("ps") === 1L), col("day")))
+          .as("first_cross_day"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     textGopherRules, packPaddingWasteSweep, statsJarqueBera,
     statsKruskalWallis, aggTrimmedMean, shardConsistentHashMoves,
-    sampleClusterTwostage, winRsiSma, winStochasticOsc, opsQueueingMm1)
+    sampleClusterTwostage, winRsiSma, winStochasticOsc, opsQueueingMm1,
+    statsFriedmanTest, evalKrippendorffAlpha, multimodalAspectBuckets,
+    statsBhFdr, tsEwmaCrossover)
 }

@@ -311,6 +311,164 @@ class R18bOpsSpec extends SparkSpec {
     expect.foreach(e => assert(e._5.exists(_ < 500000L), s"rho: $e"))
   }
 
+  test("stats_friedman_test: within-day midranks replayed from the " +
+      "complete matrix") {
+    val types = eventRows.map(_._2).distinct.sorted
+    val days = eventRows.map(e => eventDay(e._1)).distinct
+    val counts = eventRows.groupBy(e => (eventDay(e._1), e._2))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val k = types.length.toLong
+    val n = days.length.toLong
+    val r2 = types.map { t =>
+      t -> days.map { day =>
+        val me = counts.getOrElse((day, t), 0L)
+        val all = types.map(u => counts.getOrElse((day, u), 0L))
+        2 * all.count(_ < me).toLong + all.count(_ == me).toLong + 1
+      }.sum
+    }
+    val sr2 = r2.map(x => BigInt(x._2) * x._2).sum
+    val chi2 = (BigInt(3000000) * sr2 / (n * k * (k + 1)) -
+      BigInt(3000000) * n * (k + 1)).toLong
+    val expect = r2.map { case (t, r) =>
+      (t, r, n, chi2, chi2 > 9487729L) }.sortBy(_._1).toSeq
+    val got = graft.SparkEntry.queries("stats_friedman_test")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == expect)
+    // doubled midrank sums over a complete k-treatment block design
+    // must total n*k*(k+1)
+    assert(r2.map(_._2).sum == n * k * (k + 1))
+  }
+
+  test("eval_krippendorff_alpha: coincidence algebra replayed with " +
+      "missing ratings") {
+    val boundaries = Seq((0, 40L, 70L), (1, 45L, 65L), (2, 35L, 75L))
+    val cats = docRows.map { case (id, text, _) =>
+      val ntok = text.split(" ", -1).length.toLong
+      boundaries.map { case (i, lo, hi) =>
+        if (md5hex(s"$id:kr$i").charAt(0) < 'd')
+          Some(if (ntok < lo) 0 else if (ntok < hi) 1 else 2)
+        else None
+      }
+    }.map(_.flatten).filter(_.length >= 2)
+    val nd = cats.length.toLong
+    val ntot = cats.map(_.length.toLong).sum
+    val cs = (0 to 2).map(c => cats.map(_.count(_ == c).toLong).sum)
+    val tt = cats.map { xs =>
+      val m = xs.length.toLong
+      val di = (0 to 2).map { c =>
+        val nc = xs.count(_ == c).toLong; nc * (m - nc) }.sum
+      if (m == 3) di else 2 * di
+    }.sum
+    val de2 = cs.map(c => c * (ntot - c)).sum
+    val expect = Seq((nd, ntot, cs(0), cs(1), cs(2),
+      tt * 1000000L / (2 * ntot), de2 * 1000000L / (ntot * (ntot - 1)),
+      1000000L - tt * (ntot - 1) * 1000000L / (2 * de2)))
+    val got = graft.SparkEntry.queries("eval_krippendorff_alpha")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expect)
+    // all three categories populated, and rule-raters on the same
+    // signal must agree far above chance
+    assert(cs.forall(_ > 0))
+    assert(expect.head._8 > 300000L)
+  }
+
+  test("multimodal_aspect_buckets: exact nearest-ratio argmin replayed") {
+    val buckets = Seq((0L, "1:1", 1L, 1L), (1L, "4:3", 4L, 3L),
+      (2L, "3:4", 3L, 4L), (3L, "16:9", 16L, 9L), (4L, "9:16", 9L, 16L))
+    val picks = docRows.map { case (id, _, _) =>
+      val w = 128L * (1 + hexLong(md5hex(s"w:$id").substring(0, 2)) % 12)
+      val h = 128L * (1 + hexLong(md5hex(s"h:$id").substring(0, 2)) % 12)
+      val best = buckets.minBy { case (idx, _, bn, bd) =>
+        (math.abs(w * bd - h * bn) * (144 / bd), idx) }
+      (best._1, best._2, w, h,
+        math.abs(w * best._4 - h * best._3) * 1000000L / (h * best._4))
+    }
+    val expect = picks.groupBy(p => (p._1, p._2)).toSeq
+      .map { case ((idx, nm), xs) =>
+        (idx, nm, xs.length.toLong, xs.map(p => p._3 * p._4).sum,
+          xs.map(_._5).sum / xs.length) }
+      .sortBy(_._1)
+    val got = graft.SparkEntry.queries("multimodal_aspect_buckets")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    // the square bucket must absorb every w == h image exactly
+    val squares = picks.count(p => p._3 == p._4)
+    assert(expect.find(_._1 == 0L).exists(_._3 >= squares))
+  }
+
+  test("stats_bh_fdr: step-up replayed; rejections land only on " +
+      "planted sources") {
+    val rows = docRows.map { case (id, _, src) =>
+      val planted = hexLong(md5hex(s"plant:$src").substring(0, 4)) % 5 == 0
+      val base = hexLong(md5hex(s"bh:$id").substring(0, 4)) % 10 < 2
+      val boost = hexLong(md5hex(s"bh2:$id").substring(0, 4)) % 10 < 5
+      (src, planted, base || (planted && boost))
+    }
+    val bySrc = rows.groupBy(_._1).toSeq.map { case (src, xs) =>
+      (src, xs.head._2, xs.length.toLong, xs.count(_._3).toLong) }
+    val nn = bySrc.map(_._3).sum; val cc = bySrc.map(_._4).sum
+    val m = bySrc.length.toLong
+    val ps = bySrc.map { case (src, pl, n1, c1) =>
+      val num = BigInt(c1 * (nn - n1) - (cc - c1) * n1)
+      val z2 = (num * num * nn * 1000000 /
+        (BigInt(n1) * (nn - n1) * cc * (nn - cc))).toLong
+      val p = math.floor(math.exp(-z2.toDouble / 2000000) * 1000000).toLong
+      (src, pl, n1, c1, p)
+    }
+    val ranked = ps.map { case (src, pl, n1, c1, p) =>
+      val rank = 1L + ps.count(o => o._5 < p ||
+        (o._5 == p && o._1 < src))
+      (src, pl, n1, c1, p, rank)
+    }
+    val kmax = ranked.filter(r => r._5 * m <= r._6 * 100000L)
+      .map(_._6).reduceOption(_ max _).getOrElse(0L)
+    val expect = ranked.map(r =>
+      (r._1, r._2, r._3, r._4, r._5, r._6, r._6 <= kmax)).sortBy(_._1)
+    val got = graft.SparkEntry.queries("stats_bh_fdr")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got == expect)
+    // ground truth: something is rejected, and ONLY planted sources
+    val rejected = expect.filter(_._7)
+    assert(rejected.nonEmpty)
+    assert(rejected.forall(_._2), s"false rejection: $rejected")
+  }
+
+  test("ts_ewma_crossover: dyadic fast/slow sums + sign flips " +
+      "replayed") {
+    val expect = dailyCents4.keys.map(_._1).toSeq.distinct.sorted
+      .map { t =>
+        val days = dailyCents4.filter(_._1._1 == t).toSeq
+          .map { case ((_, d), c) => (d, c) }.sortBy(_._1.toString)
+        val sgn = days.indices.drop(7).map { i =>
+          def c(k: Int) = days(i - k)._2
+          val fast = (c(0) * 8 + c(1) * 4 + c(2) * 2 + c(3)) / 15
+          val slow = (c(0) * 128 + c(1) * 64 + c(2) * 32 + c(3) * 16 +
+            c(4) * 8 + c(5) * 4 + c(6) * 2 + c(7)) / 255
+          (days(i)._1, fast.compare(slow).toLong)
+        }
+        val crosses = sgn.indices.drop(1).flatMap { j =>
+          val (d, s) = sgn(j); val ps = sgn(j - 1)._2
+          if (s == 1 && ps == -1) Some((d, "up"))
+          else if (s == -1 && ps == 1) Some((d, "down")) else None
+        }
+        (t, sgn.length.toLong,
+          crosses.count(_._2 == "up").toLong,
+          crosses.count(_._2 == "down").toLong,
+          crosses.headOption.map(_._1.toString))
+      }
+    val got = graft.SparkEntry.queries("ts_ewma_crossover")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDate(4).toString))).toSeq
+    assert(got == expect)
+  }
+
   test("agg_trimmed_mean: full sort-and-slice, independent of the " +
       "histogram-overlap spelling") {
     val rows = Tables.lineitem(spark, sf)
