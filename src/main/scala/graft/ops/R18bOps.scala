@@ -1264,10 +1264,350 @@ object R18bOps {
       .orderBy(col("event_type"))
   }
 
+  /** PQ asymmetric-distance recall (r18b) — the search-quality
+    * companion to `sim_pq_codes` (which grades the codebook
+    * ASSIGNMENT; this grades what the compressed index actually
+    * RETRIEVES): per panel probe, the ADC top-10 — distance =
+    * Σ_subspace d2(q_sub, codebook[s, code_v]), computed entirely
+    * from the (vec, subspace, code) assignment plus the 256-row
+    * probe×code sub-distance table — against the exact milli-L2
+    * top-10, as overlap and recall ppm. The SAME quantization, panel
+    * (vec_id < 8 = the 8 codes), and (d2, id) tie order as the PQ
+    * twin, so the two keys compose into one PQ story. Cost: the
+    * code-assignment shuffle (vecs × 4 subspaces × 8 codes) + the
+    * eval-tier brute-force leg bounded by the 8-probe panel — never
+    * corpus². At scale ADC is the in-memory scan (4 bytes/vec);
+    * the exact leg stays eval-tier. */
+  val annPqAdcRecall: QDef = q(
+    "ann_pq_adc_recall",
+    """WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+      |qv AS (
+      |  SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qc,
+      |    CAST((i - 1) // 16 AS INTEGER) AS s
+      |  FROM embeddings CROSS JOIN dims),
+      |cb AS (SELECT i, CAST(vec_id AS INTEGER) AS code, qc AS sc
+      |  FROM qv WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT q.vec_id, q.s, cb.code,
+      |    CAST(SUM((q.qc - cb.sc) * (q.qc - cb.sc)) AS BIGINT) AS d2
+      |  FROM qv q JOIN cb ON cb.i = q.i
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code)
+      |        AS rn
+      |    FROM dist) WHERE rn = 1),
+      |qd AS (SELECT vec_id AS q_id, s, code, d2 FROM dist
+      |  WHERE vec_id < 8),
+      |adc AS (
+      |  SELECT qd.q_id, c.vec_id, CAST(SUM(qd.d2) AS BIGINT) AS ad2
+      |  FROM codes c JOIN qd ON qd.s = c.s AND qd.code = c.code
+      |  WHERE c.vec_id <> qd.q_id GROUP BY 1, 2),
+      |ext AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id,
+      |    CAST(SUM((a.qc - b.qc) * (a.qc - b.qc)) AS BIGINT) AS d2
+      |  FROM qv a JOIN qv b ON b.i = a.i AND b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 8 GROUP BY 1, 2),
+      |topex AS (SELECT q_id, vec_id FROM (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rn
+      |  FROM ext) WHERE rn <= 10),
+      |topadc AS (SELECT q_id, vec_id FROM (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY ad2, vec_id) AS rn
+      |  FROM adc) WHERE rn <= 10)
+      |SELECT topex.q_id, CAST(COUNT(topadc.vec_id) AS BIGINT) AS n_overlap,
+      |  CAST(COUNT(topadc.vec_id) * 1000000 // 10 AS BIGINT) AS recall_ppm
+      |FROM topex LEFT JOIN topadc ON topadc.q_id = topex.q_id
+      |  AND topadc.vec_id = topex.vec_id
+      |GROUP BY topex.q_id ORDER BY topex.q_id""") { (s, d) =>
+    val ex0 = LlmExtras.kmeansEx(s, d)
+      .withColumn("s", expr("CAST(i div 16 AS INT)"))
+    val cb = ex0.filter(col("vec_id") < 8)
+      .select(col("i").as("ci"), col("vec_id").cast(IntegerType).as("code"),
+        col("qc").as("sc"))
+    val dist = ex0.join(broadcast(cb), col("ci") === col("i"))
+      .groupBy(col("vec_id"), col("s"), col("code"))
+      .agg(sum((col("qc") - col("sc")) * (col("qc") - col("sc"))).as("d2"))
+      .persist()
+    val codes = dist.groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d2"), col("code"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"))
+    val qd = dist.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("s").as("qs"),
+        col("code").as("qcode"), col("d2"))
+    val adc = codes.join(broadcast(qd),
+        col("qs") === col("s") && col("qcode") === col("code") &&
+          col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id")).agg(sum(col("d2")).as("ad2"))
+    val qp = ex0.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("e_q"), col("i").as("qi"),
+        col("qc").as("qqc"))
+    val ext = ex0.join(broadcast(qp),
+        col("qi") === col("i") && col("e_q") =!= col("vec_id"))
+      .groupBy(col("e_q").as("q_id"), col("vec_id"))
+      .agg(sum((col("qc") - col("qqc")) * (col("qc") - col("qqc")))
+        .as("d2"))
+    val wEx = Window.partitionBy(col("q_id")).orderBy(col("d2"),
+      col("vec_id"))
+    val topex = ext.withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= 10).select(col("q_id"), col("vec_id"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("ad2"),
+      col("vec_id"))
+    val topadc = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= 10)
+      .select(col("q_id").as("a_q"), col("vec_id").as("a_v"))
+    topex.join(topadc, col("a_q") === col("q_id") &&
+        col("a_v") === col("vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("a_v")).as("n_overlap"))
+      .select(col("q_id"), col("n_overlap"),
+        expr("n_overlap * 1000000 div 10").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  /** AMS F₂ sketch audit (r18b) — the Alon–Matias–Szegedy second
+    * moment (= self-join size on l_partkey) estimated with 16
+    * deterministic md5 ±1 hash functions next to the exact
+    * Σ freq²: Z_j = Σ_v s_j(v)·freq_v folds in ONE pass (16× via a
+    * broadcast j cross join), estimates are Z_j², and the graded
+    * summary is the textbook median-of-means (4 groups of 4, the
+    * 4-row median via a broadcast rank self-join — no unpartitioned
+    * window) with its signed error vs truth. EVERYTHING integer:
+    * signs from one md5 hex parity, Z bounded by row count. The
+    * sketch a join-size planner merges across shards at 100 TB —
+    * constant state per hash function. */
+  val sketchAmsF2: QDef = q(
+    "sketch_ams_f2",
+    """WITH f AS (
+      |  SELECT l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |ex AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2
+      |  FROM f),
+      |js AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS j),
+      |z AS (
+      |  SELECT js.j,
+      |    CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(js.j AS VARCHAR)
+      |      || ':' || CAST(f.v AS VARCHAR)), 1, 1))::INT % 2 = 0
+      |      THEN f.c ELSE -f.c END) AS BIGINT) AS zj
+      |  FROM f CROSS JOIN js GROUP BY 1),
+      |e AS (SELECT j, CAST(zj AS HUGEINT) * zj AS est, j // 4 AS grp
+      |  FROM z),
+      |gm AS (SELECT grp, CAST(SUM(est) // 4 AS BIGINT) AS mean_est
+      |  FROM e GROUP BY grp),
+      |rk AS (
+      |  SELECT a.grp, a.mean_est,
+      |    CAST(1 + COUNT(b.grp) AS BIGINT) AS rn
+      |  FROM gm a LEFT JOIN gm b ON b.mean_est < a.mean_est
+      |    OR (b.mean_est = a.mean_est AND b.grp < a.grp)
+      |  GROUP BY a.grp, a.mean_est),
+      |med AS (SELECT CAST(SUM(CASE WHEN rn IN (2, 3) THEN mean_est
+      |  ELSE 0 END) // 2 AS BIGINT) AS mom FROM rk),
+      |mn AS (SELECT CAST(SUM(est) // 16 AS BIGINT) AS mean16 FROM e)
+      |SELECT ex.f2 AS exact_f2, mn.mean16 AS mean_est,
+      |  med.mom AS median_of_means,
+      |  CAST((med.mom - ex.f2) * 1000000 // ex.f2 AS BIGINT) AS err_ppm
+      |FROM ex CROSS JOIN med CROSS JOIN mn""") { (s, d) =>
+    import s.implicits._
+    val f = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("v")).agg(count(lit(1)).as("c"))
+    val ex = f.agg(sum(col("c").cast(dec) * col("c")).cast(LongType)
+      .as("f2"))
+    val js = (0L until 16L).toDF("j")
+    val z = f.crossJoin(broadcast(js))
+      .groupBy(col("j"))
+      .agg(sum(when(conv(substring(md5(concat(col("j").cast(StringType),
+          lit(":"), col("v").cast(StringType))), 1, 1), 16, 10)
+          .cast(IntegerType) % 2 === 0, col("c"))
+        .otherwise(-col("c"))).as("zj"))
+    val e = z.select(col("j"), (col("zj").cast(dec) * col("zj")).as("est"),
+      expr("j div 4").as("grp")).persist()
+    val gm = e.groupBy(col("grp"))
+      .agg(expr("CAST(SUM(est) div 4 AS BIGINT)").as("mean_est"))
+    val rk = gm.as("a")
+      .join(broadcast(gm.select(col("grp").as("b_grp"),
+          col("mean_est").as("b_me"))),
+        col("b_me") < col("a.mean_est") ||
+          (col("b_me") === col("a.mean_est") &&
+            col("b_grp") < col("a.grp")), "left")
+      .groupBy(col("a.grp").as("grp"), col("a.mean_est").as("mean_est"))
+      .agg((lit(1L) + count(col("b_grp"))).as("rn"))
+    val med = rk.agg(expr("CAST(SUM(CASE WHEN rn IN (2, 3) THEN mean_est"
+      + " ELSE 0 END) div 2 AS BIGINT)").as("mom"))
+    val mn = e.agg(expr("CAST(SUM(est) div 16 AS BIGINT)").as("mean16"))
+    ex.crossJoin(broadcast(med)).crossJoin(broadcast(mn))
+      .select(col("f2").as("exact_f2"), col("mean16").as("mean_est"),
+        col("mom").as("median_of_means"),
+        expr("(mom - f2) * 1000000 div f2").as("err_ppm"))
+  }
+
+  /** Geometric + harmonic means (r18b) — the AM ≥ GM ≥ HM triple
+    * per return flag over milli-quantized quantities: GM through the
+    * house quantize-then-fold log protocol (Σ floor(ln·10⁶) div n,
+    * one exp at the edge — the `agg_atkinson_index` spelling), HM
+    * via exact floored reciprocals r = 10¹² div q_milli (relative
+    * quantization error < 5·10⁻⁸, identical in both engines) so
+    * HM_milli = n·10¹² div Σr is pure integer algebra. The spec
+    * pins the mean inequality. One grouped fold. */
+  val aggGeometricHarmonic: QDef = q(
+    "agg_geometric_harmonic",
+    """WITH x AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_quantity AS DECIMAL(12,4)) * 1000 AS BIGINT)
+      |      AS qm
+      |  FROM lineitem
+      |  WHERE CAST(CAST(l_quantity AS DECIMAL(12,4)) * 1000 AS BIGINT) > 0),
+      |m AS (
+      |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(qm) AS BIGINT) AS sq,
+      |    CAST(SUM(CAST(FLOOR(ln(CAST(qm AS DOUBLE)) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS sl,
+      |    CAST(SUM(1000000000000 // qm) AS BIGINT) AS sr
+      |  FROM x GROUP BY flag)
+      |SELECT flag AS l_returnflag, n,
+      |  CAST(sq // n AS BIGINT) AS arith_milli,
+      |  CAST(FLOOR(exp(CAST(sl // n AS DOUBLE) / 1000000)) AS BIGINT)
+      |    AS geo_milli,
+      |  CAST(n * 1000000000000 // sr AS BIGINT) AS harm_milli
+      |FROM m ORDER BY 1""") { (s, d) =>
+    val x = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(12,4)) * 1000 AS BIGINT)")
+          .as("qm"))
+      .filter(col("qm") > 0)
+    val m = x.groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("qm")).as("sq"),
+        sum(floor(log(col("qm").cast(DoubleType)) * 1000000)
+          .cast(LongType)).as("sl"),
+        sum(expr("1000000000000 div qm")).as("sr"))
+    m.select(col("flag").as("l_returnflag"), col("n"),
+        expr("CAST(sq div n AS BIGINT)").as("arith_milli"),
+        expr("CAST(FLOOR(exp(CAST(sl div n AS DOUBLE) / 1000000))"
+          + " AS BIGINT)").as("geo_milli"),
+        expr("CAST(n * 1000000000000 div sr AS BIGINT)").as("harm_milli"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Mixture entropy / effective domain count (r18b) — the
+    * one-number diversity summary a data-mixing deck leads with:
+    * Shannon entropy of the source mixture H = ln N − (Σ c·ln c)/N
+    * through the quantize-then-fold log protocol (each term
+    * c·floor(ln c·10⁶) exact), the EFFECTIVE number of domains
+    * exp(H) (Hill number of order 1 — "this 20-source corpus mixes
+    * like X equal sources"), and H normalized by ln(m) in ppm.
+    * Complements the share table (`mix_domain_weighted`) and the
+    * inequality trio with the information-theoretic view. One
+    * source fold + a 1-row edge. */
+  val mixEntropyEffectiveDomains: QDef = q(
+    "mix_entropy_effective_domains",
+    """WITH c AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(n) AS BIGINT)
+      |      AS nd,
+      |    CAST(SUM(n * CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS snl
+      |  FROM c),
+      |h AS (
+      |  SELECT m, nd,
+      |    CAST(FLOOR(ln(CAST(nd AS DOUBLE)) * 1000000) AS BIGINT)
+      |      - snl // nd AS h_micro
+      |  FROM f)
+      |SELECT nd AS n_docs, m AS n_domains, h_micro,
+      |  CAST(FLOOR(exp(CAST(h_micro AS DOUBLE) / 1000000) * 1000)
+      |    AS BIGINT) AS eff_domains_milli,
+      |  CASE WHEN m = 1 THEN NULL
+      |    ELSE CAST(h_micro * 1000000
+      |      // CAST(FLOOR(ln(CAST(m AS DOUBLE)) * 1000000) AS BIGINT)
+      |      AS BIGINT) END AS h_norm_ppm
+      |FROM h""") { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val f = c.agg(count(lit(1)).as("m"), sum(col("n")).as("nd"),
+      sum(col("n") * floor(log(col("n").cast(DoubleType)) * 1000000)
+        .cast(LongType)).as("snl"))
+    val h = f.select(col("m"), col("nd"),
+      (floor(log(col("nd").cast(DoubleType)) * 1000000).cast(LongType)
+        - expr("snl div nd")).as("h_micro"))
+    h.select(col("nd").as("n_docs"), col("m").as("n_domains"),
+      col("h_micro"),
+      expr("CAST(FLOOR(exp(CAST(h_micro AS DOUBLE) / 1000000) * 1000)"
+        + " AS BIGINT)").as("eff_domains_milli"),
+      when(col("m") === 1, lit(null).cast(LongType))
+        .otherwise(expr("CAST(h_micro * 1000000"
+          + " div CAST(FLOOR(ln(CAST(m AS DOUBLE)) * 1000000) AS BIGINT)"
+          + " AS BIGINT)")).as("h_norm_ppm"))
+  }
+
+  /** Rich-club density (r18b) — do the highest-degree customers and
+    * suppliers trade disproportionately with EACH OTHER? Over the
+    * shared `tradeEb` bipartite edge set (ONE spelling with the
+    * eight graph-family consumers): top-20 customers and top-20
+    * suppliers by distinct-partner degree (deterministic (deg DESC,
+    * key) order), the edge density among them vs the overall
+    * bipartite density, and the rich-club ratio in milli. The top
+    * sets are TakeOrdered(20) global sort-limits; the rich-edge
+    * count is one broadcast double-semijoin over eb — never an
+    * all-pairs anything. */
+  val graphRichClub: QDef = q(
+    "graph_rich_club",
+    s"""WITH ${ClusterOps.tradeEbCte},
+      |cd AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS deg FROM eb
+      |  GROUP BY ck),
+      |sd AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS deg FROM eb
+      |  GROUP BY sk),
+      |topc AS (SELECT ck FROM cd ORDER BY deg DESC, ck LIMIT 20),
+      |tops AS (SELECT sk FROM sd ORDER BY deg DESC, sk LIMIT 20),
+      |tot AS (
+      |  SELECT CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_cust,
+      |    CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_supp,
+      |    CAST(COUNT(*) AS BIGINT) AS n_edges
+      |  FROM eb),
+      |rich AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS rich_edges
+      |  FROM eb JOIN topc ON topc.ck = eb.ck
+      |    JOIN tops ON tops.sk = eb.sk)
+      |SELECT tot.n_cust, tot.n_supp, tot.n_edges, rich.rich_edges,
+      |  CAST(400 AS BIGINT) AS rich_possible,
+      |  CAST(rich.rich_edges * 1000000 // 400 AS BIGINT)
+      |    AS rich_density_ppm,
+      |  CAST(tot.n_edges * 1000000 // (tot.n_cust * tot.n_supp)
+      |    AS BIGINT) AS overall_density_ppm,
+      |  CAST((rich.rich_edges * 1000000 // 400) * 1000
+      |    // (tot.n_edges * 1000000 // (tot.n_cust * tot.n_supp))
+      |    AS BIGINT) AS rich_club_ratio_milli
+      |FROM tot CROSS JOIN rich""") { (s, d) =>
+    val eb = ClusterOps.tradeEb(s, d).persist()
+    val topc = eb.groupBy(col("ck")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("ck")).limit(20).select(col("ck"))
+    val tops = eb.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("sk")).limit(20).select(col("sk"))
+    val tot = eb.agg(countDistinct(col("ck")).as("n_cust"),
+      countDistinct(col("sk")).as("n_supp"), count(lit(1)).as("n_edges"))
+    val rich = eb.join(broadcast(topc.select(col("ck").as("t_ck"))),
+        col("t_ck") === col("ck"))
+      .join(broadcast(tops.select(col("sk").as("t_sk"))),
+        col("t_sk") === col("sk"))
+      .agg(count(lit(1)).as("rich_edges"))
+    tot.crossJoin(broadcast(rich))
+      .select(col("n_cust"), col("n_supp"), col("n_edges"),
+        col("rich_edges"), lit(400L).as("rich_possible"),
+        expr("rich_edges * 1000000 div 400").as("rich_density_ppm"),
+        expr("n_edges * 1000000 div (n_cust * n_supp)")
+          .as("overall_density_ppm"),
+        expr("(rich_edges * 1000000 div 400) * 1000"
+          + " div (n_edges * 1000000 div (n_cust * n_supp))")
+          .as("rich_club_ratio_milli"))
+  }
+
   val all: Seq[QDef] = Seq(
     textGopherRules, packPaddingWasteSweep, statsJarqueBera,
     statsKruskalWallis, aggTrimmedMean, shardConsistentHashMoves,
     sampleClusterTwostage, winRsiSma, winStochasticOsc, opsQueueingMm1,
     statsFriedmanTest, evalKrippendorffAlpha, multimodalAspectBuckets,
-    statsBhFdr, tsEwmaCrossover)
+    statsBhFdr, tsEwmaCrossover, annPqAdcRecall, sketchAmsF2,
+    aggGeometricHarmonic, mixEntropyEffectiveDomains, graphRichClub)
 }

@@ -469,6 +469,160 @@ class R18bOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  private lazy val milliVecs: Map[Long, Array[Long]] =
+    Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1000).toLong)).toMap
+
+  test("ann_pq_adc_recall: codebook assignment, ADC scan, and exact " +
+      "top-10 replayed end to end") {
+    val panel = (0L to 7L).filter(milliVecs.contains)
+    def seg(v: Array[Long], s: Int): Array[Long] =
+      v.slice(s * 16, s * 16 + 16)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // per (vec, subspace): nearest panel code by (d2, code)
+    val codes = milliVecs.map { case (id, v) =>
+      id -> (0 until 4).map { sp =>
+        panel.map(c => (d2(seg(v, sp), seg(milliVecs(c), sp)), c))
+          .minBy(x => (x._1, x._2))._2
+      }
+    }
+    val expect = panel.map { q =>
+      val qv = milliVecs(q)
+      val exact = milliVecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (d2(qv, v), id) }
+        .sortBy(identity).take(10).map(_._2).toSet
+      val adcTop = codes.toSeq.filter(_._1 != q)
+        .map { case (id, cs) =>
+          val ad = (0 until 4).map(sp =>
+            d2(seg(qv, sp), seg(milliVecs(cs(sp)), sp))).sum
+          (ad, id)
+        }.sortBy(identity).take(10).map(_._2).toSet
+      val overlap = exact.intersect(adcTop).size.toLong
+      (q, overlap, overlap * 1000000L / 10)
+    }.toSeq
+    val got = graft.SparkEntry.queries("ann_pq_adc_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expect)
+    // the compressed scan must beat random: mean recall over the
+    // panel above 10% (random top-10 of 500 would give ~2%)
+    assert(expect.map(_._2).sum * 10 >= expect.length)
+  }
+
+  private lazy val liRows: Array[(String, Double, Long, Long, Long)] =
+    Tables.lineitem(spark, sf).select(col("l_returnflag"),
+        col("l_quantity"), col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+  test("sketch_ams_f2: signs, Z folds, and median-of-means replayed") {
+    val freq = liRows.groupBy(_._4).map { case (k, xs) =>
+      k -> xs.length.toLong }
+    val f2 = freq.values.map(c => BigInt(c) * c).sum
+    val zs = (0L until 16L).map { j =>
+      freq.map { case (v, c) =>
+        if (hexLong(md5hex(s"$j:$v").substring(0, 1)) % 2 == 0) c else -c
+      }.sum
+    }
+    val ests = zs.map(z => BigInt(z) * z)
+    val gms = (0 until 4).map(g =>
+      (g.toLong, (ests.slice(g * 4, g * 4 + 4).sum / 4).toLong))
+    val ranked = gms.map { case (g, me) =>
+      (me, 1 + gms.count(o => o._2 < me || (o._2 == me && o._1 < g))) }
+    val mom = ranked.filter(r => r._2 == 2 || r._2 == 3)
+      .map(_._1).sum / 2
+    val mean16 = (ests.sum / 16).toLong
+    val expect = Seq((f2.toLong, mean16, mom,
+      (BigInt(mom) - f2) * 1000000 / f2)).map(t =>
+      (t._1, t._2, t._3, t._4.toLong))
+    val got = graft.SparkEntry.queries("sketch_ams_f2")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    // an unbiased F2 sketch at 16 functions lands within 100%
+    assert(math.abs(expect.head._4) < 1000000L)
+  }
+
+  test("agg_geometric_harmonic: AM >= GM >= HM replayed") {
+    val expect = liRows.map(r => (r._1,
+        (BigDecimal(r._2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 1000).toLongExact))
+      .filter(_._2 > 0)
+      .groupBy(_._1).toSeq.map { case (f, xs) =>
+        val n = xs.length.toLong
+        val sq = xs.map(_._2).sum
+        val sl = xs.map(x =>
+          math.floor(math.log(x._2.toDouble) * 1000000).toLong).sum
+        val sr = xs.map(x => 1000000000000L / x._2).sum
+        (f, n, sq / n,
+          math.floor(math.exp((sl / n).toDouble / 1000000)).toLong,
+          (BigInt(n) * 1000000000000L / sr).toLong)
+      }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("agg_geometric_harmonic")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+    expect.foreach { e =>
+      assert(e._3 >= e._4 && e._4 >= e._5, s"AM>=GM>=HM violated: $e")
+    }
+  }
+
+  test("mix_entropy_effective_domains: quantized Shannon fold " +
+      "replayed") {
+    val counts = docRows.groupBy(_._3).map { case (_, xs) =>
+      xs.length.toLong }.toSeq
+    val m = counts.length.toLong
+    val nd = counts.sum
+    val snl = counts.map(c =>
+      c * math.floor(math.log(c.toDouble) * 1000000).toLong).sum
+    val h = math.floor(math.log(nd.toDouble) * 1000000).toLong - snl / nd
+    val eff = math.floor(math.exp(h.toDouble / 1000000) * 1000).toLong
+    val hn = if (m == 1) None
+      else Some(h * 1000000L /
+        math.floor(math.log(m.toDouble) * 1000000).toLong)
+    val expect = Seq((nd, m, h, eff, hn))
+    val got = graft.SparkEntry.queries("mix_entropy_effective_domains")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expect)
+    // 0 <= H <= ln m, and the Hill number cannot exceed m
+    assert(h >= 0 && eff <= m * 1000 + 1)
+  }
+
+  test("graph_rich_club: top-degree double-semijoin density replayed") {
+    val orders = Tables.orders(spark, sf).select(col("o_orderkey"),
+        col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val eb = liRows.flatMap(l => orders.get(l._3).map(ck => (ck, l._5)))
+      .distinct
+    val topc = eb.groupBy(_._1).map { case (k, xs) =>
+      (k, xs.length.toLong) }.toSeq
+      .sortBy { case (k, dg) => (-dg, k) }.take(20).map(_._1).toSet
+    val tops = eb.groupBy(_._2).map { case (k, xs) =>
+      (k, xs.length.toLong) }.toSeq
+      .sortBy { case (k, dg) => (-dg, k) }.take(20).map(_._1).toSet
+    val nCust = eb.map(_._1).distinct.length.toLong
+    val nSupp = eb.map(_._2).distinct.length.toLong
+    val nEdges = eb.length.toLong
+    val rich = eb.count(e => topc(e._1) && tops(e._2)).toLong
+    val rd = rich * 1000000L / 400
+    val od = nEdges * 1000000L / (nCust * nSupp)
+    val expect = Seq((nCust, nSupp, nEdges, rich, 400L, rd, od,
+      rd * 1000 / od))
+    val got = graft.SparkEntry.queries("graph_rich_club")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == expect)
+    assert(rich > 0 && rich <= 400)
+  }
+
   test("agg_trimmed_mean: full sort-and-slice, independent of the " +
       "histogram-overlap spelling") {
     val rows = Tables.lineitem(spark, sf)
