@@ -1603,11 +1603,339 @@ object R18bOps {
           .as("rich_club_ratio_milli"))
   }
 
+  /** Laplace-mechanism histogram (r18b) — the ε-DP release that
+    * completes the privacy family (randomized response = local DP,
+    * ε-composition = budgeting, THIS = central-DP aggregate
+    * release), graded deterministically: per-lang counts get
+    * inverse-CDF Laplace noise b = Δ/ε = 1 from an md5 uniform
+    * (u = (h%10⁶ + 0.5)/10⁶ halves away from the CDF poles;
+    * noise = −sgn(u−½)·ln(1−2|u−½|), ONE identical ln float tree,
+    * floor micro). Since lang histogram cells are DISJOINT, parallel
+    * composition gives ε_total = 1 for the whole release — stated
+    * as a graded column. Per lang: true count, uniform draw, noise,
+    * noisy count, abs error (all micro). One lang fold + row-local
+    * noise. */
+  val privacyLaplaceHistogram: QDef = q(
+    "privacy_laplace_histogram",
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS true_n
+      |  FROM documents GROUP BY lang),
+      |u AS (
+      |  SELECT lang, true_n,
+      |    ('0x' || substr(md5('lap:' || lang), 1, 8))::BIGINT % 1000000
+      |      AS u_micro
+      |  FROM c),
+      |nz AS (
+      |  SELECT lang, true_n, u_micro,
+      |    CAST(FLOOR((CASE WHEN u_micro + u_micro >= 1000000
+      |        THEN -1.0 ELSE 1.0 END)
+      |      * ln(1 - 2 * abs((u_micro + 0.5) / 1000000 - 0.5))
+      |      * 1000000) AS BIGINT) AS noise_micro
+      |  FROM u)
+      |SELECT lang, true_n, u_micro, noise_micro,
+      |  true_n * 1000000 + noise_micro AS noisy_micro,
+      |  abs(noise_micro) AS abs_err_micro,
+      |  CAST(1000000 AS BIGINT) AS eps_total_micro
+      |FROM nz ORDER BY lang""") { (s, d) =>
+    val c = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("true_n"))
+    val u = c.withColumn("u_micro",
+      conv(substring(md5(concat(lit("lap:"), col("lang"))), 1, 8), 16, 10)
+        .cast(LongType) % 1000000)
+    val nz = u.withColumn("noise_micro",
+      expr("CAST(FLOOR((CASE WHEN u_micro + u_micro >= 1000000"
+        + " THEN -1.0 ELSE 1.0 END)"
+        + " * ln(1 - 2 * abs((u_micro + 0.5) / 1000000 - 0.5))"
+        + " * 1000000) AS BIGINT)"))
+    nz.select(col("lang"), col("true_n"), col("u_micro"),
+        col("noise_micro"),
+        (col("true_n") * 1000000L + col("noise_micro")).as("noisy_micro"),
+        abs(col("noise_micro")).as("abs_err_micro"),
+        lit(1000000L).as("eps_total_micro"))
+      .orderBy(col("lang"))
+  }
+
+  /** Simpson diversity per language (r18b) — the order-2 companion
+    * to the order-1 entropy key (`mix_entropy_effective_domains`):
+    * over each language's token frequency distribution, Simpson's
+    * λ = Σc(c−1)/(N(N−1)) (the probability two random tokens are
+    * the same type — EXACT rational, no sampling), Gini–Simpson
+    * 1−λ, and the inverse-Simpson effective type count (Hill number
+    * of order 2) in milli. Shuffles: one (lang, token) wordcount
+    * (map-side combined, vocabulary-sized) + one lang fold. */
+  val corpusSimpsonDiversity: QDef = q(
+    "corpus_simpson_diversity",
+    """WITH tc AS (
+      |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY lang, tok),
+      |f AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS BIGINT) AS s2
+      |  FROM tc GROUP BY lang)
+      |SELECT lang, n_types, n_tokens,
+      |  CASE WHEN n_tokens < 2 THEN NULL
+      |    ELSE CAST(s2 * 1000000 // (n_tokens * (n_tokens - 1))
+      |      AS BIGINT) END AS simpson_ppm,
+      |  CASE WHEN n_tokens < 2 THEN NULL
+      |    ELSE CAST(1000000 - s2 * 1000000 // (n_tokens * (n_tokens - 1))
+      |      AS BIGINT) END AS gini_simpson_ppm,
+      |  CASE WHEN s2 = 0 THEN NULL
+      |    ELSE CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000
+      |      // s2 AS BIGINT) END AS inv_simpson_milli
+      |FROM f ORDER BY lang""") { (s, d) =>
+    val tc = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val f = tc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(col("c").cast(dec) * (col("c") - 1)).cast(LongType).as("s2"))
+    f.select(col("lang"), col("n_types"), col("n_tokens"),
+        when(col("n_tokens") < 2, lit(null).cast(LongType))
+          .otherwise(expr("CAST(s2 * 1000000"
+            + " div (n_tokens * (n_tokens - 1)) AS BIGINT)"))
+          .as("simpson_ppm"),
+        when(col("n_tokens") < 2, lit(null).cast(LongType))
+          .otherwise(expr("CAST(1000000 - s2 * 1000000"
+            + " div (n_tokens * (n_tokens - 1)) AS BIGINT)"))
+          .as("gini_simpson_ppm"),
+        when(col("s2") === 0, lit(null).cast(LongType))
+          .otherwise(expr("CAST(CAST(n_tokens AS DECIMAL(38,0))"
+            + " * (n_tokens - 1) * 1000 div s2 AS BIGINT)"))
+          .as("inv_simpson_milli"))
+      .orderBy(col("lang"))
+  }
+
+  /** Bartlett's test for equal variances (r18b) — the parametric
+    * twin of the graded robust `stats_levene_bf`: over the five
+    * event types' value distributions,
+    * χ² = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with the standard
+    * correction C. Per-group sums are EXACT DECIMAL(38) partials;
+    * the variances, logs, and C go through one identical float tree
+    * whose k-term sums fold in FIXED order (the `ts_ljung_box`
+    * discipline — a float SUM aggregate would be order-dependent).
+    * χ²₄ 5%-critical 9.487729. Output is the 1-row verdict. */
+  val statsBartlett: QDef = q(
+    "stats_bartlett",
+    """WITH x AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(v) AS HUGEINT) AS s1,
+      |    CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      |  FROM x GROUP BY event_type),
+      |g AS (
+      |  SELECT event_type, n,
+      |    CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+      |      AS s2i
+      |  FROM m),
+      |w AS (
+      |  SELECT
+      |    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+      |    MAX(CASE WHEN event_type = 'error' THEN n END) AS n2,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n3,
+      |    MAX(CASE WHEN event_type = 'signup' THEN n END) AS n4,
+      |    MAX(CASE WHEN event_type = 'view' THEN n END) AS n5,
+      |    MAX(CASE WHEN event_type = 'click' THEN s2i END) AS v1,
+      |    MAX(CASE WHEN event_type = 'error' THEN s2i END) AS v2,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN s2i END) AS v3,
+      |    MAX(CASE WHEN event_type = 'signup' THEN s2i END) AS v4,
+      |    MAX(CASE WHEN event_type = 'view' THEN s2i END) AS v5
+      |  FROM g),
+      |t AS (
+      |  SELECT n1 + n2 + n3 + n4 + n5 AS nn,
+      |    ((n1 - 1) * v1 + (n2 - 1) * v2 + (n3 - 1) * v3 + (n4 - 1) * v4
+      |      + (n5 - 1) * v5) / (n1 + n2 + n3 + n4 + n5 - 5) AS sp2,
+      |    (n1 - 1) * ln(v1) + (n2 - 1) * ln(v2) + (n3 - 1) * ln(v3)
+      |      + (n4 - 1) * ln(v4) + (n5 - 1) * ln(v5) AS sl,
+      |    1.0 / (n1 - 1) + 1.0 / (n2 - 1) + 1.0 / (n3 - 1)
+      |      + 1.0 / (n4 - 1) + 1.0 / (n5 - 1) AS sr,
+      |    n1, n2, n3, n4, n5
+      |  FROM w)
+      |SELECT CAST(nn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+      |  CAST(FLOOR(((nn - 5) * ln(sp2) - sl)
+      |    / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000) AS BIGINT)
+      |    AS chi2_micro,
+      |  FLOOR(((nn - 5) * ln(sp2) - sl)
+      |    / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000) > 9487729
+      |    AS significant
+      |FROM t""") { (s, d) =>
+    val x = Tables.events(s, d).select(col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("v"))
+    val m = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("s1"),
+        sum(col("v").cast(dec) * col("v")).as("s2"))
+    val g = m.select(col("event_type"), col("n"),
+      expr("CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)"
+        + " / (CAST(n AS DOUBLE) * (n - 1))").as("s2i"))
+    def pick(t: String, c: String, as0: String): Column =
+      max(when(col("event_type") === t, col(c))).as(as0)
+    val w = g.agg(
+      pick("click", "n", "n1"), pick("error", "n", "n2"),
+      pick("purchase", "n", "n3"), pick("signup", "n", "n4"),
+      pick("view", "n", "n5"),
+      pick("click", "s2i", "v1"), pick("error", "s2i", "v2"),
+      pick("purchase", "s2i", "v3"), pick("signup", "s2i", "v4"),
+      pick("view", "s2i", "v5"))
+    val t = w.select(
+      expr("n1 + n2 + n3 + n4 + n5").as("nn"),
+      expr("((n1 - 1) * v1 + (n2 - 1) * v2 + (n3 - 1) * v3"
+        + " + (n4 - 1) * v4 + (n5 - 1) * v5)"
+        + " / (n1 + n2 + n3 + n4 + n5 - 5)").as("sp2"),
+      expr("(n1 - 1) * ln(v1) + (n2 - 1) * ln(v2) + (n3 - 1) * ln(v3)"
+        + " + (n4 - 1) * ln(v4) + (n5 - 1) * ln(v5)").as("sl"),
+      expr("1.0 / (n1 - 1) + 1.0 / (n2 - 1) + 1.0 / (n3 - 1)"
+        + " + 1.0 / (n4 - 1) + 1.0 / (n5 - 1)").as("sr"))
+    t.select(col("nn").cast(LongType).as("n"), lit(5L).as("k"),
+        expr("CAST(FLOOR(((nn - 5) * ln(sp2) - sl)"
+          + " / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000) AS BIGINT)")
+          .as("chi2_micro"))
+      .withColumn("significant", col("chi2_micro") > 9487729L)
+  }
+
+  /** Token-set fingerprint cluster purity (r18b) — quality audit of
+    * content-fingerprint dedup clustering: documents cluster by the
+    * md5 of their SORTED DISTINCT token set (byte-identical strings
+    * are a special case; the fixture's near-duplicates share token
+    * sets while differing byte-wise, so this is the clustering that
+    * actually fires — the hash, never the raw string, keys the
+    * shuffle, the 100 TB spelling), cluster sizes bucket into
+    * {1, 2, 3–4, 5–8, 9+}, and each bucket grades cluster count,
+    * document mass, and mean LANGUAGE PURITY (majority-lang share
+    * per cluster, floor-ppm) — low purity says the shared content
+    * crosses languages, i.e. boilerplate, exactly what a curation
+    * pass needs surfaced. Shuffles: one (fingerprint, lang) count,
+    * one fingerprint fold, one bucket fold. */
+  val dedupClusterPurity: QDef = q(
+    "dedup_cluster_purity",
+    """WITH hl AS (
+      |  SELECT md5(array_to_string(list_sort(list_distinct(
+      |      string_split(text, ' '))), ' ')) AS h,
+      |    lang, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cl AS (
+      |  SELECT h, CAST(SUM(c) AS BIGINT) AS sz,
+      |    CAST(MAX(c) AS BIGINT) AS maxc
+      |  FROM hl GROUP BY h),
+      |b AS (
+      |  SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+      |    WHEN sz <= 4 THEN '3-4' WHEN sz <= 8 THEN '5-8'
+      |    ELSE '9+' END AS size_bucket,
+      |    sz, maxc * 1000000 // sz AS purity_ppm
+      |  FROM cl)
+      |SELECT size_bucket, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(purity_ppm) // COUNT(*) AS BIGINT) AS mean_purity_ppm
+      |FROM b GROUP BY size_bucket ORDER BY size_bucket""") { (s, d) =>
+    val hl = Tables.documents(s, d)
+      .select(md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " "))))).as("h"),
+        col("lang"))
+      .groupBy(col("h"), col("lang")).agg(count(lit(1)).as("c"))
+    val cl = hl.groupBy(col("h"))
+      .agg(sum(col("c")).as("sz"), max(col("c")).as("maxc"))
+    val b = cl.select(
+      when(col("sz") === 1, "1").when(col("sz") === 2, "2")
+        .when(col("sz") <= 4, "3-4").when(col("sz") <= 8, "5-8")
+        .otherwise("9+").as("size_bucket"),
+      col("sz"), expr("maxc * 1000000 div sz").as("purity_ppm"))
+    b.groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        expr("CAST(SUM(purity_ppm) div COUNT(*) AS BIGINT)")
+          .as("mean_purity_ppm"))
+      .orderBy(col("size_bucket"))
+  }
+
+  /** Poisson dispersion index (r18b) — are daily event counts
+    * Poisson (D ≈ 1), clumped (D > 1), or over-regular (D < 1)?
+    * Per type over the COMPLETE day matrix (absent days are true
+    * zeros — the `stats_friedman_test` convention):
+    * D = s²/x̄ = (nΣc² − (Σc)²)/((n−1)·Σc) — ONE exact rational,
+    * and the χ² form (n−1)·D is exact too. Flags use the classic
+    * field bounds D > 1.5 / D < 0.5 (df-free, documented heuristic
+    * rather than a quantile that would need an inverse-χ² float).
+    * One day agg + complete-matrix join + type fold. */
+  val tsPoissonDispersion: QDef = q(
+    "ts_poisson_dispersion",
+    """WITH dt AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM dt),
+      |types AS (SELECT DISTINCT event_type FROM dt),
+      |cm AS (
+      |  SELECT t.event_type, COALESCE(dt.cnt, 0) AS cnt
+      |  FROM days d CROSS JOIN types t
+      |  LEFT JOIN dt ON dt.day = d.day AND dt.event_type = t.event_type),
+      |f AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cnt) AS BIGINT) AS sc,
+      |    CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS scc
+      |  FROM cm GROUP BY event_type)
+      |SELECT event_type, n AS n_days,
+      |  CAST(sc * 1000 // n AS BIGINT) AS mean_milli,
+      |  CASE WHEN sc = 0 OR n < 2 THEN NULL
+      |    ELSE CAST((n * scc - CAST(sc AS HUGEINT) * sc) * 1000
+      |      // ((n - 1) * CAST(sc AS HUGEINT)) AS BIGINT) END
+      |    AS dispersion_milli,
+      |  CASE WHEN sc = 0 THEN NULL
+      |    ELSE CAST((n * scc - CAST(sc AS HUGEINT) * sc) * 1000000
+      |      // CAST(sc AS HUGEINT) AS BIGINT) END AS chi2_micro,
+      |  CASE WHEN sc = 0 OR n < 2 THEN NULL
+      |    ELSE (n * scc - CAST(sc AS HUGEINT) * sc) * 1000
+      |      // ((n - 1) * CAST(sc AS HUGEINT)) > 1500 END
+      |    AS overdispersed,
+      |  CASE WHEN sc = 0 OR n < 2 THEN NULL
+      |    ELSE (n * scc - CAST(sc AS HUGEINT) * sc) * 1000
+      |      // ((n - 1) * CAST(sc AS HUGEINT)) < 500 END
+      |    AS underdispersed
+      |FROM f ORDER BY event_type""") { (s, d) =>
+    val dt = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = dt.select(col("day")).distinct()
+    val types = dt.select(col("event_type")).distinct()
+    val cm = days.crossJoin(broadcast(types))
+      .join(dt.select(col("day").as("j_day"),
+          col("event_type").as("j_type"), col("cnt")),
+        col("j_day") === col("day") && col("j_type") === col("event_type"),
+        "left")
+      .select(col("event_type"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val f = cm.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sc"),
+        sum(col("cnt").cast(dec) * col("cnt")).as("scc"))
+    val disp = "(n * scc - CAST(sc AS DECIMAL(38,0)) * sc) * 1000" +
+      " div ((n - 1) * CAST(sc AS DECIMAL(38,0)))"
+    f.select(col("event_type"), col("n").as("n_days"),
+        expr("CAST(sc * 1000 div n AS BIGINT)").as("mean_milli"),
+        when(col("sc") === 0 || col("n") < 2, lit(null).cast(LongType))
+          .otherwise(expr(s"CAST($disp AS BIGINT)"))
+          .as("dispersion_milli"),
+        when(col("sc") === 0, lit(null).cast(LongType))
+          .otherwise(expr("CAST((n * scc - CAST(sc AS DECIMAL(38,0))"
+            + " * sc) * 1000000 div CAST(sc AS DECIMAL(38,0))"
+            + " AS BIGINT)")).as("chi2_micro"),
+        when(col("sc") === 0 || col("n") < 2, lit(null).cast(BooleanType))
+          .otherwise(expr(s"$disp > 1500")).as("overdispersed"),
+        when(col("sc") === 0 || col("n") < 2, lit(null).cast(BooleanType))
+          .otherwise(expr(s"$disp < 500")).as("underdispersed"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QDef] = Seq(
     textGopherRules, packPaddingWasteSweep, statsJarqueBera,
     statsKruskalWallis, aggTrimmedMean, shardConsistentHashMoves,
     sampleClusterTwostage, winRsiSma, winStochasticOsc, opsQueueingMm1,
     statsFriedmanTest, evalKrippendorffAlpha, multimodalAspectBuckets,
     statsBhFdr, tsEwmaCrossover, annPqAdcRecall, sketchAmsF2,
-    aggGeometricHarmonic, mixEntropyEffectiveDomains, graphRichClub)
+    aggGeometricHarmonic, mixEntropyEffectiveDomains, graphRichClub,
+    privacyLaplaceHistogram, corpusSimpsonDiversity, statsBartlett,
+    dedupClusterPurity, tsPoissonDispersion)
 }

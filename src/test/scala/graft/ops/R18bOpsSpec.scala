@@ -623,6 +623,131 @@ class R18bOpsSpec extends SparkSpec {
     assert(rich > 0 && rich <= 400)
   }
 
+  private lazy val docLangs: Array[(Long, String, String)] =
+    Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+        col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("privacy_laplace_histogram: inverse-CDF noise replayed; " +
+      "noise is bounded and sign-balanced with u") {
+    val expect = docLangs.groupBy(_._2).toSeq.map { case (lang, xs) =>
+      val n = xs.length.toLong
+      val u = hexLong(md5hex(s"lap:$lang").substring(0, 8)) % 1000000L
+      val sign = if (u + u >= 1000000L) -1.0 else 1.0
+      val noise = math.floor(sign *
+        math.log(1 - 2 * math.abs((u + 0.5) / 1000000.0 - 0.5)) *
+        1000000).toLong
+      (lang, n, u, noise, n * 1000000L + noise, math.abs(noise),
+        1000000L)
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("privacy_laplace_histogram")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect)
+    // u > 1/2 must give positive noise (right tail), u < 1/2 negative
+    expect.foreach { e =>
+      if (e._3 + e._3 >= 1000000L) assert(e._4 >= 0) else assert(e._4 <= 0)
+    }
+  }
+
+  test("corpus_simpson_diversity: exact collision probability " +
+      "replayed per language") {
+    val expect = docLangs.groupBy(_._2).toSeq.map { case (lang, xs) =>
+      val toks = xs.flatMap(_._3.split(" ", -1)).filter(_.nonEmpty)
+      val freq = toks.groupBy(identity).map(_._2.length.toLong)
+      val n = toks.length.toLong
+      val s2 = freq.map(c => BigInt(c) * (c - 1)).sum
+      (lang, freq.size.toLong, n,
+        (s2 * 1000000 / (BigInt(n) * (n - 1))).toLong,
+        (BigInt(1000000) - s2 * 1000000 / (BigInt(n) * (n - 1))).toLong,
+        (BigInt(n) * (n - 1) * 1000 / s2).toLong)
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("corpus_simpson_diversity")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // inverse Simpson (Hill-2) cannot exceed the type count
+    expect.foreach(e => assert(e._6 <= e._2 * 1000))
+  }
+
+  test("stats_bartlett: fixed-order variance/log fold replayed") {
+    val ev = eventRows.map(e => (e._2, cents4(e._3)))
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val stats = types.map { t =>
+      val xs = ev.filter(_._1 == t).map(x => BigInt(x._2))
+      val n = xs.length.toLong
+      val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      (n, (BigInt(n) * s2 - s1 * s1).toDouble / (n.toDouble * (n - 1)))
+    }
+    val nn = stats.map(_._1).sum
+    val sp2 = stats.map { case (n, v) => (n - 1) * v }.sum / (nn - 5)
+    val sl = stats.map { case (n, v) => (n - 1) * math.log(v) }.sum
+    val sr = stats.map { case (n, _) => 1.0 / (n - 1) }.sum
+    val chi2 = math.floor(((nn - 5) * math.log(sp2) - sl) /
+      (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000).toLong
+    val got = graft.SparkEntry.queries("stats_bartlett")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    // the fixed-order fold: (n1-1)v1 + ... in the declared type order
+    val splFold = stats.foldLeft(0.0) { case (acc, (n, v)) =>
+      acc + (n - 1) * v }
+    assert(math.abs(splFold / (nn - 5) - sp2) < 1e-12)
+    assert(got == Seq((nn, 5L, chi2, chi2 > 9487729L)))
+    assert(chi2 >= 0)
+  }
+
+  test("dedup_cluster_purity: token-set fingerprint clusters " +
+      "replayed") {
+    val expect = docLangs.groupBy { d =>
+      d._3.split(" ", -1).distinct.sorted.mkString(" ")
+    }.toSeq.map { case (_, xs) =>
+      val sz = xs.length.toLong
+      val maxc = xs.groupBy(_._2).values.map(_.length).max.toLong
+      (sz, maxc * 1000000L / sz)
+    }.groupBy { case (sz, _) =>
+      if (sz == 1) "1" else if (sz == 2) "2" else if (sz <= 4) "3-4"
+      else if (sz <= 8) "5-8" else "9+"
+    }.toSeq.map { case (b, xs) =>
+      (b, xs.length.toLong, xs.map(_._1).sum,
+        xs.map(_._2).sum / xs.length)
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("dedup_cluster_purity")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    // the fixture's near-duplicates must actually cluster: some
+    // bucket beyond singletons exists, and singleton purity is 1
+    assert(expect.exists(_._1 != "1"))
+    assert(expect.find(_._1 == "1").forall(_._4 == 1000000L))
+  }
+
+  test("ts_poisson_dispersion: complete-matrix dispersion rational " +
+      "replayed") {
+    val types = eventRows.map(_._2).distinct.sorted
+    val days = eventRows.map(e => eventDay(e._1)).distinct
+    val counts = eventRows.groupBy(e => (eventDay(e._1), e._2))
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val expect = types.map { t =>
+      val cs = days.map(day => counts.getOrElse((day, t), 0L))
+      val n = cs.length.toLong
+      val sc = cs.sum
+      val scc = cs.map(c => BigInt(c) * c).sum
+      val num = BigInt(n) * scc - BigInt(sc) * sc
+      val disp = (num * 1000 / ((n - 1) * BigInt(sc))).toLong
+      (t, n, sc * 1000 / n, disp, (num * 1000000 / BigInt(sc)).toLong,
+        disp > 1500L, disp < 500L)
+    }.toSeq
+    val got = graft.SparkEntry.queries("ts_poisson_dispersion")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+      .toSeq
+    assert(got == expect)
+    // dispersion is defined and positive for every type at this tier
+    expect.foreach(e => assert(e._4 > 0))
+  }
+
   test("agg_trimmed_mean: full sort-and-slice, independent of the " +
       "histogram-overlap spelling") {
     val rows = Tables.lineitem(spark, sf)
