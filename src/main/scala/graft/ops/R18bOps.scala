@@ -150,16 +150,17 @@ object R18bOps {
     * value LOOK normal? The moment-based omnibus test (Jarque &
     * Bera 1980): JB = n/6·(S² + (K−3)²/4) from skewness S and
     * kurtosis K. All four raw power sums are EXACT (cents⁴ through
-    * DECIMAL(38) partials), the n-scaled central moments
-    * A2 = n·Σx²−(Σx)², A3 = n²Σx³−3nΣxΣx²+2(Σx)³,
-    * A4 = n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ are exact integer
-    * algebra (S² = A3²/A2³ and K = A4/A2² — the n powers cancel),
-    * and ONLY the final ratios go through one identical float tree
-    * (floor micro). A2 = 0 (constant column) guards to NULL. One
-    * grouped agg + row-local algebra — two exchanges, constant
-    * output. Scale note: (Σx)⁴ bounds the DECIMAL(38) headroom at
-    * ~10⁹ rows × 10⁴ cents; beyond that, pre-divide by n inside
-    * the fold. χ²₂ 5%-critical 5.991465 pins `significant`. */
+    * DECIMAL(38) partials), the n-scaled numerators
+    * n·Σx²−(Σx)², n²Σx³−3nΣxΣx²+2(Σx)³,
+    * n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴ are exact integer algebra,
+    * and the central moments m_k = numerator div n^k are FLOORED
+    * exact integers (quantization, not float drift — and the floor
+    * keeps every DOUBLE operand below 2⁵³, the DecimalCastBounds
+    * rule; S² = m3²/m2³, K = m4/m2²). ONLY the final ratios go
+    * through one identical float tree (floor micro). m2 = 0
+    * (constant column) guards to NULL. One grouped agg + row-local
+    * algebra — two exchanges, constant output. χ²₂ 5%-critical
+    * 5.991465 pins `significant`. */
   val statsJarqueBera: QDef = q(
     "stats_jarque_bera",
     """WITH x AS (
@@ -175,39 +176,42 @@ object R18bOps {
       |  FROM x GROUP BY event_type),
       |a AS (
       |  SELECT event_type, n,
-      |    n * s2 - s1 * s1 AS a2,
-      |    n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
-      |    n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2
-      |      - 3 * s1 * s1 * s1 * s1 AS a4
+      |    CAST((n * s2 - s1 * s1) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+      |      AS m2,
+      |    CAST((n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+      |      // (CAST(n AS HUGEINT) * n * n) AS BIGINT) AS m3,
+      |    CAST((n * n * n * s4 - 4 * n * n * s1 * s3
+      |        + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+      |      // (CAST(n AS HUGEINT) * n * n * n) AS BIGINT) AS m4
       |  FROM m)
       |SELECT event_type, n,
-      |  CASE WHEN a2 = 0 THEN NULL ELSE
-      |    CAST(FLOOR(CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)
-      |      / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))
+      |  CASE WHEN m2 = 0 THEN NULL ELSE
+      |    CAST(FLOOR(CAST(m3 AS DOUBLE) * CAST(m3 AS DOUBLE)
+      |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))
       |      * 1000000) AS BIGINT) END AS skew_sq_micro,
-      |  CASE WHEN a2 = 0 THEN NULL ELSE
-      |    CAST(FLOOR(CAST(a4 AS DOUBLE)
-      |      / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) * 1000000)
+      |  CASE WHEN m2 = 0 THEN NULL ELSE
+      |    CAST(FLOOR(CAST(m4 AS DOUBLE)
+      |      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) * 1000000)
       |      AS BIGINT) END AS kurt_micro,
-      |  CASE WHEN a2 = 0 THEN NULL ELSE
+      |  CASE WHEN m2 = 0 THEN NULL ELSE
       |    CAST(FLOOR(CAST(n AS DOUBLE)
-      |      * (CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)
-      |          / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)
-      |            * CAST(a2 AS DOUBLE))
-      |        + (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE)
-      |            * CAST(a2 AS DOUBLE)) - 3)
-      |          * (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE)
-      |            * CAST(a2 AS DOUBLE)) - 3) / 4) / 6 * 1000000)
+      |      * (CAST(m3 AS DOUBLE) * CAST(m3 AS DOUBLE)
+      |          / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+      |            * CAST(m2 AS DOUBLE))
+      |        + (CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE)
+      |            * CAST(m2 AS DOUBLE)) - 3)
+      |          * (CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE)
+      |            * CAST(m2 AS DOUBLE)) - 3) / 4) / 6 * 1000000)
       |      AS BIGINT) END AS jb_micro,
-      |  CASE WHEN a2 = 0 THEN NULL ELSE
+      |  CASE WHEN m2 = 0 THEN NULL ELSE
       |    CAST(FLOOR(CAST(n AS DOUBLE)
-      |      * (CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)
-      |          / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)
-      |            * CAST(a2 AS DOUBLE))
-      |        + (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE)
-      |            * CAST(a2 AS DOUBLE)) - 3)
-      |          * (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE)
-      |            * CAST(a2 AS DOUBLE)) - 3) / 4) / 6 * 1000000)
+      |      * (CAST(m3 AS DOUBLE) * CAST(m3 AS DOUBLE)
+      |          / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)
+      |            * CAST(m2 AS DOUBLE))
+      |        + (CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE)
+      |            * CAST(m2 AS DOUBLE)) - 3)
+      |          * (CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE)
+      |            * CAST(m2 AS DOUBLE)) - 3) / 4) / 6 * 1000000)
       |      AS BIGINT) > 5991465 END AS significant
       |FROM a ORDER BY event_type""") { (s, d) =>
     val x = Tables.events(s, d).select(col("event_type"),
@@ -219,35 +223,39 @@ object R18bOps {
         sum(col("v").cast(dec) * col("v") * col("v")).as("s3"),
         sum(col("v").cast(dec) * col("v") * col("v") * col("v")).as("s4"))
     val a = m.select(col("event_type"), col("n"),
-      expr("CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1").as("a2"),
-      expr("CAST(n AS DECIMAL(38,0)) * n * s3"
+      expr("CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1)"
+        + " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("m2"),
+      expr("CAST((CAST(n AS DECIMAL(38,0)) * n * s3"
         + " - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2"
-        + " + 2 * s1 * s1 * s1").as("a3"),
-      expr("CAST(n AS DECIMAL(38,0)) * n * n * s4"
+        + " + 2 * s1 * s1 * s1)"
+        + " div (CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT)").as("m3"),
+      expr("CAST((CAST(n AS DECIMAL(38,0)) * n * n * s4"
         + " - 4 * CAST(n AS DECIMAL(38,0)) * n * s1 * s3"
         + " + 6 * CAST(n AS DECIMAL(38,0)) * s1 * s1 * s2"
-        + " - 3 * s1 * s1 * s1 * s1").as("a4"))
+        + " - 3 * s1 * s1 * s1 * s1)"
+        + " div (CAST(n AS DECIMAL(38,0)) * n * n * n) AS BIGINT)")
+        .as("m4"))
     // the ONE float tree, spelled identically to the oracle
     val jbTree = "CAST(n AS DOUBLE)" +
-      " * (CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)" +
-      " / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))" +
-      " + (CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))" +
-      " - 3) * (CAST(a4 AS DOUBLE)" +
-      " / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3) / 4) / 6" +
+      " * (CAST(m3 AS DOUBLE) * CAST(m3 AS DOUBLE)" +
+      " / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))" +
+      " + (CAST(m4 AS DOUBLE) / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))" +
+      " - 3) * (CAST(m4 AS DOUBLE)" +
+      " / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) - 3) / 4) / 6" +
       " * 1000000"
     a.select(col("event_type"), col("n"),
-        when(col("a2") === 0, lit(null).cast(LongType))
-          .otherwise(expr("CAST(FLOOR(CAST(a3 AS DOUBLE) * CAST(a3 AS DOUBLE)"
-            + " / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)"
-            + " * CAST(a2 AS DOUBLE)) * 1000000) AS BIGINT)"))
+        when(col("m2") === 0, lit(null).cast(LongType))
+          .otherwise(expr("CAST(FLOOR(CAST(m3 AS DOUBLE) * CAST(m3 AS DOUBLE)"
+            + " / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)"
+            + " * CAST(m2 AS DOUBLE)) * 1000000) AS BIGINT)"))
           .as("skew_sq_micro"),
-        when(col("a2") === 0, lit(null).cast(LongType))
-          .otherwise(expr("CAST(FLOOR(CAST(a4 AS DOUBLE)"
-            + " / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) * 1000000)"
+        when(col("m2") === 0, lit(null).cast(LongType))
+          .otherwise(expr("CAST(FLOOR(CAST(m4 AS DOUBLE)"
+            + " / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) * 1000000)"
             + " AS BIGINT)")).as("kurt_micro"),
-        when(col("a2") === 0, lit(null).cast(LongType))
+        when(col("m2") === 0, lit(null).cast(LongType))
           .otherwise(expr(s"CAST(FLOOR($jbTree) AS BIGINT)")).as("jb_micro"),
-        when(col("a2") === 0, lit(null).cast(BooleanType))
+        when(col("m2") === 0, lit(null).cast(BooleanType))
           .otherwise(expr(s"CAST(FLOOR($jbTree) AS BIGINT) > 5991465"))
           .as("significant"))
       .orderBy(col("event_type"))
@@ -1714,10 +1722,16 @@ object R18bOps {
     * event types' value distributions,
     * χ² = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with the standard
     * correction C. Per-group sums are EXACT DECIMAL(38) partials;
-    * the variances, logs, and C go through one identical float tree
-    * whose k-term sums fold in FIXED order (the `ts_ljung_box`
-    * discipline — a float SUM aggregate would be order-dependent).
-    * χ²₄ 5%-critical 9.487729. Output is the 1-row verdict. */
+    * each variance is a FLOORED milli-quantized integer (the
+    * transcendental-protocol rule: every ln argument is
+    * integer-backed AND its output ROUND(·,6)-quantized — the
+    * `drift_unigram_jsd` protocol; the ×1000 offsets cancel up to
+    * that quantization because Σ(nᵢ−1) = N−k), and the logs + C
+    * fold in FIXED order on the
+    * 1-row frame (the `ts_ljung_box` discipline — a float SUM
+    * aggregate would be order-dependent). Zero/absent variances
+    * guard to NULL. χ²₄ 5%-critical 9.487729. Output is the 1-row
+    * verdict. */
   val statsBartlett: QDef = q(
     "stats_bartlett",
     """WITH x AS (
@@ -1731,8 +1745,8 @@ object R18bOps {
       |  FROM x GROUP BY event_type),
       |g AS (
       |  SELECT event_type, n,
-      |    CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
-      |      AS s2i
+      |    CAST((n * s2 - s1 * s1) * 1000
+      |      // (CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS s2i
       |  FROM m),
       |w AS (
       |  SELECT
@@ -1750,20 +1764,25 @@ object R18bOps {
       |t AS (
       |  SELECT n1 + n2 + n3 + n4 + n5 AS nn,
       |    ((n1 - 1) * v1 + (n2 - 1) * v2 + (n3 - 1) * v3 + (n4 - 1) * v4
-      |      + (n5 - 1) * v5) / (n1 + n2 + n3 + n4 + n5 - 5) AS sp2,
-      |    (n1 - 1) * ln(v1) + (n2 - 1) * ln(v2) + (n3 - 1) * ln(v3)
-      |      + (n4 - 1) * ln(v4) + (n5 - 1) * ln(v5) AS sl,
+      |      + (n5 - 1) * v5) // (n1 + n2 + n3 + n4 + n5 - 5) AS sp2,
+      |    (n1 - 1) * ROUND(ln(CAST(v1 AS DOUBLE)), 6) + (n2 - 1)
+      |      * ROUND(ln(CAST(v2 AS DOUBLE)), 6)
+      |      + (n3 - 1) * ROUND(ln(CAST(v3 AS DOUBLE)), 6)
+      |      + (n4 - 1) * ROUND(ln(CAST(v4 AS DOUBLE)), 6)
+      |      + (n5 - 1) * ROUND(ln(CAST(v5 AS DOUBLE)), 6) AS sl,
       |    1.0 / (n1 - 1) + 1.0 / (n2 - 1) + 1.0 / (n3 - 1)
       |      + 1.0 / (n4 - 1) + 1.0 / (n5 - 1) AS sr,
-      |    n1, n2, n3, n4, n5
+      |    LEAST(v1, v2, v3, v4, v5) AS vmin
       |  FROM w)
       |SELECT CAST(nn AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
-      |  CAST(FLOOR(((nn - 5) * ln(sp2) - sl)
-      |    / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000) AS BIGINT)
-      |    AS chi2_micro,
-      |  FLOOR(((nn - 5) * ln(sp2) - sl)
-      |    / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000) > 9487729
-      |    AS significant
+      |  CASE WHEN vmin <= 0 THEN NULL ELSE
+      |    CAST(FLOOR(((nn - 5) * ROUND(ln(CAST(sp2 AS DOUBLE)), 6) - sl)
+      |      / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000) AS BIGINT)
+      |    END AS chi2_micro,
+      |  CASE WHEN vmin <= 0 THEN NULL ELSE
+      |    FLOOR(((nn - 5) * ROUND(ln(CAST(sp2 AS DOUBLE)), 6) - sl)
+      |      / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000) > 9487729
+      |    END AS significant
       |FROM t""") { (s, d) =>
     val x = Tables.events(s, d).select(col("event_type"),
       expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)").as("v"))
@@ -1771,8 +1790,9 @@ object R18bOps {
       .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).as("s1"),
         sum(col("v").cast(dec) * col("v")).as("s2"))
     val g = m.select(col("event_type"), col("n"),
-      expr("CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)"
-        + " / (CAST(n AS DOUBLE) * (n - 1))").as("s2i"))
+      expr("CAST((CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) * 1000"
+        + " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
+        .as("s2i"))
     def pick(t: String, c: String, as0: String): Column =
       max(when(col("event_type") === t, col(c))).as(as0)
     val w = g.agg(
@@ -1786,16 +1806,24 @@ object R18bOps {
       expr("n1 + n2 + n3 + n4 + n5").as("nn"),
       expr("((n1 - 1) * v1 + (n2 - 1) * v2 + (n3 - 1) * v3"
         + " + (n4 - 1) * v4 + (n5 - 1) * v5)"
-        + " / (n1 + n2 + n3 + n4 + n5 - 5)").as("sp2"),
-      expr("(n1 - 1) * ln(v1) + (n2 - 1) * ln(v2) + (n3 - 1) * ln(v3)"
-        + " + (n4 - 1) * ln(v4) + (n5 - 1) * ln(v5)").as("sl"),
+        + " div (n1 + n2 + n3 + n4 + n5 - 5)").as("sp2"),
+      expr("(n1 - 1) * ROUND(ln(CAST(v1 AS DOUBLE)), 6) + (n2 - 1)"
+        + " * ROUND(ln(CAST(v2 AS DOUBLE)), 6)"
+        + " + (n3 - 1) * ROUND(ln(CAST(v3 AS DOUBLE)), 6)"
+        + " + (n4 - 1) * ROUND(ln(CAST(v4 AS DOUBLE)), 6)"
+        + " + (n5 - 1) * ROUND(ln(CAST(v5 AS DOUBLE)), 6)").as("sl"),
       expr("1.0 / (n1 - 1) + 1.0 / (n2 - 1) + 1.0 / (n3 - 1)"
-        + " + 1.0 / (n4 - 1) + 1.0 / (n5 - 1)").as("sr"))
+        + " + 1.0 / (n4 - 1) + 1.0 / (n5 - 1)").as("sr"),
+      expr("LEAST(v1, v2, v3, v4, v5)").as("vmin"))
     t.select(col("nn").cast(LongType).as("n"), lit(5L).as("k"),
-        expr("CAST(FLOOR(((nn - 5) * ln(sp2) - sl)"
-          + " / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000) AS BIGINT)")
-          .as("chi2_micro"))
-      .withColumn("significant", col("chi2_micro") > 9487729L)
+        when(col("vmin") <= 0, lit(null).cast(LongType))
+          .otherwise(expr("CAST(FLOOR(((nn - 5)"
+            + " * ROUND(ln(CAST(sp2 AS DOUBLE)), 6)"
+            + " - sl) / (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000)"
+            + " AS BIGINT)")).as("chi2_micro"))
+      .withColumn("significant",
+        when(col("chi2_micro").isNull, lit(null).cast("boolean"))
+          .otherwise(col("chi2_micro") > 9487729L))
   }
 
   /** Token-set fingerprint cluster purity (r18b) — quality audit of

@@ -15,6 +15,9 @@ class R18bOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def cents2(v: Double): Long =
     (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100)
       .toLongExact
@@ -92,10 +95,13 @@ class R18bOpsSpec extends SparkSpec {
       val v = xs.map(x => BigInt(x._2))
       val s1 = v.sum; val s2 = v.map(x => x * x).sum
       val s3 = v.map(x => x * x * x).sum; val s4 = v.map(x => x * x * x * x).sum
-      val a2 = n * s2 - s1 * s1
-      val a3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
-      val a4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
-        6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      // floored central moments — the n-power divisions keep every
+      // double operand below 2^53 (DecimalCastBoundsSpec rule)
+      val a2 = (n * s2 - s1 * s1) / (n * n)
+      val a3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) /
+        (n * n * n)
+      val a4 = (n * n * n * s4 - 4 * n * n * s1 * s3 +
+        6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1) / (n * n * n * n)
       val d2 = a2.toDouble; val d3 = a3.toDouble; val d4 = a4.toDouble
       val skewSq = d3 * d3 / (d2 * d2 * d2)
       val kurt = d4 / (d2 * d2)
@@ -679,23 +685,36 @@ class R18bOpsSpec extends SparkSpec {
       val xs = ev.filter(_._1 == t).map(x => BigInt(x._2))
       val n = xs.length.toLong
       val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
-      (n, (BigInt(n) * s2 - s1 * s1).toDouble / (n.toDouble * (n - 1)))
+      // milli-quantized variance: integer ln arguments (protocol)
+      (n, ((BigInt(n) * s2 - s1 * s1) * 1000 /
+        (BigInt(n) * (n - 1))).toLong)
     }
     val nn = stats.map(_._1).sum
-    val sp2 = stats.map { case (n, v) => (n - 1) * v }.sum / (nn - 5)
-    val sl = stats.map { case (n, v) => (n - 1) * math.log(v) }.sum
+    val sp2 = stats.map { case (n, v) => BigInt(n - 1) * v }.sum /
+      (nn - 5)
+    val sl = stats.map { case (n, v) =>
+      (n - 1) * round6(math.log(v.toDouble)) }.sum
     val sr = stats.map { case (n, _) => 1.0 / (n - 1) }.sum
-    val chi2 = math.floor(((nn - 5) * math.log(sp2) - sl) /
-      (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000).toLong
+    val chi2 = math.floor(
+      ((nn - 5) * round6(math.log(sp2.toDouble)) - sl) /
+        (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000).toLong
     val got = graft.SparkEntry.queries("stats_bartlett")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).toSeq
-    // the fixed-order fold: (n1-1)v1 + ... in the declared type order
-    val splFold = stats.foldLeft(0.0) { case (acc, (n, v)) =>
-      acc + (n - 1) * v }
-    assert(math.abs(splFold / (nn - 5) - sp2) < 1e-12)
     assert(got == Seq((nn, 5L, chi2, chi2 > 9487729L)))
-    assert(chi2 >= 0)
+    // the x1000 ln offsets must cancel: chi2 of the milli spelling
+    // equals the raw-variance chi2 up to the floor quantization
+    val rawV = types.map { t =>
+      val xs = ev.filter(_._1 == t).map(x => BigInt(x._2))
+      val n = xs.length.toLong
+      val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      (n, (BigInt(n) * s2 - s1 * s1).toDouble / (n.toDouble * (n - 1)))
+    }
+    val rawChi2 = ((nn - 5) * math.log(
+      rawV.map { case (n, v) => (n - 1) * v }.sum / (nn - 5)) -
+      rawV.map { case (n, v) => (n - 1) * math.log(v) }.sum) /
+      (1 + (sr - 1.0 / (nn - 5)) / 12) * 1000000
+    assert(math.abs(chi2 - rawChi2) < 2000, s"$chi2 vs $rawChi2")
   }
 
   test("dedup_cluster_purity: token-set fingerprint clusters " +
