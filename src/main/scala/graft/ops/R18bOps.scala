@@ -423,9 +423,7 @@ object R18bOps {
         expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100"
           + " AS BIGINT)").as("v"))
       .groupBy(col("flag"), col("v")).agg(count(lit(1)).as("cnt"))
-    val t = c.groupBy(col("flag"))
-      .agg(sum(col("cnt")).as("n"),
-        sum(col("v").cast(dec) * col("cnt")).as("sall"))
+      .persist()
     // bucketed exclusive prefix within flag (the exclusivePrefix
     // discipline, compound (flag, bkt) key): the window partition is
     // one value-bucket of one flag, never a whole group
@@ -434,8 +432,13 @@ object R18bOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = cb.withColumn("run", sum(col("cnt")).over(w))
     val btot = cb.groupBy(col("flag"), col("bkt"))
-      .agg(sum(col("cnt")).as("bt"))
-    val bpre = btot.as("x")
+      .agg(sum(col("cnt")).as("bt"),
+        sum(col("v").cast(dec) * col("cnt")).as("bv"))
+    // flag totals fold over the tiny bucket-total frame — the
+    // histogram is scanned once, never re-aggregated per consumer
+    val t = btot.groupBy(col("flag"))
+      .agg(sum(col("bt")).as("n"), sum(col("bv")).as("sall"))
+    val bpre = btot.select(col("flag"), col("bkt"), col("bt")).as("x")
       .join(broadcast(btot.select(col("flag").as("yflag"),
           col("bkt").as("ybkt"), col("bt").as("ybt"))),
         col("yflag") === col("x.flag") && col("ybkt") < col("x.bkt"),
@@ -471,11 +474,13 @@ object R18bOps {
     * global min). Graded per node: key counts before/after, keys
     * arriving, plus the overall moved count and floor-ppm — the
     * whole point of consistent hashing made measurable. Plan: the
-    * ring is a broadcast ≤144-row side; each assignment pass is one
-    * conditional-min agg keyed by doc (shuffle bounded by corpus
-    * size), and the node maps are broadcast equality joins. At
-    * scale the successor scan becomes a range-bucketed lookup; the
-    * broadcast-join spelling here has identical semantics. */
+    * ring is ONE broadcast ≤144-row side and BOTH rings' successors
+    * come out of a single conditional-min agg keyed by doc (ring8 is
+    * the node<8 restriction inside the same fold); vh→node ties
+    * resolve ring-side so the doc-keyed shuffle happens exactly
+    * once. At scale the successor scan becomes a range-bucketed
+    * lookup; the broadcast-join spelling here has identical
+    * semantics. */
   val shardConsistentHashMoves: QDef = q(
     "shard_consistent_hash_moves",
     """WITH nodes9 AS (SELECT CAST(unnest(range(0, 9)) AS BIGINT) AS node),
@@ -546,21 +551,30 @@ object R18bOps {
       conv(substring(md5(concat(lit("key:"),
         col("doc_id").cast(StringType))), 1, 8), 16, 10)
         .cast(LongType).as("kh"))
-    def assign(ring: DataFrame): DataFrame = {
-      val wrap = ring.agg(min(col("vh")).as("wvh"))
-      val succ = k.crossJoin(broadcast(ring.select(col("vh"))))
-        .groupBy(col("doc_id"), col("kh"))
-        .agg(min(when(col("vh") >= col("kh"), col("vh"))).as("succ"))
-        .crossJoin(broadcast(wrap))
-        .select(col("doc_id"), coalesce(col("succ"), col("wvh")).as("avh"))
-      succ.join(broadcast(ring.select(col("vh").as("rvh"),
-          col("node"))), col("rvh") === col("avh"))
-        .groupBy(col("doc_id")).agg(min(col("node")).as("node"))
-    }
-    val n8 = assign(ring8)
-    val n9 = assign(ring9)
-    val both = n8.select(col("doc_id"), col("node").as("node_b"))
-      .join(n9.select(col("doc_id"), col("node").as("node_a")), "doc_id")
+    // ONE pass computes both rings' successors (ring8 = the node<8
+    // restriction of the broadcast ring9 side), and the vh→node maps
+    // resolve ties ring-side (≤144-row aggregates) so no further
+    // doc-keyed shuffle is needed — the r18b plan rewrite that
+    // halved this key's bench cost.
+    val wraps = ring9.agg(
+      min(when(col("node") < 8, col("vh"))).as("w8"),
+      min(col("vh")).as("w9"))
+    val a = k.crossJoin(broadcast(ring9.select(col("vh"), col("node"))))
+      .groupBy(col("doc_id"), col("kh"))
+      .agg(min(when(col("vh") >= col("kh") && col("node") < 8,
+        col("vh"))).as("succ8"),
+        min(when(col("vh") >= col("kh"), col("vh"))).as("succ9"))
+      .crossJoin(broadcast(wraps))
+      .select(col("doc_id"),
+        coalesce(col("succ8"), col("w8")).as("a8"),
+        coalesce(col("succ9"), col("w9")).as("a9"))
+    val rmap8 = ring8.groupBy(col("vh").as("vh8"))
+      .agg(min(col("node")).as("node_b"))
+    val rmap9 = ring9.groupBy(col("vh").as("vh9"))
+      .agg(min(col("node")).as("node_a"))
+    val both = a.join(broadcast(rmap8), col("vh8") === col("a8"))
+      .join(broadcast(rmap9), col("vh9") === col("a9"))
+      .select(col("doc_id"), col("node_b"), col("node_a"))
       .persist()
     val mv = both.agg(count(lit(1)).as("n_keys"),
       sum(when(col("node_b") =!= col("node_a"), 1L).otherwise(0L))
