@@ -1062,7 +1062,7 @@ object R18Ops {
   /** (n_name, x): per-customer order-revenue cents tagged with the
     * customer's nation — the shared base of the inequality pair
     * (`agg_theil_index`, `agg_atkinson_index`). */
-  private val custRevCtes: String =
+  private[ops] val custRevCtes: String =
     """cx AS (
       |  SELECT o_custkey,
       |    CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
@@ -1074,7 +1074,7 @@ object R18Ops {
       |  JOIN nation n ON n.n_nationkey = c.c_nationkey)""".stripMargin
 
   /** Spark twin of `custRevCtes`. */
-  private def custRevByNation(s: SparkSession, d: String): DataFrame =
+  private[ops] def custRevByNation(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast(LongType))

@@ -1971,6 +1971,389 @@ object R18bOps {
       .orderBy(col("event_type"))
   }
 
+  /** Theil between/within decomposition by region (r18b) — the
+    * property that makes Theil THE inequality index for hierarchies:
+    * T_total = T_between + Σ_r share_r·T_within_r EXACTLY (Theil
+    * 1967), graded here across the region→nation→customer rollup on
+    * the SAME `custRevCtes` base as the nation-level trio (ONE
+    * spelling, now `private[ops]`). Per region: customer count,
+    * revenue mass, within-region Theil (the house per-row
+    * floor(ratio·ln ratio·10⁶) fold), the between term
+    * (S_r/S)·ln(S_r·N/(S·N_r)), and the share-weighted within
+    * contribution; the corpus-level T_total / ΣB / ΣW ride every
+    * row as broadcast fold columns, and the spec pins additivity to
+    * within quantization. Shuffles: the customer agg + broadcast
+    * dims + one region fold + two 1-row folds. */
+  val reportTheilBetweenWithin: QDef = q(
+    "report_theil_between_within",
+    s"""WITH ${R18Ops.custRevCtes},
+      |rn AS (
+      |  SELECT n.n_name, r.r_name
+      |  FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey),
+      |cr AS (
+      |  SELECT rn.r_name, cn.x
+      |  FROM cn JOIN rn ON rn.n_name = cn.n_name),
+      |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+      |  CAST(SUM(x) AS BIGINT) AS ss FROM cr),
+      |f AS (
+      |  SELECT r_name, CAST(COUNT(*) AS BIGINT) AS nr,
+      |    CAST(SUM(x) AS BIGINT) AS sr
+      |  FROM cr GROUP BY r_name),
+      |tw AS (
+      |  SELECT cr.r_name,
+      |    CAST(SUM(CAST(floor((CAST(cr.x * f.nr AS DOUBLE) / f.sr)
+      |      * ln(CAST(cr.x * f.nr AS DOUBLE) / f.sr) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS st
+      |  FROM cr JOIN f ON f.r_name = cr.r_name GROUP BY cr.r_name),
+      |tt AS (
+      |  SELECT CAST(SUM(CAST(floor((CAST(cr.x * g.nn AS DOUBLE) / g.ss)
+      |      * ln(CAST(cr.x * g.nn AS DOUBLE) / g.ss) * 1000000)
+      |      AS BIGINT)) // MAX(g.nn) AS BIGINT) AS t_total
+      |  FROM cr CROSS JOIN g),
+      |per AS (
+      |  SELECT f.r_name, f.nr, f.sr,
+      |    CAST(tw.st // f.nr AS BIGINT) AS theil_within_micro,
+      |    CAST(floor((CAST(f.sr AS DOUBLE) / g.ss)
+      |      * ln(CAST(f.sr AS DOUBLE) * g.nn
+      |        / (CAST(g.ss AS DOUBLE) * f.nr)) * 1000000) AS BIGINT)
+      |      AS between_term_micro,
+      |    CAST(CAST(f.sr AS HUGEINT) * (tw.st // f.nr) // g.ss AS BIGINT)
+      |      AS weighted_within_micro
+      |  FROM f JOIN tw ON tw.r_name = f.r_name CROSS JOIN g),
+      |tot AS (
+      |  SELECT CAST(SUM(between_term_micro) AS BIGINT) AS t_between,
+      |    CAST(SUM(weighted_within_micro) AS BIGINT) AS t_within
+      |  FROM per)
+      |SELECT per.r_name, per.nr AS n_customers, per.sr AS sum_cents,
+      |  per.theil_within_micro, per.between_term_micro,
+      |  per.weighted_within_micro, tt.t_total AS theil_total_micro,
+      |  tot.t_between AS theil_between_micro,
+      |  tot.t_within AS theil_within_total_micro
+      |FROM per CROSS JOIN tt CROSS JOIN tot
+      |ORDER BY per.r_name""") { (s, d) =>
+    val rn = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("r_regionkey") === col("n_regionkey"))
+      .select(col("n_name").as("rn_name"), col("r_name"))
+    val cr = R18Ops.custRevByNation(s, d)
+      .join(broadcast(rn), col("rn_name") === col("n_name"))
+      .select(col("r_name"), col("x"))
+      .persist()
+    val g = cr.agg(count(lit(1)).as("nn"),
+      sum(col("x")).cast(LongType).as("ss"))
+    val f = cr.groupBy(col("r_name").as("f_name"))
+      .agg(count(lit(1)).as("nr"), sum(col("x")).cast(LongType).as("sr"))
+    val ratioR = (col("x") * col("nr")).cast(DoubleType) / col("sr")
+    val tw = cr.join(broadcast(f), col("f_name") === col("r_name"))
+      .select(col("r_name"),
+        floor(ratioR * log(ratioR) * 1000000).cast(LongType).as("term"))
+      .groupBy(col("r_name")).agg(sum(col("term")).as("st"))
+    val ratioG = (col("x") * col("nn")).cast(DoubleType) / col("ss")
+    val tt = cr.crossJoin(broadcast(g))
+      .select(floor(ratioG * log(ratioG) * 1000000).cast(LongType)
+        .as("term"), col("nn"))
+      .agg(expr("CAST(SUM(term) div MAX(nn) AS BIGINT)").as("t_total"))
+    val per = f.join(tw, col("r_name") === col("f_name"))
+      .crossJoin(broadcast(g))
+      .select(col("r_name"), col("nr"), col("sr"),
+        expr("CAST(st div nr AS BIGINT)").as("theil_within_micro"),
+        floor((col("sr").cast(DoubleType) / col("ss"))
+          * log(col("sr").cast(DoubleType) * col("nn")
+            / (col("ss").cast(DoubleType) * col("nr"))) * 1000000)
+          .cast(LongType).as("between_term_micro"),
+        expr("CAST(CAST(sr AS DECIMAL(38,0)) * (st div nr) div ss"
+          + " AS BIGINT)").as("weighted_within_micro"))
+    val tot = per.agg(sum(col("between_term_micro")).cast(LongType)
+      .as("t_between"),
+      sum(col("weighted_within_micro")).cast(LongType).as("t_within"))
+    per.crossJoin(broadcast(tt)).crossJoin(broadcast(tot))
+      .select(col("r_name"), col("nr").as("n_customers"),
+        col("sr").as("sum_cents"), col("theil_within_micro"),
+        col("between_term_micro"), col("weighted_within_micro"),
+        col("t_total").as("theil_total_micro"),
+        col("t_between").as("theil_between_micro"),
+        col("t_within").as("theil_within_total_micro"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Parkinson high–low volatility (r18b) — the range-based daily
+    * volatility estimator (Parkinson 1980), 5× more efficient than
+    * close-to-close on the same data: per type,
+    * σ²_P = (1/(4·ln 2))·mean(ln(H/L)²) over daily value ranges.
+    * Per-day term = floor(ln(H/L)²·10⁶) (floor-protected double
+    * tree, H/L from exact cents), the mean is an exact integer
+    * fold, and the 1/(4 ln 2) factor is the INTEGER constant
+    * 2772588 (= floor(4·ln 2·10⁶)) so the final step is one more
+    * exact division. Zero/degenerate lows guard out. One day agg +
+    * one type fold. */
+  val tsParkinsonVolatility: QDef = q(
+    "ts_parkinson_volatility",
+    """WITH d AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(MAX(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS h,
+      |    CAST(MIN(CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT))
+      |      AS BIGINT) AS l
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type,
+      |    CAST(floor(ln(CAST(h AS DOUBLE) / l)
+      |      * ln(CAST(h AS DOUBLE) / l) * 1000000) AS BIGINT) AS term
+      |  FROM d WHERE l > 0 AND h > l),
+      |f AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    CAST(SUM(term) AS BIGINT) AS st
+      |  FROM t GROUP BY event_type)
+      |SELECT event_type, n_days,
+      |  CAST(st // n_days AS BIGINT) AS mean_sq_logrange_micro,
+      |  CAST(st * 1000000 // n_days // 2772588 AS BIGINT)
+      |    AS parkinson_var_micro
+      |FROM f ORDER BY event_type""") { (s, d) =>
+    val dd = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast(DateType).as("day"))
+      .agg(max(expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)"))
+        .as("h"),
+        min(expr("CAST(CAST(value AS DECIMAL(12,4)) * 100 AS BIGINT)"))
+        .as("l"))
+    val t = dd.filter(col("l") > 0 && col("h") > col("l"))
+      .select(col("event_type"),
+        floor(log(col("h").cast(DoubleType) / col("l"))
+          * log(col("h").cast(DoubleType) / col("l")) * 1000000)
+          .cast(LongType).as("term"))
+    t.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("term")).as("st"))
+      .select(col("event_type"), col("n_days"),
+        expr("CAST(st div n_days AS BIGINT)")
+          .as("mean_sq_logrange_micro"),
+        expr("CAST(st * 1000000 div n_days div 2772588 AS BIGINT)")
+          .as("parkinson_var_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-source KL divergence from the corpus (r18b) — "how
+    * distinctive is each feed's language?": KL(P_source ∥ P_corpus)
+    * = Σ_t (c_st/N_s)·ln(c_st·N/(N_s·c_t)) over token unigrams.
+    * Every per-type term is floor-protected
+    * (floor(p·ln(p/q)·10⁶)); absent types contribute nothing (the
+    * source distribution's support is a subset of the corpus's by
+    * construction, so the divergence is always finite). The
+    * companion to `drift_unigram_jsd` (halves) and `corpus_zipf` —
+    * the lineage-level distribution audit. Shuffles: one
+    * (source, token) wordcount + a broadcast vocabulary join + one
+    * source fold. */
+  val corpusSourceKl: QDef = q(
+    "corpus_source_kl",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok WHERE tok <> '' GROUP BY source, tok),
+      |ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM st
+      |  GROUP BY tok),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types
+      |  FROM st GROUP BY source),
+      |g AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM st),
+      |terms AS (
+      |  SELECT st.source,
+      |    CAST(floor((CAST(st.c AS DOUBLE) / ns.n_s)
+      |      * ln(CAST(st.c AS DOUBLE) * g.nn
+      |        / (CAST(ns.n_s AS DOUBLE) * ct.ct)) * 1000000) AS BIGINT)
+      |      AS term
+      |  FROM st JOIN ct ON ct.tok = st.tok
+      |  JOIN ns ON ns.source = st.source CROSS JOIN g)
+      |SELECT ns.source, ns.n_s AS n_tokens, ns.n_types,
+      |  CAST(SUM(terms.term) AS BIGINT) AS kl_micro
+      |FROM terms JOIN ns ON ns.source = terms.source
+      |GROUP BY ns.source, ns.n_s, ns.n_types
+      |ORDER BY ns.source""") { (s, d) =>
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .persist()
+    val ct = st.groupBy(col("tok").as("c_tok"))
+      .agg(sum(col("c")).cast(LongType).as("ct"))
+    val ns = st.groupBy(col("source").as("n_src"))
+      .agg(sum(col("c")).cast(LongType).as("n_s"),
+        count(lit(1)).as("n_types"))
+    val g = st.agg(sum(col("c")).cast(LongType).as("nn"))
+    val terms = st.join(broadcast(ct), col("c_tok") === col("tok"))
+      .join(broadcast(ns), col("n_src") === col("source"))
+      .crossJoin(broadcast(g))
+      .select(col("source"), col("n_s"), col("n_types"),
+        floor((col("c").cast(DoubleType) / col("n_s"))
+          * log(col("c").cast(DoubleType) * col("nn")
+            / (col("n_s").cast(DoubleType) * col("ct"))) * 1000000)
+          .cast(LongType).as("term"))
+    terms.groupBy(col("source"), col("n_s"), col("n_types"))
+      .agg(sum(col("term")).cast(LongType).as("kl_micro"))
+      .select(col("source"), col("n_s").as("n_tokens"), col("n_types"),
+        col("kl_micro"))
+      .orderBy(col("source"))
+  }
+
+  /** Hill tail-index estimator (r18b) — is per-user activity
+    * heavy-tailed, and how heavy? Over the k = 50 most active
+    * users (deterministic (count DESC, user) order),
+    * 1/α̂ = mean_{i<k} ln(x_(i)) − ln(x_(k)) (Hill 1975) with every
+    * log floor-quantized to micro BEFORE the fold (integer
+    * algebra after), and α̂ in milli as one exact division. The
+    * top-k set is a TakeOrdered(50); ranks inside it come from a
+    * broadcast 50×50 self-join (no unpartitioned window). The
+    * statistic that decides whether user-level quotas or sampling
+    * caps are needed at 100 TB. */
+  val eventsHillTailIndex: QDef = q(
+    "events_hill_tail_index",
+    """WITH u AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY user_id),
+      |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+      |top AS (SELECT user_id, c FROM u ORDER BY c DESC, user_id
+      |  LIMIT 50),
+      |rk AS (
+      |  SELECT a.user_id, a.c,
+      |    CAST(1 + COUNT(b.user_id) AS BIGINT) AS r
+      |  FROM top a LEFT JOIN top b ON b.c > a.c
+      |    OR (b.c = a.c AND b.user_id < a.user_id)
+      |  GROUP BY a.user_id, a.c),
+      |kk AS (SELECT CAST(MAX(r) AS BIGINT) AS k FROM rk),
+      |xk AS (SELECT CAST(MAX(c) AS BIGINT) AS xkc FROM rk, kk
+      |  WHERE r = kk.k),
+      |hl AS (
+      |  SELECT CAST(SUM(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS sl,
+      |    CAST(COUNT(*) AS BIGINT) AS km1
+      |  FROM rk, kk WHERE r < kk.k)
+      |SELECT nu.n_users, kk.k, xk.xkc AS xk_count,
+      |  CAST(hl.sl // hl.km1
+      |    - floor(ln(CAST(xk.xkc AS DOUBLE)) * 1000000) AS BIGINT)
+      |    AS inv_alpha_micro,
+      |  CASE WHEN hl.sl // hl.km1
+      |      - floor(ln(CAST(xk.xkc AS DOUBLE)) * 1000000) <= 0 THEN NULL
+      |    ELSE CAST(1000000000 // (hl.sl // hl.km1
+      |      - CAST(floor(ln(CAST(xk.xkc AS DOUBLE)) * 1000000)
+      |        AS BIGINT)) AS BIGINT) END AS alpha_milli
+      |FROM nu CROSS JOIN kk CROSS JOIN xk CROSS JOIN hl""") { (s, d) =>
+    val u = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val nu = u.agg(count(lit(1)).as("n_users"))
+    val top = u.orderBy(col("c").desc, col("user_id")).limit(50)
+      .persist()
+    val rk = top.as("a")
+      .join(broadcast(top.select(col("c").as("b_c"),
+          col("user_id").as("b_u"))),
+        col("b_c") > col("a.c") ||
+          (col("b_c") === col("a.c") && col("b_u") < col("a.user_id")),
+        "left")
+      .groupBy(col("a.user_id").as("user_id"), col("a.c").as("c"))
+      .agg((lit(1L) + count(col("b_u"))).as("r"))
+      .persist()
+    val kk = rk.agg(max(col("r")).as("k"))
+    val xk = rk.crossJoin(broadcast(kk)).filter(col("r") === col("k"))
+      .agg(max(col("c")).as("xkc"))
+    val hl = rk.crossJoin(broadcast(kk)).filter(col("r") < col("k"))
+      .agg(sum(floor(log(col("c").cast(DoubleType)) * 1000000)
+        .cast(LongType)).cast(LongType).as("sl"),
+        count(lit(1)).as("km1"))
+    nu.crossJoin(broadcast(kk)).crossJoin(broadcast(xk))
+      .crossJoin(broadcast(hl))
+      .select(col("n_users"), col("k"), col("xkc").as("xk_count"),
+        expr("CAST(sl div km1"
+          + " - floor(ln(CAST(xkc AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("inv_alpha_micro"),
+        expr("CASE WHEN sl div km1"
+          + " - floor(ln(CAST(xkc AS DOUBLE)) * 1000000) <= 0 THEN NULL"
+          + " ELSE CAST(1000000000 div (sl div km1"
+          + " - CAST(floor(ln(CAST(xkc AS DOUBLE)) * 1000000)"
+          + " AS BIGINT)) AS BIGINT) END").as("alpha_milli"))
+  }
+
+  /** Windowed moving-average TTR, MATTR-style (r18b) — the robust
+    * lexical-diversity statistic (Covington & McFall 2010): the
+    * corpus-global type/token ratio (`corpus_type_token_ratio`)
+    * collapses as N grows, so per language the token stream (doc_id,
+    * position order) is cut into FIXED 50-token windows and the
+    * mean distinct-type share per full window is graded in ppm —
+    * comparable across languages of any size. Window membership is
+    * exact integer position arithmetic (global position = exclusive
+    * doc-offset prefix + in-doc position, the bucketed-prefix
+    * discipline keyed by language); distinct-per-window is one
+    * (lang, window, type) count. */
+  val corpusMattrWindowed: QDef = q(
+    "corpus_mattr_windowed",
+    """WITH dt AS (
+      |  SELECT lang, doc_id, CAST(len(list_filter(string_split(text, ' '),
+      |    t -> t <> '')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |off AS (
+      |  SELECT lang, doc_id, ntok,
+      |    CAST(COALESCE(SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS base
+      |  FROM dt),
+      |tok0 AS (
+      |  SELECT lang, doc_id,
+      |    unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |tok AS (
+      |  SELECT lang, doc_id, tok, CAST(i AS BIGINT) AS pos_in_doc
+      |  FROM tok0 WHERE tok <> ''),
+      |pos AS (
+      |  SELECT tok.lang, tok.tok,
+      |    (off.base + row_number() OVER (PARTITION BY tok.lang,
+      |      tok.doc_id ORDER BY tok.pos_in_doc) - 1) AS gpos
+      |  FROM tok JOIN off ON off.lang = tok.lang
+      |    AND off.doc_id = tok.doc_id),
+      |w AS (
+      |  SELECT lang, gpos // 50 AS win, tok FROM pos),
+      |full_w AS (
+      |  SELECT lang, win, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+      |  FROM w GROUP BY lang, win)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(SUM(n_types) * 1000000 // SUM(n_tok) AS BIGINT)
+      |    AS mattr_ppm
+      |FROM full_w WHERE n_tok = 50
+      |GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val dt = docs.select(col("lang"), col("doc_id"),
+      size(filter(split(col("text"), " "),
+        t => t =!= "")).cast(LongType).as("ntok"))
+    // per-lang exclusive doc-offset prefix (lang-partitioned window
+    // over doc rows — doc-count-sized partitions)
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = dt.withColumn("base",
+      coalesce(sum(col("ntok")).over(wOff), lit(0L)))
+      .select(col("lang").as("o_lang"), col("doc_id").as("o_doc"),
+        col("base"))
+    val tok = docs.select(col("lang"), col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pid", "tok")))
+      .filter(col("tok") =!= "")
+    val wDoc = Window.partitionBy(col("lang"), col("doc_id"))
+      .orderBy(col("pid"))
+    val pos = tok.join(off, col("o_lang") === col("lang") &&
+        col("o_doc") === col("doc_id"))
+      .withColumn("gpos",
+        col("base") + row_number().over(wDoc) - 1)
+    val fullW = pos.select(col("lang"), expr("gpos div 50").as("win"),
+        col("tok"))
+      .groupBy(col("lang"), col("win"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok"))
+        .as("n_types"))
+    fullW.filter(col("n_tok") === 50)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_windows"),
+        expr("CAST(SUM(n_types) * 1000000 div SUM(n_tok) AS BIGINT)")
+          .as("mattr_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QDef] = Seq(
     textGopherRules, packPaddingWasteSweep, statsJarqueBera,
     statsKruskalWallis, aggTrimmedMean, shardConsistentHashMoves,
@@ -1979,5 +2362,7 @@ object R18bOps {
     statsBhFdr, tsEwmaCrossover, annPqAdcRecall, sketchAmsF2,
     aggGeometricHarmonic, mixEntropyEffectiveDomains, graphRichClub,
     privacyLaplaceHistogram, corpusSimpsonDiversity, statsBartlett,
-    dedupClusterPurity, tsPoissonDispersion)
+    dedupClusterPurity, tsPoissonDispersion, reportTheilBetweenWithin,
+    tsParkinsonVolatility, corpusSourceKl, eventsHillTailIndex,
+    corpusMattrWindowed)
 }

@@ -767,6 +767,155 @@ class R18bOpsSpec extends SparkSpec {
     expect.foreach(e => assert(e._4 > 0))
   }
 
+  test("report_theil_between_within: the decomposition replayed and " +
+      "additivity pinned") {
+    val orders = Tables.orders(spark, sf).select(col("o_custkey"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5)
+        .toLong))
+    val custNation = Tables.customer(spark, sf).select(col("c_custkey"),
+        col("c_nationkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nationRegion = Tables.nation(spark, sf).select(col("n_nationkey"),
+        col("n_regionkey")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    val regionName = Tables.region(spark, sf).select(col("r_regionkey"),
+        col("r_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val custRev = orders.groupBy(_._1).toSeq.flatMap { case (ck, xs) =>
+      custNation.get(ck).map { nk =>
+        (regionName(nationRegion(nk)), xs.map(_._2).sum) }
+    }
+    val nn = custRev.length.toLong
+    val ss = custRev.map(_._2).sum
+    def theilFold(xs: Seq[Long], n: Long, sTot: Long): Long = {
+      val terms = xs.map { x =>
+        val r = (x * n).toDouble / sTot
+        math.floor(r * math.log(r) * 1000000).toLong
+      }
+      terms.sum / n
+    }
+    val tTotal = theilFold(custRev.map(_._2), nn, ss)
+    val per = custRev.groupBy(_._1).toSeq.map { case (rg, xs) =>
+      val nr = xs.length.toLong
+      val sr = xs.map(_._2).sum
+      val tw = theilFold(xs.map(_._2), nr, sr)
+      val bt = math.floor((sr.toDouble / ss) *
+        math.log(sr.toDouble * nn / (ss.toDouble * nr)) * 1000000).toLong
+      val ww = (BigInt(sr) * tw / ss).toLong
+      (rg, nr, sr, tw, bt, ww)
+    }.sortBy(_._1)
+    val tB = per.map(_._5).sum; val tW = per.map(_._6).sum
+    val expect = per.map(p =>
+      (p._1, p._2, p._3, p._4, p._5, p._6, tTotal, tB, tW))
+    val got = graft.SparkEntry.queries("report_theil_between_within")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toSeq
+    assert(got == expect)
+    // Theil's defining property: total = between + within, up to the
+    // per-row floor quantization
+    assert(math.abs(tTotal - (tB + tW)) < 1000L,
+      s"additivity: $tTotal vs ${tB + tW}")
+  }
+
+  test("ts_parkinson_volatility: daily log-range fold replayed") {
+    val expect = eventRows.groupBy(e => (e._2, eventDay(e._1))).toSeq
+      .map { case ((t, _), xs) =>
+        (t, xs.map(e => cents4(e._3)).max, xs.map(e => cents4(e._3)).min)
+      }.filter(x => x._3 > 0 && x._2 > x._3)
+      .groupBy(_._1).toSeq.map { case (t, ds) =>
+        val terms = ds.map { case (_, h, l) =>
+          val lr = math.log(h.toDouble / l)
+          math.floor(lr * lr * 1000000).toLong
+        }
+        val n = ds.length.toLong
+        val st = terms.sum
+        (t, n, st / n, st * 1000000L / n / 2772588L)
+      }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("ts_parkinson_volatility")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    expect.foreach(e => assert(e._4 >= 0))
+  }
+
+  test("corpus_source_kl: per-source divergence replayed; KL " +
+      "nonnegative up to floors") {
+    val st = docRows.flatMap(d => d._2.split(" ", -1).filter(_.nonEmpty)
+      .map(t => (d._3, t)))
+    val freq = st.groupBy(identity).map { case (k, xs) =>
+      k -> xs.length.toLong }
+    val ct = st.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val nn = st.length.toLong
+    val expect = st.map(_._1).distinct.sorted.map { src =>
+      val mine = freq.filter(_._1._1 == src)
+      val ns = mine.values.sum
+      val kl = mine.map { case ((_, t), c) =>
+        math.floor((c.toDouble / ns) *
+          math.log(c.toDouble * nn / (ns.toDouble * ct(t))) * 1000000)
+          .toLong
+      }.sum
+      (src, ns, mine.size.toLong, kl)
+    }
+    val got = graft.SparkEntry.queries("corpus_source_kl")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    expect.foreach(e => assert(e._4 >= -e._3, s"KL < -types: $e"))
+  }
+
+  test("events_hill_tail_index: top-50 order statistics replayed") {
+    val byUser = Tables.events(spark, sf).select(col("user_id"))
+      .collect().map(_.getLong(0)).groupBy(identity)
+      .map { case (u, xs) => (u, xs.length.toLong) }.toSeq
+    val top = byUser.sortBy { case (u, c) => (-c, u) }.take(50)
+    val ranked = top.map { case (u, c) =>
+      (u, c, 1 + top.count { case (bu, bc) =>
+        bc > c || (bc == c && bu < u) })
+    }
+    val k = ranked.map(_._3).max.toLong
+    val xk = ranked.filter(_._3 == k).map(_._2).max
+    val head = ranked.filter(_._3 < k)
+    val sl = head.map(x =>
+      math.floor(math.log(x._2.toDouble) * 1000000).toLong).sum
+    val inv = sl / head.length -
+      math.floor(math.log(xk.toDouble) * 1000000).toLong
+    val alpha = if (inv <= 0) None else Some(1000000000L / inv)
+    val expect = Seq((byUser.length.toLong, k, xk, inv, alpha))
+    val got = graft.SparkEntry.queries("events_hill_tail_index")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expect)
+    // activity counts are heavy-ish tailed but finite: alpha defined
+    assert(alpha.nonEmpty && alpha.get > 0)
+  }
+
+  test("corpus_mattr_windowed: global token positions + 50-token " +
+      "windows replayed") {
+    val expect: Seq[(String, Long, Long)] =
+      docLangs.map(_._2).distinct.sorted.toSeq.flatMap { lang =>
+      val stream = docLangs.filter(_._2 == lang).sortBy(_._1)
+        .flatMap(d => d._3.split(" ", -1).filter(_.nonEmpty))
+      val wins = stream.grouped(50).filter(_.length == 50).toSeq
+      if (wins.isEmpty) None
+      else {
+        val types = wins.map(_.distinct.length.toLong).sum
+        Some((lang, wins.length.toLong,
+          types * 1000000L / (wins.length * 50L)))
+      }
+    }
+    val got = graft.SparkEntry.queries("corpus_mattr_windowed")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expect)
+    // MATTR is a share of the window size
+    expect.foreach(e => assert(e._3 > 0 && e._3 <= 1000000L))
+  }
+
   test("agg_trimmed_mean: full sort-and-slice, independent of the " +
       "histogram-overlap spelling") {
     val rows = Tables.lineitem(spark, sf)
