@@ -202,7 +202,15 @@ object Bench {
           legacyPasses.getOrElse("3").toInt)))
       }
       .getOrElse(HarnessConf.parseWarmSchedule(
-        "/root/testdata/sf0.001:3,/root/testdata/sf0.01:1"))
+        // Default trimmed 3→2 sf0.001 passes (r18-opt): at 483 keys
+        // the three passes alone took 624 s — past the whole warm
+        // budget — so the sf0.01 stage (the one that pushes heavy
+        // generated loops over the C2 threshold) was silently
+        // skipped and 1-3 s of compiler time landed back inside each
+        // heavy key's timed region (measured: graph_label_propagation
+        // jit_ms=2886 in-region). Two sf0.001 passes + the sf0.01
+        // pass fit the budget and drain C2 where it matters.
+        "/root/testdata/sf0.001:2,/root/testdata/sf0.01:1"))
     // Wall budget over the WHOLE warm phase (env override, seconds):
     // on a badly contended host the multi-pass warm could balloon,
     // and a harness that kills a still-warming Bench leaves NO
@@ -217,7 +225,12 @@ object Bench {
     // timing cold compiles again (the r11 regression this budget's
     // schedule exists to prevent). 540 s keeps the worst observed
     // warm inside budget while still bounding a pathological host.
-    val warmBudgetS = sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET_S", "540").toInt
+    // Budget re-raised 540 → 900 (r18-opt) alongside trimming the
+    // schedule: the 540 s value was sized for the 355-key registry
+    // (r14); at 483 keys it was exhausted mid-schedule. 900 s bounds
+    // a pathological host while never truncating the C2 stage on a
+    // nominal one (measured warm at 483 keys ≈ 2×208 + ~90 ≈ 510 s).
+    val warmBudgetS = sys.env.getOrElse("SPARK_GRAFT_WARM_BUDGET_S", "900").toInt
     val warmAllT0 = System.nanoTime()
     def warmElapsedS: Double = (System.nanoTime() - warmAllT0) / 1e9
     for ((warmDir, warmPasses) <- warmSchedule) {
