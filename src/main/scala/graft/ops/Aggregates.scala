@@ -1619,10 +1619,18 @@ object Aggregates {
         when(col("cum") * 10 <= col("tot") * 7, "A")
           .when(col("cum") * 10 <= col("tot") * 9, "B")
           .otherwise("C").as("abc_class"))
+    // ONE partkey exchange for both weekly legs (guide §2.4,
+    // r18-opt): (xk, week) groups are nearly as numerous as lineitem
+    // rows here, so the old partial agg shuffled ~the whole fact on
+    // (xk, week) and then re-shuffled the result on xk. Hash
+    // partitioning on xk alone satisfies the clustering requirement
+    // of BOTH aggs (xk ⊂ {xk, week}), so repartition(xk) once and
+    // the two groupBys plan exchange-free on top.
     val wk = Tables.lineitem(s, d)
       .select(col("l_partkey").as("xk"),
         expr("datediff(l_shipdate, DATE '1992-01-01') div 7").as("week"),
         (qty(col("l_quantity")) * 10).cast(LongType).as("q10"))
+      .repartition(col("xk"))
       .groupBy(col("xk"), col("week"))
       .agg(sum(col("q10")).cast(LongType).as("q10"))
     val xyz = wk.groupBy(col("xk"))
@@ -1635,7 +1643,10 @@ object Aggregates {
             <= col("s") * col("s"), "Y")
           .otherwise("Z").as("xyz_class"),
         col("s"))
-    abc.join(xyz, col("xk") === col("l_partkey"))
+    // xyz is |parts|-sized (20k rows of 3 narrow cols): broadcast it
+    // so the abc side keeps its brand-window partitioning instead of
+    // both 20k-row sides paying a partkey shuffle + sort for an SMJ.
+    abc.join(broadcast(xyz), col("xk") === col("l_partkey"))
       .groupBy(col("abc_class"), col("xyz_class"))
       .agg(count(lit(1)).as("n_parts"),
         outDouble(sum(col("rev"))).as("cell_revenue"),

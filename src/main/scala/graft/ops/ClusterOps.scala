@@ -829,20 +829,41 @@ object ClusterOps {
       |ORDER BY kind, score_micro DESC, node""") { (s, d) =>
     val eb = tradeEb(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def normalize(r: org.apache.spark.sql.DataFrame, key: String,
-        out: String): org.apache.spark.sql.DataFrame =
+    // Each normalize references its input TWICE (the values side and
+    // the max-scalar broadcast side), so an unpersisted chain doubles
+    // the plan subtree per iteration — 2^3 copies of the eb aggregate
+    // by a2, which is what blew the formatted plan to ~300 Exchange
+    // nodes and charged the key for replanning/rescheduling the same
+    // node-sized aggs (r18-opt). Persisting the raw score table —
+    // |nodes| rows — collapses the duplication at every level; the
+    // shuffles themselves were already deduped by ReuseExchange, so
+    // this buys back planning and job-scheduling time, not I/O.
+    def normalize(rIn: org.apache.spark.sql.DataFrame, key: String,
+        out: String): org.apache.spark.sql.DataFrame = {
+      val r = rIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       r.crossJoin(broadcast(r.agg(max(col("s")).as("m"))))
         .select(col(key), expr("CAST(s * 1000000 div m AS BIGINT)").as(out))
+    }
     val a1 = normalize(
       eb.groupBy(col("sk")).agg(sum(lit(1000000L)).as("s")), "sk", "auth")
     val h1 = normalize(
       eb.join(broadcast(a1.withColumnRenamed("sk", "jk")),
           col("jk") === col("sk"))
         .groupBy(col("ck")).agg(sum(col("auth")).as("s")), "ck", "hub")
+    // a2 is consumed TWICE (h2's broadcast side and the authority
+    // top-10): unpersisted, the entire a1→h1→a2 chain — three eb
+    // passes plus three max-normalize broadcast builds — replans and
+    // recomputes once per consumer (the duplicated subtree blew the
+    // formatted plan to ~300 Exchange nodes; r18-opt measured the
+    // persist at 3.97 s → 3.32 s in a 6-key targeted window, most of
+    // the residue being that window's in-region JIT). Node-sized
+    // (|suppliers| rows), so the cache cost is negligible at any
+    // scale.
     val a2 = normalize(
       eb.join(broadcast(h1.withColumnRenamed("ck", "jk")),
           col("jk") === col("ck"))
         .groupBy(col("sk")).agg(sum(col("hub")).as("s")), "sk", "auth")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h2 = normalize(
       eb.join(broadcast(a2.withColumnRenamed("sk", "jk")),
           col("jk") === col("sk"))

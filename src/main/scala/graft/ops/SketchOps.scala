@@ -58,10 +58,15 @@ object SketchOps {
     val rows4 = array((0 to 3).map(lit): _*)
     val base = Tables.orders(s, d).select(col("o_custkey").as("k"))
     val t = base.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-    val cells = base
-      .select(col("k"), explode(rows4).as("r"))
+    // Cells from the per-key count table t (guide §2.3, r18-opt):
+    // the raw-fact ×4 explode shuffled 4×|orders| rows; exploding the
+    // |customers|-row t — already built for the true-count leg, so
+    // ReuseExchange plans ONE orders scan+shuffle — sums the same
+    // per-(r, b) counts exactly (bucket is deterministic in (r, k)).
+    val cells = t
+      .select(col("k"), col("cnt"), explode(rows4).as("r"))
       .groupBy(col("r"), bucket(col("r"), col("k"), 1024).as("b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("cnt")).cast(LongType).as("c"))
     val top10 = t.orderBy(col("cnt").desc, col("k")).limit(10)
     val probe = top10.select(col("k"), col("cnt"), explode(rows4).as("pr"))
       .select(col("k"), col("cnt"), col("pr"),
@@ -216,22 +221,33 @@ object SketchOps {
       |    / CAST(true_rows AS DOUBLE) + 0.5) AS BIGINT) AS over_ppm
       |FROM er, tr GROUP BY true_rows""") { (s, d) =>
     val rows4 = array((0 to 3).map(lit): _*)
-    def cells(side: org.apache.spark.sql.DataFrame) = side
-      .select(col("k"), explode(rows4).as("r"))
+    // Aggregate BEFORE the ×4 row explode (guide §2.3, r18-opt): the
+    // original exploded the raw fact (|events|×4 rows) into the cell
+    // agg, shuffling 4× the fact; the per-key count table — which the
+    // true-rows leg needs anyway — is |keys| rows, so exploding THAT
+    // and summing counts reaches the identical (r, bk) cells with a
+    // 40× smaller explode. ReuseExchange dedupes the shared per-key
+    // agg between the cell and true legs (one scan, one shuffle per
+    // side). cells(c) = Σ_k cnt(k)·[bucket(r,k)=bk] — exact, since
+    // bucket is deterministic in (r, k).
+    def cells(keyCounts: org.apache.spark.sql.DataFrame) = keyCounts
+      .select(col("k"), col("c"), explode(rows4).as("r"))
       .groupBy(col("r"), bucket(col("r"), col("k"), 16384).as("bk"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).cast(LongType).as("c"))
     val a = Tables.events(s, d).select(col("user_id").as("k"))
     val b = Tables.orders(s, d).select(col("o_custkey").as("k"))
-    val ca = cells(a)
-    val cb = cells(b).select(col("r").as("r2"), col("bk").as("bk2"),
+    val ak = a.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val bk = b.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val ca = cells(ak)
+    val cb = cells(bk).select(col("r").as("r2"), col("bk").as("bk2"),
       col("c").as("c2"))
     val er = ca.join(broadcast(cb),
         col("r") === col("r2") && col("bk") === col("bk2"))
       .groupBy(col("r"))
       .agg(sum(col("c") * col("c2")).cast(LongType).as("est"))
-    val tr = a.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .join(b.groupBy(col("k")).agg(count(lit(1)).as("c2"))
-        .select(col("k").as("k2"), col("c2")), col("k") === col("k2"))
+    val tr = ak
+      .join(bk.select(col("k").as("k2"), col("c").as("c2")),
+        col("k") === col("k2"))
       .agg(sum(col("c") * col("c2")).cast(LongType).as("true_rows"))
     er.agg(min(col("est")).as("est_rows"))
       .crossJoin(broadcast(tr))
