@@ -1363,10 +1363,16 @@ object Aggregates {
       |  CAST(SUM(n) AS BIGINT) AS total_active_weeks,
       |  CAST(SUM(s) AS BIGINT) AS total_q10
       |FROM cl GROUP BY xyz_class ORDER BY xyz_class""") { (s, d) =>
+    // ONE partkey exchange for both aggs (the report_abc_xyz_matrix
+    // weekly-leg spelling, r18-opt): (partkey, week) groups are
+    // nearly fact-sized, so the partial agg shuffled ~the whole fact
+    // and then re-shuffled on partkey; partitioning on partkey alone
+    // satisfies both clusterings.
     val wk = Tables.lineitem(s, d)
       .select(col("l_partkey"),
         expr("datediff(l_shipdate, DATE '1992-01-01') div 7").as("week"),
         (qty(col("l_quantity")) * 10).cast(LongType).as("q10"))
+      .repartition(col("l_partkey"))
       .groupBy(col("l_partkey"), col("week"))
       .agg(sum(col("q10")).cast(LongType).as("q10"))
     val p = wk.groupBy(col("l_partkey"))

@@ -641,7 +641,25 @@ object ClusterOps {
       |  WHERE rn = 1)
       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
       |FROM l3 GROUP BY lbl ORDER BY community""") { (s, d) =>
+    // Pre-partition the persisted edge table on src (guide §2.4,
+    // r18-opt): round 1's (src, lbl) groups are exactly the edge set
+    // — labels start unique per node, so the partial agg reduces
+    // NOTHING and an unpartitioned edge cache shuffles ~|edges| rows
+    // in round 1 (and large fractions in rounds 2-3). With
+    // HashPartitioning(src) pinned into the cache, every per-round
+    // agg — the (src, lbl) count AND the per-src argmax — plans
+    // exchange-free (src ⊆ each grouping key), trading 3 rounds of
+    // data-sized exchanges for ONE up-front repartition. At cluster
+    // scale this is the same one-partitioning-serves-the-loop layout,
+    // with the documented hub caveat (salt/AQE-skew above a degree
+    // ceiling).
+    // Width = session parallelism, not the 4-partition reduce policy:
+    // the pinned partitioning IS the loop's compute layout (every
+    // round's 1M-group hash aggs run on exactly these partitions), so
+    // the narrow reduce width would cap 3 rounds of real work at 4
+    // tasks. At cluster scale this is the conf-sized map width.
     val edges = tradeSymEdges(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val l0 = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
     // ids are positive (key*2(+1), keys ≥ 1) so −lbl preserves the

@@ -1131,16 +1131,30 @@ object CorpusOps {
       |FROM p JOIN sz sa ON sa.source = p.src_a
       |JOIN sz sb ON sb.source = p.src_b
       |ORDER BY src_a, src_b""") { (s, d) =>
-    val g = Tables.documents(s, d)
+    // Wedge form instead of the gram-keyed self-join (r18-opt, the
+    // graph_jaccard_neighbors shape): ONE shuffle builds the sorted
+    // per-gram source set (collect_set dedups in the agg — no
+    // separate DISTINCT pass), then each gram's C(k,2) source pairs
+    // are enumerated ROW-LOCALLY with posexplode + slice (built-ins,
+    // codegen-safe, ≤C(|sources|,2) rows per gram) — where the
+    // self-join re-shuffled the gram table twice and probed k² join
+    // candidates per gram. sort_array gives lexicographic source
+    // order, so (src_a < src_b) matches the oracle's string '<'.
+    val gsets = Tables.documents(s, d)
       .select(col("source"),
         explode(array_distinct(graft.functions.VectorFunctions.wordNgrams(
           split(col("text"), " "), 3))).as("gram"))
-      .distinct()
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val p = g.join(g.select(col("source").as("sb"), col("gram").as("gb")),
-        col("gb") === col("gram") && col("source") < col("sb"))
-      .groupBy(col("source").as("src_a"), col("sb").as("src_b"))
+    val sz = gsets.select(explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val p = gsets
+      .filter(size(col("ss")) >= 2)
+      .select(posexplode(col("ss")).as(Seq("i", "sa")), col("ss"))
+      .select(col("sa"),
+        explode(slice(col("ss"), col("i") + 2, size(col("ss")))).as("sb"))
+      .groupBy(col("sa").as("src_a"), col("sb").as("src_b"))
       .agg(count(lit(1)).as("n_inter"))
     p.join(broadcast(sz.select(col("source").as("ka"), col("n").as("n_a"))),
         col("ka") === col("src_a"))

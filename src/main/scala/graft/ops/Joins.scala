@@ -1286,7 +1286,13 @@ object Joins {
     val pa = li.groupBy(col("l_partkey").as("pk"))
       .agg(sum(col("q10")).cast(LongType).as("sq"),
         count(lit(1)).as("n"))
-    val sm = li.join(pa, col("pk") === col("l_partkey"))
+    // pa is the parts-sized per-part aggregate (|parts| rows × 3
+    // longs) — broadcast it (r18-opt): the un-hinted plan estimated
+    // it from its lineitem lineage and chose SMJ, shuffling the whole
+    // fact on partkey just to meet a dim-sized build side (guide
+    // §3.1: size estimates after aggregation are often wrong — hint
+    // when you know the side is small).
+    val sm = li.join(broadcast(pa), col("pk") === col("l_partkey"))
       .filter(lit(5) * col("q10") * col("n") < col("sq"))
       .join(broadcast(Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"))),
