@@ -75,6 +75,20 @@ object ClusterOps {
       .union(eb.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
   }
 
+  /** r19-opt finding, recorded so the next round doesn't re-try it:
+    * re-rooting the UNROLLED fixed-round kernels (PageRank, BFS,
+    * LPA, k-core, HITS) through the `minLabel`-style RDD bridge was
+    * MEASURED AND REJECTED — per-round persist+count+createDataFrame
+    * flattened the logical trees but added row-encoder round-trips
+    * and count actions, and in-region JIT went UP (graph_bfs_levels
+    * 1.6 → 5.8 s jit, wall 2.95 → 3.14 s; graph_pagerank 1.9 → 4.4 s
+    * jit, wall 2.99 → 3.58 s at sf0.1). The bridge pays off for
+    * LOOPS WITH PER-ROUND ACTIONS whose replanning grows unboundedly
+    * (dedup_cluster_cc); at 3 unrolled rounds the persisted-IMR
+    * plans are already physically shallow and the win is negative.
+    * The productive lever is fewer OPERATORS per round — see the
+    * per-key r19 rewrites below. */
+
   /** Connected components over the `dedup_minhash_lsh` verified pairs
     * (jaccard ≥ 0.5), extended to every document (non-duplicated docs
     * are their own singleton cluster). Output is the full dedup map:
@@ -267,24 +281,50 @@ object ClusterOps {
     // between queries, the same cache-lifecycle contract
     // `dedup_cluster_cc` relies on. The returned plan's exchanges
     // stay visible to the golden shuffle audit.
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // raw edge list persisted FIRST: both deg and the deg-carrying
+    // ew below derive from it, and unpersisted each build would
+    // recompute the orders⋈lineitem distinct union from scratch
+    val e0 = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ew = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val r0 = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
-    // each node's out-SHARE (rank*85 div (100*deg)) is computed on
-    // the tiny node-sized side BEFORE touching edges, so the
-    // broadcast payload and the per-edge probe carry one precomputed
-    // long — the edge table itself is two longs per row and is
-    // never shuffled or widened
-    def step(r: org.apache.spark.sql.DataFrame) = {
-      val shares = r.join(deg, r("id") === deg("src"))
-        .select(r("id"), expr("(rank * 85) div (100 * deg)").as("share"))
-      ew.join(broadcast(shares), ew("src") === shares("id"))
-        .groupBy(col("dst"))
+    // r19-opt (guide §1.2 "the distributed algorithm" / op-count per
+    // round): the r18 shape joined each round's node-sized rank
+    // table back against deg to derive the out-share BEFORE the edge
+    // probe — one extra node×node join per round inside every
+    // broadcast build. The destination's degree is a FUNCTION of the
+    // edge row, so the edge cache now carries deg(dst) (one
+    // broadcast join at build time, paid once), each round groups by
+    // (dst, dst_deg) — same groups, deg is functionally dependent —
+    // and emits next round's share directly from the agg projection:
+    // one join + one agg per round, no deg re-join anywhere.
+    // share(u) = (rank(u)*85) div (100*deg(u)) is unchanged algebra,
+    // so ranks are bit-identical to the oracle's.
+    // ew pinned to HashPartitioning(dst) (guide §2.4, the LPA r18
+    // layout): every round's (dst, dst_deg) agg — dst_deg is
+    // functionally dependent on dst — then plans exchange-free, so
+    // the 3 rounds pay ZERO data-sized exchanges for ONE up-front
+    // repartition. Same documented hub caveat as LPA: at power-law
+    // scale, salt srcs above a degree ceiling.
+    val ew = e0
+      .join(broadcast(deg.select(col("src").as("dk"),
+        col("deg").as("dst_deg"))), col("dk") === col("dst"))
+      .select(col("src"), col("dst"), col("dst_deg"))
+      .repartition(s.sparkContext.defaultParallelism, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 0 share folds the constant seed rank: (10⁶·85) div
+    // (100·deg) — identical to r0 ⋈ deg in the r18 spelling
+    val s0 = deg.select(col("src").as("id"),
+      expr("(1000000 * 85) div (100 * deg)").as("share"))
+    // middle rounds emit (id, share); the last emits (id, rank)
+    def step(sh: org.apache.spark.sql.DataFrame, last: Boolean) = {
+      val agg = ew.join(broadcast(sh), col("id") === col("src"))
+        .groupBy(col("dst"), col("dst_deg"))
         .agg((lit(150000L) + sum(col("share"))).as("rank"))
-        .select(col("dst").as("id"), col("rank"))
+      if (last) agg.select(col("dst").as("id"), col("rank"))
+      else agg.select(col("dst").as("id"),
+        expr("(rank * 85) div (100 * dst_deg)").as("share"))
     }
-    val r3 = step(step(step(r0)))
+    val r3 = step(step(step(s0, false), false), true)
     r3.select(
         when(col("id") % 2 === 0, "customer").otherwise("supplier")
           .as("node_kind"),
@@ -566,6 +606,12 @@ object ClusterOps {
       |  MIN(id) AS min_node, MAX(id) AS max_node
       |FROM census GROUP BY level
       |ORDER BY level""") { (s, d) =>
+    // r19-opt note: pinning this cache to HashPartitioning(dst) (the
+    // LPA layout, to make each round's distinct exchange-free) was
+    // measured and REJECTED — three targeted windows read ~5.0 s vs
+    // ~3.6 s unpinned; the per-round distinct carries only
+    // frontier-incident rows, far less than the up-front full-edge
+    // repartition costs here.
     val edges = tradeSymEdges(s, d)
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges.count() // materialize before the rounds fork the lineage
@@ -582,6 +628,9 @@ object ClusterOps {
     // re-runs the round including its broadcast builds (measured
     // 3.55 s with 7.2 s of in-region JIT at sf0.1; the CC loop's
     // materialize-per-round rule applies to unrolled rounds too).
+    // r19-opt note: the RDD-bridge variant of this mat() was
+    // measured and REJECTED (2.95 → 3.14 s, jit 1.6 → 5.8 s) — see
+    // the finding at the top of this file.
     def mat(df: org.apache.spark.sql.DataFrame) = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
     }
@@ -661,7 +710,6 @@ object ClusterOps {
     val edges = tradeSymEdges(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l0 = edges.select(col("src").as("id"), col("src").as("lbl")).distinct()
     // ids are positive (key*2(+1), keys ≥ 1) so −lbl preserves the
     // smallest-label tiebreak inside the lexicographic struct max
     def round(l: org.apache.spark.sql.DataFrame) =
@@ -671,7 +719,19 @@ object ClusterOps {
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
         .select(col("src").as("id"), (-col("m.neg")).as("lbl"))
-    val l3 = round(round(round(l0)))
+    // Round 1 constant-folded (r19-opt, guide §1.2): l0 assigns
+    // every node its OWN id, and the edge list is distinct, so round
+    // 1's (src, lbl) counts are all exactly 1 and the plurality
+    // argmax (cnt DESC, lbl ASC) degenerates to the MINIMUM
+    // neighbor id — one exchange-free agg over the partitioned edge
+    // cache instead of l0's node-extraction distinct + a broadcast
+    // build + the two-level count/argmax aggs. Rounds 2-3 run the
+    // general plurality kernel unchanged, so the fixpoint is
+    // bit-identical to the oracle's 3-round chain.
+    val l1 = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
+    val l3 = round(round(l1))
     l3.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("community"), col("n_members"))
       .orderBy(col("community"))
@@ -715,23 +775,44 @@ object ClusterOps {
       |SELECT 3, (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM e3),
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
       |ORDER BY round""") { (s, d) =>
+    // r19-opt (guide §1.2 / §2.3): the r18 shape aggregated each
+    // round's edge set TWICE — once for the keep-set (degree ≥ 2)
+    // inside prune, and once more per stats leg as a
+    // countDistinct(src) Expand agg (4 Expands, each re-walking an
+    // edge cache). One persisted node-sized degree table per round
+    // now serves both: keep = filter(c ≥ 2), n_nodes = COUNT(*) over
+    // the degree rows (src is its grouping key, so the distinct is
+    // free), n_edges = SUM(c). Exact integer identities, so the
+    // decay curve is bit-identical to the oracle's.
+    // e0 pinned to HashPartitioning(src) (guide §2.4): the
+    // broadcast semi-joins inside prune PRESERVE the probe side's
+    // partitioning, so all four per-round degree aggs plan
+    // exchange-free for one up-front repartition (the LPA r18
+    // layout; same hub caveat).
     val e0 = tradeSymEdges(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def prune(e: org.apache.spark.sql.DataFrame) = {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select(col("src"))
+    def degOf(e: org.apache.spark.sql.DataFrame) =
+      e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    def prune(e: org.apache.spark.sql.DataFrame,
+        dg: org.apache.spark.sql.DataFrame) = {
+      val keep = dg.filter(col("c") >= 2).select(col("src"))
       e.join(broadcast(keep), Seq("src"), "left_semi")
         .join(broadcast(keep.withColumnRenamed("src", "dst")),
           Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val e1 = prune(e0); val e2 = prune(e1); val e3 = prune(e2)
-    def stats(i: Int, e: org.apache.spark.sql.DataFrame) =
-      e.agg(countDistinct(col("src")).as("n_nodes"),
-          count(lit(1)).as("n_edges"))
-        .select(lit(i.toLong).as("round"), col("n_nodes"), col("n_edges"))
-    stats(0, e0).union(stats(1, e1)).union(stats(2, e2)).union(stats(3, e3))
+    val d0 = degOf(e0)
+    val e1 = prune(e0, d0); val d1 = degOf(e1)
+    val e2 = prune(e1, d1); val d2 = degOf(e2)
+    val e3 = prune(e2, d2); val d3 = degOf(e3)
+    def stats(i: Int, dg: org.apache.spark.sql.DataFrame) =
+      dg.agg(count(lit(1)).as("n_nodes"), sum(col("c")).as("n_edges"))
+        .select(lit(i.toLong).as("round"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+    stats(0, d0).union(stats(1, d1)).union(stats(2, d2)).union(stats(3, d3))
       .orderBy(col("round"))
   }
 
@@ -845,6 +926,12 @@ object ClusterOps {
       |  FROM h2 ORDER BY hub DESC, ck LIMIT 10)
       |SELECT * FROM ta UNION ALL SELECT * FROM th
       |ORDER BY kind, score_micro DESC, node""") { (s, d) =>
+    // r19-opt note: pinning eb to HashPartitioning(sk) (the LPA
+    // layout) was measured and REJECTED — steady-state ~1.8 → ~2.1 s
+    // at sf0.1. The half-step aggs reduce to |suppliers|-sized
+    // partials (map-side combine already removes ~everything), so
+    // the saved exchanges are tiny while the up-front repartition
+    // of the full partnership table is not.
     val eb = tradeEb(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Each normalize references its input TWICE (the values side and

@@ -1216,11 +1216,24 @@ object R17Ops {
       |GROUP BY f.event_type, f.n, f.mean_micro
       |ORDER BY f.event_type""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // r19-opt (guide §2.5 input-parallelism class): the events file
+    // is ONE small parquet split, so the whole ×32 replicate
+    // explosion (md5s, conv windows, agg partials — ~32·|events|
+    // rows of row-local work) ran in a single scan task while 31
+    // cores idled (measured 3.2 s at sf0.1, scaling ratio 1.23 —
+    // the suite's flattest "real compute" key). One round-robin
+    // repartition spreads the draw work across the session width;
+    // BOTH consumers (the replicate fold and the full-data mean)
+    // hang off the same exchange, so the second events scan the r17
+    // spelling paid is gone too (ReuseExchange). At cluster scale
+    // the same spelling holds — the exchange carries |events| rows
+    // of three narrow columns, 32× less than what the explode emits.
     val e = Tables.events(s, d)
       .select(col("event_id"), col("event_id").cast(StringType)
           .as("event_id_str"), col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("cents"))
+      .repartition(s.sparkContext.defaultParallelism)
     val x = e.select(col("event_type"), col("cents"), col("event_id_str"),
         explode(sequence(lit(0), lit(3))).as("g"))
       .withColumn("h", md5(concat(col("event_id_str"), lit(":"),

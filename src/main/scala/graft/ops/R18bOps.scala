@@ -546,35 +546,37 @@ object R18bOps {
           col("node").cast(StringType), lit(":"),
           col("rep").cast(StringType))), 1, 8), 16, 10)
           .cast(LongType).as("vh"))
-    val ring8 = ring9.filter(col("node") < 8)
     val k = Tables.documents(s, d).select(col("doc_id"),
       conv(substring(md5(concat(lit("key:"),
         col("doc_id").cast(StringType))), 1, 8), 16, 10)
         .cast(LongType).as("kh"))
-    // ONE pass computes both rings' successors (ring8 = the node<8
-    // restriction of the broadcast ring9 side), and the vh→node maps
-    // resolve ties ring-side (≤144-row aggregates) so no further
-    // doc-keyed shuffle is needed — the r18b plan rewrite that
-    // halved this key's bench cost.
-    val wraps = ring9.agg(
-      min(when(col("node") < 8, col("vh"))).as("w8"),
-      min(col("vh")).as("w9"))
-    val a = k.crossJoin(broadcast(ring9.select(col("vh"), col("node"))))
-      .groupBy(col("doc_id"), col("kh"))
-      .agg(min(when(col("vh") >= col("kh") && col("node") < 8,
-        col("vh"))).as("succ8"),
-        min(when(col("vh") >= col("kh"), col("vh"))).as("succ9"))
-      .crossJoin(broadcast(wraps))
+    // Row-local successor search (r19-opt, guide §2.3/§4 — the MMR
+    // pattern): the r18b spelling exploded every doc against the
+    // 144-row broadcast ring (|docs|×144 rows through a doc-keyed
+    // conditional-min agg — the plan's only fact-sized exchange).
+    // Both rings collapse ring-side into ONE sorted array of
+    // combined keys c = vh*256 + node: vh is 32 bits and node < 9,
+    // so min(c | c ≥ kh*256) orders by vh first, then node —
+    // EXACTLY the old (min vh ≥ kh, then min node at that vh)
+    // successor-with-tie rule, and element 0 of the sorted array is
+    // the wrap target (min vh, min node at it). Each doc then
+    // resolves both assignments in one row-local array probe
+    // (filter + element_at over ≤144 elements, never under a
+    // Generate) and the doc-keyed exchange disappears from the plan.
+    val rings = ring9.agg(
+      sort_array(collect_list(when(col("node") < 8,
+        col("vh") * 256 + col("node")))).as("arr8"),
+      sort_array(collect_list(col("vh") * 256 + col("node"))).as("arr9"))
+    // get() not element_at(): the filtered array is EMPTY for keys
+    // hashing past the last vnode (the wrap case) and ANSI
+    // element_at throws on the invalid index where get returns null
+    def succNode(arr: Column, kh: Column): Column =
+      coalesce(get(filter(arr, x => x >= kh * 256), lit(0)),
+        get(arr, lit(0))) % 256
+    val both = k.crossJoin(broadcast(rings))
       .select(col("doc_id"),
-        coalesce(col("succ8"), col("w8")).as("a8"),
-        coalesce(col("succ9"), col("w9")).as("a9"))
-    val rmap8 = ring8.groupBy(col("vh").as("vh8"))
-      .agg(min(col("node")).as("node_b"))
-    val rmap9 = ring9.groupBy(col("vh").as("vh9"))
-      .agg(min(col("node")).as("node_a"))
-    val both = a.join(broadcast(rmap8), col("vh8") === col("a8"))
-      .join(broadcast(rmap9), col("vh9") === col("a9"))
-      .select(col("doc_id"), col("node_b"), col("node_a"))
+        succNode(col("arr8"), col("kh")).as("node_b"),
+        succNode(col("arr9"), col("kh")).as("node_a"))
       .persist()
     val mv = both.agg(count(lit(1)).as("n_keys"),
       sum(when(col("node_b") =!= col("node_a"), 1L).otherwise(0L))

@@ -63,9 +63,37 @@ object StaticPlans {
         qe.sparkPlan
         qe.executedPlan
         physCache.put(k, qe)
+        // clearCache BETWEEN keys (r19, ADVICE r18): one key's
+        // persist()ed subtree must not substitute an
+        // InMemoryRelation into a LATER key's plan — that coupling
+        // made the text_hapax_ratio pin depend on corpus_source_kl
+        // planning first. Cold cache per key is also exactly the
+        // Bench/Verify protocol the pins claim to reproduce.
+        spark.catalog.clearCache()
       } finally spark.conf.unset("spark.sql.adaptive.enabled")
       physBuilt = true
     }
+  }
+
+  /** Shuffles PAID by one cold execution of a plan (r19, ADVICE
+    * r18): counts ShuffleExchangeExec nodes, recursing into each
+    * InMemoryRelation's cachedPlan ONCE per distinct cache entry —
+    * a persist() hides its upstream exchanges inside the IMR, but
+    * they are still paid at materialization, so a pin that skipped
+    * them went blind to exchange regressions inside cached
+    * subtrees. Used by GoldenShufflesSpec AND tools.ShuffleAudit so
+    * the tool regenerates exactly what the spec asserts. */
+  def paidShuffles(plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val seen = new java.util.IdentityHashMap[AnyRef, AnyRef]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case scan: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+            if !seen.containsKey(scan.relation.cacheBuilder) =>
+          seen.put(scan.relation.cacheBuilder, scan.relation.cacheBuilder)
+          walk(scan.relation.cachedPlan)
+      }.sum
+    walk(plan)
   }
 }
 
