@@ -64,4 +64,21 @@ object PartitionPolicy {
     if (wide(key)) sessionParts
     else if (narrow(key)) 1
     else math.min(DefaultParts, sessionParts)
+
+  /** Round-robin spread to the session width, ONLY when the planned
+    * input parallelism is narrower than half of it (r19, guide §2.5
+    * input-skew class): the bench fixtures are single-split parquet
+    * files (one row group), so heavy row-local work stacked on a
+    * bare scan runs one task wide while the other cores idle. At
+    * cluster scale the same scan splits naturally, the predicate is
+    * false, and this is the identity — no extra exchange. The
+    * planned-partition probe costs one physical planning of the
+    * input subtree, no job. */
+  def spreadIfNarrow(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions * 2 <= par)
+      df.repartition(par)
+    else df
+  }
 }

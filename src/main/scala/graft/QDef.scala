@@ -7,7 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Keeping the pair adjacent in one value is the main defense against
   * Spark/oracle drift (SURVEY.md §7 "Oracle.scala adjacent to twins").
-  */
+  *
+  * CACHE-LIFECYCLE CONTRACT (registry-wide, ADVICE r18): a QDef's
+  * `run` may persist() intermediates and does NOT unpersist them —
+  * the returned plan must keep its recompute lineage, and several
+  * keys' caches back the returned DataFrame itself. The EMBEDDING
+  * CONTEXT owns cleanup: every harness driver (Bench, Verify, the
+  * shared test passes) calls spark.catalog.clearCache() after each
+  * key's action. A context that runs registry keys without clearing
+  * between them will accumulate cached relations (and may log
+  * 'Asked to cache already cached data' when canonically identical
+  * subtrees recur across keys) — clear between keys, or accept the
+  * session-lifetime cache. */
 final case class QDef(
     key: String,
     oracle: Option[String])(

@@ -1605,14 +1605,30 @@ object Aggregates {
       |FROM abc JOIN xyz USING (l_partkey)
       |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val pr = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    // ONE lineitem scan + ONE partkey exchange feed BOTH legs (guide
+    // §2.4; r19-opt extends the r18 single-exchange weekly rewrite):
+    // the fixture file is a single parquet split, so each extra
+    // lineitem leg was a single-task 600k-row scan+probe+partial-agg.
+    // The shared repartition(xk) carries the raw narrow columns; the
+    // revenue agg groups by (brand, xk) ⊇ {xk} and the two weekly
+    // aggs by (xk, week)/(xk) ⊇ {xk}, so ALL of them plan
+    // exchange-free on top of the one reused exchange, and the
+    // broadcast part join + decimal arithmetic run spread across the
+    // session width instead of inside the single scan task. Decimal
+    // sums are partitioning-invariant (the D2 invariant), so rev is
+    // bit-identical.
+    val base = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("xk"), col("l_extendedprice"),
+        col("l_discount"), col("l_shipdate"), col("l_quantity"))
+      .repartition(s.sparkContext.defaultParallelism, col("xk"))
+    val pr = base
       .join(broadcast(Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"))),
-        col("p_partkey") === col("l_partkey"))
-      .groupBy(col("p_brand"), col("l_partkey"))
+        col("p_partkey") === col("xk"))
+      .groupBy(col("p_brand"), col("xk"))
       .agg(sum(money(col("l_extendedprice"))
         * (lit(1) - rate(col("l_discount")))).as("rev"))
+      .withColumnRenamed("xk", "l_partkey")
     val wCum = Window.partitionBy(col("p_brand"))
       .orderBy(col("rev").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1625,18 +1641,10 @@ object Aggregates {
         when(col("cum") * 10 <= col("tot") * 7, "A")
           .when(col("cum") * 10 <= col("tot") * 9, "B")
           .otherwise("C").as("abc_class"))
-    // ONE partkey exchange for both weekly legs (guide §2.4,
-    // r18-opt): (xk, week) groups are nearly as numerous as lineitem
-    // rows here, so the old partial agg shuffled ~the whole fact on
-    // (xk, week) and then re-shuffled the result on xk. Hash
-    // partitioning on xk alone satisfies the clustering requirement
-    // of BOTH aggs (xk ⊂ {xk, week}), so repartition(xk) once and
-    // the two groupBys plan exchange-free on top.
-    val wk = Tables.lineitem(s, d)
-      .select(col("l_partkey").as("xk"),
+    val wk = base
+      .select(col("xk"),
         expr("datediff(l_shipdate, DATE '1992-01-01') div 7").as("week"),
         (qty(col("l_quantity")) * 10).cast(LongType).as("q10"))
-      .repartition(col("xk"))
       .groupBy(col("xk"), col("week"))
       .agg(sum(col("q10")).cast(LongType).as("q10"))
     val xyz = wk.groupBy(col("xk"))
@@ -1652,6 +1660,9 @@ object Aggregates {
     // xyz is |parts|-sized (20k rows of 3 narrow cols): broadcast it
     // so the abc side keeps its brand-window partitioning instead of
     // both 20k-row sides paying a partkey shuffle + sort for an SMJ.
+    // SF ceiling (ADVICE r18): |parts| scales linearly — safe to
+    // roughly SF 10k (~2 GB), past which drop the hint and take the
+    // SMJ (same gate as q17's broadcast(pa), documented there).
     abc.join(broadcast(xyz), col("xk") === col("l_partkey"))
       .groupBy(col("abc_class"), col("xyz_class"))
       .agg(count(lit(1)).as("n_parts"),

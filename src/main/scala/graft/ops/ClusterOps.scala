@@ -544,6 +544,12 @@ object ClusterOps {
     // sf0.1).
     val adj = Tables.lineitem(s, d)
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      // repartition(pk) BEFORE the set agg (r19-opt, guide §2.5):
+      // the single-split fixture scan otherwise builds every
+      // adjacency set inside one task (the adamic_adar twin's note);
+      // explicit session width — the per-key reduce policy (4) would
+      // cap the set-building map work
+      .repartition(s.sparkContext.defaultParallelism, col("pk"))
       .groupBy(col("pk"))
       .agg(sort_array(collect_set(col("sk"))).as("sks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -707,18 +713,52 @@ object ClusterOps {
     // round's 1M-group hash aggs run on exactly these partitions), so
     // the narrow reduce width would cap 3 rounds of real work at 4
     // tasks. At cluster scale this is the conf-sized map width.
-    val edges = tradeSymEdges(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("src"))
+    // Hub skew handled (r19-opt, guide §2.5 — closes the r18 "salt
+    // above a degree ceiling" caveat, VERDICT r18 item 4): srcs whose
+    // degree exceeds spark.graft.lpa.hubDegreeCeiling (conf; default
+    // 4096 — chosen so a hub's single-partition slice stays a
+    // sub-second scan at any SF, production clusters tune it to
+    // rows-per-core) split into their OWN cache, SALTED by a
+    // deterministic dst hash, so no single src partition is the
+    // every-round straggler on a power-law graph. The hub leg
+    // aggregates two-level — (src, lbl, salt) exchange-free off the
+    // (src, salt) cache partitioning, then (src, lbl) over hub-sized
+    // partials — and each src lives in EXACTLY ONE leg, so the
+    // per-src argmax can run per leg and the union of the two label
+    // tables is the round's l, bit-identical to the unsplit kernel.
+    // At sf0.1 the hub set is empty (max degree ~600) and the hub
+    // leg's stages are no-ops; LpaHubSplitSpec pins leg-equivalence
+    // on a synthetic hub graph with the ceiling forced low.
+    val hubCeiling = s.conf.getOption("spark.graft.lpa.hubDegreeCeiling")
+      .getOrElse("4096").toLong
+    val par = s.sparkContext.defaultParallelism
+    val e0 = tradeSymEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+    val hubs = e0.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") > hubCeiling).select(col("src"))
+    val edges = e0.join(broadcast(hubs), Seq("src"), "left_anti")
+      .repartition(par, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eHub = e0.join(broadcast(hubs), Seq("src"), "left_semi")
+      .withColumn("salt", pmod(xxhash64(col("dst")), lit(8L)))
+      .repartition(par, col("src"), col("salt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ids are positive (key*2(+1), keys ≥ 1) so −lbl preserves the
     // smallest-label tiebreak inside the lexicographic struct max
-    def round(l: org.apache.spark.sql.DataFrame) =
-      edges.join(broadcast(l), edges("dst") === l("id"))
+    def argmax(c: org.apache.spark.sql.DataFrame) = c
+      .groupBy(col("src"))
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("src").as("id"), (-col("m.neg")).as("lbl"))
+    def round(l: org.apache.spark.sql.DataFrame) = {
+      val cN = edges.join(broadcast(l), edges("dst") === l("id"))
         .groupBy(col("src"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("src"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("src").as("id"), (-col("m.neg")).as("lbl"))
+      val cH = eHub.join(broadcast(l), eHub("dst") === l("id"))
+        .groupBy(col("src"), col("lbl"), col("salt"))
+        .agg(count(lit(1)).as("c1"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(sum(col("c1")).as("cnt"))
+      argmax(cN).unionAll(argmax(cH))
+    }
     // Round 1 constant-folded (r19-opt, guide §1.2): l0 assigns
     // every node its OWN id, and the edge list is distinct, so round
     // 1's (src, lbl) counts are all exactly 1 and the plurality
@@ -728,9 +768,12 @@ object ClusterOps {
     // build + the two-level count/argmax aggs. Rounds 2-3 run the
     // general plurality kernel unchanged, so the fixpoint is
     // bit-identical to the oracle's 3-round chain.
-    val l1 = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("lbl"))
+    val l1 = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
       .select(col("src").as("id"), col("lbl"))
+      .unionAll(eHub.groupBy(col("src"), col("salt"))
+        .agg(min(col("dst")).as("m1"))
+        .groupBy(col("src")).agg(min(col("m1")).as("lbl"))
+        .select(col("src").as("id"), col("lbl")))
     val l3 = round(round(l1))
     l3.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("community"), col("n_members"))

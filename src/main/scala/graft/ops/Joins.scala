@@ -1292,6 +1292,11 @@ object Joins {
     // fact on partkey just to meet a dim-sized build side (guide
     // §3.1: size estimates after aggregation are often wrong — hint
     // when you know the side is small).
+    // SF ceiling (ADVICE r18): |parts| grows linearly with scale —
+    // at ~24 B/row this hint is safe to roughly SF 10k (~2 GB
+    // broadcast, inside the 8 GB relation cap with executor headroom)
+    // and past that the hint should be dropped so the planner's SMJ
+    // degrades gracefully; same gate as Aggregates' broadcast(xyz).
     val sm = li.join(broadcast(pa), col("pk") === col("l_partkey"))
       .filter(lit(5) * col("q10") * col("n") < col("sq"))
       .join(broadcast(Tables.part(s, d)

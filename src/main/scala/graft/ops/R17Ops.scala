@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.{QDef, Tables}
+import graft.{PartitionPolicy, QDef, Tables}
 import graft.QDef.q
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1228,12 +1228,12 @@ object R17Ops {
     // spelling paid is gone too (ReuseExchange). At cluster scale
     // the same spelling holds — the exchange carries |events| rows
     // of three narrow columns, 32× less than what the explode emits.
-    val e = Tables.events(s, d)
+    val e0 = Tables.events(s, d)
       .select(col("event_id"), col("event_id").cast(StringType)
           .as("event_id_str"), col("event_type"),
         expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("cents"))
-      .repartition(s.sparkContext.defaultParallelism)
+    val e = PartitionPolicy.spreadIfNarrow(s, e0)
     val x = e.select(col("event_type"), col("cents"), col("event_id_str"),
         explode(sequence(lit(0), lit(3))).as("g"))
       .withColumn("h", md5(concat(col("event_id_str"), lit(":"),

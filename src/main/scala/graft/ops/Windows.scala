@@ -690,17 +690,23 @@ object Windows {
     // (a re-executed range exchange re-samples boundaries)
     val local = withPid
       .withColumn("gr_lrn", row_number().over(wpid.orderBy(keys: _*)))
-      .withColumn("gr_cnt", count(lit(1)).over(wpid))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = local.select(col("gr_pid"), col("gr_cnt")).distinct()
-    val offsets = counts
-      .join(counts.select(col("gr_pid").as("gr_pid2"), col("gr_cnt").as("gr_cnt2")),
-        col("gr_pid2") < col("gr_pid"), "left")
-      .groupBy(col("gr_pid"))
-      .agg(coalesce(sum(col("gr_cnt2")), lit(0L)).as("gr_off"))
-    val nRow = counts.agg(sum(col("gr_cnt")).as("gr_n"))
-    local.join(broadcast(offsets), "gr_pid")
-      .crossJoin(broadcast(nRow))
+    // r19-opt: the offsets machinery referenced the persisted rank
+    // table FOUR times per pass (counts distinct + a counts
+    // self-join + the total + the main scan) — the logical tree
+    // quadrupled per quartile cut and three cuts planned a 381 KB
+    // formatted tree. The ≤8 per-partition counts now collapse to
+    // ONE broadcast array row, and each row derives its offset and
+    // the total row-locally (HOFs over ≤8 elements, never under a
+    // Generate): two references to the rank table, same exact ranks.
+    val carr = local.groupBy(col("gr_pid")).agg(count(lit(1)).as("gr_cnt"))
+      .agg(sort_array(collect_list(struct(col("gr_pid"), col("gr_cnt"))))
+        .as("gr_arr"))
+    local.crossJoin(broadcast(carr))
+      .withColumn("gr_off", expr("aggregate(filter(gr_arr, " +
+        "x -> x.gr_pid < gr_pid), CAST(0 AS BIGINT), (a, x) -> a + x.gr_cnt)"))
+      .withColumn("gr_n", expr("aggregate(gr_arr, CAST(0 AS BIGINT), " +
+        "(a, x) -> a + x.gr_cnt)"))
       .withColumn("gr_r", col("gr_off") + col("gr_lrn"))
       .withColumn(qcol, expr(
         """CAST(CASE WHEN gr_r <= (gr_n % 4) * (gr_n div 4 + 1)
@@ -708,7 +714,7 @@ object Windows {
           |     ELSE gr_n % 4 + (gr_r - 1 - (gr_n % 4) * (gr_n div 4 + 1))
           |          div (gr_n div 4) + 1
           |     END AS INT)""".stripMargin))
-      .drop("gr_pid", "gr_lrn", "gr_cnt", "gr_off", "gr_n", "gr_r")
+      .drop("gr_pid", "gr_lrn", "gr_arr", "gr_off", "gr_n", "gr_r")
   }
 
   /** Rolling 7-day OLS slope (r12f) — the trailing trend a
