@@ -1160,8 +1160,20 @@ object Aggregates {
       |FROM lab GROUP BY p_brand, abc_class
       |ORDER BY p_brand, abc_class""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // Width-explicit partkey exchange before the part join + revenue
+    // agg (guide §2.5/§2.4 — the report_abc_xyz_matrix r19 spelling):
+    // the fixture lineitem is a single parquet split, so the scan +
+    // broadcast probe + decimal partial agg over 600k rows ran in ONE
+    // task while the rest of the session idled. Partitioning on
+    // l_partkey alone satisfies the (p_brand, l_partkey) clustering
+    // (partkey determines brand and is a subset of the grouping key),
+    // so the part-level agg plans exchange-free over the one new
+    // exchange; downstream the brand windows re-key a parts-sized
+    // table exactly as before. Decimal sums are partitioning-
+    // invariant (D2), so rev is bit-identical.
     val pr = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(s.sparkContext.defaultParallelism, col("l_partkey"))
       .join(broadcast(Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"))),
         col("p_partkey") === col("l_partkey"))

@@ -726,39 +726,31 @@ object ClusterOps {
     // partials — and each src lives in EXACTLY ONE leg, so the
     // per-src argmax can run per leg and the union of the two label
     // tables is the round's l, bit-identical to the unsplit kernel.
-    // At sf0.1 the hub set is empty (max degree ~600) and the hub
-    // leg's stages are no-ops; LpaHubSplitSpec pins leg-equivalence
-    // on a synthetic hub graph with the ceiling forced low.
+    // GATED ON THE MEASURED MAX DEGREE (r19-opt batch 3): the split
+    // machinery (anti/semi legs, a second cache, hub-leg aggs in all
+    // three rounds) costs real plan+JIT time even when the hub set is
+    // EMPTY — which it provably is whenever max(degree) ≤ ceiling.
+    // One exchange-free degree probe over the partitioned edge cache
+    // decides the branch (the same runtime-statistics decision AQE's
+    // skew handling makes); both branches compute the identical
+    // fixpoint, because a hub split with zero hubs IS the lean
+    // kernel. LpaHubSplitSpec pins leg-equivalence on a synthetic hub
+    // graph with the ceiling forced low (that branch stays exercised
+    // and graded at every SF via the spec).
     val hubCeiling = s.conf.getOption("spark.graft.lpa.hubDegreeCeiling")
       .getOrElse("4096").toLong
     val par = s.sparkContext.defaultParallelism
-    val e0 = tradeSymEdges(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-    val hubs = e0.groupBy(col("src")).agg(count(lit(1)).as("dg"))
-      .filter(col("dg") > hubCeiling).select(col("src"))
-    val edges = e0.join(broadcast(hubs), Seq("src"), "left_anti")
+    val e0 = tradeSymEdges(s, d)
       .repartition(par, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val eHub = e0.join(broadcast(hubs), Seq("src"), "left_semi")
-      .withColumn("salt", pmod(xxhash64(col("dst")), lit(8L)))
-      .repartition(par, col("src"), col("salt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    val maxDeg = deg.agg(max(col("dg"))).head().getLong(0)
     // ids are positive (key*2(+1), keys ≥ 1) so −lbl preserves the
     // smallest-label tiebreak inside the lexicographic struct max
     def argmax(c: org.apache.spark.sql.DataFrame) = c
       .groupBy(col("src"))
       .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
       .select(col("src").as("id"), (-col("m.neg")).as("lbl"))
-    def round(l: org.apache.spark.sql.DataFrame) = {
-      val cN = edges.join(broadcast(l), edges("dst") === l("id"))
-        .groupBy(col("src"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-      val cH = eHub.join(broadcast(l), eHub("dst") === l("id"))
-        .groupBy(col("src"), col("lbl"), col("salt"))
-        .agg(count(lit(1)).as("c1"))
-        .groupBy(col("src"), col("lbl"))
-        .agg(sum(col("c1")).as("cnt"))
-      argmax(cN).unionAll(argmax(cH))
-    }
     // Round 1 constant-folded (r19-opt, guide §1.2): l0 assigns
     // every node its OWN id, and the edge list is distinct, so round
     // 1's (src, lbl) counts are all exactly 1 and the plurality
@@ -768,13 +760,47 @@ object ClusterOps {
     // build + the two-level count/argmax aggs. Rounds 2-3 run the
     // general plurality kernel unchanged, so the fixpoint is
     // bit-identical to the oracle's 3-round chain.
-    val l1 = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
-      .select(col("src").as("id"), col("lbl"))
-      .unionAll(eHub.groupBy(col("src"), col("salt"))
-        .agg(min(col("dst")).as("m1"))
-        .groupBy(col("src")).agg(min(col("m1")).as("lbl"))
-        .select(col("src").as("id"), col("lbl")))
-    val l3 = round(round(l1))
+    val l3 = if (maxDeg <= hubCeiling) {
+      // Lean kernel: no hubs exist, so the split's two legs collapse
+      // to the single partitioned cache (the r18 shape + the round-1
+      // fold). e0 is already HashPartitioning(src).
+      def round(l: org.apache.spark.sql.DataFrame) =
+        argmax(e0.join(broadcast(l), e0("dst") === l("id"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("cnt")))
+      val l1 = e0.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+      round(round(l1))
+    } else {
+      val hubs = deg.filter(col("dg") > hubCeiling).select(col("src"))
+      // broadcast anti/semi joins PRESERVE the probe's partitioning,
+      // so the non-hub cache keeps HashPartitioning(src) for free and
+      // only the (small) hub leg pays the (src, salt) re-shuffle.
+      val edges = e0.join(broadcast(hubs), Seq("src"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val eHub = e0.join(broadcast(hubs), Seq("src"), "left_semi")
+        .withColumn("salt", pmod(xxhash64(col("dst")), lit(8L)))
+        .repartition(par, col("src"), col("salt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def round(l: org.apache.spark.sql.DataFrame) = {
+        val cN = edges.join(broadcast(l), edges("dst") === l("id"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+        val cH = eHub.join(broadcast(l), eHub("dst") === l("id"))
+          .groupBy(col("src"), col("lbl"), col("salt"))
+          .agg(count(lit(1)).as("c1"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(sum(col("c1")).as("cnt"))
+        argmax(cN).unionAll(argmax(cH))
+      }
+      val l1 = edges.groupBy(col("src")).agg(min(col("dst")).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+        .unionAll(eHub.groupBy(col("src"), col("salt"))
+          .agg(min(col("dst")).as("m1"))
+          .groupBy(col("src")).agg(min(col("m1")).as("lbl"))
+          .select(col("src").as("id"), col("lbl")))
+      round(round(l1))
+    }
     l3.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("community"), col("n_members"))
       .orderBy(col("community"))

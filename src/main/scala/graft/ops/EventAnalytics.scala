@@ -1593,9 +1593,17 @@ object EventAnalytics {
         struct(col("a").as("v"), lit(1L).as("d")),
         struct(col("b").as("v"), lit(-1L).as("d")))).as("x"))
       .select(col("x.v").as("v"), col("x.d").as("d"))
+    // r19-opt (guide §5 persist-when-reused): the assembled final
+    // plan references `run` three times (pk, the at-second probe, and
+    // pk again inside it) and each prefix pass reads `net` twice
+    // (within-bucket window + bucket totals) — unpersisted, the
+    // session-delta shuffle re-ran up to 6×. Both tables are bounded
+    // by distinct session-boundary seconds, far below event volume.
     val net = delta.groupBy(col("v")).agg(sum(col("d")).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val run = DriftOps.exclusivePrefix(net, expr("v div 86400"))
       .select(col("v").as("sec"), (col("pre") + col("cnt")).as("run"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pk = run.agg(max(col("run")).as("peak"))
     val at = run.join(broadcast(pk), col("run") === col("peak"))
       .agg(min(col("sec")).as("at_sec"))

@@ -814,19 +814,26 @@ object R17Ops {
       .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
       .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey").as("e_sk"), col("r_name").as("rs"))
+    // r19-opt (guide §2.3, aggregate before you persist): the four
+    // downstream legs (vol_all, per-region endpoint counts, within-
+    // region counts) are all exact functions of the (rc, rs) COUNT
+    // table — ≤|regions|² = 25 rows — so persist THAT, not the raw
+    // |edges|-sized (rc, rs) projection the r18 shape cached and then
+    // re-scanned four times. At 100 TB the cache shrinks from
+    // edge-volume to a constant 25 rows and each leg is row-trivial.
     val e = ClusterOps.tradeEb(s, d)
       .join(broadcast(cr), col("ck") === col("e_ck"))
       .join(broadcast(sr), col("sk") === col("e_sk"))
-      .select(col("rc"), col("rs"))
+      .groupBy(col("rc"), col("rs")).agg(count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tot = e.agg((count(lit(1)) * 2).as("vol_all"))
+    val tot = e.agg((sum(col("n")) * 2).as("vol_all"))
     val nc = e.groupBy(col("rc").as("nc_region"))
-      .agg(count(lit(1)).as("n_c"))
+      .agg(sum(col("n")).cast(LongType).as("n_c"))
     val ns = e.groupBy(col("rs").as("ns_region"))
-      .agg(count(lit(1)).as("n_s"))
+      .agg(sum(col("n")).cast(LongType).as("n_s"))
     val nw = e.filter(col("rc") === col("rs"))
       .groupBy(col("rc").as("nw_region"))
-      .agg(count(lit(1)).as("n_within"))
+      .agg(sum(col("n")).cast(LongType).as("n_within"))
     val m = Tables.region(s, d).select(col("r_name").as("region"))
       .join(broadcast(nc), col("nc_region") === col("region"), "left")
       .join(broadcast(ns), col("ns_region") === col("region"), "left")
