@@ -54,7 +54,18 @@ object ClusterOps {
 
   /** Spark twin of `tradeEbCte`: (ck, sk) distinct partnerships.
     * NOT persisted — callers own persistence (some persist eb itself,
-    * some only the doubled edges). */
+    * some only the doubled edges).
+    *
+    * r19 batch 3 finding (recorded so it isn't re-tried): spreading
+    * the single-split lineitem probe here (spreadIfNarrow before the
+    * broadcast join) was measured and REJECTED — back-to-back
+    * KeyTime A/B showed +0.15-0.27 s steady-state on EVERY consumer
+    * (pagerank 1.33→1.54, LPA 1.28→1.53, rich_club 0.90→1.15,
+    * assortativity 0.94→1.2, hits 1.44→1.58, k_core 1.7→1.9). The
+    * probe side of a broadcast join is cheap; the added round-robin
+    * exchange (plus its sort-before-repartition in the same scan
+    * task) costs more than the one-task probe saves, and most
+    * consumers re-partition the result themselves anyway. */
   def tradeEb(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -924,8 +935,12 @@ object ClusterOps {
       |FROM t""") { (s, d) =>
     val edges = tradeSymEdges(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r19 batch 3 (guide §5 persist-when-reused): deg feeds BOTH
+    // broadcast builds and the n_nodes fold — unpersisted, each of
+    // the three re-aggregated the 1.17M-row doubled edge cache.
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val j = edges
       .join(broadcast(deg.select(col("id").as("sid"), col("deg").as("x"))),
         col("sid") === col("src"))

@@ -1604,13 +1604,20 @@ object R18bOps {
       |    // (tot.n_edges * 1000000 // (tot.n_cust * tot.n_supp))
       |    AS BIGINT) AS rich_club_ratio_milli
       |FROM tot CROSS JOIN rich""") { (s, d) =>
+    // r19 batch 3 (guide §2.3): tot's two-distinct aggregate planned
+    // an Expand over the ~587k-row eb cache (3× the rows through a
+    // partial agg). The degree tables needed for the top-20 cuts
+    // already determine every total exactly: n_cust = |cd|, n_supp =
+    // |sd|, n_edges = Σ cd.deg (eb is duplicate-free) — so persist
+    // the two node-sized degree tables and fold them instead.
     val eb = ClusterOps.tradeEb(s, d).persist()
-    val topc = eb.groupBy(col("ck")).agg(count(lit(1)).as("deg"))
-      .orderBy(col("deg").desc, col("ck")).limit(20).select(col("ck"))
-    val tops = eb.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-      .orderBy(col("deg").desc, col("sk")).limit(20).select(col("sk"))
-    val tot = eb.agg(countDistinct(col("ck")).as("n_cust"),
-      countDistinct(col("sk")).as("n_supp"), count(lit(1)).as("n_edges"))
+    val cd = eb.groupBy(col("ck")).agg(count(lit(1)).as("deg")).persist()
+    val sd = eb.groupBy(col("sk")).agg(count(lit(1)).as("deg")).persist()
+    val topc = cd.orderBy(col("deg").desc, col("ck")).limit(20).select(col("ck"))
+    val tops = sd.orderBy(col("deg").desc, col("sk")).limit(20).select(col("sk"))
+    val tot = cd.agg(count(lit(1)).as("n_cust"), sum(col("deg")).cast(LongType).as("n_edges"))
+      .crossJoin(broadcast(sd.agg(count(lit(1)).as("n_supp"))))
+      .select(col("n_cust"), col("n_supp"), col("n_edges"))
     val rich = eb.join(broadcast(topc.select(col("ck").as("t_ck"))),
         col("t_ck") === col("ck"))
       .join(broadcast(tops.select(col("sk").as("t_sk"))),
