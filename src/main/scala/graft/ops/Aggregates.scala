@@ -932,8 +932,13 @@ object Aggregates {
       |    AS BIGINT) AS share_ppm
       |FROM a, tot
       |ORDER BY revenue DESC, label""") { (s, d) =>
+    // r19 batch 3 (guide §2.5 — the report_abc_class spelling): the
+    // single-split scan ran the broadcast probe + decimal partial agg
+    // over 600k rows in ONE task; one width-explicit partkey exchange
+    // spreads that work. Decimal sums are partitioning-invariant (D2).
     val br = Tables.lineitem(s, d)
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .repartition(s.sparkContext.defaultParallelism, col("l_partkey"))
       .join(broadcast(Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"))),
         col("p_partkey") === col("l_partkey"))

@@ -341,16 +341,36 @@ object R15Ops {
       .select(col("l_orderkey"), col("l_suppkey"),
         (datediff(col("l_shipdate").cast(DateType),
           col("o_orderdate").cast(DateType)) > 90).as("late"))
-    val l1 = lo.filter(col("late"))
+    // ONE width-explicit orderkey exchange feeds every leg (§2.4):
+    // ReuseExchange shares it between l1 and the counting aggs, both
+    // aggs plan exchange-free over it (o ⊆ each grouping key), and
+    // the 550k-entry dedup hash builds run session-wide instead of
+    // inside the single-split scan task.
+    val lo2 = lo.repartition(s.sparkContext.defaultParallelism,
+      col("l_orderkey"))
+    val l1 = lo2.filter(col("late"))
       .select(col("l_orderkey"), col("l_suppkey"))
-    val other = lo.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"),
-      col("late").as("late2"))
-    val waited = l1
-      .join(other, col("l_orderkey") === col("o2") &&
-        col("l_suppkey") =!= col("s2"), "left_semi")
-      .join(other.filter(col("late2")),
-        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_anti")
+    // r19 batch 3 (guide §2.3/§3): the EXISTS/NOT-EXISTS pair planned
+    // two SMJs whose probe AND build sides each re-derived the
+    // unpersisted lo join — three lineitem⋈orders passes plus two
+    // 600k-row sort-merge legs. The classic Q21 counting form replaces
+    // both: per order, d = distinct suppliers and dl = distinct LATE
+    // suppliers; an l1 row (o, s) waits alone iff d ≥ 2 (some other
+    // supplier exists) and dl = 1 (s itself is late, so the single
+    // late supplier IS s — no other late one). Exact set identities,
+    // duplicate l1 rows keep their per-line contribution to numwait.
+    // ord is bounded by |F-orders|; the broadcast holds to ~SF 1k at
+    // ~16 B/row — beyond that drop the hint for the shuffle semi (the
+    // q17/xyz broadcast-ceiling convention).
+    val g = lo2.groupBy(col("l_orderkey").as("go"), col("l_suppkey"))
+      .agg(max(col("late")).as("any_late"))
+    val ord = g.groupBy(col("go"))
+      .agg(count(lit(1)).as("d"),
+        sum(col("any_late").cast(LongType)).as("dl"))
+      .filter(col("d") >= 2 && col("dl") === 1)
+      .select(col("go"))
+    val waited = l1.join(broadcast(ord),
+      col("l_orderkey") === col("go"), "left_semi")
     val supp = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)
           .select(col("n_nationkey"), col("n_name"))),

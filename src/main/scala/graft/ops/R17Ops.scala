@@ -217,9 +217,14 @@ object R17Ops {
             (col("bs") === col(s"a.$score") && col("bd") <= col("a.doc_id")))
         .groupBy(col("a.doc_id").as("doc_id"))
         .agg(count(lit(1)).as("r"))
+    // r19 batch 3 (guide §5 persist-when-reused): rank50 references
+    // its input on BOTH join sides, so each unpersisted 50-row leg
+    // re-ran its whole upstream pipeline twice — the full BM25 score
+    // pass and the full cosine scan were each paid double.
     val lex50 = CorpusOps.bm25Scores(s, d)
       .select(col("doc_id"), col("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val lexr = rank50(lex50, "score_micro")
     val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("q_emb"))
@@ -228,6 +233,7 @@ object R17Ops {
       .select(col("vec_id").as("doc_id"),
         VecMath.fcosine(col("embedding"), col("q_emb")).as("sim"))
       .orderBy(col("sim").desc, col("doc_id")).limit(50)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val denr = rank50(den50, "sim")
     lexr.select(col("doc_id"), lit("lex").as("leg"), col("r"))
       .union(denr.select(col("doc_id"), lit("dense").as("leg"), col("r")))
